@@ -1,0 +1,82 @@
+"""DML emulation — SURVEY.md §2.12.
+
+The reference supports UPDATE/DELETE with a condition
+(`relational_engine/src/lib.rs:3842,3954`) against its mutable slab. A batch
+analytics engine over immutable parquet expresses the same semantics as
+*recompute-and-replace*: UPDATE = projection with a CASE, DELETE = negated
+filter; a real lakehouse deployment would land these as Delta/Iceberg MERGE
+(jars not in this image — see `neumann_spark.sources`). The queries return
+post-DML aggregates so the oracle can verify the transformed state.
+
+Transactions (`relational_engine/src/transaction.rs`) are an explicit
+non-goal for the batch engine (SURVEY.md §2.12).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from neumann_spark.catalog import load
+from neumann_spark.registry import register
+from neumann_spark.sqlutil import dsum, sql_dsum
+
+
+def update_where(df: DataFrame, cond, assignments: dict) -> DataFrame:
+    """UPDATE tbl SET col=expr WHERE cond (`relational_engine/src/lib.rs:3842`)
+    as an immutable projection: rows matching `cond` get the new values."""
+    out = df
+    for col, expr in assignments.items():
+        out = out.withColumn(col, F.when(cond, expr).otherwise(F.col(col)))
+    return out
+
+
+def delete_where(df: DataFrame, cond) -> DataFrame:
+    """DELETE FROM tbl WHERE cond (`relational_engine/src/lib.rs:3954`) as a
+    negated filter (the reference itself uses a deletion bitmap, i.e. also
+    logical deletion — `tensor_store/src/relational_slab.rs:2-13`)."""
+    return df.filter(~cond)
+
+
+@register(
+    "dml_update",
+    oracle=f"""
+    WITH updated AS (
+      SELECT o_orderstatus,
+             CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 1.1
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders
+    )
+    SELECT o_orderstatus, {sql_dsum('o_totalprice', 4)} AS sum_price, COUNT(*) AS n
+    FROM updated GROUP BY o_orderstatus
+    """,
+)
+def dml_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE … WHERE as recompute-and-replace; verified via post-state agg."""
+    o = load(spark, sf_dir, "orders")
+    updated = update_where(
+        o,
+        F.col("o_orderstatus") == "F",
+        {"o_totalprice": F.col("o_totalprice") * 1.1},
+    )
+    return updated.groupBy("o_orderstatus").agg(
+        dsum("o_totalprice", 4).alias("sum_price"), F.count("*").alias("n")
+    )
+
+
+@register(
+    "dml_delete",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n
+    FROM orders
+    WHERE NOT (o_orderstatus = 'P' OR o_totalprice < 2000.0)
+    GROUP BY o_orderpriority
+    """,
+)
+def dml_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE … WHERE as negated filter; verified via post-state counts."""
+    o = load(spark, sf_dir, "orders")
+    kept = delete_where(
+        o, (F.col("o_orderstatus") == "P") | (F.col("o_totalprice") < 2000.0)
+    )
+    return kept.groupBy("o_orderpriority").agg(F.count("*").alias("n"))

@@ -1,0 +1,409 @@
+"""Relational core — SURVEY.md §2.1-2.2, §2.4, §2.6-2.8.
+
+Capability parity with the reference's relational engine, expressed as
+declarative DataFrame plans so Catalyst does pushdown/pruning/codegen:
+
+* filter scans + condition trees     (`relational_engine/src/lib.rs:3045-3224`,
+  `Condition` IR `:561-655`, SIMD columnar path `:6165-6447` — Spark analog is
+  whole-stage codegen + parquet predicate pushdown)
+* projection / column pruning        (`relational_engine/src/lib.rs:6455-6482`)
+* DISTINCT full + subset             (`relational_engine/src/lib.rs:3485-3580`)
+* aggregates COUNT/COUNT(col)/SUM/AVG/MIN/MAX, GROUP BY + HAVING
+  (`relational_engine/src/lib.rs:4423-4767`, `select_grouped` `:3581-3674`)
+* ORDER BY multi-key w/ null ordering, LIMIT/OFFSET
+  (`query_router/src/lib.rs:4182-4253`, `:3961-3980`)
+* the *parsed-but-unexecuted* expression surface of the reference — BETWEEN /
+  IN / LIKE / NOT / arithmetic / CASE / string concat
+  (`neumann_parser/src/expr.rs:7-18`) — executed here because Catalyst gives
+  the full expression language for free (SURVEY.md §2.2 note)
+* set operations UNION/INTERSECT/EXCEPT (§2.7 — absent in the reference,
+  superset here)
+
+Scale notes: every query below is a single scan → (optional shuffle) → agg
+pipeline. Filters and projections reach the parquet reader (PushedFilters in
+`.explain("formatted")`); group-bys use partial aggregation map-side; sorts
+are total-order range-partitioned by Spark. Nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from neumann_spark.catalog import load
+from neumann_spark.registry import register
+from neumann_spark.sqlutil import davg, dsum, sql_davg, sql_dsum
+
+
+# --- §2.2 projection + predicate pushdown --------------------------------
+
+
+@register(
+    "rel_scan_projection",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_quantity > 45.0
+    """,
+)
+def rel_scan_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter scan + column pruning (`select_with_projection`,
+    `relational_engine/src/lib.rs:6455`). Both the predicate and the 4-column
+    projection push into the parquet scan — at 100 TB this reads ~4/11 of the
+    columns and skips row groups via min/max stats."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_quantity") > 45.0).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+
+
+@register(
+    "rel_filter_condition_tree",
+    oracle=f"""
+    SELECT l_linestatus,
+           COUNT(*) AS n,
+           {sql_dsum('l_extendedprice')} AS sum_price
+    FROM lineitem
+    WHERE (l_returnflag = 'R' AND l_quantity < 5.0)
+       OR (l_discount > 0.09 AND l_tax < 0.02)
+    GROUP BY l_linestatus
+    """,
+)
+def rel_filter_condition_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AND/OR condition tree (`Condition::And/Or`,
+    `relational_engine/src/lib.rs:561-655`). The reference evaluates this
+    per-row (or via SIMD bitmap intersect/union `:6291-6447`); Spark compiles
+    it into whole-stage-codegen'd vectorized predicates."""
+    li = load(spark, sf_dir, "lineitem")
+    cond = ((F.col("l_returnflag") == "R") & (F.col("l_quantity") < 5.0)) | (
+        (F.col("l_discount") > 0.09) & (F.col("l_tax") < 0.02)
+    )
+    return (
+        li.filter(cond)
+        .groupBy("l_linestatus")
+        .agg(F.count("*").alias("n"), dsum("l_extendedprice").alias("sum_price"))
+    )
+
+
+@register(
+    "rel_filter_expr_superset",
+    oracle="""
+    SELECT p_partkey, p_name, p_size,
+           CASE WHEN p_size >= 25 THEN 'big' WHEN p_size >= 10 THEN 'mid' ELSE 'small' END AS size_class,
+           p_brand || '/' || p_type AS brand_type,
+           p_partkey % 7 AS bucket
+    FROM part
+    WHERE p_size BETWEEN 10 AND 30
+      AND p_type IN ('ECONOMY', 'PROMO', 'STANDARD')
+      AND p_name LIKE '%bolt%'
+      AND NOT (p_brand = 'Brand#13')
+    """,
+)
+def rel_filter_expr_superset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The expression surface the reference *parses* but never executes —
+    BETWEEN/IN/LIKE/NOT/CASE/concat/modulo (`neumann_parser/src/expr.rs:7-18`,
+    router rejection `query_router/src/lib.rs:5812-5820`). Free in Catalyst;
+    capability superset per SURVEY.md §2.2."""
+    part = load(spark, sf_dir, "part")
+    return (
+        part.filter(
+            F.col("p_size").between(10, 30)
+            & F.col("p_type").isin("ECONOMY", "PROMO", "STANDARD")
+            & F.col("p_name").like("%bolt%")
+            & ~(F.col("p_brand") == "Brand#13")
+        )
+        .select(
+            "p_partkey",
+            "p_name",
+            "p_size",
+            F.when(F.col("p_size") >= 25, "big")
+            .when(F.col("p_size") >= 10, "mid")
+            .otherwise("small")
+            .alias("size_class"),
+            F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+            (F.col("p_partkey") % 7).alias("bucket"),
+        )
+    )
+
+
+# --- §2.4 DISTINCT --------------------------------------------------------
+
+
+@register(
+    "rel_select_distinct",
+    oracle="SELECT DISTINCT c_mktsegment FROM customer",
+)
+def rel_select_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`select_distinct` over all projected columns
+    (`relational_engine/src/lib.rs:3485`). Spark: hash-dedupe with partial
+    map-side combine — shuffles only the distinct keys."""
+    return load(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+
+
+@register(
+    "rel_distinct_subset",
+    oracle="""
+    SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+    """,
+)
+def rel_distinct_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT on a column subset (`select_distinct` subset path,
+    `relational_engine/src/lib.rs:3530-3580`) = `dropDuplicates(cols)`."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_linestatus")
+        .dropDuplicates(["l_returnflag", "l_linestatus"])
+    )
+
+
+# --- §2.4 aggregates ------------------------------------------------------
+
+
+@register(
+    "rel_agg_global",
+    oracle=f"""
+    SELECT COUNT(*) AS count_all,
+           COUNT(l_quantity) AS count_qty,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           {sql_davg('l_quantity')} AS avg_qty,
+           MIN(l_quantity) AS min_qty,
+           MAX(l_quantity) AS max_qty,
+           MIN(l_shipdate) AS min_ship,
+           MAX(l_shipdate) AS max_ship
+    FROM lineitem
+    """,
+)
+def rel_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's 6 ungrouped aggregates (COUNT(*)/COUNT(col)/SUM/AVG/
+    MIN/MAX, `relational_engine/src/lib.rs:4423-4767`) in one pass. Spark
+    computes all eight in a single scan with partial aggregation; COUNT(*)
+    alone would be answered from parquet row-group metadata (the analog of
+    the reference's O(1) `row_count` counter `:4423-4446`)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("count_all"),
+        F.count("l_quantity").alias("count_qty"),
+        dsum("l_quantity").alias("sum_qty"),
+        davg("l_quantity").alias("avg_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+    )
+
+
+@register(
+    "rel_count_star",
+    oracle="SELECT COUNT(*) AS n FROM orders",
+)
+def rel_count_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(*) without filter — the reference short-circuits to a metadata
+    counter (`relational_engine/src/lib.rs:4423`); Spark answers from parquet
+    footer row counts without reading data pages."""
+    return load(spark, sf_dir, "orders").agg(F.count("*").alias("n"))
+
+
+@register(
+    "rel_agg_group_having",
+    oracle=f"""
+    SELECT l_suppkey,
+           COUNT(*) AS n_items,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           {sql_davg('l_extendedprice')} AS avg_price
+    FROM lineitem
+    GROUP BY l_suppkey
+    HAVING {sql_dsum('l_quantity')} > 14000.0
+    """,
+)
+def rel_agg_group_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`select_grouped` hash aggregation + HAVING
+    (`relational_engine/src/lib.rs:3581-3674`, `HavingCondition` `:858-945`).
+    Spark: map-side partial agg → shuffle on l_suppkey → final agg → filter.
+    At 100 TB the shuffle carries only (suppkey, partials), not rows."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.count("*").alias("n_items"),
+            dsum("l_quantity").alias("sum_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+        )
+        .filter(F.col("sum_qty") > 14000.0)
+    )
+
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           {sql_dsum('l_extendedprice')} AS sum_base_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount)', 4)} AS sum_disc_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)} AS sum_charge,
+           {sql_davg('l_quantity')} AS avg_qty,
+           {sql_davg('l_extendedprice')} AS avg_price,
+           {sql_davg('l_discount', 4)} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship relational query — TPC-H Q1 shape over the reference's
+    filter→group→agg→sort spine (`select_columnar` `relational_engine/src/
+    lib.rs:6165` + `select_grouped` `:3581` + router ORDER BY
+    `query_router/src/lib.rs:4182`). One scan, 4-wide group key space,
+    partial agg makes the shuffle negligible at any scale."""
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price, 4).alias("sum_disc_price"),
+            dsum(charge, 6).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount", 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "rel_agg_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS n_custs,
+           COUNT(DISTINCT o_orderpriority) AS n_prios
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def rel_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT aggregates — parsed by the reference (`ast.rs:1895-1903`
+    `distinct` flag) but ignored by its executor; executed here
+    (SURVEY.md §2.4 gap). Spark expands to a two-phase partial-distinct agg."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.countDistinct("o_orderpriority").alias("n_prios"),
+    )
+
+
+@register(
+    "rel_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n, {sql_dsum('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets — absent in the reference (SURVEY.md §2.4
+    "grouping sets / cube / rollup: free in Spark"); exposed as superset."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), dsum("l_quantity").alias("sum_qty")
+    )
+
+
+# --- §2.6 sorts / limits --------------------------------------------------
+
+
+@register(
+    "rel_order_limit_offset",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20 OFFSET 10
+    """,
+)
+def rel_order_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY multi-key + OFFSET/LIMIT (`query_router/src/lib.rs:4182-4253`,
+    `:3961-3980`). Unique-key tiebreak makes the page deterministic. Spark
+    turns sort+limit into a TakeOrdered top-k — no full sort materialization."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .offset(10)
+        .limit(20)
+    )
+
+
+@register(
+    "rel_null_ordering",
+    oracle=f"""
+    WITH big AS (
+      SELECT l_orderkey, {sql_dsum('l_extendedprice')} AS big_price
+      FROM lineitem WHERE l_quantity > 48.0 GROUP BY l_orderkey
+    )
+    SELECT o.o_orderkey, b.big_price
+    FROM orders o LEFT JOIN big b ON o.o_orderkey = b.l_orderkey
+    WHERE o.o_totalprice > 450000.0
+    ORDER BY b.big_price DESC NULLS LAST, o.o_orderkey
+    """,
+)
+def rel_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULLS-LAST default ordering (`query_router/src/lib.rs:4243` — the
+    reference sorts nulls last by default). Nulls are produced by an outer
+    join, then ordered explicitly."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.filter(F.col("l_quantity") > 48.0)
+        .groupBy("l_orderkey")
+        .agg(dsum("l_extendedprice").alias("big_price"))
+    )
+    return (
+        o.filter(F.col("o_totalprice") > 450000.0)
+        .join(big, o.o_orderkey == big.l_orderkey, "left")
+        .select("o_orderkey", "big_price")
+        .orderBy(F.col("big_price").desc_nulls_last(), F.col("o_orderkey"))
+    )
+
+
+# --- §2.7 set operations (superset) ---------------------------------------
+
+
+@register(
+    "rel_set_ops",
+    oracle="""
+    WITH cn AS (SELECT DISTINCT CAST(c_nationkey AS INT) AS nationkey FROM customer WHERE c_acctbal > 9000.0),
+         sn AS (SELECT DISTINCT CAST(s_nationkey AS INT) AS nationkey FROM supplier WHERE s_acctbal > 5000.0)
+    SELECT nationkey, 'union' AS op FROM (SELECT * FROM cn UNION SELECT * FROM sn)
+    UNION ALL
+    SELECT nationkey, 'intersect' AS op FROM (SELECT * FROM cn INTERSECT SELECT * FROM sn)
+    UNION ALL
+    SELECT nationkey, 'except' AS op FROM (SELECT * FROM cn EXCEPT SELECT * FROM sn)
+    """,
+)
+def rel_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION/INTERSECT/EXCEPT — absent in the reference (SURVEY.md §2.7);
+    superset via Spark's native set operators."""
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    cn = (
+        c.filter(F.col("c_acctbal") > 9000.0)
+        .select(F.col("c_nationkey").cast("int").alias("nationkey"))
+        .distinct()
+    )
+    sn = (
+        s.filter(F.col("s_acctbal") > 5000.0)
+        .select(F.col("s_nationkey").cast("int").alias("nationkey"))
+        .distinct()
+    )
+    return (
+        cn.union(sn).distinct().withColumn("op", F.lit("union"))
+        .unionAll(cn.intersect(sn).withColumn("op", F.lit("intersect")))
+        .unionAll(cn.exceptAll(sn).distinct().withColumn("op", F.lit("except")))
+    )
