@@ -1,0 +1,73 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query materializes fully through the noop sink (no driver transfer, no
+pruned work — the whole plan executes). The headline set spans every engine
+surface: relational agg, multi-join, window, vector kNN, graph traversal +
+iterative algorithm, dedup, streaming window, unified cross-engine.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "join_multi_q5",
+    "rel_agg_group_having",
+    "win_topk_per_group",
+    "vector_knn_cosine",
+    "graph_bfs_levels",
+    "graph_pagerank",
+    "graph_connected_components",
+    "dedup_minhash_lsh",
+    "stream_tumbling_window",
+    "unified_similar_connected",
+    "text_quality_score",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    from neumann_spark.registry import all_queries
+    from neumann_spark.session import get_spark
+
+    queries = all_queries()
+    spark = get_spark("neumann_spark_bench")
+
+    # warm the JVM + file listing once
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -38,6 +38,16 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name == "events":
+        # The events fixture stores TIMESTAMP(NANOS); Spark's parquet reader
+        # rejects nanos natively, so read them as long and truncate to the
+        # microsecond grid — exactly what DuckDB's reader does, keeping the
+        # oracle comparable.
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

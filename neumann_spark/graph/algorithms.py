@@ -1,1 +1,690 @@
-"""placeholder — filled in during round 1."""
+"""Graph algorithms — SURVEY.md §2.9 (table 2).
+
+Two execution tiers, mirroring how the reference itself splits them:
+
+* **Iterative data-flow algorithms** (PageRank `graph_engine/src/lib.rs:6943`,
+  connected components `:6898`, label propagation `:7361`, k-core
+  `algorithms/kcore.rs:101`, eigenvector `:7278`, triangles
+  `algorithms/triangles.rs`, node similarity `algorithms/similarity.rs`) —
+  expressed as bounded loops of join+groupBy over the edges DataFrame with
+  `localCheckpoint()` per round to cut lineage. These scale: each round is
+  one shuffle keyed on node id, so a 1000-executor cluster runs them on
+  billions of edges. Fixed iteration counts make them oracle-checkable via
+  unrolled SQL CTEs (generated below).
+
+* **Small-graph driver-side algorithms** (Tarjan SCC `algorithms/scc.rs:133`,
+  Brandes betweenness `lib.rs:7058`, Kruskal MST `algorithms/mst.rs:164`,
+  Louvain `lib.rs:7442`, A* `algorithms/astar.rs:192`) — the reference runs
+  these single-node too; we collect the (filtered) edge list behind an
+  explicit size guard and run the textbook algorithm, exactly as SURVEY.md
+  §2.9 maps them ("driver-side on collected subgraph"). The scale path for
+  each is documented on the function.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from neumann_spark.graph.model import GRAPH_SQL_CTE, edges_df, nodes_df, undirected_edges
+from neumann_spark.registry import register
+
+DAMPING = 0.85
+PR_ITERS = 10
+CC_ROUNDS = 12
+LPA_ROUNDS = 4
+KCORE_K = 3
+KCORE_ROUNDS = 15
+EV_ITERS = 8
+
+MAX_COLLECT_EDGES = 5_000_000  # guard for driver-side algorithms
+
+
+# --------------------------------------------------------------------------
+# PageRank — fixed-iteration, simplified dangling handling (each iteration:
+# pr = (1-d)/N + d * Σ_in pr/outdeg), matching unrolled SQL exactly.
+# --------------------------------------------------------------------------
+
+
+def pagerank(
+    nodes: DataFrame, edges: DataFrame, iters: int = PR_ITERS, damping: float = DAMPING
+) -> DataFrame:
+    """PageRank (`graph_engine/src/lib.rs:6943`; config damping/max_iter).
+
+    Data-flow form: one shuffle per iteration (contributions grouped by dst).
+    Edges+outdeg are cached; pr is localCheckpointed per round. At 100 TB:
+    partition edges by src so the contribution join is co-located, and use
+    `spark.sql.adaptive` to coalesce the small pr side automatically."""
+    n_total = nodes.count()
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg")).cache()
+    e = edges.select("src", "dst").join(outdeg, "src").cache()
+    pr = nodes.select("id", F.lit(1.0 / n_total).alias("pr"))
+    base = (1.0 - damping) / n_total
+    for _ in range(iters):
+        contrib = (
+            e.join(pr, e.src == pr.id)
+            .select(F.col("dst"), (F.col("pr") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        pr = (
+            nodes.join(contrib, nodes.id == contrib.dst, "left")
+            .select(
+                "id",
+                (F.lit(base) + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))).alias(
+                    "pr"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return pr
+
+
+def _pagerank_sql(iters: int = PR_ITERS, damping: float = DAMPING) -> str:
+    parts = [
+        GRAPH_SQL_CTE,
+        ", nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes)",
+        ", outdeg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS deg FROM edges GROUP BY src)",
+        ", pr0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT n FROM nn) AS pr FROM nodes)",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f""", pr{t} AS MATERIALIZED (
+  SELECT n.id,
+         (1 - {damping}) / (SELECT n FROM nn)
+         + {damping} * COALESCE(SUM(p.pr / d.deg), 0.0) AS pr
+  FROM nodes n
+  LEFT JOIN edges e ON e.dst = n.id
+  LEFT JOIN pr{t-1} p ON p.id = e.src
+  LEFT JOIN outdeg d ON d.id = e.src
+  GROUP BY n.id
+)"""
+        )
+    parts.append(f"\nSELECT id, ROUND(pr, 8) AS pagerank FROM pr{iters}")
+    return "".join(parts)
+
+
+@register("graph_pagerank", oracle=_pagerank_sql())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank, 10 iterations, d=0.85 (`graph_engine/src/lib.rs:6943`)."""
+    pr = pagerank(nodes_df(spark, sf_dir), edges_df(spark, sf_dir))
+    return pr.select("id", F.round("pr", 8).alias("pagerank"))
+
+
+# --------------------------------------------------------------------------
+# Connected components — min-label propagation (HCC), fixed rounds.
+# --------------------------------------------------------------------------
+
+
+def connected_components(
+    nodes: DataFrame, uedges: DataFrame, rounds: int = CC_ROUNDS
+) -> DataFrame:
+    """Connected components (`graph_engine/src/lib.rs:6898`) by iterative
+    min-id propagation; `rounds` must exceed the graph diameter (asserted by
+    convergence tests). Scale path: GraphFrames/GraphX use the same HCC idea
+    with large-star/small-star acceleration; one shuffle per round here."""
+    e = uedges.select("src", "dst").cache()
+    comp = nodes.select("id", F.col("id").alias("comp"))
+    for _ in range(rounds):
+        nb_min = (
+            e.join(comp, e.dst == comp.id)
+            .groupBy("src")
+            .agg(F.min("comp").alias("nb_comp"))
+        )
+        comp = (
+            comp.join(nb_min, comp.id == nb_min.src, "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce("nb_comp", F.col("comp"))).alias(
+                    "comp"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return comp
+
+
+def _cc_sql(rounds: int = CC_ROUNDS) -> str:
+    parts = [GRAPH_SQL_CTE, ", c0 AS MATERIALIZED (SELECT id, id AS comp FROM nodes)"]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f""", c{t} AS MATERIALIZED (
+  SELECT c.id,
+         LEAST(MIN(c.comp), COALESCE(MIN(cm.comp), MIN(c.comp))) AS comp
+  FROM c{t-1} c
+  LEFT JOIN uedges e ON e.src = c.id
+  LEFT JOIN c{t-1} cm ON cm.id = e.dst
+  GROUP BY c.id
+)"""
+        )
+    parts.append(f"\nSELECT id, comp FROM c{rounds}")
+    return "".join(parts)
+
+
+@register("graph_connected_components", oracle=_cc_sql())
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via min-id propagation, 12 rounds (past the
+    fixture graph's diameter — convergence asserted in tests)."""
+    return connected_components(
+        nodes_df(spark, sf_dir), undirected_edges(edges_df(spark, sf_dir))
+    )
+
+
+# --------------------------------------------------------------------------
+# Label propagation — synchronous, most-frequent-neighbor-label with
+# deterministic min tie-break, fixed rounds.
+# --------------------------------------------------------------------------
+
+
+def label_propagation(
+    nodes: DataFrame, uedges: DataFrame, rounds: int = LPA_ROUNDS
+) -> DataFrame:
+    """Label propagation communities (`graph_engine/src/lib.rs:7361`),
+    synchronous variant: every round each node adopts its neighbors' most
+    frequent label (ties → min label). Deterministic by construction."""
+    from pyspark.sql import Window
+
+    e = uedges.select("src", "dst").cache()
+    lbl = nodes.select("id", F.col("id").alias("lbl"))
+    for _ in range(rounds):
+        counts = (
+            e.join(lbl, e.dst == lbl.id)
+            .groupBy("src", "lbl")
+            .agg(F.count("*").alias("cnt"))
+        )
+        w = Window.partitionBy("src").orderBy(F.col("cnt").desc(), F.col("lbl"))
+        best = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("src").alias("bid"), F.col("lbl").alias("best_lbl"))
+        )
+        lbl = (
+            lbl.join(best, lbl.id == best.bid, "left")
+            .select("id", F.coalesce("best_lbl", F.col("lbl")).alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+    return lbl
+
+
+def _lpa_sql(rounds: int = LPA_ROUNDS) -> str:
+    parts = [GRAPH_SQL_CTE, ", l0 AS MATERIALIZED (SELECT id, id AS lbl FROM nodes)"]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f""", b{t} AS MATERIALIZED (
+  SELECT src AS id, lbl FROM (
+    SELECT e.src, m.lbl, COUNT(*) AS cnt,
+           ROW_NUMBER() OVER (PARTITION BY e.src ORDER BY COUNT(*) DESC, m.lbl) AS rn
+    FROM uedges e JOIN l{t-1} m ON m.id = e.dst
+    GROUP BY e.src, m.lbl
+  ) WHERE rn = 1
+), l{t} AS MATERIALIZED (
+  SELECT x.id, COALESCE(b.lbl, x.lbl) AS lbl
+  FROM l{t-1} x LEFT JOIN b{t} b ON b.id = x.id
+)"""
+        )
+    parts.append(f"\nSELECT id, lbl AS community FROM l{rounds}")
+    return "".join(parts)
+
+
+@register("graph_label_propagation", oracle=_lpa_sql())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous LPA, 4 rounds, min tie-break."""
+    lbl = label_propagation(
+        nodes_df(spark, sf_dir), undirected_edges(edges_df(spark, sf_dir))
+    )
+    return lbl.select("id", F.col("lbl").alias("community"))
+
+
+# --------------------------------------------------------------------------
+# k-core — iterative degree pruning, fixed rounds (≥ convergence).
+# --------------------------------------------------------------------------
+
+
+def kcore(
+    uedges: DataFrame, k: int = KCORE_K, rounds: int = KCORE_ROUNDS
+) -> DataFrame:
+    """k-core decomposition (`graph_engine/src/algorithms/kcore.rs:101`):
+    repeatedly drop nodes with in-core degree < k. Each round = one groupBy
+    + two semi-joins; at scale the edge table shrinks monotonically so later
+    rounds are cheap. Returns surviving node ids."""
+    surv = uedges.select(F.col("src").alias("id")).distinct()
+    e = uedges.select("src", "dst")
+    for _ in range(rounds):
+        e_in = (
+            e.join(surv.withColumnRenamed("id", "src"), "src", "left_semi")
+            .join(surv.withColumnRenamed("id", "dst"), "dst", "left_semi")
+        )
+        nxt = (
+            e_in.groupBy("src")
+            .agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select(F.col("src").alias("id"))
+            .localCheckpoint(eager=True)
+        )
+        surv = nxt
+    return surv
+
+
+def _kcore_sql(k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> str:
+    parts = [GRAPH_SQL_CTE, ", s0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM uedges)"]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f""", s{t} AS MATERIALIZED (
+  SELECT e.src AS id FROM uedges e
+  JOIN s{t-1} a ON a.id = e.src
+  JOIN s{t-1} b ON b.id = e.dst
+  GROUP BY e.src HAVING COUNT(*) >= {k}
+)"""
+        )
+    parts.append(f"\nSELECT id FROM s{rounds}")
+    return "".join(parts)
+
+
+@register("graph_kcore", oracle=_kcore_sql())
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the undirected graph, 15 pruning rounds (convergence
+    asserted in tests)."""
+    return kcore(undirected_edges(edges_df(spark, sf_dir)))
+
+
+# --------------------------------------------------------------------------
+# Eigenvector centrality — power iteration with max-normalization.
+# --------------------------------------------------------------------------
+
+
+def eigenvector_centrality(
+    nodes: DataFrame, uedges: DataFrame, iters: int = EV_ITERS
+) -> DataFrame:
+    """Eigenvector centrality by power iteration
+    (`graph_engine/src/lib.rs:7278`): ev ← A·ev, normalized by max each
+    round. One shuffle per round + a scalar max (driver aggregate)."""
+    e = uedges.select("src", "dst").cache()
+    ev = nodes.select("id", F.lit(1.0).alias("ev"))
+    for _ in range(iters):
+        raw = (
+            e.join(ev, e.dst == ev.id)
+            .groupBy("src")
+            .agg(F.sum("ev").alias("raw"))
+        )
+        mx = raw.agg(F.max("raw")).collect()[0][0] or 1.0
+        ev = (
+            nodes.join(raw, nodes.id == raw.src, "left")
+            .select("id", (F.coalesce("raw", F.lit(0.0)) / F.lit(mx)).alias("ev"))
+            .localCheckpoint(eager=True)
+        )
+    return ev
+
+
+def _ev_sql(iters: int = EV_ITERS) -> str:
+    parts = [GRAPH_SQL_CTE, ", e0 AS MATERIALIZED (SELECT id, CAST(1.0 AS DOUBLE) AS ev FROM nodes)"]
+    for t in range(1, iters + 1):
+        parts.append(
+            f""", r{t} AS MATERIALIZED (
+  SELECT e.src AS id, SUM(m.ev) AS raw
+  FROM uedges e JOIN e{t-1} m ON m.id = e.dst
+  GROUP BY e.src
+), e{t} AS MATERIALIZED (
+  SELECT n.id,
+         COALESCE(r.raw, 0.0) / (SELECT MAX(raw) FROM r{t}) AS ev
+  FROM nodes n LEFT JOIN r{t} r ON r.id = n.id
+)"""
+        )
+    parts.append(f"\nSELECT id, ROUND(ev, 6) AS eigenvector FROM e{iters} WHERE ev > 0.0")
+    return "".join(parts)
+
+
+@register("graph_eigenvector", oracle=_ev_sql())
+def graph_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eigenvector centrality, 8 power iterations, max-normalized."""
+    ev = eigenvector_centrality(
+        nodes_df(spark, sf_dir), undirected_edges(edges_df(spark, sf_dir))
+    )
+    return ev.filter(F.col("ev") > 0.0).select("id", F.round("ev", 6).alias("eigenvector"))
+
+
+# --------------------------------------------------------------------------
+# Triangles / node similarity — pure join formulations.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "graph_triangle_count",
+    oracle=GRAPH_SQL_CTE
+    + """
+    , ue AS (SELECT src AS a, dst AS b FROM uedges WHERE src < dst)
+    SELECT COUNT(*) AS n_triangles
+    FROM ue e1
+    JOIN ue e2 ON e2.a = e1.b
+    JOIN ue e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count (`graph_engine/src/algorithms/triangles.rs`) via the
+    canonical a<b<c oriented 3-join — the standard distributed formulation
+    (orientation avoids counting each triangle 6×, and makes the heaviest
+    join side the low-degree one)."""
+    ue = (
+        undirected_edges(edges_df(spark, sf_dir))
+        .filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .cache()
+    )
+    e1 = ue
+    e2 = ue.select(F.col("a").alias("b2"), F.col("b").alias("c"))
+    e3 = ue.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    return (
+        e1.join(e2, e1.b == e2.b2)
+        .join(e3, (e1.a == e3.a3) & (e2.c == e3.c3))
+        .agg(F.count("*").alias("n_triangles"))
+    )
+
+
+@register(
+    "graph_node_similarity_jaccard",
+    oracle=GRAPH_SQL_CTE
+    + """
+    , adj AS (SELECT dst AS cust, src AS supp FROM edges WHERE edge_type = 'supplies'),
+      deg AS (SELECT cust, COUNT(*) AS d FROM adj GROUP BY cust),
+      common AS (
+        SELECT x.cust AS a, y.cust AS b, COUNT(*) AS c
+        FROM adj x JOIN adj y ON x.supp = y.supp AND x.cust < y.cust
+        GROUP BY x.cust, y.cust HAVING COUNT(*) >= 2
+      )
+    SELECT c.a, c.b,
+           ROUND(CAST(c.c AS DOUBLE) / (da.d + db.d - c.c), 6) AS jaccard
+    FROM common c JOIN deg da ON da.cust = c.a JOIN deg db ON db.cust = c.b
+    """,
+)
+def graph_node_similarity_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard node similarity over shared-supplier neighborhoods
+    (`graph_engine/src/algorithms/similarity.rs:108-248`): |N∩|/|N∪| via a
+    self-join on the adjacency list — the same co-occurrence join a
+    similarity join at 100 TB would use (blocked by the shared neighbor)."""
+    adj = (
+        edges_df(spark, sf_dir)
+        .filter(F.col("edge_type") == "supplies")
+        .select(F.col("dst").alias("cust"), F.col("src").alias("supp"))
+    ).cache()
+    deg = adj.groupBy("cust").agg(F.count("*").alias("d"))
+    x = adj.select(F.col("cust").alias("a"), "supp")
+    y = adj.select(F.col("cust").alias("b"), F.col("supp").alias("supp_y"))
+    common = (
+        x.join(y, (F.col("supp") == F.col("supp_y")) & (F.col("a") < F.col("b")))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+    )
+    da = deg.select(F.col("cust").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("cust").alias("b"), F.col("d").alias("db"))
+    return (
+        common.join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.col("c").cast("double") / (F.col("da") + F.col("db") - F.col("c")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Driver-side small-graph algorithms (reference runs these single-node too).
+# --------------------------------------------------------------------------
+
+
+def _collect_edges(uedges: DataFrame, cols=("src", "dst", "weight")) -> list[tuple]:
+    n = uedges.count()
+    if n > MAX_COLLECT_EDGES:
+        raise ValueError(
+            f"graph too large to collect ({n} edges > {MAX_COLLECT_EDGES}); "
+            "use the distributed variant or sample"
+        )
+    return [tuple(r) for r in uedges.select(*cols).collect()]
+
+
+@register("graph_scc_tarjan")
+def graph_scc_tarjan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components, Tarjan
+    (`graph_engine/src/algorithms/scc.rs:133`) on the directed graph plus
+    reverse 'purchases' edges (o_orderkey % 41) so non-trivial cycles exist.
+    Driver-side on the collected edge list (guarded), like the reference;
+    the distributed path would be forward-backward coloring. Rows-only check
+    (no SQL-expressible oracle for SCC)."""
+    from neumann_spark.catalog import load
+    from neumann_spark.graph.model import SUPPLIER_BASE
+
+    e = edges_df(spark, sf_dir).select("src", "dst")
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 41 == 0)
+    purchases = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").cast("bigint").alias("src"),
+            (F.lit(SUPPLIER_BASE) + F.col("l_suppkey")).cast("bigint").alias("dst"),
+        )
+        .distinct()
+    )
+    edges = [tuple(r) for r in e.unionAll(purchases).collect()]
+
+    graph: dict[int, list[int]] = defaultdict(list)
+    for s, d in edges:
+        graph[s].append(d)
+    # iterative Tarjan
+    index: dict[int, int] = {}
+    low: dict[int, int] = {}
+    on_stack: set[int] = set()
+    stack: list[int] = []
+    comp: dict[int, int] = {}
+    counter = [0]
+    nodes_all = sorted(set(graph) | {d for _, d in edges})
+    for root in nodes_all:
+        if root in index:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on_stack.add(v)
+            recurse = False
+            children = graph.get(v, [])
+            for i in range(pi, len(children)):
+                w = children[i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                if w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if low[v] == index[v]:
+                members = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    members.append(w)
+                    if w == v:
+                        break
+                cid = min(members)
+                for m in members:
+                    comp[m] = cid
+            work.pop()
+            if work:
+                parent = work[-1][0]
+                low[parent] = min(low[parent], low[v])
+    rows = [(int(n), int(comp[n])) for n in nodes_all]
+    multi = {c for c in comp.values() if sum(1 for x in comp.values() if x == c) > 1}
+    out = spark.createDataFrame(rows, "id bigint, scc bigint")
+    return out.filter(F.col("scc").isin([int(c) for c in multi]) if multi else F.lit(False))
+
+
+@register("graph_betweenness_sampled")
+def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Betweenness centrality, Brandes with source sampling
+    (`graph_engine/src/lib.rs:7058`, `sampling_ratio` config) — driver-side
+    BFS accumulation from every 10th customer node. Scale path: batched
+    multi-source BFS DataFrames (as in closeness) with per-source dependency
+    accumulation. Rows-only check."""
+    ue = undirected_edges(edges_df(spark, sf_dir)).select("src", "dst")
+    edges = [tuple(r) for r in ue.collect()]
+    adj: dict[int, list[int]] = defaultdict(list)
+    for s, d in edges:
+        adj[s].append(d)
+    for v in adj:
+        adj[v].sort()
+    sources = sorted(v for v in adj if v < 1_000_000 and v % 10 == 1)
+    bc: dict[int, float] = defaultdict(float)
+    for s in sources:
+        # Brandes single-source
+        dist = {s: 0}
+        sigma = {s: 1.0}
+        order = [s]
+        head = 0
+        preds: dict[int, list[int]] = defaultdict(list)
+        while head < len(order):
+            v = order[head]
+            head += 1
+            for w in adj.get(v, []):
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    order.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] = sigma.get(w, 0.0) + sigma[v]
+                    preds[w].append(v)
+        delta: dict[int, float] = defaultdict(float)
+        for w in reversed(order):
+            for v in preds[w]:
+                delta[v] += sigma[v] / sigma[w] * (1.0 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+    rows = sorted(
+        ((int(v), round(x, 6)) for v, x in bc.items() if x > 0),
+        key=lambda t: (-t[1], t[0]),
+    )[:50]
+    return spark.createDataFrame(rows, "id bigint, betweenness double")
+
+
+@register("graph_mst_kruskal")
+def graph_mst_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum spanning forest, Kruskal with deterministic (weight, src, dst)
+    ordering (`graph_engine/src/algorithms/mst.rs:164`). Driver-side with
+    union-find on the collected edge list; distributed path = Borůvka rounds
+    (min-edge per component via groupBy, then component merge). Rows-only."""
+    ue = (
+        undirected_edges(edges_df(spark, sf_dir))
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst", "weight")
+    )
+    edges = sorted(_collect_edges(ue), key=lambda t: (t[2], t[0], t[1]))
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    chosen = []
+    for s, d, w in edges:
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[max(rs, rd)] = min(rs, rd)
+            chosen.append((int(s), int(d), float(round(w, 2))))
+    return spark.createDataFrame(chosen, "src bigint, dst bigint, weight double")
+
+
+@register("graph_louvain")
+def graph_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Louvain communities (`graph_engine/src/lib.rs:7442`), deterministic
+    single-level pass: nodes in id order move to the neighbor community with
+    the best modularity gain. Driver-side (guarded); scale path = the
+    DataFrame LPA/modularity loop. Rows-only check."""
+    ue = undirected_edges(edges_df(spark, sf_dir)).select("src", "dst", "weight")
+    edges = _collect_edges(ue)
+    adj: dict[int, dict[int, float]] = defaultdict(dict)
+    for s, d, w in edges:
+        adj[s][d] = adj[s].get(d, 0.0) + w
+    k = {v: sum(nbrs.values()) for v, nbrs in adj.items()}
+    m2 = sum(k.values())  # = 2m
+    comm = {v: v for v in adj}
+    for _ in range(3):  # fixed passes
+        moved = False
+        for v in sorted(adj):
+            best_c, best_gain = comm[v], 0.0
+            neigh_w: dict[int, float] = defaultdict(float)
+            for u, w in adj[v].items():
+                if u != v:
+                    neigh_w[comm[u]] += w
+            sigma_tot: dict[int, float] = defaultdict(float)
+            for u, c in comm.items():
+                sigma_tot[c] += k.get(u, 0.0)
+            for c, w_in in sorted(neigh_w.items()):
+                gain = w_in / m2 - sigma_tot[c] * k[v] / (m2 * m2) * 2
+                if c == comm[v]:
+                    continue
+                if gain > best_gain + 1e-12:
+                    best_gain, best_c = gain, c
+            if best_c != comm[v]:
+                comm[v] = best_c
+                moved = True
+        if not moved:
+            break
+    # canonicalize community ids to min member
+    members: dict[int, list[int]] = defaultdict(list)
+    for v, c in comm.items():
+        members[c].append(v)
+    rows = []
+    for c, vs in members.items():
+        cid = min(vs)
+        rows.extend((int(v), int(cid)) for v in vs)
+    return spark.createDataFrame(sorted(rows), "id bigint, community bigint")
+
+
+@register("graph_astar_path")
+def graph_astar_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A* weighted path (`graph_engine/src/algorithms/astar.rs:192`) from
+    customer#1 to customer#17 with a zero heuristic (= Dijkstra; the
+    reference's euclidean/manhattan heuristics need coordinates). Driver-side
+    on the collected subgraph per SURVEY.md §2.9. Rows-only check."""
+    import heapq
+
+    ue = undirected_edges(edges_df(spark, sf_dir)).select("src", "dst", "weight")
+    edges = _collect_edges(ue)
+    adj: dict[int, list[tuple[int, float]]] = defaultdict(list)
+    for s, d, w in edges:
+        adj[s].append((d, w))
+    for v in adj:
+        adj[v].sort()
+    start, goal = 1, 17
+    dist = {start: 0.0}
+    prev: dict[int, int] = {}
+    pq: list[tuple[float, int]] = [(0.0, start)]
+    while pq:
+        d0, v = heapq.heappop(pq)
+        if v == goal:
+            break
+        if d0 > dist.get(v, float("inf")):
+            continue
+        for u, w in adj.get(v, []):
+            nd = d0 + w
+            if nd < dist.get(u, float("inf")) - 1e-12:
+                dist[u] = nd
+                prev[u] = v
+                heapq.heappush(pq, (nd, u))
+    path = []
+    cur: Optional[int] = goal if goal in dist else None
+    while cur is not None:
+        path.append(cur)
+        cur = prev.get(cur)
+    path.reverse()
+    rows = [(i, int(n), float(round(dist[n], 4))) for i, n in enumerate(path)]
+    return spark.createDataFrame(rows, "step int, node bigint, cum_weight double")

@@ -1,1 +1,167 @@
-"""placeholder — filled in during round 1."""
+"""Graph traversals — SURVEY.md §2.9: BFS, shortest paths, weighted paths.
+
+The reference traverses via per-node adjacency lists (`traverse` BFS
+`graph_engine/src/lib.rs:4674-4790`, `find_path` `:4794`, Dijkstra
+`find_weighted_path` `:4933`). The distributed analog is *frontier
+expansion*: each hop is one join of the frontier against the edge table,
+with min-dist dedup — Pregel's data-flow form. Iterations localCheckpoint()
+to cut lineage (SURVEY.md §7 risk register); the edge table is cached once
+and reused across hops so repeated scans are memory-speed.
+
+Bounded-depth semantics mirror the reference's `max_depth` guards; the
+Bellman-Ford variant computes min-weight over paths of ≤ K hops, which is
+exactly Dijkstra's answer once K ≥ graph diameter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from neumann_spark.graph.model import GRAPH_SQL_CTE, edges_df, undirected_edges
+from neumann_spark.registry import register
+
+# recursive-CTE-enabled variant of the shared graph derivation
+RECURSIVE_CTE = GRAPH_SQL_CTE.replace("WITH nodes", "WITH RECURSIVE nodes", 1)
+
+
+def bfs_levels(
+    edges: DataFrame, sources: DataFrame, max_depth: int, src_col: str = "source"
+) -> DataFrame:
+    """Multi-source BFS: returns (source, node, dist) with dist = hop count
+    of the shortest path ≤ max_depth (`traverse`/`find_path`,
+    `graph_engine/src/lib.rs:4674,4794`).
+
+    `sources` must have columns (source, node). Each level: frontier ⋈ edges
+    → anti-join against visited → new frontier. Frontier and visited are
+    localCheckpointed per level so the plan stays flat."""
+    visited = sources.select(src_col, "node", F.lit(0).alias("dist"))
+    frontier = visited
+    e = edges.select("src", "dst")
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(e, frontier.node == e.src)
+            .select(src_col, F.col("dst").alias("node"), F.lit(depth).alias("dist"))
+            .dropDuplicates([src_col, "node"])
+            .join(visited.select(src_col, "node"), [src_col, "node"], "left_anti")
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        visited = visited.unionAll(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited
+
+
+@register(
+    "graph_bfs_levels",
+    oracle=RECURSIVE_CTE
+    + """
+    , walk AS (
+      SELECT CAST(1 AS BIGINT) AS node, 0 AS dist
+      UNION ALL
+      SELECT e.dst, w.dist + 1 FROM walk w JOIN uedges e ON e.src = w.node
+      WHERE w.dist < 3
+    )
+    SELECT node, MIN(dist) AS dist FROM walk GROUP BY node
+    """,
+)
+def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS from customer#1, depth ≤ 3, undirected (`traverse`,
+    `graph_engine/src/lib.rs:4674-4790`)."""
+    e = undirected_edges(edges_df(spark, sf_dir)).cache()
+    src = spark.range(1, 2).select(
+        F.lit(1).cast("bigint").alias("source"), F.col("id").cast("bigint").alias("node")
+    )
+    out = bfs_levels(e, src, 3).select("node", "dist")
+    return out
+
+
+def bounded_dijkstra(
+    edges: DataFrame, source_id: int, max_hops: int
+) -> DataFrame:
+    """Min-weight path by iterative relaxation (Bellman-Ford over ≤ max_hops
+    hops) — the data-flow form of `find_weighted_path` Dijkstra
+    (`graph_engine/src/lib.rs:4933`). Returns (node, dist)."""
+    e = edges.select("src", "dst", "weight")
+    dist = e.sparkSession.createDataFrame(
+        [(source_id, 0.0)], "node bigint, dist double"
+    )
+    for _ in range(max_hops):
+        relaxed = (
+            dist.join(e, dist.node == e.src)
+            .select(F.col("dst").alias("node"), (F.col("dist") + F.col("weight")).alias("dist"))
+        )
+        dist = (
+            dist.unionAll(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist
+
+
+@register(
+    "graph_weighted_shortest_path",
+    oracle=RECURSIVE_CTE
+    + """
+    , walk AS (
+      SELECT CAST(1 AS BIGINT) AS node, CAST(0.0 AS DOUBLE) AS w, 0 AS hops
+      UNION ALL
+      SELECT e.dst, w.w + e.weight, w.hops + 1
+      FROM walk w JOIN uedges e ON e.src = w.node
+      WHERE w.hops < 3
+    )
+    SELECT node, ROUND(MIN(w), 4) AS dist FROM walk GROUP BY node
+    """,
+)
+def graph_weighted_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest distance from customer#1 over ≤ 3 hops, undirected
+    (`find_weighted_path`, `graph_engine/src/lib.rs:4933`). Path weights are
+    identical double sequences in both engines (hop-order accumulation), so
+    MIN matches bit-for-bit; rounded for hash stability."""
+    e = undirected_edges(edges_df(spark, sf_dir)).cache()
+    dist = bounded_dijkstra(e, 1, 3)
+    return dist.select("node", F.round("dist", 4).alias("dist"))
+
+
+@register(
+    "graph_closeness_sampled",
+    oracle=RECURSIVE_CTE
+    + """
+    , walk AS (
+      SELECT id AS source, id AS node, 0 AS dist FROM nodes
+      WHERE label = 'customer' AND id % 150 = 1
+      UNION ALL
+      SELECT w.source, e.dst, w.dist + 1
+      FROM walk w JOIN uedges e ON e.src = w.node
+      WHERE w.dist < 3
+    ),
+    sp AS (
+      SELECT source, node, MIN(dist) AS dist FROM walk GROUP BY source, node
+    )
+    SELECT source,
+           COUNT(*) AS n_reached,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(dist), 6) AS closeness
+    FROM sp WHERE dist > 0 GROUP BY source
+    """,
+)
+def graph_closeness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closeness centrality over sampled sources
+    (`graph_engine/src/lib.rs:7222`), bounded-radius (≤3 hops) like the
+    reference's sampling_ratio escape hatch for O(V·E) costs. Multi-source
+    BFS batches all sources through the same frontier joins — one pass,
+    source count only widens rows, not stages."""
+    e = undirected_edges(edges_df(spark, sf_dir)).cache()
+    from neumann_spark.graph.model import nodes_df
+
+    srcs = (
+        nodes_df(spark, sf_dir)
+        .filter((F.col("label") == "customer") & (F.col("id") % 150 == 1))
+        .select(F.col("id").alias("source"), F.col("id").alias("node"))
+    )
+    sp = bfs_levels(e, srcs, 3).filter(F.col("dist") > 0)
+    return sp.groupBy("source").agg(
+        F.count("*").alias("n_reached"),
+        F.round(F.count("*").cast("double") / F.sum("dist"), 6).alias("closeness"),
+    )

@@ -1,1 +1,306 @@
-"""placeholder — filled in during round 1."""
+"""Deduplication operators — LLM-pipeline extension (BASELINE.json north
+star: exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding-cosine).
+
+Scale design: every variant is a *blocked* pair generation — candidate pairs
+come from an equality join on a compact signature (hash / band / simhash
+prefix / label block), never from an all-pairs cartesian. At 100 TB the
+signature computation is a map-only stage, and each join shuffles on the
+signature key (skew-safe: band values are near-uniform by construction).
+
+All hashes derive from `md5_int64` (engine-stable), so even MinHash and
+SimHash are fully oracle-checkable — stronger than the usual "trust the
+implementation" approach.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from neumann_spark.catalog import load
+from neumann_spark.functions.text import SQL_MD5_INT64, md5_int64
+from neumann_spark.functions.vector import cosine_expr
+from neumann_spark.registry import register
+
+MINHASH_SEEDS = 8
+MINHASH_BAND_ROWS = 2  # 4 bands of 2 rows
+
+
+# --- exact dedup ----------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, source, md5(concat(source, ':', CAST(n_chars // 50 AS VARCHAR))) AS k
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, source, k,
+             ROW_NUMBER() OVER (PARTITION BY k ORDER BY doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY k) AS group_size
+      FROM keyed
+    )
+    SELECT doc_id, source, group_size FROM ranked WHERE rn = 1 AND group_size > 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content-key hash, keep-min-id
+    (`dropDuplicates` + group stats). The fixture texts are all distinct, so
+    the content key here is (source, length-bucket) to exercise the group
+    machinery; on real data the key is md5(text). One shuffle on the hash."""
+    d = load(spark, sf_dir, "documents")
+    k = F.md5(F.concat(F.col("source"), F.lit(":"), (F.col("n_chars") / F.lit(50)).cast("bigint").cast("string")))
+    keyed = d.select("doc_id", "source", k.alias("k"))
+    w = Window.partitionBy("k")
+    ranked = keyed.select(
+        "doc_id",
+        "source",
+        F.row_number().over(w.orderBy("doc_id")).alias("rn"),
+        F.count("*").over(w).alias("group_size"),
+    )
+    return ranked.filter((F.col("rn") == 1) & (F.col("group_size") > 1)).select(
+        "doc_id", "source", "group_size"
+    )
+
+
+# --- n-gram (bigram) Jaccard ---------------------------------------------
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct bigram shingles per doc (doc_id % 5 block): index-transform
+    over the word array — a map-only expression, no window shuffle."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    w = F.split("text", " ")
+    bigrams = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        d.select("doc_id", "source", F.explode(bigrams).alias("sh"))
+        .distinct()
+    )
+
+_SHINGLES_SQL = """
+    words AS MATERIALIZED (
+      SELECT doc_id, source, str_split(text, ' ') AS w
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    sh AS MATERIALIZED (
+      SELECT DISTINCT doc_id, source, u.sh
+      FROM words, UNNEST(list_transform(generate_series(1, len(w) - 1),
+                                        i -> w[i] || ' ' || w[i + 1])) AS u(sh)
+      WHERE len(w) >= 2
+    )
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="WITH "
+    + _SHINGLES_SQL
+    + """
+    , sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id AND a.source = b.source
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           ROUND(CAST(c.c AS DOUBLE) / (sa.n + sb.n - c.c), 6) AS jaccard
+    FROM common c
+    JOIN sizes sa ON sa.doc_id = c.id_a
+    JOIN sizes sb ON sb.doc_id = c.id_b
+    WHERE CAST(c.c AS DOUBLE) / (sa.n + sb.n - c.c) >= 0.05
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram (bigram shingle) Jaccard near-dup pairs, blocked by `source`
+    so candidate generation is a shingle equi-join, not a cartesian — the
+    scalable shape: pairs only materialize where shingles collide."""
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("source").alias("src_a"), "sh")
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("source").alias("src_b"), F.col("sh").alias("sh_b"))
+    common = (
+        a.join(b, (F.col("sh") == F.col("sh_b")) & (F.col("id_a") < F.col("id_b")) & (F.col("src_a") == F.col("src_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    jac = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(jac >= 0.05)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# --- MinHash + LSH banding ------------------------------------------------
+
+
+def _minhash_sql() -> str:
+    """Oracle: 8 seeded min-hashes per doc → 4 bands of 2 → candidate pairs
+    where any band collides."""
+    hash_expr = SQL_MD5_INT64.format(x="CAST(t.j AS VARCHAR) || ':' || s.sh")
+    return f"""
+    WITH {_SHINGLES_SQL},
+    sigs AS (
+      SELECT s.doc_id, t.j, MIN({hash_expr}) AS sig
+      FROM sh s CROSS JOIN generate_series(0, {MINHASH_SEEDS - 1}) AS t(j)
+      GROUP BY s.doc_id, t.j
+    ),
+    bands AS (
+      SELECT doc_id, j // {MINHASH_BAND_ROWS} AS band,
+             string_agg(CAST(sig AS VARCHAR), ',' ORDER BY j) AS band_sig
+      FROM sigs GROUP BY doc_id, j // {MINHASH_BAND_ROWS}
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_bands
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+               AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    """
+
+
+@register("dedup_minhash_lsh", oracle=_minhash_sql())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates: shingle → 8 seeded min-hashes →
+    band (2 rows × 4 bands) → bucket-join. The canonical sub-quadratic dedup:
+    signature computation is map-only; the only shuffle keys are (band,
+    band_sig), uniform by construction. Hash functions are md5-derived so
+    the oracle reproduces them exactly (no approximation slack needed)."""
+    sh = _shingles(spark, sf_dir).select("doc_id", "sh")
+    seeds = spark.range(MINHASH_SEEDS).select(F.col("id").cast("int").alias("j"))
+    sigs = (
+        sh.crossJoin(seeds)
+        .select(
+            "doc_id",
+            "j",
+            md5_int64(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("sh"))).alias("h"),
+        )
+        .groupBy("doc_id", "j")
+        .agg(F.min("h").alias("sig"))
+    )
+    bands = (
+        sigs.withColumn("band", (F.col("j") / MINHASH_BAND_ROWS).cast("bigint"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("j", "sig"))),
+                    lambda x: x.sig.cast("string"),
+                ),
+                ",",
+            ).alias("band_sig")
+        )
+    )
+    a = bands.select(F.col("doc_id").alias("id_a"), "band", "band_sig")
+    b = bands.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("band").alias("band_b"),
+        F.col("band_sig").alias("band_sig_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("band") == F.col("band_b"))
+            & (F.col("band_sig") == F.col("band_sig_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_bands"))
+    )
+
+
+# --- SimHash --------------------------------------------------------------
+
+SIMHASH_BITS = 16
+
+
+def _simhash_sql() -> str:
+    h = SQL_MD5_INT64.format(x="u.w")
+    bit_sums = ",\n             ".join(
+        f"SUM(CASE WHEN (({h}) >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    recompose = " + ".join(
+        f"CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH wordbits AS (
+      SELECT doc_id,
+             {bit_sums}
+      FROM documents, UNNEST(str_split(text, ' ')) AS u(w)
+      WHERE doc_id % 7 = 0
+      GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({recompose} AS BIGINT) AS simhash
+    FROM wordbits
+    """
+
+
+@register("dedup_simhash", oracle=_simhash_sql())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash document signatures: per-word md5 bits vote ±1 per position;
+    sign recomposes a 16-bit signature. Near-dups then pair by
+    `bit_count(a XOR b) ≤ r` on the compact signature — map-only signature,
+    tiny shuffle. Oracle reproduces signatures exactly."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    w = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    h = md5_int64(F.col("word"))
+    bit_sums = [
+        F.sum(
+            F.when(h.bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    sums = w.groupBy("doc_id").agg(*bit_sums)
+    sim = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return sums.select("doc_id", sim.cast("bigint").alias("simhash"))
+
+
+# --- embedding-cosine near-dup -------------------------------------------
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
+             SUM(CAST(a.embedding[t.i] AS DOUBLE) * CAST(b.embedding[t.i] AS DOUBLE)) AS dot,
+             SQRT(SUM(CAST(a.embedding[t.i] AS DOUBLE) * CAST(a.embedding[t.i] AS DOUBLE))) AS na,
+             SQRT(SUM(CAST(b.embedding[t.i] AS DOUBLE) * CAST(b.embedding[t.i] AS DOUBLE))) AS nb
+      FROM embeddings a
+      JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+      CROSS JOIN generate_series(1, 64) AS t(i)
+      GROUP BY a.vec_id, b.vec_id, a.label
+    )
+    SELECT id_a, id_b, label, ROUND(dot / (na * nb), 6) AS cos_sim
+    FROM pairs WHERE dot / (na * nb) > 0.28
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by `label` (the cluster/
+    collection column) so the pair join is per-block instead of global
+    all-pairs — at 100 TB the block key would be an ANN bucket (see
+    pipeline.ann) and this same pair-scoring join runs per bucket."""
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("label"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("label").alias("label_b"), F.col("embedding").alias("vb"))
+    cos = cosine_expr(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, (F.col("label") == F.col("label_b")) & (F.col("id_a") < F.col("id_b")))
+        .withColumn("cos_sim_raw", cos)
+        .filter(F.col("cos_sim_raw") > 0.28)
+        .select("id_a", "id_b", "label", F.round("cos_sim_raw", 6).alias("cos_sim"))
+    )

@@ -1,1 +1,135 @@
-"""placeholder — filled in during round 1."""
+"""Text analysis over `documents` — LLM-pipeline extension operators
+(BASELINE.json north star: "text analysis" as first-class components).
+
+Token counting, quality scoring, language-ID heuristic, and document
+fingerprinting, all as JVM-side expressions over one scan of the documents
+table — at 100 TB these are embarrassingly parallel map-only stages (no
+shuffle except the final small aggregates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from neumann_spark.catalog import load
+from neumann_spark.functions.text import (
+    SQL_MD5_INT64,
+    STOPWORDS,
+    md5_int64,
+    punct_count,
+    stopword_count,
+    word_count,
+    words,
+)
+from neumann_spark.registry import register
+
+_SW_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+@register(
+    "text_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           len(str_split(text, ' ')) AS n_tokens,
+           n_chars,
+           len(list_filter(str_split(text, ' '), w -> w IN ({_SW_LIST}))) AS n_stopwords
+    FROM documents
+    WHERE doc_id % 3 = 0
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace tokens + stopword hits) — the unit step of
+    any token-budget accounting pipeline."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    return d.select(
+        "doc_id",
+        word_count(F.col("text")).alias("n_tokens"),
+        "n_chars",
+        stopword_count(F.col("text")).alias("n_stopwords"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           ROUND(
+             0.4 * LEAST(CAST(n_chars AS DOUBLE) / 300.0, 1.0)
+           + 0.4 * (1.0 - CAST(len(list_filter(str_split(text, ' '), w -> w IN ({_SW_LIST}))) AS DOUBLE)
+                         / len(str_split(text, ' ')))
+           + 0.2 * (1.0 - LEAST(CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+                                / length(text), 1.0))
+           , 6) AS quality
+    FROM documents
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring from length / stopword ratio / punctuation ratio —
+    the standard cheap pre-filter of LLM training-data pipelines. Weights
+    are fixed; score in [0,1]."""
+    d = load(spark, sf_dir, "documents")
+    length_part = F.least(F.col("n_chars").cast("double") / 300.0, F.lit(1.0))
+    sw_ratio = stopword_count(F.col("text")).cast("double") / word_count(F.col("text"))
+    punct_ratio = F.least(
+        punct_count(F.col("text")).cast("double") / F.length("text"), F.lit(1.0)
+    )
+    quality = 0.4 * length_part + 0.4 * (1.0 - sw_ratio) + 0.2 * (1.0 - punct_ratio)
+    return d.select("doc_id", F.round(quality, 6).alias("quality"))
+
+
+@register(
+    "text_language_id",
+    oracle="""
+    WITH feat AS (
+      SELECT doc_id, lang,
+             len(list_filter(str_split(text, ' '), w -> w IN ('the', 'a', 'of'))) AS en_hits,
+             len(list_filter(str_split(text, ' '), w -> w IN ('data', 'table', 'row'))) AS tech_hits,
+             len(str_split(text, ' ')) AS n
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN en_hits * 3 >= tech_hits THEN 'en' ELSE 'tech' END AS lang_pred,
+           ROUND(CAST(en_hits AS DOUBLE) / n, 6) AS en_ratio
+    FROM feat
+    """,
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: marker-token ratios → argmax class with a
+    deterministic tie-break (the n-gram-frequency approach of classic
+    langid, reduced to the fixture's vocabulary). Returns prediction and the
+    labeled `lang` for downstream accuracy joins."""
+    d = load(spark, sf_dir, "documents")
+    w = words(F.col("text"))
+    en_hits = F.size(F.filter(w, lambda x: x.isin("the", "a", "of")))
+    tech_hits = F.size(F.filter(w, lambda x: x.isin("data", "table", "row")))
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(en_hits * 3 >= tech_hits, "en").otherwise("tech").alias("lang_pred"),
+        F.round(en_hits.cast("double") / F.size(w), 6).alias("en_ratio"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5(text) AS fingerprint,
+           list_min(list_transform(str_split(text, ' '),
+                                   w -> {SQL_MD5_INT64.format(x="w")})) AS min_word_hash
+    FROM documents
+    WHERE doc_id % 4 = 0
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: whole-text md5 + min word hash (a 1-element
+    minhash — the rolling-hash analog that's stable across engines)."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 0)
+    w = words(F.col("text"))
+    min_hash = F.array_min(F.transform(w, lambda x: md5_int64(x)))
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("fingerprint"),
+        min_hash.alias("min_word_hash"),
+    )

@@ -43,7 +43,7 @@ def _import_all() -> None:
     from neumann_spark.pipeline import ann, dedup, multimodal, text_queries  # noqa: F401
     from neumann_spark.streaming import windows as stream_windows  # noqa: F401
     from neumann_spark.unified import entities  # noqa: F401
-    from neumann_spark.functions import vector  # noqa: F401
+    from neumann_spark.functions import geo, vector  # noqa: F401
 
 
 def all_queries() -> dict[str, QueryFn]:

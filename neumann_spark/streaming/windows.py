@@ -1,1 +1,150 @@
-"""placeholder — filled in during round 1."""
+"""Streaming windows over `events` — Structured Streaming extension.
+
+The reference has NO stream processing (SURVEY.md §1.5: its only "streaming"
+is result cursors); this module is the extension the north star calls for.
+Three window families — tumbling, sliding, session — implemented with the
+same `F.window`/`F.session_window` expressions that run identically over a
+batch DataFrame and a `readStream` source. The registered queries run the
+batch form (oracle-checkable against DuckDB's time arithmetic); `stream_*`
+helpers below run the genuine streaming path (watermarks + memory sink),
+exercised in tests.
+
+Scale: windowed aggregation shuffles on (window, key) — with watermarks the
+state store evicts closed windows, so state is bounded by (watermark horizon
+× key cardinality), the standard 100 TB/day streaming design.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from neumann_spark.catalog import load
+from neumann_spark.registry import register
+from neumann_spark.sqlutil import dsum, sql_dsum
+
+
+@register(
+    "stream_tumbling_window",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           {sql_dsum('value', 4)} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling (fixed, non-overlapping) event-time windows: daily counts +
+    sums per event type. `F.window` start aligns to the epoch grid exactly
+    like DuckDB's time_bucket."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), dsum("value", 4).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "sum_value"
+        )
+    )
+
+
+@register(
+    "stream_sliding_window",
+    oracle=f"""
+    WITH grid AS (
+      SELECT e.*,
+             time_bucket(INTERVAL '1 day', ts) - k.k * INTERVAL '1 day' AS window_start
+      FROM events e CROSS JOIN (SELECT UNNEST([0, 1]) AS k) k
+    )
+    SELECT window_start, COUNT(*) AS n, {sql_dsum('value', 4)} AS sum_value
+    FROM grid
+    GROUP BY window_start
+    """,
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (size 2 days, slide 1 day): every event lands in two
+    overlapping windows. Spark expands via `F.window(size, slide)`; the
+    oracle expands the same grid with an offset join."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 days", "1 day").alias("w"))
+        .agg(F.count("*").alias("n"), dsum("value", 4).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n", "sum_value")
+    )
+
+
+@register(
+    "stream_session_window",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       <= INTERVAL '6 hours'
+                  THEN 0 ELSE 1 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_no
+    HAVING COUNT(*) >= 3
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (6-hour gap) per user — `F.session_window` in
+    Spark, gaps-and-islands in the oracle. Sessions with ≥ 3 events."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "6 hours").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.min("ts").alias("session_start"))
+        .filter(F.col("n_events") >= 3)
+        .select("user_id", "session_start", "n_events")
+    )
+
+
+# --- genuine streaming path (exercised in tests) --------------------------
+
+
+def stream_windowed_counts(
+    spark: SparkSession, sf_dir: str, queryName: str = "stream_counts"
+):
+    """Real Structured Streaming: parquet readStream → watermark → tumbling
+    window agg → memory sink. Returns the started StreamingQuery; callers
+    `processAllAvailable()` then read `SELECT * FROM <queryName>`.
+
+    Watermark 1 day: late events beyond the horizon are dropped and closed
+    windows leave the state store — bounded state at any scale."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = (
+        "event_id bigint, ts bigint, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")  # file source needs a dir
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        stream.filter(F.col("event_id").isNotNull())
+        .withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("window_start"), "event_type", "n")
+    )
+    # complete mode so windows still open at end-of-input are emitted too
+    # (append mode would hold them back until the watermark passes — correct
+    # for unbounded streams, but a bounded smoke run would miss the tail).
+    return (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(availableNow=True)
+        .start()
+    )

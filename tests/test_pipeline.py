@@ -1,0 +1,106 @@
+"""LLM-pipeline operator tests: dedup ground truth, text analysis bounds,
+multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def test_minhash_identical_docs_collide(spark):
+    """Two identical texts must share all bands; a disjoint text none."""
+    from neumann_spark.functions.text import md5_int64
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f g h"),
+            (5, "a b c d e f g h"),
+            (10, "z y x w v u t s"),
+        ],
+        "doc_id bigint, text string",
+    )
+    docs.createOrReplaceTempView("_mh_docs")
+    w = F.split("text", " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
+    )
+    sh = docs.select("doc_id", F.explode(bigrams).alias("sh")).distinct()
+    seeds = spark.range(8).select(F.col("id").cast("int").alias("j"))
+    sigs = (
+        sh.crossJoin(seeds)
+        .select(
+            "doc_id", "j",
+            md5_int64(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("sh"))).alias("h"),
+        )
+        .groupBy("doc_id", "j")
+        .agg(F.min("h").alias("sig"))
+    )
+    sig_map = {(r["doc_id"], r["j"]): r["sig"] for r in sigs.collect()}
+    assert all(sig_map[(0, j)] == sig_map[(5, j)] for j in range(8))
+    assert any(sig_map[(0, j)] != sig_map[(10, j)] for j in range(8))
+
+
+def test_quality_score_bounds(spark):
+    from neumann_spark.pipeline.text_queries import text_quality_score
+
+    rows = text_quality_score(spark, SF_DIR).collect()
+    assert rows and all(0.0 <= r["quality"] <= 1.0 for r in rows)
+
+
+def test_simhash_similar_docs_close(spark):
+    """SimHash of near-identical word sets differs in few bits."""
+    from neumann_spark.functions.text import md5_int64
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(50))),
+         (2, " ".join(f"w{i}" for i in range(49)) + " zz"),
+         (3, " ".join(f"q{i}" for i in range(50)))],
+        "doc_id bigint, text string",
+    )
+    w = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    h = md5_int64(F.col("word"))
+    sums = w.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(h.bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)).alias(f"s{b}")
+            for b in range(16)
+        ]
+    )
+    sim = None
+    for b in range(16):
+        t = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = t if sim is None else sim + t
+    vals = {r["doc_id"]: r["sh"] for r in sums.select("doc_id", sim.alias("sh")).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(vals[1], vals[2]) <= ham(vals[1], vals[3])
+
+
+def test_multimodal_decode_stub_raises():
+    from neumann_spark.pipeline.multimodal import decode_media
+
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x89PNG", "image/png")
+
+
+def test_multimodal_feature_plumbing(spark):
+    """mapInPandas path: schema contract holds, features normalized."""
+    from neumann_spark.pipeline.multimodal import extract_features, media_df, FEATURE_DIM
+
+    feats = extract_features(media_df(spark, SF_DIR).limit(20)).collect()
+    assert len(feats) == 20
+    for r in feats:
+        assert len(r["feature"]) == FEATURE_DIM
+        assert abs(sum(r["feature"]) - 1.0) < 1e-3
+
+
+def test_lsh_same_vector_same_bucket(spark):
+    from neumann_spark.pipeline.ann import lsh_bucket_expr
+
+    df = spark.createDataFrame(
+        [(1, [float(i) for i in range(64)]), (2, [float(i) for i in range(64)])],
+        "id int, v array<float>",
+    )
+    rows = df.select("id", lsh_bucket_expr(F.col("v")).alias("b")).collect()
+    assert rows[0]["b"] == rows[1]["b"]

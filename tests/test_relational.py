@@ -1,0 +1,50 @@
+"""Semantic unit tests for relational operators on tiny hand-made tables —
+the reference's own test style (SURVEY.md §5: users/orders micro-tables with
+hand-written expected values)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_natural_join_degenerates_to_cross(spark):
+    """No common columns → cross join (`relational_engine/src/lib.rs:4350-4410`)."""
+    from neumann_spark.operators.joins import natural_join
+
+    a = spark.createDataFrame([(1,), (2,)], "x int")
+    b = spark.createDataFrame([(10,), (20,), (30,)], "y int")
+    assert natural_join(a, b).count() == 6
+
+
+def test_natural_join_on_common(spark):
+    from neumann_spark.operators.joins import natural_join
+
+    a = spark.createDataFrame([(1, "a"), (2, "b")], "k int, va string")
+    b = spark.createDataFrame([(1, "x"), (3, "y")], "k int, vb string")
+    rows = natural_join(a, b).collect()
+    assert len(rows) == 1 and rows[0]["k"] == 1
+
+
+def test_update_where(spark):
+    from neumann_spark.operators.dml import update_where
+
+    df = spark.createDataFrame([(1, 10.0), (2, 20.0)], "id int, v double")
+    out = update_where(df, F.col("id") == 1, {"v": F.col("v") * 2}).collect()
+    vals = {r["id"]: r["v"] for r in out}
+    assert vals == {1: 20.0, 2: 20.0}
+
+
+def test_delete_where(spark):
+    from neumann_spark.operators.dml import delete_where
+
+    df = spark.createDataFrame([(1,), (2,), (3,)], "id int")
+    assert sorted(r["id"] for r in delete_where(df, F.col("id") > 1).collect()) == [1]
+
+
+def test_sum_empty_group_semantics(spark):
+    """Reference: SUM over empty set = 0.0, AVG = NULL (SURVEY.md §7).
+    ANSI/Spark: SUM over empty = NULL. We follow ANSI (oracle demands it);
+    this test pins the delta so it stays documented."""
+    df = spark.createDataFrame([(1, 1.0)], "k int, v double").filter("k > 99")
+    row = df.agg(F.sum("v").alias("s"), F.avg("v").alias("a")).collect()[0]
+    assert row["s"] is None and row["a"] is None

@@ -1,0 +1,35 @@
+"""Genuine Structured Streaming path: readStream → watermark → window →
+memory sink, cross-checked against the batch form of the same aggregation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def test_stream_matches_batch(spark):
+    from neumann_spark.streaming.windows import stream_windowed_counts
+    from neumann_spark.catalog import load
+
+    q = stream_windowed_counts(spark, SF_DIR, queryName="t_stream")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in spark.sql("SELECT * FROM t_stream").collect()
+    }
+    ev = load(spark, SF_DIR, "events")
+    batch = {
+        (r["ws"], r["event_type"]): r["n"]
+        for r in (
+            ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("ws"), "event_type", "n")
+            .collect()
+        )
+    }
+    assert streamed == batch
+    assert len(streamed) > 0

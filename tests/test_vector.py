@@ -1,0 +1,91 @@
+"""Vector operator semantics — known-value checks in the style of the
+reference's distance_metrics tests (`integration_tests/tests/
+distance_metrics.rs`)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.0]),
+            (3, [1.0, 1.0, 0.0]),
+            (4, [-1.0, 0.0, 0.0]),
+        ],
+        "vec_id int, v array<float>",
+    )
+
+
+def test_cosine_known_values(spark):
+    from neumann_spark.functions.vector import cosine_expr
+
+    q = F.lit([1.0, 0.0, 0.0]).cast("array<double>")
+    rows = _df(spark).select("vec_id", cosine_expr(F.col("v"), q).alias("s")).collect()
+    by_id = {r["vec_id"]: r["s"] for r in rows}
+    assert abs(by_id[1] - 1.0) < 1e-12
+    assert abs(by_id[2]) < 1e-12
+    assert abs(by_id[3] - 1 / math.sqrt(2)) < 1e-12
+    assert abs(by_id[4] + 1.0) < 1e-12
+
+
+def test_knn_ordering_and_metrics(spark):
+    from neumann_spark.functions.vector import knn
+
+    df = _df(spark)
+    top = knn(df, "v", [1.0, 0.0, 0.0], 2, "cosine", id_cols=("vec_id",)).collect()
+    assert [r["vec_id"] for r in top] == [1, 3]
+    near = knn(df, "v", [1.0, 0.0, 0.0], 1, "euclidean", id_cols=("vec_id",)).collect()
+    assert near[0]["vec_id"] == 1 and near[0]["score"] == 0.0
+
+
+def test_knn_pre_filter(spark):
+    from neumann_spark.functions.vector import knn
+
+    df = _df(spark)
+    top = knn(
+        df, "v", [1.0, 0.0, 0.0], 4, "cosine",
+        pre_filter=F.col("vec_id") != 1, id_cols=("vec_id",),
+    ).collect()
+    assert 1 not in {r["vec_id"] for r in top}
+
+
+def test_pandas_cosine_matches_expr(spark):
+    from neumann_spark.functions.vector import cosine_expr, cosine_scores_pandas
+
+    df = _df(spark)
+    q = [0.5, 0.5, 0.0]
+    a = {
+        r["vec_id"]: round(r["score"], 9)
+        for r in cosine_scores_pandas(df, "v", q).collect()
+    }
+    b = {
+        r["vec_id"]: round(r["s"], 9)
+        for r in df.select(
+            "vec_id", cosine_expr(F.col("v"), F.lit(q).cast("array<double>")).alias("s")
+        ).collect()
+    }
+    assert a == b
+
+
+def test_ivf_recall_vs_exact(spark):
+    """IVF probe of 2/8 lists must still find most of the exact top-10
+    (recall check promised in ann_ivf_search docstring)."""
+    from neumann_spark.functions.vector import knn
+    from neumann_spark.pipeline.ann import ann_ivf_search
+    from neumann_spark.catalog import load
+    from tests.conftest import SF_DIR
+
+    emb = load(spark, SF_DIR, "embeddings")
+    anchor = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    exact = {
+        r["vec_id"]
+        for r in knn(emb, "embedding", anchor, 10, "cosine",
+                     pre_filter=F.col("vec_id") != 0).collect()
+    }
+    approx = {r["vec_id"] for r in ann_ivf_search(spark, SF_DIR).collect()}
+    assert len(exact & approx) >= 3  # nprobe=2/8 lists → partial recall ok

@@ -130,7 +130,8 @@ def main() -> int:
             res = {"name": name, "status": "ERROR", "issues": [repr(e)[:500]]}
         flag = {"ok": ".", "rows_only": "~", "FAIL": "F", "ERROR": "E"}[res["status"]]
         print(f"[{flag}] {res['name']:<34} rows={res.get('rows','?'):>7} "
-              f"{res.get('spark_s','')}s {'; '.join(res.get('issues', []))}")
+              f"{res.get('spark_s','')}s {'; '.join(res.get('issues', []))}",
+              flush=True)
         if res["status"] in ("FAIL", "ERROR"):
             failed += 1
     print(f"\n{'PASS' if failed == 0 else 'FAIL'}: {failed} failing of "
