@@ -45,8 +45,18 @@ def main() -> None:
     queries = all_queries()
     spark = get_spark("neumann_spark_bench")
 
-    # warm the JVM + file listing once
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # warm the JVM (codegen, shuffle machinery, file listing) with a small
+    # representative plan so the first timed query isn't paying JVM startup
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(F.sum("l_quantity"))
+        .write.format("noop").mode("overwrite").save()
+    )
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

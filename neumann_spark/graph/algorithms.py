@@ -59,27 +59,28 @@ def pagerank(
     partition edges by src so the contribution join is co-located, and use
     `spark.sql.adaptive` to coalesce the small pr side automatically."""
     n_total = nodes.count()
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg")).cache()
-    e = edges.select("src", "dst").join(outdeg, "src").cache()
-    pr = nodes.select("id", F.lit(1.0 / n_total).alias("pr"))
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    e = edges.select("src", "dst").join(outdeg, "src").localCheckpoint(eager=True)
+    nodes_c = nodes.select("id").localCheckpoint(eager=True)
+    pr = nodes_c.select("id", F.lit(1.0 / n_total).alias("pr"))
     base = (1.0 - damping) / n_total
-    for _ in range(iters):
+    for it in range(iters):
         contrib = (
             e.join(pr, e.src == pr.id)
             .select(F.col("dst"), (F.col("pr") / F.col("deg")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))
         )
-        pr = (
-            nodes.join(contrib, nodes.id == contrib.dst, "left")
-            .select(
-                "id",
-                (F.lit(base) + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))).alias(
-                    "pr"
-                ),
-            )
-            .localCheckpoint(eager=True)
+        pr = nodes_c.join(contrib, nodes_c.id == contrib.dst, "left").select(
+            "id",
+            (F.lit(base) + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))).alias(
+                "pr"
+            ),
         )
+        # checkpoint every 3rd round: keeps the plan shallow without paying a
+        # materialization job per iteration
+        if it % 3 == 2 or it == iters - 1:
+            pr = pr.localCheckpoint(eager=True)
     return pr
 
 
@@ -126,24 +127,27 @@ def connected_components(
     min-id propagation; `rounds` must exceed the graph diameter (asserted by
     convergence tests). Scale path: GraphFrames/GraphX use the same HCC idea
     with large-star/small-star acceleration; one shuffle per round here."""
-    e = uedges.select("src", "dst").cache()
+    e = uedges.select("src", "dst").localCheckpoint(eager=True)
     comp = nodes.select("id", F.col("id").alias("comp"))
-    for _ in range(rounds):
+    prev_sig = None
+    for rnd in range(rounds):
         nb_min = (
             e.join(comp, e.dst == comp.id)
             .groupBy("src")
             .agg(F.min("comp").alias("nb_comp"))
         )
-        comp = (
-            comp.join(nb_min, comp.id == nb_min.src, "left")
-            .select(
-                "id",
-                F.least(F.col("comp"), F.coalesce("nb_comp", F.col("comp"))).alias(
-                    "comp"
-                ),
-            )
-            .localCheckpoint(eager=True)
+        comp = comp.join(nb_min, comp.id == nb_min.src, "left").select(
+            "id",
+            F.least(F.col("comp"), F.coalesce("nb_comp", F.col("comp"))).alias("comp"),
         )
+        if rnd % 3 == 2 or rnd == rounds - 1:
+            comp = comp.localCheckpoint(eager=True)
+            # labels only ever decrease, so an unchanged sum IS the fixpoint —
+            # early exit returns exactly the fixed-round oracle's answer
+            sig = comp.agg(F.sum("comp")).collect()[0][0]
+            if sig == prev_sig:
+                break
+            prev_sig = sig
     return comp
 
 
@@ -187,7 +191,7 @@ def label_propagation(
     frequent label (ties → min label). Deterministic by construction."""
     from pyspark.sql import Window
 
-    e = uedges.select("src", "dst").cache()
+    e = uedges.select("src", "dst").localCheckpoint(eager=True)
     lbl = nodes.select("id", F.col("id").alias("lbl"))
     for _ in range(rounds):
         counts = (
@@ -250,21 +254,26 @@ def kcore(
     repeatedly drop nodes with in-core degree < k. Each round = one groupBy
     + two semi-joins; at scale the edge table shrinks monotonically so later
     rounds are cheap. Returns surviving node ids."""
-    surv = uedges.select(F.col("src").alias("id")).distinct()
-    e = uedges.select("src", "dst")
+    e = uedges.select("src", "dst").localCheckpoint(eager=True)
+    surv = e.select(F.col("src").alias("id")).distinct().localCheckpoint(eager=True)
+    prev_n = surv.count()
     for _ in range(rounds):
-        e_in = (
-            e.join(surv.withColumnRenamed("id", "src"), "src", "left_semi")
-            .join(surv.withColumnRenamed("id", "dst"), "dst", "left_semi")
+        e_in = e.join(surv.withColumnRenamed("id", "src"), "src", "left_semi").join(
+            surv.withColumnRenamed("id", "dst"), "dst", "left_semi"
         )
-        nxt = (
+        surv = (
             e_in.groupBy("src")
             .agg(F.count("*").alias("deg"))
             .filter(F.col("deg") >= k)
             .select(F.col("src").alias("id"))
             .localCheckpoint(eager=True)
         )
-        surv = nxt
+        n = surv.count()
+        # survivors shrink monotonically: stable count ⇒ fixpoint ⇒ identical
+        # to the fully-unrolled oracle
+        if n == prev_n:
+            break
+        prev_n = n
     return surv
 
 
@@ -301,19 +310,16 @@ def eigenvector_centrality(
     """Eigenvector centrality by power iteration
     (`graph_engine/src/lib.rs:7278`): ev ← A·ev, normalized by max each
     round. One shuffle per round + a scalar max (driver aggregate)."""
-    e = uedges.select("src", "dst").cache()
-    ev = nodes.select("id", F.lit(1.0).alias("ev"))
+    e = uedges.select("src", "dst").localCheckpoint(eager=True)
+    nodes_c = nodes.select("id").localCheckpoint(eager=True)
+    ev = nodes_c.select("id", F.lit(1.0).alias("ev"))
     for _ in range(iters):
         raw = (
-            e.join(ev, e.dst == ev.id)
-            .groupBy("src")
-            .agg(F.sum("ev").alias("raw"))
-        )
+            e.join(ev, e.dst == ev.id).groupBy("src").agg(F.sum("ev").alias("raw"))
+        ).localCheckpoint(eager=True)
         mx = raw.agg(F.max("raw")).collect()[0][0] or 1.0
-        ev = (
-            nodes.join(raw, nodes.id == raw.src, "left")
-            .select("id", (F.coalesce("raw", F.lit(0.0)) / F.lit(mx)).alias("ev"))
-            .localCheckpoint(eager=True)
+        ev = nodes_c.join(raw, nodes_c.id == raw.src, "left").select(
+            "id", (F.coalesce("raw", F.lit(0.0)) / F.lit(mx)).alias("ev")
         )
     return ev
 

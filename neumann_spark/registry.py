@@ -38,7 +38,8 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 
 def _import_all() -> None:
     """Import every query-bearing module (side effect: registration)."""
-    from neumann_spark.operators import dml, joins, relational, windows  # noqa: F401
+    from neumann_spark.operators import asof, dml, joins, relational, windows  # noqa: F401
+    from neumann_spark.pipeline import fulltext  # noqa: F401
     from neumann_spark.graph import algorithms, queries, traversal  # noqa: F401
     from neumann_spark.pipeline import ann, dedup, multimodal, text_queries  # noqa: F401
     from neumann_spark.streaming import windows as stream_windows  # noqa: F401

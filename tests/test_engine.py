@@ -1,0 +1,113 @@
+"""Engine facade: the reference's command-language surface executed on Spark
+(`QueryRouter::execute` analog — SQL, NODE/EDGE/NEIGHBORS/PATH, EMBED/SIMILAR,
+FIND, caching, streaming cursor)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    from neumann_spark.engine import NeumannSparkEngine
+
+    return NeumannSparkEngine(spark, SF_DIR)
+
+
+def test_sql_select(engine):
+    rows = engine.execute(
+        "SELECT c_mktsegment, COUNT(*) AS n FROM customer GROUP BY c_mktsegment"
+    ).collect()
+    assert len(rows) == 5
+
+
+def test_create_insert_select(engine):
+    engine.execute("CREATE TABLE users (name TEXT, age INT, active BOOLEAN)")
+    engine.execute("INSERT INTO users VALUES ('alice', 30, True), ('bob', 25, False)")
+    rows = engine.execute("SELECT name FROM users WHERE age > 26").collect()
+    assert [r["name"] for r in rows] == ["alice"]
+    engine.execute("DROP TABLE users")
+
+
+def test_show_tables(engine):
+    names = {r["table"] for r in engine.execute("SHOW TABLES").collect()}
+    assert {"customer", "lineitem", "embeddings"} <= names
+
+
+def test_node_edge_neighbors(engine):
+    engine.execute("NODE 9000001 testlab")
+    engine.execute("NODE 9000002 testlab")
+    engine.execute("EDGE 9000001 9000002 knows 2.5")
+    nbrs = engine.execute("NEIGHBORS '9000001'").collect()
+    assert any(r["neighbor_id"] == 9000002 and r["edge_type"] == "knows" for r in nbrs)
+
+
+def test_path(engine):
+    rows = engine.execute("PATH '9000001' TO '9000002' MAX 3").collect()
+    assert rows and rows[0]["dist"] == 1
+
+
+def test_embed_similar(engine):
+    engine.execute("EMBED 'q:1' [" + ",".join(["0.5"] * 64) + "]")
+    top = engine.execute("SIMILAR 'q:1' TOP 5").collect()
+    assert len(top) == 5
+    assert all(r["key"] != "q:1" for r in top)
+
+
+def test_similar_connected(engine):
+    top = engine.execute("SIMILAR '0' TOP 5 CONNECTED TO '17'").collect()
+    assert 0 < len(top) <= 5
+
+
+def test_find_rows_where(engine):
+    out = engine.execute("FIND ROWS customer WHERE c_acctbal > 9900.0").collect()
+    assert out and all(r["source"] == "relational" for r in out)
+
+
+def test_find_nodes_where(engine):
+    out = engine.execute("FIND NODES WHERE label = 'nation'").collect()
+    assert len(out) == 25
+
+
+def test_cache_hit_and_invalidation(engine):
+    q = "SELECT COUNT(*) AS n FROM region"
+    a = engine.execute(q)
+    b = engine.execute(q)
+    assert a is b  # cached object
+    engine.execute("NODE 9000003 cachebuster")
+    c = engine.execute(q)
+    assert c is not a  # write invalidated
+
+
+def test_streaming_cursor(engine):
+    batches = list(engine.execute_streaming("SELECT * FROM orders", batch_size=400))
+    assert sum(len(b) for b in batches) == 1500
+    assert all(len(b) <= 400 for b in batches)
+
+
+def test_unknown_command(engine):
+    with pytest.raises(ValueError, match="unsupported command"):
+        engine.execute("FROBNICATE everything")
+
+
+def test_cypher_match(engine):
+    rows = engine.execute(
+        "MATCH (c:customer)-[:located_in]->(n:nation) RETURN c, n LIMIT 7"
+    ).collect()
+    assert len(rows) == 7
+    assert all(r["n_id"] >= 2_000_000 for r in rows)
+
+
+def test_cypher_match_where(engine):
+    rows = engine.execute(
+        "MATCH (s:supplier)-[:supplies]->(c:customer) "
+        "WHERE weight > 100000.0 RETURN s, c, weight"
+    ).collect()
+    assert all(r["weight"] > 100000.0 for r in rows)
+
+
+def test_embed_dimension_enforced(engine):
+    with pytest.raises(ValueError, match="dimension mismatch"):
+        engine.execute("EMBED 'bad' [1.0, 2.0]")
