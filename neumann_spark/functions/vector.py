@@ -286,3 +286,69 @@ def vector_collection_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min(F.element_at(_as_double(F.col("embedding")), 1)), 6).alias("min_d0"),
         F.round(F.max(F.element_at(_as_double(F.col("embedding")), 1)), 6).alias("max_d0"),
     )
+
+
+# --- sparse vectors (`TensorValue::Sparse`, SURVEY.md §1.1) ---------------
+
+SPARSE_THRESHOLD = 0.15
+
+
+def sparsify(vec: Column, threshold: float = SPARSE_THRESHOLD) -> Column:
+    """Dense → sparse struct (indices 1-based, values, dim) — the reference
+    auto-sparsifies at 70% sparsity (`tensor_store/src/lib.rs:340-382`,
+    `sparse_vector.rs`); here the caller picks the magnitude threshold."""
+    idx = F.sequence(F.lit(1), F.size(vec))
+    keep = F.filter(idx, lambda i: F.abs(F.element_at(vec, i)) > threshold)
+    return F.struct(
+        keep.alias("indices"),
+        F.transform(keep, lambda i: F.element_at(vec, i).cast("double")).alias("values"),
+        F.size(vec).alias("dim"),
+    )
+
+
+def sparse_dot_expr(a: Column, b: Column, threshold: float = SPARSE_THRESHOLD) -> Column:
+    """Dot product restricted to components where BOTH sides exceed the
+    sparsity threshold — the sparse·sparse dot of the reference's
+    SparseVector (`tensor_store/src/sparse_vector.rs`), expressed as a
+    masked fold (no struct materialization in the hot path)."""
+    prods = F.zip_with(
+        _as_double(a),
+        _as_double(b),
+        lambda x, y: F.when(
+            (F.abs(x) > threshold) & (F.abs(y) > threshold), x * y
+        ).otherwise(F.lit(0.0)),
+    )
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+@register(
+    "vector_sparse_similarity",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           ROUND(SUM(CASE WHEN ABS(CAST(e.embedding[t.i] AS DOUBLE)) > {SPARSE_THRESHOLD}
+                           AND ABS(CAST(q.qv[t.i] AS DOUBLE)) > {SPARSE_THRESHOLD}
+                          THEN CAST(e.embedding[t.i] AS DOUBLE) * CAST(q.qv[t.i] AS DOUBLE)
+                          ELSE 0.0 END), 6) AS sparse_dot,
+           SUM(CASE WHEN ABS(CAST(e.embedding[t.i] AS DOUBLE)) > {SPARSE_THRESHOLD}
+                    THEN 1 ELSE 0 END) AS nnz
+    FROM embeddings e CROSS JOIN q
+    CROSS JOIN generate_series(1, 64) AS t(i)
+    WHERE e.vec_id BETWEEN 1 AND 100
+    GROUP BY e.vec_id
+    """,
+)
+def vector_sparse_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse dot products against the anchor (vec_id 0) plus per-vector nnz
+    (`TensorValue::Sparse` + `dot`, `tensor_store/src/lib.rs:340-456`).
+    At scale, sparse structs cut shuffle width ~(1 - sparsity)×."""
+    from neumann_spark.catalog import load
+
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id").between(1, 100))
+    qv = F.lit(_anchor_vec(spark, sf_dir, 0)).cast("array<double>")
+    sp = sparsify(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        F.round(sparse_dot_expr(F.col("embedding"), qv), 6).alias("sparse_dot"),
+        F.size(sp.getField("indices")).alias("nnz"),
+    )

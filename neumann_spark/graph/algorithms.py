@@ -694,3 +694,80 @@ def graph_astar_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     path.reverse()
     rows = [(i, int(n), float(round(dist[n], 4))) for i, n in enumerate(path)]
     return spark.createDataFrame(rows, "step int, node bigint, cum_weight double")
+
+
+@register(
+    "graph_adamic_adar",
+    oracle=GRAPH_SQL_CTE
+    + """
+    , adj AS (SELECT dst AS cust, src AS supp FROM edges WHERE edge_type = 'supplies'),
+      sdeg AS (SELECT supp, COUNT(*) AS d FROM adj GROUP BY supp)
+    SELECT x.cust AS a, y.cust AS b,
+           ROUND(SUM(1.0 / LN(sd.d)), 6) AS adamic_adar,
+           COUNT(*) AS common_neighbors
+    FROM adj x
+    JOIN adj y ON x.supp = y.supp AND x.cust < y.cust
+    JOIN sdeg sd ON sd.supp = x.supp
+    WHERE sd.d > 1
+    GROUP BY x.cust, y.cust
+    HAVING COUNT(*) >= 2
+    """,
+)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar + common-neighbors node similarity
+    (`graph_engine/src/algorithms/similarity.rs:108-248`): Σ 1/ln(deg(z))
+    over shared neighbors z — the co-occurrence join blocked by the shared
+    neighbor, weighting rare hubs higher."""
+    adj = (
+        edges_df(spark, sf_dir)
+        .filter(F.col("edge_type") == "supplies")
+        .select(F.col("dst").alias("cust"), F.col("src").alias("supp"))
+        .cache()
+    )
+    sdeg = adj.groupBy("supp").agg(F.count("*").alias("d")).filter(F.col("d") > 1)
+    x = adj.select(F.col("cust").alias("a"), "supp")
+    y = adj.select(F.col("cust").alias("b"), F.col("supp").alias("supp_y"))
+    return (
+        x.join(y, (F.col("supp") == F.col("supp_y")) & (F.col("a") < F.col("b")))
+        .join(sdeg, "supp")
+        .groupBy("a", "b")
+        .agg(
+            F.round(F.sum(1.0 / F.log(F.col("d"))), 6).alias("adamic_adar"),
+            F.count("*").alias("common_neighbors"),
+        )
+        .filter(F.col("common_neighbors") >= 2)
+    )
+
+
+@register(
+    "graph_constraint_check",
+    oracle=GRAPH_SQL_CTE
+    + """
+    SELECT
+      (SELECT COUNT(*) FROM edges e LEFT JOIN nodes n ON e.src = n.id
+        WHERE n.id IS NULL) AS dangling_src,
+      (SELECT COUNT(*) FROM edges e LEFT JOIN nodes n ON e.dst = n.id
+        WHERE n.id IS NULL) AS dangling_dst,
+      (SELECT COUNT(*) FROM (SELECT id FROM nodes GROUP BY id HAVING COUNT(*) > 1))
+        AS duplicate_ids,
+      (SELECT COUNT(*) FROM edges WHERE weight IS NULL OR weight <= 0.0)
+        AS bad_weights
+    """,
+)
+def graph_constraint_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint validation (`graph_engine/src/lib.rs:7613-7696` unique/
+    exists/type constraints): referential integrity of edges, node-id
+    uniqueness, weight positivity — as assertion queries (Spark has no
+    enforced constraints; SURVEY.md §1.2)."""
+    n = nodes_df(spark, sf_dir).cache()
+    e = edges_df(spark, sf_dir).cache()
+    dangling_src = (
+        e.join(n, e.src == n.id, "left_anti").count()
+    )
+    dangling_dst = e.join(n, e.dst == n.id, "left_anti").count()
+    dup = n.groupBy("id").count().filter(F.col("count") > 1).count()
+    bad_w = e.filter(F.col("weight").isNull() | (F.col("weight") <= 0.0)).count()
+    return spark.createDataFrame(
+        [(dangling_src, dangling_dst, dup, bad_w)],
+        "dangling_src bigint, dangling_dst bigint, duplicate_ids bigint, bad_weights bigint",
+    )

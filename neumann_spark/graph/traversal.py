@@ -167,3 +167,55 @@ def graph_closeness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_reached"),
         F.round(F.count("*").cast("double") / F.sum("dist"), 6).alias("closeness"),
     )
+
+
+@register(
+    "graph_variable_paths",
+    oracle=RECURSIVE_CTE
+    + """
+    , walk AS (
+      SELECT CAST(1 AS BIGINT) AS node, [CAST(1 AS BIGINT)] AS path, 0 AS hops
+      UNION ALL
+      SELECT e.dst, list_append(w.path, e.dst), w.hops + 1
+      FROM walk w JOIN uedges e ON e.src = w.node
+      WHERE w.hops < 3 AND NOT list_contains(w.path, e.dst)
+    )
+    SELECT node AS dst, hops, COUNT(*) AS n_paths
+    FROM walk WHERE hops BETWEEN 2 AND 3
+    GROUP BY node, hops
+    """,
+)
+def graph_variable_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-length simple-path enumeration, 2..3 hops from customer#1
+    (`find_variable_paths` / `find_all_paths`, `graph_engine/src/lib.rs:
+    5405,5076`; Cypher `*2..3`). Each hop extends the frontier with the
+    visited-path array and rejects cycles (`NOT array_contains`) — the
+    reference's cycle check and max-depth guard, expressed as joins.
+
+    Scale: simple-path counting is inherently exponential; the hop bound IS
+    the guard (SURVEY.md §7 risk register). Path arrays stay in the frontier
+    only — the output aggregates them away."""
+    e = undirected_edges(edges_df(spark, sf_dir)).select("src", "dst").localCheckpoint(
+        eager=True
+    )
+    frontier = spark.createDataFrame([(1, [1], 0)], "node bigint, path array<bigint>, hops int")
+    out_parts = []
+    for depth in range(1, 4):
+        frontier = (
+            frontier.join(e, frontier.node == e.src)
+            .filter(~F.array_contains(F.col("path"), F.col("dst")))
+            .select(
+                F.col("dst").alias("node"),
+                F.concat(F.col("path"), F.array(F.col("dst"))).alias("path"),
+                F.lit(depth).alias("hops"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if depth >= 2:
+            out_parts.append(frontier.select("node", "hops"))
+    paths = out_parts[0]
+    for p in out_parts[1:]:
+        paths = paths.unionAll(p)
+    return paths.groupBy(F.col("node").alias("dst"), "hops").agg(
+        F.count("*").alias("n_paths")
+    )
