@@ -38,6 +38,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    # Timestamp values hash against a UTC-naive DuckDB oracle; pin the
+    # session timezone defensively in case the caller's session differs.
+    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # The events fixture stores TIMESTAMP(NANOS); Spark's parquet reader
         # rejects nanos natively, so read them as long and truncate to the

@@ -72,9 +72,28 @@ uedges AS MATERIALIZED (
 """
 
 
+# Materialized-graph cache: the derivation (esp. the supplies groupBy over
+# lineitem⋈orders) is identical for every graph query in a session, so the
+# first call localCheckpoints it and later calls reuse the materialization —
+# the batch analog of the reference keeping its adjacency resident in the
+# tensor store. Keyed by (session, sf_dir); survives only the session.
+_GRAPH_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
+def _cached(spark: SparkSession, sf_dir: str, kind: str, build) -> DataFrame:
+    key = (id(spark), sf_dir, kind)
+    if key not in _GRAPH_CACHE:
+        _GRAPH_CACHE[key] = build().localCheckpoint(eager=True)
+    return _GRAPH_CACHE[key]
+
+
 def nodes_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nodes DataFrame `(id bigint, label string)` —
     `graph_engine/src/lib.rs:656-664` mapped per FIXTURES.md §2."""
+    return _cached(spark, sf_dir, "nodes", lambda: _nodes_df(spark, sf_dir))
+
+
+def _nodes_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer").select(
         F.col("c_custkey").cast("bigint").alias("id"), F.lit("customer").alias("label")
     )
@@ -96,6 +115,10 @@ def nodes_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 def edges_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed edges `(src, dst, edge_type, weight)` —
     `graph_engine/src/lib.rs:692-703` mapped per FIXTURES.md §2."""
+    return _cached(spark, sf_dir, "edges", lambda: _edges_df(spark, sf_dir))
+
+
+def _edges_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer").select(
         F.col("c_custkey").cast("bigint").alias("src"),
         (F.lit(NATION_BASE) + F.col("c_nationkey")).cast("bigint").alias("dst"),
