@@ -274,3 +274,60 @@ def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_suppkey")
         .agg(F.count("*").alias("n_richer"))
     )
+
+
+SALT_BUCKETS = 8
+
+
+def salted_join(big: DataFrame, small: DataFrame, key: str, salt_src: Column, how: str = "inner") -> DataFrame:
+    """Skew-mitigated equi-join: salt the skewed big side into SALT_BUCKETS
+    sub-keys and replicate the small side once per salt value, so one hot key
+    spreads over SALT_BUCKETS tasks instead of one straggler. Semantically
+    identical to `big.join(small, key, how)`.
+
+    This is the manual form; `spark.sql.adaptive.skewJoin` does the same
+    split from runtime stats. Kept explicit because (a) AQE only handles
+    sort-merge joins and (b) at 100 TB you often know the hot keys up front
+    (SURVEY.md §4: partition routing / skew is ours to encode)."""
+    big_s = big.withColumn("_salt", (salt_src % SALT_BUCKETS).cast("int"))
+    salts = big.sparkSession.range(SALT_BUCKETS).select(F.col("id").cast("int").alias("_salt"))
+    small_r = small.crossJoin(F.broadcast(salts))
+    return big_s.join(small_r, [key, "_salt"], how).drop("_salt")
+
+
+@register(
+    "join_salted_skew",
+    oracle=f"""
+    WITH dim AS (
+      SELECT DISTINCT l_returnflag AS flag,
+             CASE l_returnflag WHEN 'R' THEN 'returned'
+                               WHEN 'A' THEN 'acknowledged'
+                               ELSE 'none' END AS flag_desc
+      FROM lineitem
+    )
+    SELECT d.flag_desc,
+           COUNT(*) AS n,
+           {sql_dsum('l.l_extendedprice')} AS sum_price
+    FROM lineitem l JOIN dim d ON l.l_returnflag = d.flag
+    GROUP BY d.flag_desc
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewed join via explicit salting: lineitem has only 3 distinct
+    l_returnflag values (extreme key skew — each key is ~1/3 of the table);
+    the salted plan spreads each across 8 sub-partitions. The oracle is the
+    plain join — salting must not change semantics."""
+    li = load(spark, sf_dir, "lineitem").withColumnRenamed("l_returnflag", "flag")
+    dim = (
+        li.select("flag").distinct()
+        .withColumn(
+            "flag_desc",
+            F.when(F.col("flag") == "R", "returned")
+            .when(F.col("flag") == "A", "acknowledged")
+            .otherwise("none"),
+        )
+    )
+    joined = salted_join(li, dim, "flag", F.col("l_orderkey"))
+    return joined.groupBy("flag_desc").agg(
+        F.count("*").alias("n"), dsum("l_extendedprice").alias("sum_price")
+    )
