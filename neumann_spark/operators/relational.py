@@ -407,3 +407,52 @@ def rel_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(cn.intersect(sn).withColumn("op", F.lit("intersect")))
         .unionAll(cn.exceptAll(sn).distinct().withColumn("op", F.lit("except")))
     )
+
+
+@register(
+    "rel_pivot",
+    oracle=f"""
+    SELECT l_returnflag,
+           {sql_dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS qty_o,
+           {sql_dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS qty_f
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def rel_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: rotate l_linestatus values into columns (absent in the
+    reference; Spark-native superset per pyspark guide 'pivot/unpivot').
+    The oracle states the same thing as conditional aggregation."""
+    li = load(spark, sf_dir, "lineitem")
+    pv = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")))
+    )
+    return pv.select(
+        "l_returnflag",
+        F.col("O").cast("double").alias("qty_o"),
+        F.col("F").cast("double").alias("qty_f"),
+    )
+
+
+@register(
+    "rel_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def rel_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median/p90) per group — Spark's
+    `percentile` == DuckDB's `quantile_cont` (continuous interpolation).
+    The approximate production variant is `percentile_approx` (SURVEY.md
+    §2.4 'approximate aggregates: superset')."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
+    )
