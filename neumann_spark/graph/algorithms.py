@@ -77,9 +77,11 @@ def pagerank(
                 "pr"
             ),
         )
-        # checkpoint every 3rd round: keeps the plan shallow without paying a
-        # materialization job per iteration
-        if it % 3 == 2 or it == iters - 1:
+        # pr feeds exactly ONE consumer per round, so the lazy plan grows
+        # linearly — the whole power iteration compiles to a single job with
+        # chained shuffles. A mid-loop checkpoint every 6 rounds caps
+        # optimizer time on very long runs without a job per round.
+        if it % 6 == 5:
             pr = pr.localCheckpoint(eager=True)
     return pr
 

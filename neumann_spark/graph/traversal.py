@@ -37,20 +37,25 @@ def bfs_levels(
     localCheckpointed per level so the plan stays flat."""
     visited = sources.select(src_col, "node", F.lit(0).alias("dist"))
     frontier = visited
-    e = edges.select("src", "dst").localCheckpoint(eager=True)
+    # shallow traversals (≤4 hops) run fully lazy — one job total; the
+    # frontier is referenced twice per level so plan size is 2^depth, which
+    # only matters for deep walks, where we checkpoint per level instead.
+    deep = max_depth > 4
+    e = edges.select("src", "dst")
+    if deep:
+        e = e.localCheckpoint(eager=True)
     for depth in range(1, max_depth + 1):
         nxt = (
             frontier.join(e, frontier.node == e.src)
             .select(src_col, F.col("dst").alias("node"), F.lit(depth).alias("dist"))
             .dropDuplicates([src_col, "node"])
             .join(visited.select(src_col, "node"), [src_col, "node"], "left_anti")
-            .localCheckpoint(eager=True)  # frontier materialized once per level
         )
-        # visited stays a lazy union of checkpointed frontiers — shallow plan,
-        # no extra materialization job per level
+        if deep:
+            nxt = nxt.localCheckpoint(eager=True)
         visited = visited.unionAll(nxt)
         frontier = nxt
-        if nxt.isEmpty():  # cheap: nxt is already materialized
+        if deep and nxt.isEmpty():  # cheap: nxt is already materialized
             break
     return visited
 

@@ -456,3 +456,86 @@ def rel_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
         F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
     )
+
+
+@register(
+    "sql_api_q1",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate > TIMESTAMP '2000-01-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def sql_api_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark SQL API path: same Catalyst plan as the DataFrame API, via
+    `spark.sql` over registered temp views — the `SELECT` branch of the
+    reference's keyword dispatch (`query_router/src/lib.rs:1499`, exec_select
+    `:6119`) lowered onto a full SQL engine."""
+    from neumann_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS n
+        FROM lineitem
+        WHERE l_shipdate > TIMESTAMP '2000-01-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )
+
+
+@register(
+    "rel_json_extract",
+    oracle=f"""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           COUNT(*) AS n,
+           {sql_dsum('value', 4)} AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def rel_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON access functions — the reference stores Json as an opaque column
+    type with NO access functions (`relational_engine/src/lib.rs:86`,
+    SURVEY.md §2.8); superset via get_json_object, aggregating events by the
+    extracted key."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.groupBy((k % 10).alias("k_bucket"))
+        .agg(F.count("*").alias("n"), dsum("value", 4).alias("sum_value"))
+    )
+
+
+@register(
+    "rel_cast_types",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey AS VARCHAR) AS key_str,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price_dec,
+           strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
+           CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year
+    FROM orders WHERE o_orderkey % 997 = 0
+    """,
+)
+def rel_cast_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full typed surface of the reference's *parser* (INT/VARCHAR/
+    DECIMAL/DATE/TIMESTAMP, `neumann_parser/src/ast.rs:354-391`) which its
+    engine collapses to 6 types (SURVEY.md §1.2) — executed natively here:
+    casts between long/string/decimal/date plus date-part extraction."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 997 == 0)
+    # DATE/DECIMAL are exercised as intermediate types but emitted as
+    # string/double: pandas round-trips them differently per engine
+    # (duckdb dates → datetime64, decimals → float), which breaks hashing.
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("price_dec"),
+        F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd").alias("order_date"),
+        F.year("o_orderdate").cast("int").alias("order_year"),
+    )
