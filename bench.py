@@ -49,12 +49,19 @@ def main() -> None:
     # representative plan so the first timed query isn't paying JVM startup
     from pyspark.sql import functions as F
 
+    from pyspark.sql import Window
+
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("l_returnflag").orderBy("l_orderkey")
     (
         li.join(o, li.l_orderkey == o.o_orderkey)
+        .withColumn("rn", F.row_number().over(w))  # warm window codegen
         .groupBy("l_returnflag")
-        .agg(F.sum("l_quantity"))
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")),  # warm decimal agg
+            F.max("rn"),
+        )
         .write.format("noop").mode("overwrite").save()
     )
 

@@ -289,7 +289,10 @@ def salted_join(big: DataFrame, small: DataFrame, key: str, salt_src: Column, ho
     split from runtime stats. Kept explicit because (a) AQE only handles
     sort-merge joins and (b) at 100 TB you often know the hot keys up front
     (SURVEY.md §4: partition routing / skew is ours to encode)."""
-    big_s = big.withColumn("_salt", (salt_src % SALT_BUCKETS).cast("int"))
+    # pmod, not %: Spark's % keeps the sign of the dividend, and a negative
+    # salt would never match the replicated 0..N-1 salt values (silent row
+    # loss — caught by the salted-join property test)
+    big_s = big.withColumn("_salt", F.pmod(salt_src, F.lit(SALT_BUCKETS)).cast("int"))
     salts = big.sparkSession.range(SALT_BUCKETS).select(F.col("id").cast("int").alias("_salt"))
     small_r = small.crossJoin(F.broadcast(salts))
     return big_s.join(small_r, [key, "_salt"], how).drop("_salt")

@@ -145,15 +145,29 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- MinHash + LSH banding ------------------------------------------------
 
 
+def _seed_constants() -> list[int]:
+    """Fixed 60-bit xor constants derived from md5 of the seed index —
+    identical in Spark and SQL by construction."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(str(j).encode()).hexdigest()[:15], 16)
+        for j in range(MINHASH_SEEDS)
+    ]
+
+
 def _minhash_sql() -> str:
-    """Oracle: 8 seeded min-hashes per doc → 4 bands of 2 → candidate pairs
-    where any band collides."""
-    hash_expr = SQL_MD5_INT64.format(x="CAST(t.j AS VARCHAR) || ':' || s.sh")
+    """Oracle: 8 min-hashes per doc (one md5 per shingle, xor-shifted per
+    seed — the standard cheap hash-family trick) → 4 bands of 2 →
+    candidate pairs where any band collides."""
+    base = SQL_MD5_INT64.format(x="s.sh")
+    consts = _seed_constants()
     return f"""
     WITH {_SHINGLES_SQL},
+    seeds(j, c) AS (VALUES {", ".join(f"({j}, {c})" for j, c in enumerate(consts))}),
     sigs AS (
-      SELECT s.doc_id, t.j, MIN({hash_expr}) AS sig
-      FROM sh s CROSS JOIN generate_series(0, {MINHASH_SEEDS - 1}) AS t(j)
+      SELECT s.doc_id, t.j, MIN(xor({base}, t.c)) AS sig
+      FROM sh s CROSS JOIN seeds AS t
       GROUP BY s.doc_id, t.j
     ),
     bands AS (
@@ -176,17 +190,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature computation is map-only; the only shuffle keys are (band,
     band_sig), uniform by construction. Hash functions are md5-derived so
     the oracle reproduces them exactly (no approximation slack needed)."""
-    sh = _shingles(spark, sf_dir).select("doc_id", "sh")
-    seeds = spark.range(MINHASH_SEEDS).select(F.col("id").cast("int").alias("j"))
+    sh = _shingles(spark, sf_dir).select(
+        "doc_id", md5_int64(F.col("sh")).alias("h")  # one md5 per shingle
+    )
+    seeds = spark.createDataFrame(
+        list(enumerate(_seed_constants())), "j int, c bigint"
+    )
     sigs = (
-        sh.crossJoin(seeds)
-        .select(
-            "doc_id",
-            "j",
-            md5_int64(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("sh"))).alias("h"),
-        )
+        sh.crossJoin(F.broadcast(seeds))
         .groupBy("doc_id", "j")
-        .agg(F.min("h").alias("sig"))
+        .agg(F.min(F.col("h").bitwiseXOR(F.col("c"))).alias("sig"))
     )
     bands = (
         sigs.withColumn("band", (F.col("j") / MINHASH_BAND_ROWS).cast("bigint"))

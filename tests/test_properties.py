@@ -1,0 +1,88 @@
+"""Property-based tests (hypothesis) — a testing layer the reference lacks
+entirely (SURVEY.md §5 "no property-based testing framework"). Each property
+pins an invariant the oracle comparison depends on."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),  # join key
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=32),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_rows)
+def test_dsum_invariant_under_repartition(spark, rows):
+    """Decimal-accumulated sums must be identical for ANY partitioning —
+    the core determinism claim of sqlutil.dsum."""
+    from neumann_spark.sqlutil import dsum
+
+    df = spark.createDataFrame([(k, float(v)) for k, v in rows], "k int, v double")
+    a = df.repartition(1).agg(dsum("v", 4).alias("s")).collect()[0]["s"]
+    b = df.repartition(7, "k").agg(dsum("v", 4).alias("s")).collect()[0]["s"]
+    assert a == b
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_rows)
+def test_salted_join_equals_plain_join(spark, rows):
+    """salted_join must be semantically identical to the plain join for any
+    key distribution (including heavy skew, which the generator produces)."""
+    from neumann_spark.operators.joins import salted_join
+
+    big = spark.createDataFrame([(k, float(v)) for k, v in rows], "k int, v double")
+    small = spark.createDataFrame([(k, f"d{k}") for k in range(6)], "k int, d string")
+    salted = salted_join(big, small, "k", F.col("v").cast("int")).collect()
+    plain = big.join(small, "k").collect()
+    key = lambda r: (r["k"], r["v"], r["d"])
+    assert sorted(map(key, salted)) == sorted(map(key, plain))
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.floats(min_value=-10, max_value=10, allow_nan=False, width=32),
+        min_size=4,
+        max_size=16,
+    )
+)
+def test_cosine_bounds_and_self_similarity(spark, vec):
+    """cosine ∈ [-1, 1] (modulo fp slack) and cos(v, v) = 1 for any nonzero v."""
+    from neumann_spark.functions.vector import cosine_expr
+
+    if all(abs(x) < 1e-3 for x in vec):
+        return
+    df = spark.createDataFrame([(vec,)], "v array<float>")
+    q = F.lit([float(x) for x in vec]).cast("array<double>")
+    s = df.select(cosine_expr(F.col("v"), q).alias("s")).collect()[0]["s"]
+    assert abs(s - 1.0) < 1e-6
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)), min_size=1, max_size=25
+    )
+)
+def test_connected_components_partition_invariance(spark, pairs):
+    """CC labels must not depend on physical partitioning of the edge list."""
+    from neumann_spark.graph.algorithms import connected_components
+    from neumann_spark.graph.model import undirected_edges
+
+    nodes = spark.createDataFrame([(i,) for i in range(10)], "id bigint")
+    edges = spark.createDataFrame(
+        [(a, b, "e", 1.0) for a, b in pairs],
+        "src bigint, dst bigint, edge_type string, weight double",
+    )
+    ue = undirected_edges(edges)
+    a = sorted(map(tuple, connected_components(nodes, ue.repartition(1), 12).collect()))
+    b = sorted(map(tuple, connected_components(nodes, ue.repartition(5), 12).collect()))
+    assert a == b
