@@ -539,3 +539,16 @@ def rel_cast_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd").alias("order_date"),
         F.year("o_orderdate").cast("int").alias("order_year"),
     )
+
+
+@register("rel_approx_distinct")
+def rel_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct counting (HyperLogLog++) — SURVEY.md §2.4
+    'approximate aggregates: absent in reference; superset'. Rows-only check
+    (sketch estimates aren't oracle-reproducible); the relative-error bound
+    vs exact COUNT(DISTINCT) is asserted in tests."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+    )

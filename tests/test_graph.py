@@ -127,3 +127,34 @@ def test_scc_finds_cycles(spark):
 
     sizes = Counter(r["scc"] for r in out)
     assert all(v >= 2 for v in sizes.values())
+
+
+def test_aggregate_messages_degree_and_weight(spark):
+    """aggregate_messages computes weighted in-degree = sum of incoming
+    edge weights times source state."""
+    from neumann_spark.graph.model import aggregate_messages
+
+    edges = _edges(spark, [(1, 2), (1, 3), (2, 3)])
+    state = spark.createDataFrame([(1, 2.0), (2, 10.0), (3, 0.0)], "id bigint, x double")
+    out = {
+        r["id"]: r["agg"]
+        for r in aggregate_messages(
+            edges, state, msg_to_dst=F.col("x") * F.col("weight")
+        ).collect()
+    }
+    assert out == {2: 2.0, 3: 12.0}
+
+
+def test_approx_distinct_error_bound(spark):
+    from neumann_spark.operators.relational import rel_approx_distinct
+    from neumann_spark.catalog import load
+    from tests.conftest import SF_DIR
+
+    approx = {r["l_returnflag"]: r["approx_orders"]
+              for r in rel_approx_distinct(spark, SF_DIR).collect()}
+    li = load(spark, SF_DIR, "lineitem")
+    exact = {r["l_returnflag"]: r["n"]
+             for r in li.groupBy("l_returnflag")
+                        .agg(F.countDistinct("l_orderkey").alias("n")).collect()}
+    for k, e in exact.items():
+        assert abs(approx[k] - e) / e < 0.1
