@@ -148,3 +148,52 @@ def stream_windowed_counts(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_stateful_user_counts(
+    spark: SparkSession, sf_dir: str, queryName: str = "stateful_counts"
+):
+    """Custom stateful streaming operator via applyInPandasWithState — the
+    extension point for operators that windowed aggregation can't express
+    (running per-user event counters with explicit state, the pattern for
+    custom sessionization / CDC / anomaly trackers at scale).
+
+    State = one running count per user_id, held in the state store and
+    updated per micro-batch; output = the updated totals. State is bounded
+    by key cardinality; a production operator would also set timeouts to
+    evict idle keys."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = (
+        "event_id bigint, ts bigint, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint",
+        stateStructType="n bigint",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+    return (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(availableNow=True)
+        .start()
+    )

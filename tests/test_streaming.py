@@ -33,3 +33,30 @@ def test_stream_matches_batch(spark):
     }
     assert streamed == batch
     assert len(streamed) > 0
+
+
+def test_stateful_operator_matches_batch_counts(spark):
+    """applyInPandasWithState running counters equal batch groupBy counts."""
+    from neumann_spark.streaming.windows import stream_stateful_user_counts
+    from neumann_spark.catalog import load
+
+    q = stream_stateful_user_counts(spark, SF_DIR, queryName="t_state")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # update-mode memory sink: last row per user is the final state
+    streamed = {
+        r["user_id"]: r["n_events"]
+        for r in spark.sql(
+            "SELECT user_id, MAX(n_events) AS n_events FROM t_state GROUP BY user_id"
+        ).collect()
+    }
+    batch = {
+        r["user_id"]: r["n"]
+        for r in load(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert streamed == batch
