@@ -538,10 +538,32 @@ def graph_scc_tarjan(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("graph_betweenness_sampled")
 def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Betweenness centrality, Brandes with source sampling
-    (`graph_engine/src/lib.rs:7058`, `sampling_ratio` config) — driver-side
-    BFS accumulation from every 10th customer node. Scale path: batched
-    multi-source BFS DataFrames (as in closeness) with per-source dependency
-    accumulation. Rows-only check."""
+    (`graph_engine/src/lib.rs:7058`, `sampling_ratio` config): DISTRIBUTED
+    multi-source BFS forward pass (σ counts) + level-wise backward dependency
+    accumulation — see `betweenness_distributed` below. Top-50 by score.
+    Rows-only check; equality with the single-node Brandes
+    (`betweenness_driver_side`) is asserted in tests."""
+    from neumann_spark.graph.model import nodes_df as _nodes
+
+    srcs = (
+        _nodes(spark, sf_dir)
+        .filter((F.col("label") == "customer") & (F.col("id") % 10 == 1))
+        .select(F.col("id").alias("source"), F.col("id").alias("node"))
+    )
+    ue = undirected_edges(edges_df(spark, sf_dir))
+    bc = betweenness_distributed(ue, srcs)
+    return (
+        bc.filter(F.col("betweenness") > 0)
+        .select("id", F.round("betweenness", 6).alias("betweenness"))
+        .orderBy(F.col("betweenness").desc(), F.col("id"))
+        .limit(50)
+    )
+
+
+def betweenness_driver_side(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-node Brandes on the collected edge list (the reference's own
+    execution tier) — retained as the differential check for the
+    distributed implementation."""
     ue = undirected_edges(edges_df(spark, sf_dir)).select("src", "dst")
     edges = [tuple(r) for r in ue.collect()]
     adj: dict[int, list[int]] = defaultdict(list)
@@ -772,4 +794,93 @@ def graph_constraint_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(dangling_src, dangling_dst, dup, bad_w)],
         "dangling_src bigint, dangling_dst bigint, duplicate_ids bigint, bad_weights bigint",
+    )
+
+
+def betweenness_distributed(
+    uedges: DataFrame, sources: DataFrame, max_depth: int = 20
+) -> DataFrame:
+    """Distributed Brandes betweenness (`graph_engine/src/lib.rs:7058`) —
+    the scale path for `graph_betweenness_sampled`:
+
+    * forward phase: multi-source BFS where each frontier row carries the
+      shortest-path count σ (summed over incoming shortest-path edges);
+    * backward phase: per level (descending), dependency
+      δ(v) = Σ_{w: dist_w = dist_v+1} σ_v/σ_w · (1 + δ_w),
+      accumulated with one join per level;
+    * bc(v) = Σ_sources δ(v).
+
+    Every phase is joins + groupBy keyed on (source, node) — no driver
+    collect; identical math to the driver-side Tarjan-style loop (equality
+    asserted in tests). `sources` needs columns (source, node)."""
+    e = uedges.select("src", "dst").localCheckpoint(eager=True)
+    visited = sources.select(
+        "source", "node", F.lit(0).alias("dist"), F.lit(1.0).alias("sigma")
+    ).localCheckpoint(eager=True)
+    frontier = visited
+    levels = [frontier]
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(e, frontier.node == e.src)
+            .groupBy("source", F.col("dst").alias("node2"))
+            .agg(F.sum("sigma").alias("sigma"))
+            .select(
+                "source",
+                F.col("node2").alias("node"),
+                F.lit(depth).alias("dist"),
+                "sigma",
+            )
+            .join(visited.select("source", "node"), ["source", "node"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionAll(nxt).localCheckpoint(eager=True)
+        levels.append(nxt)
+        frontier = nxt
+
+    # backward accumulation, deepest level first
+    spark = uedges.sparkSession
+    delta = spark.createDataFrame([], "source bigint, node bigint, delta double")
+    bc_parts = []
+    for d in range(len(levels) - 2, 0, -1):
+        lv = levels[d].select("source", "node", "sigma")
+        nxt_lv = (
+            levels[d + 1]
+            .select("source", "node", "sigma")
+            .join(delta, ["source", "node"], "left")
+            .select(
+                "source",
+                F.col("node").alias("w"),
+                F.col("sigma").alias("sigma_w"),
+                F.coalesce("delta", F.lit(0.0)).alias("delta_w"),
+            )
+        )
+        contrib = (
+            lv.join(e, lv.node == e.src)
+            .join(
+                nxt_lv,
+                (F.col("dst") == F.col("w"))
+                & (lv.source == nxt_lv.source),
+            )
+            .select(
+                lv.source.alias("source"),
+                lv.node.alias("node"),
+                (F.col("sigma") / F.col("sigma_w") * (1.0 + F.col("delta_w"))).alias(
+                    "c"
+                ),
+            )
+            .groupBy("source", "node")
+            .agg(F.sum("c").alias("delta"))
+            .localCheckpoint(eager=True)
+        )
+        delta = contrib
+        bc_parts.append(contrib)
+    if not bc_parts:
+        return spark.createDataFrame([], "id bigint, betweenness double")
+    allc = bc_parts[0]
+    for p in bc_parts[1:]:
+        allc = allc.unionAll(p)
+    return allc.groupBy(F.col("node").alias("id")).agg(
+        F.sum("delta").alias("betweenness")
     )

@@ -158,3 +158,31 @@ def test_approx_distinct_error_bound(spark):
                         .agg(F.countDistinct("l_orderkey").alias("n")).collect()}
     for k, e in exact.items():
         assert abs(approx[k] - e) / e < 0.1
+
+
+def test_betweenness_distributed_matches_driver_side(spark):
+    """The distributed Brandes must agree with the collected-graph version
+    on the fixture (same sampled sources, full-depth BFS)."""
+    from neumann_spark.graph.algorithms import (
+        betweenness_distributed,
+        betweenness_driver_side,
+    )
+    from neumann_spark.graph.model import edges_df, nodes_df, undirected_edges
+
+    driver = {
+        (r["id"]): r["betweenness"]
+        for r in betweenness_driver_side(spark, SF_DIR).collect()
+    }
+    srcs = (
+        nodes_df(spark, SF_DIR)
+        .filter((F.col("label") == "customer") & (F.col("id") % 10 == 1))
+        .select(F.col("id").alias("source"), F.col("id").alias("node"))
+    )
+    ue = undirected_edges(edges_df(spark, SF_DIR))
+    dist = {
+        r["id"]: round(r["betweenness"], 6)
+        for r in betweenness_distributed(ue, srcs).collect()
+    }
+    # driver-side output is the top-50; every one must match the distributed value
+    for node, bc in driver.items():
+        assert abs(dist.get(node, 0.0) - bc) < 1e-4, (node, bc, dist.get(node))
