@@ -260,6 +260,14 @@ class NeumannSparkEngine:
         exec: `query_router/src/cypher.rs:47`): single-edge pattern with
         optional labels/edge type, WHERE, RETURN, LIMIT. The pattern lowers
         to an edges⋈nodes⋈nodes join (motif finding)."""
+        vm = re.match(
+            r"MATCH\s+\((\w+)(?::(\w+))?\)\s*-\s*\[:?(\w+)?\*(\d+)\.\.(\d+)\]\s*->"
+            r"\s*\((\w+)(?::(\w+))?\)\s+RETURN\s+(.+?)(?:\s+LIMIT\s+(\d+))?\s*$",
+            cmd,
+            re.I | re.S,
+        )
+        if vm:
+            return self._exec_match_varlength(vm)
         m = re.match(
             r"MATCH\s+\((\w+)(?::(\w+))?\)\s*-\s*\[:?(\w+)?\]\s*->\s*\((\w+)(?::(\w+))?\)"
             r"(?:\s+WHERE\s+(.+?))?\s+RETURN\s+(.+?)(?:\s+LIMIT\s+(\d+))?\s*$",
@@ -267,7 +275,10 @@ class NeumannSparkEngine:
             re.I | re.S,
         )
         if not m:
-            raise ValueError("unsupported MATCH pattern (single directed edge only)")
+            raise ValueError(
+                "unsupported MATCH pattern (single directed edge, optionally "
+                "variable-length `-[:T*min..max]->`)"
+            )
         a, a_lbl, etype, b, b_lbl, where, ret, limit = m.groups()
         na = self._nodes.select(
             F.col("id").alias(f"{a}_id"), F.col("label").alias(f"{a}_label")
@@ -289,6 +300,43 @@ class NeumannSparkEngine:
             out = out.filter(F.col(f"{b}_label") == b_lbl)
         if where:
             out = out.filter(where)
+        cols = [c.strip() for c in ret.split(",")]
+        proj = [f"{c}_id" if c in (a, b) else c for c in cols]
+        out = out.select(*proj)
+        if limit:
+            out = out.limit(int(limit))
+        return out
+
+    def _exec_match_varlength(self, m) -> DataFrame:
+        """Cypher variable-length pattern `(a)-[:T*min..max]->(b)`
+        (`neumann_parser/src/cypher.rs` var-length `*1..5`;
+        `find_variable_paths` `graph_engine/src/lib.rs:5405`): multi-source
+        BFS over type-filtered directed edges, hop range filtered, endpoint
+        labels applied."""
+        a, a_lbl, etype, lo, hi, b, b_lbl, ret, limit = m.groups()
+        lo, hi = int(lo), int(hi)
+        if hi < lo or hi > 8:
+            raise ValueError("variable-length bounds must satisfy min ≤ max ≤ 8")
+        e = self._edges
+        if etype:
+            e = e.filter(F.col("edge_type") == etype)
+        srcs = self._nodes
+        if a_lbl:
+            srcs = srcs.filter(F.col("label") == a_lbl)
+        sources = srcs.select(F.col("id").alias("source"), F.col("id").alias("node"))
+        levels = bfs_levels(e, sources, hi)
+        out = levels.filter(
+            (F.col("dist") >= lo) & (F.col("dist") <= hi)
+        ).select(
+            F.col("source").alias(f"{a}_id"),
+            F.col("node").alias(f"{b}_id"),
+            F.col("dist").alias("hops"),
+        )
+        if b_lbl:
+            nb = self._nodes.filter(F.col("label") == b_lbl).select(
+                F.col("id").alias(f"{b}_id")
+            )
+            out = out.join(nb, f"{b}_id", "left_semi")
         cols = [c.strip() for c in ret.split(",")]
         proj = [f"{c}_id" if c in (a, b) else c for c in cols]
         out = out.select(*proj)

@@ -25,7 +25,6 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from neumann_spark.catalog import load
-from neumann_spark.functions.vector import euclidean_expr
 from neumann_spark.registry import register
 
 LSH_PLANES = 4
@@ -92,38 +91,36 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ivf_build(emb: DataFrame, k: int = IVF_K, iters: int = IVF_ITERS) -> DataFrame:
-    """IVF index build: deterministic Lloyd k-means (init = per-(vec_id % k)
-    dimension means; fixed iteration count). Returns (vec_id, cluster).
+    """IVF index build: deterministic Lloyd k-means (init = vec_id % k;
+    fixed iteration count; assignment by ROUND(squared distance, 6) with
+    min-cluster tie-break so the unrolled SQL oracle reproduces every
+    assignment). Returns (vec_id, cluster).
 
-    Each iteration: explode to (vec_id, dim, val), join assignments,
-    average per (cluster, dim) → new centroids; re-assign by min distance.
-    All shuffles are keyed on cluster/dim — scales linearly in rows."""
-    spark = emb.sparkSession
-    pts = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    assign = pts.select("vec_id", (F.col("vec_id") % k).alias("cluster"))
+    Each iteration: explode to (vec_id, dim, val), average per (cluster,
+    dim) → centroids; re-assign by min rounded distance. All shuffles are
+    keyed on vec_id/cluster/dim — scales linearly in rows."""
+    from pyspark.sql import Window
+
+    dims = emb.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim0", "x")
+    ).select("vec_id", (F.col("dim0") + 1).alias("i"), "x").localCheckpoint(eager=True)
+    assign = emb.select("vec_id", (F.col("vec_id") % k).cast("int").alias("cluster"))
+    w = Window.partitionBy("vec_id").orderBy(F.col("d"), F.col("cluster"))
     for _ in range(iters):
         cent = (
-            pts.join(assign, "vec_id")
-            .select("cluster", F.posexplode("v").alias("dim", "val"))
-            .groupBy("cluster", "dim")
-            .agg(F.avg("val").alias("c"))
-            .groupBy("cluster")
-            .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("pairs"))
-            .select(
-                "cluster",
-                F.transform(F.col("pairs"), lambda p: p.c).alias("centroid"),
+            dims.join(assign, "vec_id")
+            .groupBy("cluster", "i")
+            .agg(F.avg("x").alias("val"))
+        )
+        dist = (
+            dims.join(cent.withColumnRenamed("cluster", "c2"), "i")
+            .groupBy("vec_id", F.col("c2").alias("cluster"))
+            .agg(
+                F.round(F.sum((F.col("x") - F.col("val")) * (F.col("x") - F.col("val"))), 6).alias("d")
             )
         )
-        scored = pts.crossJoin(F.broadcast(cent)).select(
-            "vec_id",
-            "cluster",
-            euclidean_expr(F.col("v"), F.col("centroid")).alias("dist"),
-        )
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("vec_id").orderBy(F.col("dist"), F.col("cluster"))
         assign = (
-            scored.withColumn("rn", F.row_number().over(w))
+            dist.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select("vec_id", "cluster")
             .localCheckpoint(eager=True)
@@ -131,12 +128,50 @@ def ivf_build(emb: DataFrame, k: int = IVF_K, iters: int = IVF_ITERS) -> DataFra
     return assign
 
 
-@register("ann_ivf_clusters")
+def _ivf_sql(k: int = IVF_K, iters: int = IVF_ITERS) -> str:
+    """Unrolled Lloyd k-means oracle, mirroring ivf_build exactly."""
+    parts = [
+        f"""
+    WITH a0 AS MATERIALIZED (
+      SELECT vec_id, CAST(vec_id % {k} AS INT) AS cluster FROM embeddings
+    )"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f""", cent{t} AS MATERIALIZED (
+      SELECT a.cluster, t.i, AVG(CAST(e.embedding[t.i] AS DOUBLE)) AS val
+      FROM embeddings e
+      JOIN a{t-1} a ON a.vec_id = e.vec_id
+      CROSS JOIN generate_series(1, {DIM}) AS t(i)
+      GROUP BY a.cluster, t.i
+    ), dist{t} AS MATERIALIZED (
+      SELECT e.vec_id, c.cluster,
+             ROUND(SUM((CAST(e.embedding[c.i] AS DOUBLE) - c.val)
+                     * (CAST(e.embedding[c.i] AS DOUBLE) - c.val)), 6) AS d
+      FROM embeddings e CROSS JOIN cent{t} c
+      GROUP BY e.vec_id, c.cluster
+    ), a{t} AS MATERIALIZED (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+        FROM dist{t}
+      ) WHERE rn = 1
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT cluster, COUNT(*) AS n, MIN(vec_id) AS min_id
+    FROM a{iters} GROUP BY cluster"""
+    )
+    return "".join(parts)
+
+
+@register("ann_ivf_clusters", oracle=_ivf_sql())
 def ann_ivf_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF cluster assignment (build step — `build_ivf_index`,
     `vector_engine/src/lib.rs:2647`): deterministic k-means, k=8, 3 Lloyd
-    iterations. Rows-only check (float accumulation order makes boundary
-    assignments formally non-portable across engines)."""
+    iterations, fully oracle-checked against an unrolled SQL Lloyd loop
+    (rounded squared distances make assignments engine-portable)."""
     emb = load(spark, sf_dir, "embeddings")
     assign = ivf_build(emb)
     return assign.groupBy("cluster").agg(

@@ -111,3 +111,27 @@ def test_cypher_match_where(engine):
 def test_embed_dimension_enforced(engine):
     with pytest.raises(ValueError, match="dimension mismatch"):
         engine.execute("EMBED 'bad' [1.0, 2.0]")
+
+
+def test_cypher_match_varlength(engine):
+    rows = engine.execute(
+        "MATCH (s:supplier)-[:supplies*1..2]->(c) RETURN s, c, hops LIMIT 2000"
+    ).collect()
+    assert rows
+    assert all(1 <= r["hops"] <= 2 for r in rows)
+    # supplies edges go supplier→customer only, so 1 hop is the only depth
+    assert {r["hops"] for r in rows} == {1}
+
+
+def test_cypher_match_varlength_two_hops(engine):
+    rows = engine.execute(
+        "MATCH (c:customer)-[:located_in*1..2]->(x) RETURN c, x, hops"
+    ).collect()
+    # hop1 = nation, hop2 = region via part_of? no — typed filter keeps only
+    # located_in edges, so depth stops at the nation (no located_in out-edge)
+    assert rows and {r["hops"] for r in rows} == {1}
+
+
+def test_cypher_varlength_bounds_validated(engine):
+    with pytest.raises(ValueError, match="min ≤ max ≤ 8"):
+        engine.execute("MATCH (a)-[:supplies*3..99]->(b) RETURN a, b")

@@ -186,3 +186,19 @@ def test_betweenness_distributed_matches_driver_side(spark):
     # driver-side output is the top-50; every one must match the distributed value
     for node, bc in driver.items():
         assert abs(dist.get(node, 0.0) - bc) < 1e-4, (node, bc, dist.get(node))
+
+
+def test_constraint_check_detects_corruption(spark):
+    """The constraint machinery must actually detect violations, not just
+    report zeros on the (by-construction clean) fixture graph."""
+    nodes = spark.createDataFrame([(1, "a"), (2, "a"), (2, "b")], "id bigint, label string")
+    edges = spark.createDataFrame(
+        [(1, 2, "e", 1.0), (1, 99, "e", 1.0), (2, 1, "e", -3.0), (2, 1, "e", None)],
+        "src bigint, dst bigint, edge_type string, weight double",
+    )
+    dangling_dst = edges.join(nodes, edges.dst == nodes.id, "left_anti").count()
+    dup = nodes.groupBy("id").count().filter(F.col("count") > 1).count()
+    bad_w = edges.filter(F.col("weight").isNull() | (F.col("weight") <= 0.0)).count()
+    assert dangling_dst == 1   # edge to 99
+    assert dup == 1            # node id 2 twice
+    assert bad_w == 2          # negative + null weight
