@@ -19,6 +19,7 @@ cursors map to `toLocalIterator` batches (`relational_engine/src/cursor.rs`).
 
 from __future__ import annotations
 
+import ast
 import re
 from typing import Iterator, Optional
 
@@ -151,9 +152,7 @@ class NeumannSparkEngine:
         name = m.group(1)
         if name not in self._tables:
             raise KeyError(f"unknown session table {name!r}")
-        rows = eval(m.group(2).rstrip(";"), {"__builtins__": {}}, {})  # literals only
-        if not isinstance(rows, tuple) or not isinstance(rows[0], tuple):
-            rows = (rows,)
+        rows = self._parse_values(m.group(2))
         new = self.spark.createDataFrame(list(rows), self._tables[name].schema)
         self._tables[name] = self._tables[name].unionAll(new)
         self._tables[name].createOrReplaceTempView(name)
@@ -161,8 +160,27 @@ class NeumannSparkEngine:
             [(name, len(rows))], "table string, inserted bigint"
         )
 
+    @staticmethod
+    def _parse_values(body: str) -> list[tuple]:
+        """Parse a VALUES clause of literal rows with `ast.literal_eval`
+        (never eval: command text is user input). Each parenthesized group
+        is one row, so single-column multi-row `(1), (2)` yields two rows —
+        not Python's scalar collapse of `(1)` to `1`."""
+        body = body.rstrip(";").strip()
+        if not (body.startswith("(") and body.endswith(")")):
+            raise ValueError("expected VALUES (...), (...)")
+        rows = []
+        for part in re.split(r"\)\s*,\s*\(", body[1:-1]):
+            try:
+                # trailing comma forces a tuple even for one element
+                rows.append(ast.literal_eval(f"({part},)"))
+            except (ValueError, SyntaxError) as e:
+                raise ValueError(f"VALUES rows must be literals: ({part})") from e
+        return rows
+
     def _exec_drop(self, cmd: str) -> DataFrame:
-        m = re.match(r"DROP\s+TABLE\s+(\w+)", cmd, re.I)
+        m = self._require(re.match(r"DROP\s+TABLE\s+(\w+)", cmd, re.I),
+                          "DROP TABLE name")
         name = m.group(1)
         self._tables.pop(name, None)
         self.spark.catalog.dropTempView(name)
@@ -176,15 +194,26 @@ class NeumannSparkEngine:
 
     # -- graph commands ---------------------------------------------------
 
+    @staticmethod
+    def _require(m: "Optional[re.Match]", expected: str) -> "re.Match":
+        """Uniform malformed-command handling: ValueError, not AttributeError
+        (the reference's parser errors are typed, `neumann_parser` Err)."""
+        if m is None:
+            raise ValueError(f"expected {expected}")
+        return m
+
     def _exec_node(self, cmd: str) -> DataFrame:
-        m = re.match(r"NODE\s+(\d+)(?:\s+(\w+))?", cmd, re.I)
+        m = self._require(re.match(r"NODE\s+(\d+)(?:\s+(\w+))?", cmd, re.I),
+                          "NODE id [label]")
         nid, label = int(m.group(1)), m.group(2) or "node"
         new = self.spark.createDataFrame([(nid, label)], "id bigint, label string")
         self._nodes = self._nodes.unionAll(new)
         return new
 
     def _exec_edge(self, cmd: str) -> DataFrame:
-        m = re.match(r"EDGE\s+(\d+)\s+(\d+)(?:\s+(\w+))?(?:\s+([\d.]+))?", cmd, re.I)
+        m = self._require(
+            re.match(r"EDGE\s+(\d+)\s+(\d+)(?:\s+(\w+))?(?:\s+([\d.]+))?", cmd, re.I),
+            "EDGE src dst [type] [weight]")
         src, dst = int(m.group(1)), int(m.group(2))
         etype, w = m.group(3) or "edge", float(m.group(4) or 1.0)
         new = self.spark.createDataFrame(
@@ -194,7 +223,8 @@ class NeumannSparkEngine:
         return new
 
     def _exec_neighbors(self, cmd: str) -> DataFrame:
-        m = re.match(r"NEIGHBORS\s+'?(\d+)'?", cmd, re.I)
+        m = self._require(re.match(r"NEIGHBORS\s+'?(\d+)'?", cmd, re.I),
+                          "NEIGHBORS id")
         nid = int(m.group(1))
         ue = undirected_edges(self._edges).filter(F.col("src") == nid)
         return ue.join(self._nodes, ue.dst == self._nodes.id).select(
@@ -202,7 +232,9 @@ class NeumannSparkEngine:
         )
 
     def _exec_path(self, cmd: str) -> DataFrame:
-        m = re.match(r"PATH\s+'?(\d+)'?\s+TO\s+'?(\d+)'?(?:\s+MAX\s+(\d+))?", cmd, re.I)
+        m = self._require(
+            re.match(r"PATH\s+'?(\d+)'?\s+TO\s+'?(\d+)'?(?:\s+MAX\s+(\d+))?", cmd, re.I),
+            "PATH a TO b [MAX d]")
         a, b = int(m.group(1)), int(m.group(2))
         max_d = int(m.group(3) or 4)
         src = self.spark.createDataFrame([(a, a)], "source bigint, node bigint")
@@ -212,7 +244,8 @@ class NeumannSparkEngine:
     # -- vector commands --------------------------------------------------
 
     def _exec_embed(self, cmd: str) -> DataFrame:
-        m = re.match(r"EMBED\s+'?([\w:]+)'?\s+\[(.+)\]", cmd, re.I | re.S)
+        m = self._require(re.match(r"EMBED\s+'?([\w:]+)'?\s+\[(.+)\]", cmd, re.I | re.S),
+                          "EMBED key [v1, v2, ...]")
         key, vals = m.group(1), [float(x) for x in m.group(2).split(",")]
         # dimension enforced per store, like the reference
         # (`vector_engine/src/lib.rs:1840-1895`)
@@ -229,11 +262,13 @@ class NeumannSparkEngine:
         return new.select("key")
 
     def _exec_similar(self, cmd: str) -> DataFrame:
-        m = re.match(
-            r"SIMILAR\s+'?([\w:]+)'?\s+TOP\s+(\d+)(?:\s+CONNECTED\s+TO\s+'?(\d+)'?)?",
-            cmd,
-            re.I,
-        )
+        m = self._require(
+            re.match(
+                r"SIMILAR\s+'?([\w:]+)'?\s+TOP\s+(\d+)(?:\s+CONNECTED\s+TO\s+'?(\d+)'?)?",
+                cmd,
+                re.I,
+            ),
+            "SIMILAR key TOP k [CONNECTED TO id]")
         key, k = m.group(1), int(m.group(2))
         anchor = self._embeddings.filter(F.col("key") == key).head()
         if anchor is None:
@@ -347,11 +382,13 @@ class NeumannSparkEngine:
     # -- unified FIND -----------------------------------------------------
 
     def _exec_find(self, cmd: str) -> DataFrame:
-        m = re.match(
-            r"FIND\s+(NODES|EDGES|ROWS)\s+(?:(\w+)\s+)?(?:WHERE\s+(.+))?$",
-            cmd,
-            re.I | re.S,
-        )
+        m = self._require(
+            re.match(
+                r"FIND\s+(NODES|EDGES|ROWS)\s+(?:(\w+)\s+)?(?:WHERE\s+(.+))?$",
+                cmd,
+                re.I | re.S,
+            ),
+            "FIND NODES|EDGES|ROWS [table] [WHERE cond]")
         kind = m.group(1).upper()
         if kind == "NODES":
             base = self._nodes

@@ -330,8 +330,8 @@ def sparse_dot_expr(a: Column, b: Column, threshold: float = SPARSE_THRESHOLD) -
                            AND ABS(CAST(q.qv[t.i] AS DOUBLE)) > {SPARSE_THRESHOLD}
                           THEN CAST(e.embedding[t.i] AS DOUBLE) * CAST(q.qv[t.i] AS DOUBLE)
                           ELSE 0.0 END), 6) AS sparse_dot,
-           SUM(CASE WHEN ABS(CAST(e.embedding[t.i] AS DOUBLE)) > {SPARSE_THRESHOLD}
-                    THEN 1 ELSE 0 END) AS nnz
+           CAST(SUM(CASE WHEN ABS(CAST(e.embedding[t.i] AS DOUBLE)) > {SPARSE_THRESHOLD}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS nnz
     FROM embeddings e CROSS JOIN q
     CROSS JOIN generate_series(1, 64) AS t(i)
     WHERE e.vec_id BETWEEN 1 AND 100

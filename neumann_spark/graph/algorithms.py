@@ -783,17 +783,28 @@ def graph_constraint_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     exists/type constraints): referential integrity of edges, node-id
     uniqueness, weight positivity — as assertion queries (Spark has no
     enforced constraints; SURVEY.md §1.2)."""
-    n = nodes_df(spark, sf_dir).cache()
-    e = edges_df(spark, sf_dir).cache()
-    dangling_src = (
-        e.join(n, e.src == n.id, "left_anti").count()
+    n = nodes_df(spark, sf_dir)
+    e = edges_df(spark, sf_dir)
+    ns = n.select(F.col("id").alias("src_id"))
+    nd = n.select(F.col("id").alias("dst_id"))
+    edge_checks = (
+        e.join(ns, e.src == F.col("src_id"), "left")
+        .join(nd, e.dst == F.col("dst_id"), "left")
+        .agg(
+            F.sum(F.when(F.col("src_id").isNull(), 1).otherwise(0)).alias("dangling_src"),
+            F.sum(F.when(F.col("dst_id").isNull(), 1).otherwise(0)).alias("dangling_dst"),
+            F.sum(
+                F.when(F.col("weight").isNull() | (F.col("weight") <= 0.0), 1).otherwise(0)
+            ).alias("bad_weights"),
+        )
     )
-    dangling_dst = e.join(n, e.dst == n.id, "left_anti").count()
-    dup = n.groupBy("id").count().filter(F.col("count") > 1).count()
-    bad_w = e.filter(F.col("weight").isNull() | (F.col("weight") <= 0.0)).count()
-    return spark.createDataFrame(
-        [(dangling_src, dangling_dst, dup, bad_w)],
-        "dangling_src bigint, dangling_dst bigint, duplicate_ids bigint, bad_weights bigint",
+    dup = (
+        n.groupBy("id").agg(F.count("*").alias("c")).filter(F.col("c") > 1)
+        .agg(F.count("*").alias("duplicate_ids"))
+    )
+    # one crossJoin of two 1-row aggregates → a single Spark job, not four
+    return edge_checks.crossJoin(dup).select(
+        "dangling_src", "dangling_dst", "duplicate_ids", "bad_weights"
     )
 
 
@@ -835,7 +846,9 @@ def betweenness_distributed(
         )
         if nxt.isEmpty():
             break
-        visited = visited.unionAll(nxt).localCheckpoint(eager=True)
+        # visited is only ever anti-joined against; as a union of already-
+        # checkpointed levels its lineage stays shallow — no extra job here
+        visited = visited.unionAll(nxt)
         levels.append(nxt)
         frontier = nxt
 

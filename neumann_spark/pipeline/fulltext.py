@@ -34,7 +34,7 @@ SEARCH_TERMS = ("hash", "merge", "stream")
     )
     SELECT doc_id,
            COUNT(*) AS n_terms_matched,
-           SUM(tf) AS total_tf
+           CAST(SUM(tf) AS BIGINT) AS total_tf
     FROM hits
     GROUP BY doc_id
     HAVING COUNT(*) = 3

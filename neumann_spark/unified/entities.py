@@ -111,8 +111,8 @@ def entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg AS (SELECT src AS node_id, COUNT(*) AS degree FROM uedges GROUP BY src)
     SELECT e.type,
            COUNT(*) AS n_entities,
-           SUM(CASE WHEN en.node_id IS NOT NULL THEN 1 ELSE 0 END) AS n_with_embedding,
-           SUM(COALESCE(d.degree, 0)) AS total_degree
+           CAST(SUM(CASE WHEN en.node_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_embedding,
+           CAST(SUM(COALESCE(d.degree, 0)) AS BIGINT) AS total_degree
     FROM ent e
     LEFT JOIN emb_nodes en ON en.node_id = e.node_id
     LEFT JOIN deg d ON d.node_id = e.node_id
