@@ -99,7 +99,11 @@ def knn(
     scored = df if pre_filter is None else df.filter(pre_filter)
     scored = scored.withColumn("score", score_expr(metric, F.col(vec_col), q))
     asc = metric == "euclidean"
-    order = [F.col("score").asc() if asc else F.col("score").desc()] + [
+    # rank by the RAW score (the reference's heap compares unrounded f32
+    # scores, `vector_engine/src/lib.rs:1950`); round only for display.
+    # Ordering by the rounded alias would tie-break differently within the
+    # 1e-6 grid at the k boundary.
+    order = [F.col("_raw").asc() if asc else F.col("_raw").desc()] + [
         F.col(c) for c in id_cols
     ]
     return scored.select(*id_cols, F.round("score", 6).alias("score"), F.col("score").alias("_raw")) \

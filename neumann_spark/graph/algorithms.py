@@ -371,12 +371,23 @@ def graph_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count (`graph_engine/src/algorithms/triangles.rs`) via the
-    canonical a<b<c oriented 3-join — the standard distributed formulation
-    (orientation avoids counting each triangle 6×, and makes the heaviest
-    join side the low-degree one)."""
+    oriented 3-join. Orientation is by (degree, id) — every triangle has
+    exactly one transitive-source match under ANY acyclic orientation, so
+    the count equals the oracle's id-oriented count, but degree ordering
+    bounds the wedge fan-out by the LOW endpoint's degree: hub–hub wedges
+    never materialize, which is what survives skewed graphs at 100 TB
+    (the Cohen / GraphX formulation)."""
+    e = undirected_edges(edges_df(spark, sf_dir)).select("src", "dst")
+    deg = e.groupBy("src").agg(F.count("*").alias("d"))
     ue = (
-        undirected_edges(edges_df(spark, sf_dir))
-        .filter(F.col("src") < F.col("dst"))
+        e.join(deg.select(F.col("src"), F.col("d").alias("ds")), "src")
+        .join(
+            deg.select(F.col("src").alias("dst"), F.col("d").alias("dd")), "dst"
+        )
+        .filter(
+            (F.col("ds") < F.col("dd"))
+            | ((F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst")))
+        )
         .select(F.col("src").alias("a"), F.col("dst").alias("b"))
         .cache()
     )

@@ -25,6 +25,14 @@ from neumann_spark.registry import register
 MINHASH_SEEDS = 8
 MINHASH_BAND_ROWS = 2  # 4 bands of 2 rows
 
+# Hot-shingle guard for the Jaccard pair join: a shingle occurring in d docs
+# fans out d^2 candidate pairs, so one viral bigram at 100 TB is a straggler.
+# Shingles above this document frequency (within a source block) are dropped
+# from the shingle SETS (both sizes and intersections — consistent Jaccard
+# semantics on the capped sets), mirrored exactly in the oracle. Ubiquitous
+# shingles carry no near-dup signal anyway (idf ~ 0).
+NGRAM_DF_CAP = 50
+
 
 # --- exact dedup ----------------------------------------------------------
 
@@ -104,10 +112,14 @@ _SHINGLES_SQL = """
     oracle="WITH "
     + _SHINGLES_SQL
     + """
-    , sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    , shc AS MATERIALIZED (
+      SELECT * FROM sh
+      QUALIFY COUNT(*) OVER (PARTITION BY source, sh) <= {cap}
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
     common AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
-      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id AND a.source = b.source
+      FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id AND a.source = b.source
       GROUP BY a.doc_id, b.doc_id
     )
     SELECT c.id_a, c.id_b,
@@ -116,13 +128,18 @@ _SHINGLES_SQL = """
     JOIN sizes sa ON sa.doc_id = c.id_a
     JOIN sizes sb ON sb.doc_id = c.id_b
     WHERE CAST(c.c AS DOUBLE) / (sa.n + sb.n - c.c) >= 0.05
-    """,
+    """.format(cap=NGRAM_DF_CAP),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram (bigram shingle) Jaccard near-dup pairs, blocked by `source`
     so candidate generation is a shingle equi-join, not a cartesian — the
     scalable shape: pairs only materialize where shingles collide."""
     sh = _shingles(spark, sf_dir)
+    # document-frequency cap: drop hot shingles BEFORE the pair join so the
+    # worst-case fan-out per shingle is bounded by NGRAM_DF_CAP^2, not d^2
+    sh = sh.withColumn(
+        "df", F.count("*").over(Window.partitionBy("source", "sh"))
+    ).filter(F.col("df") <= NGRAM_DF_CAP).drop("df")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("source").alias("src_a"), "sh")
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("source").alias("src_b"), F.col("sh").alias("sh_b"))
