@@ -774,6 +774,243 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- node-similarity family (`similarity.rs:108-248`) ---------------------
+# All six reference measures share one shape: a self-join of the supplies
+# adjacency blocked by the shared neighbor (supplier), then a per-pair
+# aggregate. Pairs are restricted to >= 2 common neighbors (as the Jaccard /
+# Adamic-Adar entries already do) to bound output. At 100 TB the only
+# shuffle keys are supp (pair generation) and (a, b) (scoring) — the same
+# co-occurrence join shape as dedup.
+
+_SIM_ADJ_SQL = """
+    , adj AS (SELECT dst AS cust, src AS supp FROM edges WHERE edge_type = 'supplies'),
+      deg AS (SELECT cust, COUNT(*) AS d FROM adj GROUP BY cust),
+      common AS (
+        SELECT x.cust AS a, y.cust AS b, COUNT(*) AS c
+        FROM adj x JOIN adj y ON x.supp = y.supp AND x.cust < y.cust
+        GROUP BY x.cust, y.cust HAVING COUNT(*) >= 2
+      )
+"""
+
+
+def _sim_adj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplies adjacency (cust, supp) — the neighbor sets of
+    `get_neighbor_set` (`similarity.rs:60-98`) in DataFrame form."""
+    return (
+        edges_df(spark, sf_dir)
+        .filter(F.col("edge_type") == "supplies")
+        .select(F.col("dst").alias("cust"), F.col("src").alias("supp"))
+    )
+
+
+def _sim_common(adj: DataFrame) -> DataFrame:
+    """Pairs (a < b) with >= 2 shared suppliers and the shared count c."""
+    x = adj.select(F.col("cust").alias("a"), "supp")
+    y = adj.select(F.col("cust").alias("b"), F.col("supp").alias("supp_y"))
+    return (
+        x.join(y, (F.col("supp") == F.col("supp_y")) & (F.col("a") < F.col("b")))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+    )
+
+
+@register(
+    "graph_node_similarity_cosine",
+    oracle=GRAPH_SQL_CTE
+    + _SIM_ADJ_SQL
+    + """
+    SELECT c.a, c.b,
+           ROUND(CAST(c.c AS DOUBLE) / SQRT(CAST(da.d * db.d AS DOUBLE)), 6) AS cosine
+    FROM common c JOIN deg da ON da.cust = c.a JOIN deg db ON db.cust = c.b
+    """,
+)
+def graph_node_similarity_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine node similarity |N∩| / sqrt(|N(a)|·|N(b)|)
+    (`cosine_similarity`, `similarity.rs:130-148`)."""
+    adj = _sim_adj(spark, sf_dir)
+    deg = adj.groupBy("cust").agg(F.count("*").alias("d"))
+    return (
+        _sim_common(adj)
+        .join(deg.select(F.col("cust").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("cust").alias("b"), F.col("d").alias("db")), "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.col("c").cast("double")
+                / F.sqrt((F.col("da") * F.col("db")).cast("double")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+
+
+@register(
+    "graph_node_similarity_common",
+    oracle=GRAPH_SQL_CTE
+    + """
+    , adj AS (SELECT dst AS cust, src AS supp FROM edges WHERE edge_type = 'supplies')
+    SELECT x.cust AS a, y.cust AS b, COUNT(*) AS n_common,
+           string_agg(CAST(x.supp AS VARCHAR), ',' ORDER BY x.supp) AS common_ids
+    FROM adj x JOIN adj y ON x.supp = y.supp AND x.cust < y.cust
+    GROUP BY x.cust, y.cust HAVING COUNT(*) >= 2
+    """,
+)
+def graph_node_similarity_common(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common neighbors with the witness list (`common_neighbors`,
+    `similarity.rs:150-160` returns the ids, not just the count) — emitted
+    as a sorted comma-joined string so both engines hash identically."""
+    adj = _sim_adj(spark, sf_dir)
+    x = adj.select(F.col("cust").alias("a"), "supp")
+    y = adj.select(F.col("cust").alias("b"), F.col("supp").alias("supp_y"))
+    return (
+        x.join(y, (F.col("supp") == F.col("supp_y")) & (F.col("a") < F.col("b")))
+        .groupBy("a", "b")
+        .agg(
+            F.count("*").alias("n_common"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list("supp")), lambda s: s.cast("string")
+                ),
+            ).alias("common_ids"),
+        )
+        .filter(F.col("n_common") >= 2)
+    )
+
+
+@register(
+    "graph_resource_allocation",
+    oracle=GRAPH_SQL_CTE
+    + """
+    , adj AS (SELECT dst AS cust, src AS supp FROM edges WHERE edge_type = 'supplies'),
+      sdeg AS (SELECT supp, COUNT(*) AS d FROM adj GROUP BY supp)
+    SELECT x.cust AS a, y.cust AS b,
+           ROUND(SUM(1.0 / sd.d), 6) AS resource_allocation
+    FROM adj x
+    JOIN adj y ON x.supp = y.supp AND x.cust < y.cust
+    JOIN sdeg sd ON sd.supp = x.supp
+    GROUP BY x.cust, y.cust
+    HAVING COUNT(*) >= 2
+    """,
+)
+def graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resource-allocation index Σ 1/|N(z)| over shared neighbors z
+    (`resource_allocation`, `similarity.rs:180-196`) — Adamic-Adar with
+    1/d instead of 1/ln(d)."""
+    adj = _sim_adj(spark, sf_dir)
+    sdeg = adj.groupBy("supp").agg(F.count("*").alias("d"))
+    x = adj.select(F.col("cust").alias("a"), "supp")
+    y = adj.select(F.col("cust").alias("b"), F.col("supp").alias("supp_y"))
+    return (
+        x.join(y, (F.col("supp") == F.col("supp_y")) & (F.col("a") < F.col("b")))
+        .join(sdeg, "supp")
+        .groupBy("a", "b")
+        .agg(
+            F.round(F.sum(1.0 / F.col("d")), 6).alias("resource_allocation"),
+            F.count("*").alias("n_common"),
+        )
+        .filter(F.col("n_common") >= 2)
+        .drop("n_common")
+    )
+
+
+@register(
+    "graph_preferential_attachment",
+    oracle=GRAPH_SQL_CTE
+    + _SIM_ADJ_SQL
+    + """
+    SELECT c.a, c.b, CAST(da.d * db.d AS DOUBLE) AS preferential_attachment
+    FROM common c JOIN deg da ON da.cust = c.a JOIN deg db ON db.cust = c.b
+    """,
+)
+def graph_preferential_attachment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preferential attachment |N(a)|·|N(b)|
+    (`preferential_attachment`, `similarity.rs:198-213`), over candidate
+    pairs with shared structure (the all-pairs form is a cartesian by
+    definition; the reference only evaluates it per requested pair)."""
+    adj = _sim_adj(spark, sf_dir)
+    deg = adj.groupBy("cust").agg(F.count("*").alias("d"))
+    return (
+        _sim_common(adj)
+        .join(deg.select(F.col("cust").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("cust").alias("b"), F.col("d").alias("db")), "b")
+        .select(
+            "a",
+            "b",
+            (F.col("da") * F.col("db")).cast("double").alias("preferential_attachment"),
+        )
+    )
+
+
+MOST_SIMILAR_K = 10
+
+
+@register(
+    "graph_most_similar",
+    oracle=GRAPH_SQL_CTE
+    + f"""
+    , adj AS (SELECT dst AS cust, src AS supp FROM edges WHERE edge_type = 'supplies'),
+      deg AS (SELECT cust, COUNT(*) AS d FROM adj GROUP BY cust),
+      anchor AS (SELECT cust AS a_id, d AS da FROM deg ORDER BY d DESC, cust LIMIT 1),
+      common AS (
+        SELECT y.cust AS other, MIN(an.a_id) AS a_id, MIN(an.da) AS da,
+               COUNT(*) AS c
+        FROM anchor an
+        JOIN adj x ON x.cust = an.a_id
+        JOIN adj y ON x.supp = y.supp AND y.cust <> an.a_id
+        GROUP BY y.cust
+      )
+    SELECT CAST(c.a_id AS BIGINT) AS node, c.other,
+           ROUND(CAST(c.c AS DOUBLE) / (c.da + db.d - c.c), 6) AS jaccard
+    FROM common c
+    JOIN deg db ON db.cust = c.other
+    ORDER BY CAST(c.c AS DOUBLE) / (c.da + db.d - c.c) DESC, c.other
+    LIMIT {MOST_SIMILAR_K}
+    """,
+)
+def graph_most_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k most-similar nodes to an anchor (`most_similar`,
+    `similarity.rs:250-289`, Jaccard metric). The anchor is chosen
+    dynamically — the highest-supplies-degree customer (ties by lowest id) —
+    so the query is meaningful at every scale factor. The reference loops
+    over all nodes; the Spark form only scores nodes sharing >= 1 neighbor
+    (identical result — zero-score nodes can't enter a positive top-k), so
+    the candidate set comes from the same blocked join, then TakeOrdered.
+    The anchor is a broadcast 1-row aggregate, not a driver collect."""
+    adj = _sim_adj(spark, sf_dir)
+    deg = adj.groupBy("cust").agg(F.count("*").alias("d"))
+    anchor = (
+        deg.orderBy(F.col("d").desc(), "cust")
+        .limit(1)
+        .select(F.col("cust").alias("a_id"), F.col("d").alias("da"))
+    )
+    anchor_adj = adj.join(
+        F.broadcast(anchor), F.col("cust") == F.col("a_id")
+    ).select("supp", "a_id", "da")
+    common = (
+        adj.join(F.broadcast(anchor_adj), "supp")
+        .filter(F.col("cust") != F.col("a_id"))
+        .groupBy(F.col("cust").alias("other"), "a_id", "da")
+        .agg(F.count("*").alias("c"))
+    )
+    jac = F.col("c").cast("double") / (F.col("da") + F.col("db") - F.col("c"))
+    return (
+        common.join(
+            deg.select(F.col("cust").alias("other"), F.col("d").alias("db")), "other"
+        )
+        .select(
+            F.col("a_id").cast("bigint").alias("node"),
+            "other",
+            jac.alias("_raw"),
+        )
+        .orderBy(F.col("_raw").desc(), F.col("other"))
+        .limit(MOST_SIMILAR_K)
+        .select("node", "other", F.round("_raw", 6).alias("jaccard"))
+    )
+
+
 @register(
     "graph_constraint_check",
     oracle=GRAPH_SQL_CTE
