@@ -466,14 +466,41 @@ def _collect_edges(uedges: DataFrame, cols=("src", "dst", "weight")) -> list[tup
     return [tuple(r) for r in uedges.select(*cols).collect()]
 
 
-@register("graph_scc_tarjan")
+@register(
+    "graph_scc_tarjan",
+    oracle=GRAPH_SQL_CTE.replace("WITH nodes", "WITH RECURSIVE nodes", 1)
+    + """
+    , dedges AS MATERIALIZED (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT CAST(o_custkey AS BIGINT) AS src,
+               CAST(1000000 + l_suppkey AS BIGINT) AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderkey % 41 = 0
+      ),
+      reach AS (
+        SELECT src AS a, dst AS b FROM dedges
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN dedges e ON e.src = r.b
+      ),
+      mutual AS MATERIALIZED (
+        SELECT r1.a, r1.b FROM reach r1
+        JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+        WHERE r1.a <> r1.b
+      )
+    SELECT a AS id, LEAST(a, MIN(b)) AS scc FROM mutual GROUP BY a
+    """,
+)
 def graph_scc_tarjan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strongly connected components, Tarjan
     (`graph_engine/src/algorithms/scc.rs:133`) on the directed graph plus
     reverse 'purchases' edges (o_orderkey % 41) so non-trivial cycles exist.
     Driver-side on the collected edge list (guarded), like the reference;
-    the distributed path would be forward-backward coloring. Rows-only check
-    (no SQL-expressible oracle for SCC)."""
+    the distributed path would be forward-backward coloring. Oracle: full
+    transitive closure by recursive CTE, component = mutual-reachability
+    class keyed by its min member (singleton classes excluded on both
+    sides). Closure size is quadratic in the largest SCC — fine at oracle
+    scale (sf <= 0.01), which is why the Spark side doesn't use it."""
     from neumann_spark.catalog import load
     from neumann_spark.graph.model import SUPPLIER_BASE
 
@@ -614,12 +641,81 @@ def betweenness_driver_side(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "id bigint, betweenness double")
 
 
-@register("graph_mst_kruskal")
+def _mst_oracle_sql() -> str:
+    """Oracle for Kruskal on the fixture graph, derived from the cut
+    property rather than simulating union-find:
+
+    * every weight-1.0 located_in/part_of edge is a tree edge (the backbone
+      is a forest rooted at the 5 regions — each customer/supplier/nation
+      has exactly one parent edge — and every supplies weight is a >900
+      money sum, so Kruskal accepts the whole backbone first);
+    * after the backbone, components == regions, so the remaining Kruskal
+      run is over the region-contracted graph: repeatedly pick the globally
+      minimum (weight, src, dst) supplies edge whose endpoint regions are in
+      different components and merge — at most 4 picks for 5 regions,
+      unrolled below (a pick round on an already-connected graph is empty).
+    """
+    parts = [
+        """
+    , rc AS MATERIALIZED (
+        SELECT CAST(c_custkey AS BIGINT) AS id, n.n_regionkey AS r
+        FROM customer JOIN nation n ON n.n_nationkey = c_nationkey
+      ),
+      rs AS MATERIALIZED (
+        SELECT CAST(1000000 + s_suppkey AS BIGINT) AS id, n.n_regionkey AS r
+        FROM supplier JOIN nation n ON n.n_nationkey = s_nationkey
+      ),
+      cand AS MATERIALIZED (
+        SELECT e.src, e.dst, e.weight, rc.r AS ra, rs.r AS rb
+        FROM edges e
+        JOIN rc ON rc.id = e.dst JOIN rs ON rs.id = e.src
+        WHERE e.edge_type = 'supplies' AND rc.r <> rs.r
+      ),
+      comp0 AS MATERIALIZED (SELECT r_regionkey AS r, r_regionkey AS comp FROM region)
+    """
+    ]
+    for i in range(1, 5):
+        p = i - 1
+        parts.append(
+            f""",
+      pick{i} AS MATERIALIZED (
+        SELECT c.dst AS e_src, c.src AS e_dst, c.weight AS e_w,
+               x.comp AS ca, y.comp AS cb
+        FROM cand c
+        JOIN comp{p} x ON x.r = c.ra JOIN comp{p} y ON y.r = c.rb
+        WHERE x.comp <> y.comp
+        ORDER BY c.weight, c.dst, c.src LIMIT 1
+      ),
+      comp{i} AS MATERIALIZED (
+        SELECT r, CASE WHEN comp IN (SELECT ca FROM pick{i})
+                         OR comp IN (SELECT cb FROM pick{i})
+                       THEN (SELECT LEAST(ca, cb) FROM pick{i})
+                       ELSE comp END AS comp
+        FROM comp{p}
+      )"""
+        )
+    parts.append(
+        """
+    SELECT src, dst, ROUND(weight, 2) AS weight
+    FROM edges WHERE edge_type IN ('located_in', 'part_of')
+    UNION ALL
+    SELECT e_src, e_dst, ROUND(e_w, 2) FROM pick1
+    UNION ALL SELECT e_src, e_dst, ROUND(e_w, 2) FROM pick2
+    UNION ALL SELECT e_src, e_dst, ROUND(e_w, 2) FROM pick3
+    UNION ALL SELECT e_src, e_dst, ROUND(e_w, 2) FROM pick4
+    """
+    )
+    return "".join(parts)
+
+
+@register("graph_mst_kruskal", oracle=GRAPH_SQL_CTE + _mst_oracle_sql())
 def graph_mst_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Minimum spanning forest, Kruskal with deterministic (weight, src, dst)
     ordering (`graph_engine/src/algorithms/mst.rs:164`). Driver-side with
     union-find on the collected edge list; distributed path = Borůvka rounds
-    (min-edge per component via groupBy, then component merge). Rows-only."""
+    (min-edge per component via groupBy, then component merge). Oracle: cut-
+    property decomposition (see `_mst_oracle_sql`) — the independently-derived
+    check the driver hashes against."""
     ue = (
         undirected_edges(edges_df(spark, sf_dir))
         .filter(F.col("src") < F.col("dst"))
@@ -690,43 +786,141 @@ def graph_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(sorted(rows), "id bigint, community bigint")
 
 
-@register("graph_astar_path")
-def graph_astar_path(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A* weighted path (`graph_engine/src/algorithms/astar.rs:192`) from
-    customer#1 to customer#17 with a zero heuristic (= Dijkstra; the
-    reference's euclidean/manhattan heuristics need coordinates). Driver-side
-    on the collected subgraph per SURVEY.md §2.9. Rows-only check."""
+def astar_search(
+    edges: list[tuple[int, int, float]],
+    start: int,
+    goal: int,
+    heuristic: str = "zero",
+    coords: Optional[dict[int, tuple[float, float]]] = None,
+) -> tuple[dict[int, float], list[int], int]:
+    """A* (`graph_engine/src/algorithms/astar.rs:192`) with the reference's
+    heuristic options: 'zero' (= Dijkstra), 'euclidean' (`astar.rs:302`),
+    'manhattan' (`astar.rs:344`) over node coordinates. Returns
+    (dist-so-far map, canonical path, popped-node count). The path is
+    reconstructed *canonically* — at each node the minimum-id predecessor
+    satisfying dist[p] + w(p,v) == dist[v] (exact float equality; the argmin
+    path's sums are hop-order accumulations, identical in any engine) — so
+    the result is independent of heap pop order and SQL-reproducible."""
     import heapq
 
-    ue = undirected_edges(edges_df(spark, sf_dir)).select("src", "dst", "weight")
-    edges = _collect_edges(ue)
     adj: dict[int, list[tuple[int, float]]] = defaultdict(list)
+    radj: dict[int, list[tuple[int, float]]] = defaultdict(list)
     for s, d, w in edges:
         adj[s].append((d, w))
-    for v in adj:
-        adj[v].sort()
-    start, goal = 1, 17
+        radj[d].append((s, w))
+
+    if heuristic == "zero":
+        h = lambda v: 0.0  # noqa: E731
+    else:
+        if coords is None:
+            raise ValueError(f"heuristic '{heuristic}' requires coords")
+        gx, gy = coords[goal]
+        if heuristic == "euclidean":
+            h = lambda v: (  # noqa: E731
+                ((coords[v][0] - gx) ** 2 + (coords[v][1] - gy) ** 2) ** 0.5
+            )
+        elif heuristic == "manhattan":
+            h = lambda v: abs(coords[v][0] - gx) + abs(coords[v][1] - gy)  # noqa: E731
+        else:
+            raise ValueError(f"unknown heuristic: {heuristic}")
+
     dist = {start: 0.0}
-    prev: dict[int, int] = {}
-    pq: list[tuple[float, int]] = [(0.0, start)]
+    done: set[int] = set()
+    popped = 0
+    pq: list[tuple[float, int]] = [(h(start), start)]
     while pq:
-        d0, v = heapq.heappop(pq)
+        f0, v = heapq.heappop(pq)
+        if v in done:
+            continue
+        done.add(v)
+        popped += 1
         if v == goal:
             break
-        if d0 > dist.get(v, float("inf")):
-            continue
         for u, w in adj.get(v, []):
-            nd = d0 + w
-            if nd < dist.get(u, float("inf")) - 1e-12:
+            nd = dist[v] + w
+            if nd < dist.get(u, float("inf")):
                 dist[u] = nd
-                prev[u] = v
-                heapq.heappush(pq, (nd, u))
-    path = []
-    cur: Optional[int] = goal if goal in dist else None
-    while cur is not None:
+                heapq.heappush(pq, (nd + h(u), u))
+    path: list[int] = []
+    if goal in dist:
+        cur = goal
         path.append(cur)
-        cur = prev.get(cur)
-    path.reverse()
+        while cur != start:
+            preds = [
+                p
+                for p, w in radj.get(cur, [])
+                if p in dist and dist[p] + w == dist[cur]
+            ]
+            cur = min(preds)
+            path.append(cur)
+        path.reverse()
+    return dist, path, popped
+
+
+ASTAR_HOPS = 12  # Bellman-Ford bound for the oracle; >= optimal path hops
+
+
+def _bf_rounds_sql(hops: int, start: int) -> str:
+    """Unrolled iterative Bellman-Ford: d_k = min(d_{k-1}, d_{k-1}+edge),
+    one MATERIALIZED CTE per round (path *enumeration* would be exponential
+    on hub nodes). The min-of-sums recurrence has a unique float fixpoint
+    with positive weights, so converged values match Dijkstra bit-for-bit."""
+    parts = [
+        f", d0 AS MATERIALIZED (SELECT CAST({start} AS BIGINT) AS node,"
+        " CAST(0.0 AS DOUBLE) AS dist)"
+    ]
+    for k in range(1, hops + 1):
+        parts.append(
+            f""",
+      d{k} AS MATERIALIZED (
+        SELECT node, MIN(dist) AS dist FROM (
+          SELECT node, dist FROM d{k - 1}
+          UNION ALL
+          SELECT e.dst AS node, d.dist + e.weight AS dist
+          FROM d{k - 1} d JOIN uedges e ON e.src = d.node
+        ) GROUP BY node
+      )"""
+        )
+    parts.append(f", dist AS MATERIALIZED (SELECT node, dist FROM d{hops})")
+    return "".join(parts)
+
+
+@register(
+    "graph_astar_path",
+    oracle=GRAPH_SQL_CTE.replace("WITH nodes", "WITH RECURSIVE nodes", 1)
+    + _bf_rounds_sql(ASTAR_HOPS, 1)
+    + """
+    , pred AS MATERIALIZED (
+      SELECT e.dst AS node, MIN(e.src) AS p
+      FROM uedges e
+      JOIN dist ds ON ds.node = e.src
+      JOIN dist dd ON dd.node = e.dst
+      WHERE ds.dist + e.weight = dd.dist
+      GROUP BY e.dst
+    ),
+    back AS (
+      SELECT CAST(17 AS BIGINT) AS node, 0 AS back_idx
+      UNION ALL
+      SELECT pred.p, b.back_idx + 1 FROM back b JOIN pred ON pred.node = b.node
+      WHERE b.node <> 1
+    )
+    SELECT CAST((SELECT MAX(back_idx) FROM back) - b.back_idx AS INT) AS step,
+           b.node,
+           ROUND(d.dist, 4) AS cum_weight
+    FROM back b JOIN dist d ON d.node = b.node
+    """,
+)
+def graph_astar_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A* weighted path (`graph_engine/src/algorithms/astar.rs:192`) from
+    customer#1 to customer#17, zero heuristic (the weighted fixture graph
+    has no admissible coordinate heuristic; euclidean/manhattan are
+    exercised on coordinate-weighted graphs in tests). Driver-side on the
+    collected subgraph per SURVEY.md §2.9. Oracle: {ASTAR_HOPS}-hop
+    Bellman-Ford min-distances + the same canonical min-id predecessor walk,
+    in recursive SQL."""
+    ue = undirected_edges(edges_df(spark, sf_dir)).select("src", "dst", "weight")
+    edges = _collect_edges(ue)
+    dist, path, _ = astar_search(edges, 1, 17, "zero")
     rows = [(i, int(n), float(round(dist[n], 4))) for i, n in enumerate(path)]
     return spark.createDataFrame(rows, "step int, node bigint, cum_weight double")
 

@@ -541,14 +541,44 @@ def rel_cast_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("rel_approx_distinct")
+@register(
+    "rel_approx_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           CAST(1 AS INT) AS approx_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def rel_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct counting (HyperLogLog++) — SURVEY.md §2.4
-    'approximate aggregates: absent in reference; superset'. Rows-only check
-    (sketch estimates aren't oracle-reproducible); the relative-error bound
-    vs exact COUNT(DISTINCT) is asserted in tests."""
+    'approximate aggregates: absent in reference; superset'. HLL estimates
+    aren't oracle-reproducible, so the registered output is the exact
+    COUNT(DISTINCT) pair plus `approx_ok` = 1 iff the HLL estimate (rsd
+    0.02) lands within 10% (5 sigma) of exact — a tolerance-free hash check
+    that still fails if the sketch ever degrades. The tight 2%-error bound
+    is asserted separately in tests."""
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+    ok = (
+        (
+            F.abs(
+                F.col("approx_orders").cast("double") - F.col("exact_orders")
+            )
+            <= 0.10 * F.col("exact_orders")
+        )
+        & (
+            F.abs(F.col("approx_parts").cast("double") - F.col("exact_parts"))
+            <= 0.10 * F.col("exact_parts")
+        )
+    ).cast("int")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+            F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+            F.countDistinct("l_orderkey").alias("exact_orders"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+        .select("l_returnflag", "exact_orders", "exact_parts", ok.alias("approx_ok"))
     )
