@@ -36,7 +36,8 @@ class NeumannSparkEngine:
     """Session facade over the fixture tables + mutable session overlays."""
 
     CACHEABLE = ("SELECT", "SIMILAR", "NEIGHBORS", "PATH", "FIND")
-    WRITES = ("CREATE", "INSERT", "DROP", "NODE", "EDGE", "EMBED", "UPDATE", "DELETE")
+    WRITES = ("CREATE", "INSERT", "DROP", "NODE", "EDGE", "EMBED", "UPDATE",
+              "DELETE", "MERGE")
 
     def __init__(self, spark: SparkSession, sf_dir: str):
         self.spark = spark
@@ -48,6 +49,15 @@ class NeumannSparkEngine:
         self._embeddings = load(spark, sf_dir, "embeddings").select(
             F.col("vec_id").cast("string").alias("key"), "embedding"
         )
+        # secondary label set (`add_label`/`remove_label`, lib.rs:3641-3730 —
+        # the reference's nodes carry a label SET; the primary label column
+        # stays single-valued for the derived-graph queries)
+        self._extra_labels = spark.createDataFrame([], "id bigint, label string")
+        # per-key embedding metadata (`vector_engine/src/lib.rs:3320,3346`)
+        self._emb_meta = spark.createDataFrame(
+            [], "key string, meta_key string, meta_value string"
+        )
+        self._mutations = 0
         for t in TABLES:
             load(spark, sf_dir, t).createOrReplaceTempView(t)
 
@@ -65,8 +75,16 @@ class NeumannSparkEngine:
         elif cmd in self._cache:
             return self._cache[cmd]
 
+        if head == "MATCH" and re.search(r"\b(DETACH\s+)?DELETE\b", cmd, re.I):
+            self._cache.clear()  # a write despite its MATCH head
+            return self._exec_cypher_delete(cmd)
+
         if head in ("SELECT", "WITH"):
             out = self.spark.sql(cmd)
+        elif head == "CREATE" and re.match(r"CREATE\s*\(", cmd, re.I):
+            out = self._exec_cypher_create(cmd)
+        elif head == "MERGE":
+            out = self._exec_cypher_merge(cmd)
         elif head == "CREATE":
             out = self._exec_create(cmd)
         elif head == "INSERT":
@@ -378,6 +396,324 @@ class NeumannSparkEngine:
         if limit:
             out = out.limit(int(limit))
         return out
+
+    # -- graph mutation APIs ----------------------------------------------
+    # Recompute-and-replace on the session overlays, the same shape
+    # `operators/dml.py` uses for tables. The reference mutates in place
+    # (`graph_engine/src/lib.rs:3551,3744,6417,6459`); immutable-DataFrame
+    # semantics swap the overlay instead — at scale this is the standard
+    # copy-on-write table format pattern (Delta/Iceberg MERGE).
+
+    def _checkpoint_overlays(self) -> None:
+        """Cap lineage growth: every few mutations the overlays are
+        localCheckpointed so a long mutation session doesn't build an
+        ever-deeper union/anti-join plan."""
+        self._mutations += 1
+        if self._mutations % 8 == 0:
+            self._nodes = self._nodes.localCheckpoint(eager=False)
+            self._edges = self._edges.localCheckpoint(eager=False)
+            self._embeddings = self._embeddings.localCheckpoint(eager=False)
+
+    def update_node(self, node_id: int, label: str) -> None:
+        """Replace a node's primary label (`update_node`, lib.rs:3551)."""
+        self._cache.clear()
+        self._nodes = self._nodes.withColumn(
+            "label",
+            F.when(F.col("id") == node_id, F.lit(label)).otherwise(F.col("label")),
+        )
+        self._checkpoint_overlays()
+
+    def delete_node(self, node_id: int, detach: bool = False) -> None:
+        """Delete a node (`delete_node`, lib.rs:3744). Without `detach`,
+        refuses while incident edges exist — Cypher DELETE semantics; DETACH
+        removes the edges too."""
+        self._cache.clear()
+        incident = (F.col("src") == node_id) | (F.col("dst") == node_id)
+        if detach:
+            self._edges = self._edges.filter(~incident)
+        elif self._edges.filter(incident).limit(1).count() > 0:
+            raise ValueError(
+                f"node {node_id} still has edges; use DETACH DELETE"
+            )
+        self._nodes = self._nodes.filter(F.col("id") != node_id)
+        self._extra_labels = self._extra_labels.filter(F.col("id") != node_id)
+        self._checkpoint_overlays()
+
+    def add_label(self, node_id: int, label: str) -> None:
+        """Add a secondary label (`add_label`, lib.rs:3641)."""
+        self._cache.clear()
+        new = self.spark.createDataFrame([(node_id, label)], "id bigint, label string")
+        self._extra_labels = (
+            self._extra_labels.unionAll(new).dropDuplicates(["id", "label"])
+        )
+
+    def remove_label(self, node_id: int, label: str) -> None:
+        """Remove a secondary label (`remove_label`, lib.rs:3679)."""
+        self._cache.clear()
+        self._extra_labels = self._extra_labels.filter(
+            ~((F.col("id") == node_id) & (F.col("label") == label))
+        )
+
+    def get_labels(self, node_id: int) -> list[str]:
+        """Primary + secondary labels (`has_label`/`labels`, lib.rs:3730)."""
+        primary = [
+            r["label"]
+            for r in self._nodes.filter(F.col("id") == node_id).collect()
+        ]
+        extra = [
+            r["label"]
+            for r in self._extra_labels.filter(F.col("id") == node_id).collect()
+        ]
+        return sorted(set(primary) | set(extra))
+
+    def update_edge(
+        self,
+        src: int,
+        dst: int,
+        edge_type: Optional[str] = None,
+        weight: Optional[float] = None,
+    ) -> None:
+        """Update an edge's type/weight (`update_edge`, lib.rs:6417)."""
+        self._cache.clear()
+        hit = (F.col("src") == src) & (F.col("dst") == dst)
+        if edge_type is not None and weight is None:
+            hit = hit & (F.col("edge_type") == edge_type)
+        e = self._edges
+        if weight is not None:
+            e = e.withColumn(
+                "weight", F.when(hit, F.lit(float(weight))).otherwise(F.col("weight"))
+            )
+        if edge_type is not None and weight is not None:
+            e = e.withColumn(
+                "edge_type", F.when(hit, F.lit(edge_type)).otherwise(F.col("edge_type"))
+            )
+        self._edges = e
+        self._checkpoint_overlays()
+
+    def delete_edge(
+        self, src: int, dst: int, edge_type: Optional[str] = None
+    ) -> None:
+        """Delete edge(s) between src and dst (`delete_edge`, lib.rs:6459)."""
+        self._cache.clear()
+        hit = (F.col("src") == src) & (F.col("dst") == dst)
+        if edge_type is not None:
+            hit = hit & (F.col("edge_type") == edge_type)
+        self._edges = self._edges.filter(~hit)
+        self._checkpoint_overlays()
+
+    # -- vector mutation APIs ---------------------------------------------
+
+    def delete_embedding(self, key: str) -> None:
+        """Delete one embedding (`delete`, vector_engine/src/lib.rs:1915)."""
+        self._cache.clear()
+        self._embeddings = self._embeddings.filter(F.col("key") != key)
+        self._emb_meta = self._emb_meta.filter(F.col("key") != key)
+
+    def delete_embeddings_where(self, predicate: str) -> None:
+        """Batch delete by predicate (`batch_delete`,
+        vector_engine/src/lib.rs:1915 batch form)."""
+        self._cache.clear()
+        self._embeddings = self._embeddings.filter(f"NOT ({predicate})")
+        self._emb_meta = self._emb_meta.join(
+            self._embeddings.select("key"), "key", "left_semi"
+        )
+
+    def clear_embeddings(self) -> None:
+        """Clear the store (`clear`, vector_engine/src/lib.rs:2340)."""
+        self._cache.clear()
+        self._embeddings = self._embeddings.limit(0)
+        self._emb_meta = self._emb_meta.limit(0)
+
+    def update_embedding_metadata(self, key: str, **meta: str) -> None:
+        """Merge metadata key/values for an embedding
+        (`update_metadata`, vector_engine/src/lib.rs:3320,3346)."""
+        self._cache.clear()
+        new = self.spark.createDataFrame(
+            [(key, k, str(v)) for k, v in meta.items()],
+            "key string, meta_key string, meta_value string",
+        )
+        self._emb_meta = (
+            self._emb_meta.join(
+                new.select("key", "meta_key"), ["key", "meta_key"], "left_anti"
+            ).unionAll(new)
+        )
+
+    def get_embedding_metadata(self, key: str) -> dict[str, str]:
+        return {
+            r["meta_key"]: r["meta_value"]
+            for r in self._emb_meta.filter(F.col("key") == key).collect()
+        }
+
+    # -- unified entity mutation APIs -------------------------------------
+
+    def update_entity(self, entity_id: int, label: str) -> None:
+        """Update an entity's node half (`update_entity`,
+        tensor_unified/src/lib.rs:708)."""
+        self.update_node(entity_id, label)
+
+    def delete_entity(self, entity_id: int) -> None:
+        """Delete node + edges + embedding together (`delete_entity`,
+        tensor_unified/src/lib.rs:804)."""
+        self.delete_node(entity_id, detach=True)
+        self.delete_embedding(str(entity_id))
+
+    def disconnect_entities(self, a: int, b: int) -> None:
+        """Drop every edge between two entities, both directions
+        (`disconnect_entities`, tensor_unified/src/lib.rs:839)."""
+        self._cache.clear()
+        hit = ((F.col("src") == a) & (F.col("dst") == b)) | (
+            (F.col("src") == b) & (F.col("dst") == a)
+        )
+        self._edges = self._edges.filter(~hit)
+        self._checkpoint_overlays()
+
+    # -- Cypher write verbs (`query_router/src/cypher.rs:98,114,168`) ------
+
+    _NODE_PAT = r"\((\w+)(?::(\w+))?\s*(?:\{(.*?)\})?\)"
+
+    @staticmethod
+    def _parse_props(body: Optional[str]) -> dict:
+        """`{id: 5, name: 'x'}` property map — literal values only."""
+        props: dict = {}
+        if not body:
+            return props
+        for pair in body.split(","):
+            k, _, v = pair.partition(":")
+            if not _:
+                raise ValueError(f"expected key: value in props: {pair!r}")
+            try:
+                props[k.strip()] = ast.literal_eval(v.strip())
+            except (ValueError, SyntaxError) as e:
+                raise ValueError(f"property values must be literals: {v!r}") from e
+        return props
+
+    def _exec_cypher_create(self, cmd: str) -> DataFrame:
+        """Cypher CREATE (`cypher.rs:98`): node `CREATE (n:Label {id: 5})`
+        or edge `CREATE (a {id: 1})-[:T {weight: 2.0}]->(b {id: 2})`."""
+        em = re.match(
+            rf"CREATE\s*{self._NODE_PAT}\s*-\s*\[:?(\w+)?\s*(?:\{{(.*?)\}})?\]\s*->"
+            rf"\s*{self._NODE_PAT}\s*$",
+            cmd,
+            re.I | re.S,
+        )
+        if em:
+            _, _, a_props, etype, e_props, _, _, b_props = em.groups()
+            src = int(self._parse_props(a_props)["id"])
+            dst = int(self._parse_props(b_props)["id"])
+            w = float(self._parse_props(e_props).get("weight", 1.0))
+            new = self.spark.createDataFrame(
+                [(src, dst, etype or "edge", w)],
+                "src bigint, dst bigint, edge_type string, weight double",
+            )
+            self._edges = self._edges.unionAll(new)
+            self._checkpoint_overlays()
+            return new
+        nm = re.match(rf"CREATE\s*{self._NODE_PAT}\s*$", cmd, re.I | re.S)
+        if not nm:
+            raise ValueError(
+                "expected CREATE (n:Label {id: ...}) or "
+                "CREATE (a {id: ...})-[:T]->(b {id: ...})"
+            )
+        _, label, props = nm.groups()
+        nid = int(self._parse_props(props)["id"])
+        new = self.spark.createDataFrame(
+            [(nid, label or "node")], "id bigint, label string"
+        )
+        self._nodes = self._nodes.unionAll(new)
+        self._checkpoint_overlays()
+        return new
+
+    def _exec_cypher_merge(self, cmd: str) -> DataFrame:
+        """Cypher MERGE (`cypher.rs:168`): bind the full pattern if it
+        exists, else create it — returns the node with a matched/created
+        status column."""
+        m = self._require(
+            re.match(rf"MERGE\s*{self._NODE_PAT}\s*$", cmd, re.I | re.S),
+            "MERGE (n:Label {id: ...})",
+        )
+        _, label, props = m.groups()
+        nid = int(self._parse_props(props)["id"])
+        hit = self._nodes.filter(F.col("id") == nid)
+        if label:
+            hit = hit.filter(F.col("label") == label)
+        existing = hit.limit(1).collect()
+        if existing:
+            row = existing[0]
+            return self.spark.createDataFrame(
+                [(row["id"], row["label"], "matched")],
+                "id bigint, label string, status string",
+            )
+        new = self.spark.createDataFrame(
+            [(nid, label or "node")], "id bigint, label string"
+        )
+        self._nodes = self._nodes.unionAll(new)
+        self._checkpoint_overlays()
+        return new.select("id", "label", F.lit("created").alias("status"))
+
+    def _exec_cypher_delete(self, cmd: str) -> DataFrame:
+        """Cypher DELETE / DETACH DELETE (`cypher.rs:114`): node form
+        `MATCH (n[:Label]) [WHERE expr] [DETACH] DELETE n` (expr over
+        id/label) or edge form `MATCH (a)-[r:T]->(b) [WHERE expr] DELETE r`
+        (expr over src/dst/edge_type/weight)."""
+        em = re.match(
+            rf"MATCH\s*{self._NODE_PAT}\s*-\s*\[(\w+):?(\w+)?\]\s*->\s*{self._NODE_PAT}"
+            r"(?:\s+WHERE\s+(.+?))?\s+DELETE\s+(\w+)\s*$",
+            cmd,
+            re.I | re.S,
+        )
+        if em:
+            groups = em.groups()
+            rvar, etype, where, target = groups[3], groups[4], groups[8], groups[9]
+            if target != rvar:
+                raise ValueError("edge DELETE target must be the relationship var")
+            hits = self._edges
+            if etype:
+                hits = hits.filter(F.col("edge_type") == etype)
+            if where:
+                hits = hits.filter(where)
+            n = hits.count()
+            self._edges = self._edges.join(
+                hits, ["src", "dst", "edge_type"], "left_anti"
+            )
+            self._checkpoint_overlays()
+            return self.spark.createDataFrame(
+                [(n,)], "deleted_edges bigint"
+            )
+        m = self._require(
+            re.match(
+                rf"MATCH\s*{self._NODE_PAT}(?:\s+WHERE\s+(.+?))?\s+"
+                r"(DETACH\s+)?DELETE\s+(\w+)\s*$",
+                cmd,
+                re.I | re.S,
+            ),
+            "MATCH (n[:Label]) [WHERE expr] [DETACH] DELETE n",
+        )
+        var, label, _props, where, detach, target = m.groups()
+        if target != var:
+            raise ValueError("DELETE target must be the matched variable")
+        hits = self._nodes
+        if label:
+            hits = hits.filter(F.col("label") == label)
+        if where:
+            hits = hits.filter(where)
+        hit_ids = hits.select("id")
+        incident = self._edges.join(
+            hit_ids, (self._edges.src == hit_ids.id) | (self._edges.dst == hit_ids.id),
+            "left_semi",
+        )
+        if detach:
+            self._edges = self._edges.join(
+                hit_ids.withColumnRenamed("id", "_del"),
+                (F.col("src") == F.col("_del")) | (F.col("dst") == F.col("_del")),
+                "left_anti",
+            )
+        elif incident.limit(1).count() > 0:
+            raise ValueError("matched nodes still have edges; use DETACH DELETE")
+        n = hits.count()
+        self._nodes = self._nodes.join(hit_ids, "id", "left_anti")
+        self._extra_labels = self._extra_labels.join(hit_ids, "id", "left_anti")
+        self._checkpoint_overlays()
+        return self.spark.createDataFrame([(n,)], "deleted_nodes bigint")
 
     # -- unified FIND -----------------------------------------------------
 

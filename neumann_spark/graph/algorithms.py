@@ -573,14 +573,86 @@ def graph_scc_tarjan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("scc").isin([int(c) for c in multi]) if multi else F.lit(False))
 
 
-@register("graph_betweenness_sampled")
+BETW_LEVELS = 10  # >= max BFS depth from the sampled sources (9 at sf0.001)
+
+
+def _betweenness_oracle_sql(levels: int = BETW_LEVELS) -> str:
+    """Unrolled Brandes: forward level-synchronous BFS carrying σ (one
+    MATERIALIZED CTE per level, visited-set anti-join), then backward
+    dependency CTEs δ_d from the deepest level up. σ values are integer
+    sums (exact in doubles); δ is rounded to 4 decimals on both sides —
+    bc magnitudes reach ~1e5, so a 1e-6 grid would sit inside float-sum
+    reassociation noise."""
+    parts = [
+        """
+    , lv0 AS MATERIALIZED (
+        SELECT id AS source, id AS node, CAST(1.0 AS DOUBLE) AS sigma
+        FROM nodes WHERE label = 'customer' AND id % 10 = 1
+      ),
+      vis0 AS MATERIALIZED (SELECT source, node FROM lv0)
+    """
+    ]
+    for k in range(1, levels + 1):
+        parts.append(
+            f""",
+      lv{k} AS MATERIALIZED (
+        SELECT l.source, e.dst AS node, SUM(l.sigma) AS sigma
+        FROM lv{k - 1} l JOIN uedges e ON e.src = l.node
+        LEFT JOIN vis{k - 1} v ON v.source = l.source AND v.node = e.dst
+        WHERE v.node IS NULL
+        GROUP BY l.source, e.dst
+      ),
+      vis{k} AS MATERIALIZED (
+        SELECT source, node FROM vis{k - 1}
+        UNION ALL SELECT source, node FROM lv{k}
+      )"""
+        )
+    parts.append(
+        f""",
+      dl{levels} AS MATERIALIZED (
+        SELECT source, node, CAST(0.0 AS DOUBLE) AS delta FROM lv{levels} WHERE 1 = 0
+      )"""
+    )
+    for d in range(levels - 1, 0, -1):
+        parts.append(
+            f""",
+      dl{d} AS MATERIALIZED (
+        SELECT l.source, l.node,
+               SUM(l.sigma / n.sigma * (1.0 + COALESCE(dn.delta, 0.0))) AS delta
+        FROM lv{d} l
+        JOIN uedges e ON e.src = l.node
+        JOIN lv{d + 1} n ON n.source = l.source AND n.node = e.dst
+        LEFT JOIN dl{d + 1} dn ON dn.source = n.source AND dn.node = n.node
+        GROUP BY l.source, l.node
+      )"""
+        )
+    union = "\n        UNION ALL ".join(
+        f"SELECT node, delta FROM dl{d}" for d in range(1, levels)
+    )
+    parts.append(
+        f"""
+    SELECT node AS id, ROUND(SUM(delta), 4) AS betweenness
+    FROM ({union})
+    GROUP BY node
+    HAVING ROUND(SUM(delta), 4) > 0
+    ORDER BY ROUND(SUM(delta), 4) DESC, node
+    LIMIT 50
+    """
+    )
+    return "".join(parts)
+
+
+@register(
+    "graph_betweenness_sampled",
+    oracle=GRAPH_SQL_CTE + _betweenness_oracle_sql(),
+)
 def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Betweenness centrality, Brandes with source sampling
     (`graph_engine/src/lib.rs:7058`, `sampling_ratio` config): DISTRIBUTED
     multi-source BFS forward pass (σ counts) + level-wise backward dependency
-    accumulation — see `betweenness_distributed` below. Top-50 by score.
-    Rows-only check; equality with the single-node Brandes
-    (`betweenness_driver_side`) is asserted in tests."""
+    accumulation — see `betweenness_distributed` below. Top-50 by rounded
+    score (ties by id). Oracle: the same Brandes recurrence unrolled into
+    per-level SQL CTEs (`_betweenness_oracle_sql`)."""
     from neumann_spark.graph.model import nodes_df as _nodes
 
     srcs = (
@@ -591,8 +663,8 @@ def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     ue = undirected_edges(edges_df(spark, sf_dir))
     bc = betweenness_distributed(ue, srcs)
     return (
-        bc.filter(F.col("betweenness") > 0)
-        .select("id", F.round("betweenness", 6).alias("betweenness"))
+        bc.select("id", F.round("betweenness", 4).alias("betweenness"))
+        .filter(F.col("betweenness") > 0)
         .orderBy(F.col("betweenness").desc(), F.col("id"))
         .limit(50)
     )
@@ -739,51 +811,150 @@ def graph_mst_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(chosen, "src bigint, dst bigint, weight double")
 
 
-@register("graph_louvain")
+LOUVAIN_ROUNDS = 4
+LOUVAIN_EPS = 1e-9
+
+
+def _louvain_sql(rounds: int = LOUVAIN_ROUNDS) -> str:
+    """Unrolled synchronous Louvain (see `graph_louvain`): per round,
+    community strengths and node→community neighbor weights are exact
+    decimal sums; the modularity gain is one fixed double expression rounded
+    to 12 dp; the argmax move is a (gain DESC, c) window."""
+    parts = [
+        """
+    , kdeg AS MATERIALIZED (
+        SELECT src AS v, CAST(SUM(CAST(weight AS DECIMAL(18,2))) AS DOUBLE) AS k
+        FROM uedges GROUP BY src
+      ),
+      m2 AS MATERIALIZED (
+        SELECT CAST(SUM(CAST(weight AS DECIMAL(18,2))) AS DOUBLE) AS m FROM uedges
+      ),
+      cm0 AS MATERIALIZED (SELECT v, v AS c FROM kdeg)
+    """
+    ]
+    for t in range(1, rounds + 1):
+        p = t - 1
+        parts.append(
+            f""",
+      st{t} AS MATERIALIZED (
+        SELECT cm.c, CAST(SUM(CAST(k.k AS DECIMAL(18,2))) AS DOUBLE) AS st
+        FROM cm{p} cm JOIN kdeg k ON k.v = cm.v GROUP BY cm.c
+      ),
+      nw{t} AS MATERIALIZED (
+        SELECT e.src AS v, cm.c,
+               CAST(SUM(CAST(e.weight AS DECIMAL(18,2))) AS DOUBLE) AS w_in
+        FROM uedges e JOIN cm{p} cm ON cm.v = e.dst
+        WHERE e.src <> e.dst
+        GROUP BY e.src, cm.c
+      ),
+      mv{t} AS MATERIALIZED (
+        SELECT v, c, gain,
+               ROW_NUMBER() OVER (PARTITION BY v ORDER BY gain DESC, c) AS rn
+        FROM (
+          SELECT n.v, n.c,
+                 ROUND(n.w_in / (SELECT m FROM m2)
+                       - st.st * k.k * 2
+                         / ((SELECT m FROM m2) * (SELECT m FROM m2)), 12) AS gain
+          FROM nw{t} n
+          JOIN cm{p} cur ON cur.v = n.v
+          JOIN st{t} st ON st.c = n.c
+          JOIN kdeg k ON k.v = n.v
+          WHERE n.c <> cur.c
+        )
+      ),
+      cm{t} AS MATERIALIZED (
+        SELECT cur.v, COALESCE(m.c, cur.c) AS c
+        FROM cm{p} cur
+        LEFT JOIN (SELECT v, c FROM mv{t} WHERE rn = 1 AND gain > {LOUVAIN_EPS}) m
+          ON m.v = cur.v
+      )"""
+        )
+    parts.append(
+        f""",
+      cmin AS MATERIALIZED (
+        SELECT c, MIN(v) AS community FROM cm{rounds} GROUP BY c
+      )
+    SELECT cm.v AS id, cmin.community
+    FROM cm{rounds} cm JOIN cmin ON cmin.c = cm.c
+    """
+    )
+    return "".join(parts)
+
+
+@register("graph_louvain", oracle=GRAPH_SQL_CTE + _louvain_sql())
 def graph_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Louvain communities (`graph_engine/src/lib.rs:7442`), deterministic
-    single-level pass: nodes in id order move to the neighbor community with
-    the best modularity gain. Driver-side (guarded); scale path = the
-    DataFrame LPA/modularity loop. Rows-only check."""
-    ue = undirected_edges(edges_df(spark, sf_dir)).select("src", "dst", "weight")
-    edges = _collect_edges(ue)
-    adj: dict[int, dict[int, float]] = defaultdict(dict)
-    for s, d, w in edges:
-        adj[s][d] = adj[s].get(d, 0.0) + w
-    k = {v: sum(nbrs.values()) for v, nbrs in adj.items()}
-    m2 = sum(k.values())  # = 2m
-    comm = {v: v for v in adj}
-    for _ in range(3):  # fixed passes
-        moved = False
-        for v in sorted(adj):
-            best_c, best_gain = comm[v], 0.0
-            neigh_w: dict[int, float] = defaultdict(float)
-            for u, w in adj[v].items():
-                if u != v:
-                    neigh_w[comm[u]] += w
-            sigma_tot: dict[int, float] = defaultdict(float)
-            for u, c in comm.items():
-                sigma_tot[c] += k.get(u, 0.0)
-            for c, w_in in sorted(neigh_w.items()):
-                gain = w_in / m2 - sigma_tot[c] * k[v] / (m2 * m2) * 2
-                if c == comm[v]:
-                    continue
-                if gain > best_gain + 1e-12:
-                    best_gain, best_c = gain, c
-            if best_c != comm[v]:
-                comm[v] = best_c
-                moved = True
-        if not moved:
-            break
-    # canonicalize community ids to min member
-    members: dict[int, list[int]] = defaultdict(list)
-    for v, c in comm.items():
-        members[c].append(v)
-    rows = []
-    for c, vs in members.items():
-        cid = min(vs)
-        rows.extend((int(v), int(cid)) for v in vs)
-    return spark.createDataFrame(sorted(rows), "id bigint, community bigint")
+    """Louvain communities (`graph_engine/src/lib.rs:7442`) — deterministic
+    SYNCHRONOUS variant, fully distributed: each round every node evaluates
+    the modularity gain of joining each neighbor community *against the
+    previous assignment* and the best (gain DESC, community ASC) move above
+    epsilon is applied simultaneously; fixed LOUVAIN_ROUNDS rounds; final
+    labels canonicalized to the min member id. The reference's sequential
+    in-pass updates don't distribute; the synchronous form is the standard
+    parallel Louvain and is oracle-checkable (unrolled SQL, `_louvain_sql`).
+    Determinism: k/σ_tot/neighbor weights are exact decimal sums; the gain
+    expression is a single identical double computation rounded to 12 dp.
+
+    Scale: per round one groupBy on community (σ_tot), one edge join +
+    groupBy on (node, community), one window argmax per node — all shuffles
+    keyed on node/community ids; no driver collect."""
+    ue = (
+        undirected_edges(edges_df(spark, sf_dir))
+        .select("src", "dst", "weight")
+        .localCheckpoint(eager=True)
+    )
+    kdeg = (
+        ue.groupBy(F.col("src").alias("v"))
+        .agg(F.sum(F.col("weight").cast("decimal(18,2)")).cast("double").alias("k"))
+        .localCheckpoint(eager=True)
+    )
+    m2 = float(
+        ue.agg(
+            F.sum(F.col("weight").cast("decimal(18,2)")).cast("double")
+        ).collect()[0][0]
+    )
+    cm = kdeg.select("v", F.col("v").alias("c"))
+    from pyspark.sql import Window
+
+    for _ in range(LOUVAIN_ROUNDS):
+        st = cm.join(kdeg, "v").groupBy("c").agg(
+            F.sum(F.col("k").cast("decimal(18,2)")).cast("double").alias("st")
+        )
+        nw = (
+            ue.filter(F.col("src") != F.col("dst"))
+            .join(cm.select(F.col("v").alias("dst"), "c"), "dst")
+            .groupBy(F.col("src").alias("v"), "c")
+            .agg(
+                F.sum(F.col("weight").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("w_in")
+            )
+        )
+        cur = cm.select("v", F.col("c").alias("cur_c"))
+        gain = F.round(
+            F.col("w_in") / F.lit(m2)
+            - F.col("st") * F.col("k") * F.lit(2.0) / (F.lit(m2) * F.lit(m2)),
+            12,
+        )
+        cand = (
+            nw.join(cur, "v")
+            .filter(F.col("c") != F.col("cur_c"))
+            .join(st, "c")
+            .join(kdeg, "v")
+            .select("v", "c", gain.alias("gain"))
+        )
+        w = Window.partitionBy("v").orderBy(F.col("gain").desc(), F.col("c"))
+        moves = (
+            cand.withColumn("rn", F.row_number().over(w))
+            .filter((F.col("rn") == 1) & (F.col("gain") > LOUVAIN_EPS))
+            .select("v", F.col("c").alias("new_c"))
+        )
+        cm = (
+            cm.join(moves, "v", "left")
+            .select("v", F.coalesce("new_c", "c").alias("c"))
+            .localCheckpoint(eager=True)
+        )
+    cmin = cm.groupBy("c").agg(F.min("v").alias("community"))
+    return cm.join(cmin, "c").select(F.col("v").alias("id"), "community")
 
 
 def astar_search(
@@ -1339,3 +1510,214 @@ def betweenness_distributed(
     return allc.groupBy(F.col("node").alias("id")).agg(
         F.sum("delta").alias("betweenness")
     )
+
+
+# --------------------------------------------------------------------------
+# Biconnected family — articulation points, bridges, biconnected components
+# (`graph_engine/src/algorithms/biconnected.rs:112,127,139`). Driver-side
+# Hopcroft-Tarjan on the guarded collected edge list, like the SCC tier.
+# --------------------------------------------------------------------------
+
+
+def biconnected(
+    edges: list[tuple[int, int]],
+) -> tuple[set[int], set[tuple[int, int]], list[set[int]]]:
+    """Iterative Hopcroft-Tarjan over an undirected edge list (pairs in
+    either/both orientations; parallel duplicates collapsed). Returns
+    (articulation points, bridges as (min,max) pairs, biconnected
+    components as node sets) — the three surfaces of
+    `biconnected.rs:112,127,139`."""
+    adj: dict[int, list[int]] = defaultdict(list)
+    seen_pairs: set[tuple[int, int]] = set()
+    for s, d in edges:
+        if s == d:
+            continue
+        key = (min(s, d), max(s, d))
+        if key in seen_pairs:
+            continue
+        seen_pairs.add(key)
+        adj[s].append(d)
+        adj[d].append(s)
+    for v in adj:
+        adj[v].sort()
+
+    disc: dict[int, int] = {}
+    low: dict[int, int] = {}
+    parent: dict[int, int] = {}
+    articulation: set[int] = set()
+    bridges: set[tuple[int, int]] = set()
+    comps: list[set[int]] = []
+    estack: list[tuple[int, int]] = []
+    counter = [0]
+
+    for root in sorted(adj):
+        if root in disc:
+            continue
+        root_children = 0
+        work: list[tuple[int, int]] = [(root, 0)]
+        disc[root] = low[root] = counter[0]
+        counter[0] += 1
+        while work:
+            v, pi = work[-1]
+            children = adj[v]
+            advanced = False
+            for i in range(pi, len(children)):
+                w = children[i]
+                if w not in disc:
+                    work[-1] = (v, i + 1)
+                    parent[w] = v
+                    disc[w] = low[w] = counter[0]
+                    counter[0] += 1
+                    estack.append((v, w))
+                    work.append((w, 0))
+                    if v == root:
+                        root_children += 1
+                    advanced = True
+                    break
+                elif w != parent.get(v) and disc[w] < disc[v]:
+                    estack.append((v, w))
+                    low[v] = min(low[v], disc[w])
+            if advanced:
+                continue
+            work.pop()
+            if work:
+                u = work[-1][0]
+                low[u] = min(low[u], low[v])
+                if low[v] > disc[u]:
+                    bridges.add((min(u, v), max(u, v)))
+                if (u != root and low[v] >= disc[u]) or (
+                    u == root and root_children > 1
+                ):
+                    articulation.add(u)
+                if low[v] >= disc[u]:
+                    comp: set[int] = set()
+                    while estack:
+                        a, b = estack.pop()
+                        comp.add(a)
+                        comp.add(b)
+                        if (a, b) == (u, v):
+                            break
+                    if comp:
+                        comps.append(comp)
+        # leftover edges (root-level component)
+        if estack:
+            comp = set()
+            while estack:
+                a, b = estack.pop()
+                comp.add(a)
+                comp.add(b)
+            comps.append(comp)
+    return articulation, bridges, comps
+
+
+# fixed candidate sets for the definitional oracles — stable at every SF
+ART_CANDIDATES = [1, 1000001, 2000000, 2000005, 2000010, 2000015, 2000020, 3000000]
+BRIDGE_CANDIDATES = [0, 5, 10, 15, 20]  # nation n -> region part_of edges
+
+
+def _articulation_oracle_sql() -> str:
+    """Definitional check per candidate v: v is an articulation point iff
+    some neighbor of v cannot reach v's minimum neighbor in G \\ v — one
+    recursive reachability CTE (frontier expansion, UNION-deduped) per
+    candidate, seeded at the min neighbor and never traversing v."""
+    parts = []
+    selects = []
+    for i, v in enumerate(ART_CANDIDATES):
+        parts.append(
+            f""",
+      nb{i} AS MATERIALIZED (
+        SELECT DISTINCT dst AS n FROM uedges WHERE src = {v}
+      ),
+      reach{i} AS (
+        SELECT (SELECT MIN(n) FROM nb{i}) AS node
+        UNION
+        SELECT e.dst FROM reach{i} r JOIN uedges e ON e.src = r.node
+        WHERE e.dst <> {v} AND e.src <> {v}
+      )"""
+        )
+        selects.append(
+            f"""
+    SELECT CAST({v} AS BIGINT) AS id,
+           CAST((SELECT COUNT(*) FROM nb{i} WHERE n NOT IN
+                 (SELECT node FROM reach{i})) > 0 AS INT) AS is_articulation"""
+        )
+    return "".join(parts) + "\n    UNION ALL".join(selects)
+
+
+@register(
+    "graph_articulation_points",
+    oracle=GRAPH_SQL_CTE.replace("WITH nodes", "WITH RECURSIVE nodes", 1)
+    + _articulation_oracle_sql(),
+)
+def graph_articulation_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Articulation points (`biconnected.rs:112`) via driver-side
+    Hopcroft-Tarjan on the guarded collected graph, reported for a fixed
+    candidate panel (customer#1, supplier#1, five nations, one region).
+    The oracle is *definitional*, not a re-run of the algorithm: for each
+    candidate it checks neighbor mutual reachability in G \\ v by recursive
+    SQL — a true differential test of the disc/low implementation. The full
+    articulation set is available from `biconnected()`; synthetic-graph
+    equality tests cover it."""
+    ue = undirected_edges(edges_df(spark, sf_dir)).select("src", "dst")
+    art, _, _ = biconnected(_collect_edges(ue, cols=("src", "dst")))
+    rows = [(int(v), int(v in art)) for v in ART_CANDIDATES]
+    return spark.createDataFrame(rows, "id bigint, is_articulation int")
+
+
+def _bridges_oracle_sql() -> str:
+    """Definitional check per candidate part_of edge (nation n, region r):
+    bridge iff r is unreachable from n in G minus that edge."""
+    parts = []
+    selects = []
+    for i, n in enumerate(BRIDGE_CANDIDATES):
+        s, d = 2000000 + n, 3000000  # region resolved by join below
+        parts.append(
+            f""",
+      bdst{i} AS MATERIALIZED (
+        SELECT dst AS r FROM edges
+        WHERE edge_type = 'part_of' AND src = {s}
+      ),
+      breach{i} AS (
+        SELECT CAST({s} AS BIGINT) AS node
+        UNION
+        SELECT e.dst FROM breach{i} b JOIN uedges e ON e.src = b.node
+        WHERE NOT (LEAST(e.src, e.dst) = {s}
+                   AND GREATEST(e.src, e.dst) = (SELECT r FROM bdst{i}))
+      )"""
+        )
+        selects.append(
+            f"""
+    SELECT CAST({s} AS BIGINT) AS src,
+           (SELECT r FROM bdst{i}) AS dst,
+           CAST((SELECT r FROM bdst{i}) NOT IN (SELECT node FROM breach{i}) AS INT)
+             AS is_bridge"""
+        )
+    return "".join(parts) + "\n    UNION ALL".join(selects)
+
+
+@register(
+    "graph_bridges",
+    oracle=GRAPH_SQL_CTE.replace("WITH nodes", "WITH RECURSIVE nodes", 1)
+    + _bridges_oracle_sql(),
+)
+def graph_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bridges (`biconnected.rs:127`) via the same Hopcroft-Tarjan pass,
+    reported for the five nation->region part_of candidate edges; oracle =
+    removal-definition reachability in recursive SQL (see
+    `_bridges_oracle_sql`)."""
+    ue = undirected_edges(edges_df(spark, sf_dir)).select("src", "dst")
+    _, bridges, _ = biconnected(_collect_edges(ue, cols=("src", "dst")))
+    e = edges_df(spark, sf_dir)
+    cand = [
+        (r["src"], r["dst"])
+        for r in e.filter(
+            (F.col("edge_type") == "part_of")
+            & F.col("src").isin([2000000 + n for n in BRIDGE_CANDIDATES])
+        )
+        .select("src", "dst")
+        .collect()
+    ]
+    rows = [
+        (int(s), int(d), int((min(s, d), max(s, d)) in bridges)) for s, d in cand
+    ]
+    return spark.createDataFrame(rows, "src bigint, dst bigint, is_bridge int")

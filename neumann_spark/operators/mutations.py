@@ -1,0 +1,138 @@
+"""Post-mutation aggregate queries — one per store (graph / vector /
+unified), driving the engine facade's mutation surface end-to-end and
+verifying the resulting state against a DuckDB oracle that replays the same
+mutations declaratively.
+
+The reference mutates in place (`graph_engine/src/lib.rs:3551-6459`,
+`vector_engine/src/lib.rs:1915,2340,3320`, `tensor_unified/src/lib.rs:
+708,804,839`); the facade's recompute-and-replace overlays are checked here
+by aggregating the *post*-mutation state, so a wrong delete/update changes
+the hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from neumann_spark.graph.model import GRAPH_SQL_CTE
+from neumann_spark.registry import register
+
+
+@register(
+    "dml_graph_mutation",
+    oracle=GRAPH_SQL_CTE
+    + """
+    , nodes2 AS MATERIALIZED (
+        SELECT id, CASE WHEN id = 1 THEN 'vip' ELSE label END AS label
+        FROM nodes
+        WHERE NOT (label = 'supplier' AND id % 100 = 7)
+        UNION ALL SELECT 9000001, 'annex'
+        UNION ALL SELECT 9000002, 'annex'
+      ),
+      edges2 AS MATERIALIZED (
+        SELECT src, dst, weight FROM edges
+        WHERE NOT (src >= 1000000 AND src < 2000000 AND src % 100 = 7)
+          AND NOT (dst >= 1000000 AND dst < 2000000 AND dst % 100 = 7)
+        UNION ALL SELECT 9000001, 9000002, 2.5
+      )
+    SELECT (SELECT COUNT(*) FROM nodes2) AS n_nodes,
+           (SELECT COUNT(*) FROM nodes2 WHERE label = 'vip') AS n_vip,
+           (SELECT COUNT(*) FROM edges2) AS n_edges,
+           (SELECT CAST(SUM(CAST(weight AS DECIMAL(18,2))) AS DOUBLE)
+              FROM edges2) AS total_weight
+    """,
+)
+def dml_graph_mutation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-store mutation round-trip: Cypher CREATE x2 + edge CREATE,
+    DETACH DELETE of every supplier with suppkey % 100 = 7, update_node
+    relabel of customer#1 — then a one-row state aggregate. Exercises
+    `_exec_cypher_create`, `_exec_cypher_delete`, `update_node`."""
+    from neumann_spark.engine import NeumannSparkEngine
+
+    eng = NeumannSparkEngine(spark, sf_dir)
+    eng.execute("CREATE (n:annex {id: 9000001})")
+    eng.execute("CREATE (m:annex {id: 9000002})")
+    eng.execute("CREATE (a {id: 9000001})-[:linked {weight: 2.5}]->(b {id: 9000002})")
+    eng.execute("MATCH (n:supplier) WHERE id % 100 = 7 DETACH DELETE n")
+    eng.update_node(1, "vip")
+    nodes = eng._nodes.agg(
+        F.count("*").alias("n_nodes"),
+        F.sum(F.when(F.col("label") == "vip", 1).otherwise(0)).alias("n_vip"),
+    )
+    edges = eng._edges.agg(
+        F.count("*").alias("n_edges"),
+        F.sum(F.col("weight").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_weight"),
+    )
+    return nodes.crossJoin(edges)
+
+
+@register(
+    "dml_vector_mutation",
+    oracle="""
+    WITH kept AS MATERIALIZED (
+      SELECT embedding FROM embeddings WHERE NOT (vec_id % 10 = 3)
+    )
+    SELECT (SELECT COUNT(*) FROM kept) + 1 AS n_vectors,
+           ROUND((SELECT CAST(SUM(CAST(embedding[1] AS DECIMAL(18,7)))
+                   AS DOUBLE) FROM kept) + 0.5, 5) AS sum_first
+    """,
+)
+def dml_vector_mutation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-store mutation round-trip: batch delete (vec_id % 10 = 3),
+    one EMBED upsert with a known vector — then count + exact-decimal sum
+    of the first component. Exercises `delete_embeddings_where` and the
+    EMBED anti-join upsert."""
+    from neumann_spark.engine import NeumannSparkEngine
+
+    eng = NeumannSparkEngine(spark, sf_dir)
+    eng.delete_embeddings_where("try_cast(key AS BIGINT) % 10 = 3")
+    eng.execute("EMBED 'm:1' [" + ",".join(["0.5"] * 64) + "]")
+    return eng._embeddings.agg(
+        F.count("*").alias("n_vectors"),
+        F.round(
+            F.sum(F.element_at("embedding", 1).cast("decimal(18,7)")).cast(
+                "double"
+            ),
+            5,
+        ).alias("sum_first"),
+    )
+
+
+@register(
+    "dml_entity_mutation",
+    oracle=GRAPH_SQL_CTE
+    + """
+    , edges2 AS MATERIALIZED (
+        SELECT * FROM edges
+        WHERE NOT (src = 17 OR dst = 17)
+          AND NOT (edge_type = 'located_in' AND src = 1)
+      )
+    SELECT (SELECT COUNT(*) FROM nodes WHERE id <> 17) AS n_nodes,
+           (SELECT COUNT(*) FROM edges2) AS n_edges,
+           (SELECT COUNT(*) FROM embeddings WHERE vec_id <> 17) AS n_embeddings
+    """,
+)
+def dml_entity_mutation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unified-store mutation round-trip: disconnect customer#1 from its
+    nation (drops the located_in edge), delete_entity(17) (node + incident
+    edges + embedding '17') — then a one-row state aggregate. Exercises
+    `disconnect_entities` and `delete_entity`."""
+    from neumann_spark.catalog import load
+    from neumann_spark.engine import NeumannSparkEngine
+
+    eng = NeumannSparkEngine(spark, sf_dir)
+    nat = 2000000 + int(
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") == 1)
+        .select("c_nationkey")
+        .head()[0]
+    )
+    eng.disconnect_entities(1, nat)
+    eng.delete_entity(17)
+    n = eng._nodes.agg(F.count("*").alias("n_nodes"))
+    e = eng._edges.agg(F.count("*").alias("n_edges"))
+    v = eng._embeddings.agg(F.count("*").alias("n_embeddings"))
+    return n.crossJoin(e).crossJoin(v)

@@ -135,3 +135,110 @@ def test_cypher_match_varlength_two_hops(engine):
 def test_cypher_varlength_bounds_validated(engine):
     with pytest.raises(ValueError, match="min ≤ max ≤ 8"):
         engine.execute("MATCH (a)-[:supplies*3..99]->(b) RETURN a, b")
+
+
+# -- Cypher write verbs (`query_router/src/cypher.rs:98,114,168`) ----------
+
+
+def test_cypher_create_node_and_edge(engine):
+    engine.execute("CREATE (n:gadget {id: 9100001})")
+    engine.execute("CREATE (m:gadget {id: 9100002})")
+    engine.execute(
+        "CREATE (a {id: 9100001})-[:linked {weight: 3.5}]->(b {id: 9100002})"
+    )
+    nbrs = engine.execute("NEIGHBORS '9100001'").collect()
+    assert any(
+        r["neighbor_id"] == 9100002 and r["edge_type"] == "linked" for r in nbrs
+    )
+
+
+def test_cypher_merge_binds_then_creates(engine):
+    first = engine.execute("MERGE (n:gadget {id: 9100001})").collect()[0]
+    assert first["status"] == "matched"
+    second = engine.execute("MERGE (n:widget {id: 9100050})").collect()[0]
+    assert second["status"] == "created"
+    assert engine.execute("MERGE (n:widget {id: 9100050})").collect()[0][
+        "status"
+    ] == "matched"
+
+
+def test_cypher_delete_requires_detach(engine):
+    import pytest as _pytest
+
+    engine.execute("CREATE (n:doomed {id: 9100010})")
+    engine.execute("CREATE (m:doomed {id: 9100011})")
+    engine.execute("CREATE (a {id: 9100010})-[:tie]->(b {id: 9100011})")
+    with _pytest.raises(ValueError):
+        engine.execute("MATCH (n:doomed) WHERE id = 9100010 DELETE n")
+    engine.execute("MATCH (n:doomed) DETACH DELETE n")
+    remaining = engine._nodes.filter("label = 'doomed'").count()
+    assert remaining == 0
+
+
+def test_cypher_delete_edge(engine):
+    engine.execute("CREATE (n:evar {id: 9100020})")
+    engine.execute("CREATE (m:evar {id: 9100021})")
+    engine.execute("CREATE (a {id: 9100020})-[:cut]->(b {id: 9100021})")
+    out = engine.execute("MATCH (a)-[r:cut]->(b) DELETE r").collect()[0]
+    assert out["deleted_edges"] == 1
+    assert engine._edges.filter("edge_type = 'cut'").count() == 0
+
+
+# -- mutation APIs ---------------------------------------------------------
+
+
+def test_node_label_mutations(engine):
+    engine.execute("NODE 9200001 alpha")
+    engine.update_node(9200001, "beta")
+    engine.add_label(9200001, "gamma")
+    assert engine.get_labels(9200001) == ["beta", "gamma"]
+    engine.remove_label(9200001, "gamma")
+    assert engine.get_labels(9200001) == ["beta"]
+
+
+def test_edge_update_delete(engine):
+    engine.execute("NODE 9200010")
+    engine.execute("NODE 9200011")
+    engine.execute("EDGE 9200010 9200011 rel 1.0")
+    engine.update_edge(9200010, 9200011, edge_type="rel", weight=9.0)
+    w = engine._edges.filter(
+        "src = 9200010 AND dst = 9200011 AND edge_type = 'rel'"
+    ).collect()[0]["weight"]
+    assert w == 9.0
+    engine.delete_edge(9200010, 9200011, "rel")
+    assert (
+        engine._edges.filter("src = 9200010 AND dst = 9200011").count() == 0
+    )
+
+
+def test_embedding_mutations(engine):
+    vec = "[" + ",".join(["0.25"] * 64) + "]"
+    engine.execute(f"EMBED 'mut:1' {vec}")
+    engine.update_embedding_metadata("mut:1", source="test", rev="2")
+    assert engine.get_embedding_metadata("mut:1") == {"source": "test", "rev": "2"}
+    engine.update_embedding_metadata("mut:1", rev="3")
+    assert engine.get_embedding_metadata("mut:1")["rev"] == "3"
+    engine.delete_embedding("mut:1")
+    assert engine._embeddings.filter("key = 'mut:1'").count() == 0
+    assert engine.get_embedding_metadata("mut:1") == {}
+
+
+def test_entity_lifecycle(engine):
+    vec = "[" + ",".join(["0.1"] * 64) + "]"
+    engine.execute("NODE 9200020 entity")
+    engine.execute("NODE 9200021 entity")
+    engine.execute("EDGE 9200020 9200021 knows 1.0")
+    engine.execute("EDGE 9200021 9200020 knows 1.0")
+    engine.execute(f"EMBED '9200020' {vec}")
+    engine.disconnect_entities(9200020, 9200021)
+    assert (
+        engine._edges.filter(
+            "(src = 9200020 AND dst = 9200021) OR (src = 9200021 AND dst = 9200020)"
+        ).count()
+        == 0
+    )
+    engine.update_entity(9200020, "renamed")
+    assert engine.get_labels(9200020) == ["renamed"]
+    engine.delete_entity(9200020)
+    assert engine._nodes.filter("id = 9200020").count() == 0
+    assert engine._embeddings.filter("key = '9200020'").count() == 0

