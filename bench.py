@@ -65,12 +65,40 @@ def main() -> None:
         .write.format("noop").mode("overwrite").save()
     )
 
+    # measured empty-job floor: the fixed cost of scheduling one Spark job
+    # on this machine (driver round-trips, DAG submit, task launch). At
+    # fixture scale most queries are floor-dominated — `queries_minus_floor`
+    # subtracts ONE floor per query (conservative: iterative queries pay the
+    # floor once per round), which is the honest per-query compute signal.
+    floors = []
+    for _ in range(5):
+        t0 = time.time()
+        spark.range(1).write.format("noop").mode("overwrite").save()
+        floors.append(time.time() - t0)
+    floor = round(sorted(floors)[len(floors) // 2], 3)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+
+    # scaling evidence: the same top queries at 10x less data. A ratio near
+    # 1.0 means fixed overhead dominates (the plan scales); a ratio near 10
+    # would mean compute dominates already at this scale.
+    scaling: dict[str, dict[str, float]] = {}
+    small_dir = sf_dir.replace("sf0.1", "sf0.01")
+    if small_dir != sf_dir and os.path.isdir(small_dir):
+        for name in ("q1_pricing_summary", "join_multi_q5", "dedup_minhash_lsh"):
+            t0 = time.time()
+            queries[name](spark, small_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            scaling[name] = {
+                "sf0.01_sec": round(time.time() - t0, 3),
+                "sf0.1_sec": timings[name],
+            }
 
     total = round(sum(timings.values()), 3)
     print(
@@ -81,6 +109,14 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
+                "empty_job_floor_sec": floor,
+                "queries_minus_floor": {
+                    k: round(max(0.0, v - floor), 3) for k, v in timings.items()
+                },
+                "total_minus_floor": round(
+                    sum(max(0.0, v - floor) for v in timings.values()), 3
+                ),
+                "scaling_10x": scaling,
             }
         )
     )
