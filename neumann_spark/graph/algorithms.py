@@ -496,7 +496,8 @@ def graph_scc_tarjan(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`graph_engine/src/algorithms/scc.rs:133`) on the directed graph plus
     reverse 'purchases' edges (o_orderkey % 41) so non-trivial cycles exist.
     Driver-side on the collected edge list (guarded), like the reference;
-    the distributed path would be forward-backward coloring. Oracle: full
+    the distributed scale path is `scc_distributed` (forward-backward
+    coloring, differential-tested equal on the fixture). Oracle: full
     transitive closure by recursive CTE, component = mutual-reachability
     class keyed by its min member (singleton classes excluded on both
     sides). Closure size is quadratic in the largest SCC — fine at oracle
@@ -784,8 +785,9 @@ def _mst_oracle_sql() -> str:
 def graph_mst_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Minimum spanning forest, Kruskal with deterministic (weight, src, dst)
     ordering (`graph_engine/src/algorithms/mst.rs:164`). Driver-side with
-    union-find on the collected edge list; distributed path = Borůvka rounds
-    (min-edge per component via groupBy, then component merge). Oracle: cut-
+    union-find on the collected edge list; the distributed scale path is
+    `mst_boruvka_distributed` (min-edge per component + contracted-label
+    merge, differential-tested equal to Kruskal). Oracle: cut-
     property decomposition (see `_mst_oracle_sql`) — the independently-derived
     check the driver hashes against."""
     ue = (
@@ -1086,7 +1088,8 @@ def graph_astar_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer#1 to customer#17, zero heuristic (the weighted fixture graph
     has no admissible coordinate heuristic; euclidean/manhattan are
     exercised on coordinate-weighted graphs in tests). Driver-side on the
-    collected subgraph per SURVEY.md §2.9. Oracle: {ASTAR_HOPS}-hop
+    collected subgraph per SURVEY.md §2.9; the distributed scale path is
+    `traversal.bounded_dijkstra` (frontier relaxation). Oracle: 12-hop
     Bellman-Ford min-distances + the same canonical min-id predecessor walk,
     in recursive SQL."""
     ue = undirected_edges(edges_df(spark, sf_dir)).select("src", "dst", "weight")
@@ -1721,3 +1724,204 @@ def graph_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
         (int(s), int(d), int((min(s, d), max(s, d)) in bridges)) for s, d in cand
     ]
     return spark.createDataFrame(rows, "src bigint, dst bigint, is_bridge int")
+
+
+# --------------------------------------------------------------------------
+# Distributed scale paths for the driver-side tier — forward-backward
+# coloring SCC and Borůvka MST. The registered queries keep the (guarded,
+# oracle-checked) driver-side forms, matching the reference's own
+# single-node execution; these are the named 100 TB alternatives, proven
+# equivalent on the fixture by differential tests.
+# --------------------------------------------------------------------------
+
+
+def scc_distributed(
+    dedges: DataFrame, max_outer: int = 12, max_inner: int = 40
+) -> DataFrame:
+    """Strongly connected components by forward-backward coloring
+    (Orzan-style; the scale path named in `graph_scc_tarjan`):
+
+    per outer round, on the still-unassigned subgraph:
+      1. forward min-label propagation to fixpoint — color(v) = min id that
+         reaches v; every SCC is contained in one color class and its pivot
+         (color(c) = c) is the SCC's min member;
+      2. backward reachability of each pivot *within its color class* marks
+         exactly the pivot's SCC (any escape from the class would contradict
+         the color minimality);
+      3. marked SCCs are assigned and removed.
+
+    Everything is joins + groupBy on node ids — one shuffle per step, no
+    driver collect; fixpoints detected by a monotone signature (sum of
+    labels) like `connected_components`. Returns (id, scc) with scc = min
+    member, all components including singletons."""
+    e_all = dedges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    spark = dedges.sparkSession
+    remaining = (
+        e_all.select(F.col("src").alias("id"))
+        .unionAll(e_all.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    assigned = spark.createDataFrame([], "id bigint, scc bigint")
+    for _ in range(max_outer):
+        if remaining.isEmpty():
+            break
+        e = (
+            e_all.join(remaining.withColumnRenamed("id", "src"), "src", "left_semi")
+            .join(remaining.withColumnRenamed("id", "dst"), "dst", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        # 1. forward min propagation
+        color = remaining.select("id", F.col("id").alias("color"))
+        prev_sig = None
+        for rnd in range(max_inner):
+            upd = (
+                e.join(color, e.src == color.id)
+                .groupBy("dst")
+                .agg(F.min("color").alias("c2"))
+            )
+            color = (
+                color.join(upd, color.id == upd.dst, "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("color"), F.coalesce("c2", F.col("color"))
+                    ).alias("color"),
+                )
+            )
+            if rnd % 3 == 2:
+                color = color.localCheckpoint(eager=True)
+                sig = color.agg(F.sum("color")).collect()[0][0]
+                if sig == prev_sig:
+                    break
+                prev_sig = sig
+        color = color.localCheckpoint(eager=True)
+        # 2. backward marking within each color class from the pivot
+        marked = color.filter(F.col("id") == F.col("color")).select(
+            "id", F.col("color").alias("scc")
+        )
+        frontier = marked
+        for _ in range(max_inner):
+            nxt = (
+                e.join(frontier, e.dst == frontier.id)
+                .select(F.col("src").alias("id"), "scc")
+                .dropDuplicates(["id"])
+                .join(
+                    color.withColumnRenamed("color", "scc"),
+                    ["id", "scc"],
+                    "left_semi",
+                )
+                .join(marked.select("id"), "id", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if nxt.isEmpty():
+                break
+            marked = marked.unionAll(nxt)
+            frontier = nxt
+        marked = marked.localCheckpoint(eager=True)
+        assigned = assigned.unionAll(marked)
+        remaining = remaining.join(marked.select("id"), "id", "left_anti").localCheckpoint(
+            eager=True
+        )
+    else:
+        if not remaining.isEmpty():
+            raise ValueError(f"SCC coloring did not converge in {max_outer} rounds")
+    return assigned
+
+
+def mst_boruvka_distributed(
+    uedges: DataFrame, max_rounds: int = 16, max_cc: int = 20
+) -> DataFrame:
+    """Minimum spanning forest by Borůvka rounds (the scale path named in
+    `graph_mst_kruskal`): each round every component picks its minimum
+    incident edge under the strict total order (weight, src, dst) —
+    `F.min(struct)` per component, a single shuffle — then components merge
+    by min-label propagation on the contracted graph. With a strict total
+    order the MSF is unique, so the chosen set equals Kruskal's exactly
+    (differential-tested). Returns (src, dst, weight) canonical src<dst."""
+    ce = (
+        uedges.filter(F.col("src") < F.col("dst"))
+        .select("src", "dst", "weight")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    spark = uedges.sparkSession
+    comp = (
+        ce.select(F.col("src").alias("id"))
+        .unionAll(ce.select(F.col("dst").alias("id")))
+        .distinct()
+        .select("id", F.col("id").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    chosen = spark.createDataFrame([], "src bigint, dst bigint, weight double")
+    for _ in range(max_rounds):
+        e2 = (
+            ce.join(
+                comp.select(F.col("id").alias("src"), F.col("comp").alias("cs")),
+                "src",
+            )
+            .join(
+                comp.select(F.col("id").alias("dst"), F.col("comp").alias("cd")),
+                "dst",
+            )
+            .filter(F.col("cs") != F.col("cd"))
+            .localCheckpoint(eager=True)
+        )
+        if e2.isEmpty():
+            break
+        key = F.struct(
+            F.col("weight").alias("w"), F.col("src").alias("s"), F.col("dst").alias("d")
+        )
+        picks = (
+            e2.select(F.col("cs").alias("c"), key.alias("k"))
+            .unionAll(e2.select(F.col("cd").alias("c"), key.alias("k")))
+            .groupBy("c")
+            .agg(F.min("k").alias("k"))
+            .select("k.s", "k.d", "k.w")
+            .dropDuplicates(["s", "d"])
+            .localCheckpoint(eager=True)
+        )
+        chosen = chosen.unionAll(
+            picks.select(
+                F.col("s").alias("src"), F.col("d").alias("dst"), F.col("w").alias("weight")
+            )
+        )
+        # contracted merge: min-label propagation over the picked edges'
+        # component pairs until fixpoint
+        cpairs = (
+            picks.join(
+                comp.select(F.col("id").alias("s"), F.col("comp").alias("ca")), "s"
+            )
+            .join(comp.select(F.col("id").alias("d"), F.col("comp").alias("cb")), "d")
+            .select("ca", "cb")
+        )
+        cpairs = cpairs.unionAll(
+            cpairs.select(F.col("cb").alias("ca"), F.col("ca").alias("cb"))
+        ).localCheckpoint(eager=True)
+        lbl = (
+            cpairs.select(F.col("ca").alias("c"))
+            .distinct()
+            .select("c", F.col("c").alias("l"))
+        )
+        prev_sig = None
+        for rnd in range(max_cc):
+            upd = (
+                cpairs.join(lbl, cpairs.cb == lbl.c)
+                .groupBy("ca")
+                .agg(F.min("l").alias("l2"))
+            )
+            lbl = (
+                lbl.join(upd, lbl.c == upd.ca, "left")
+                .select("c", F.least(F.col("l"), F.coalesce("l2", F.col("l"))).alias("l"))
+                .localCheckpoint(eager=True)
+            )
+            sig = lbl.agg(F.sum("l")).collect()[0][0]
+            if sig == prev_sig:
+                break
+            prev_sig = sig
+        comp = (
+            comp.join(lbl, comp.comp == lbl.c, "left")
+            .select("id", F.coalesce("l", F.col("comp")).alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+    return chosen

@@ -274,3 +274,55 @@ def test_biconnected_tree_all_bridges():
     assert art == {1, 2}
     assert bridges == {(1, 2), (1, 3), (2, 4), (2, 5)}
     assert len(comps) == 4
+
+
+def test_scc_distributed_matches_tarjan(spark):
+    """Forward-backward coloring SCC equals driver-side Tarjan on the
+    fixture graph (directed edges + purchases back-edges)."""
+    from pyspark.sql import functions as F
+    from neumann_spark.catalog import load
+    from neumann_spark.graph.algorithms import graph_scc_tarjan, scc_distributed
+    from neumann_spark.graph.model import SUPPLIER_BASE, edges_df
+
+    e = edges_df(spark, SF_DIR).select("src", "dst")
+    li = load(spark, SF_DIR, "lineitem")
+    o = load(spark, SF_DIR, "orders").filter(F.col("o_orderkey") % 41 == 0)
+    purchases = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").cast("bigint").alias("src"),
+            (F.lit(SUPPLIER_BASE) + F.col("l_suppkey")).cast("bigint").alias("dst"),
+        )
+        .distinct()
+    )
+    dist = scc_distributed(e.unionAll(purchases))
+    # keep multi-member components only, like the registered query
+    from collections import Counter
+
+    rows = [(r["id"], r["scc"]) for r in dist.collect()]
+    sizes = Counter(s for _, s in rows)
+    dist_map = {i: s for i, s in rows if sizes[s] > 1}
+    tarjan_map = {
+        r["id"]: r["scc"] for r in graph_scc_tarjan(spark, SF_DIR).collect()
+    }
+    assert dist_map == tarjan_map
+
+
+def test_mst_boruvka_matches_kruskal(spark):
+    from neumann_spark.graph.algorithms import (
+        graph_mst_kruskal,
+        mst_boruvka_distributed,
+    )
+    from neumann_spark.graph.model import edges_df, undirected_edges
+
+    boruvka = {
+        (r["src"], r["dst"], round(r["weight"], 2))
+        for r in mst_boruvka_distributed(
+            undirected_edges(edges_df(spark, SF_DIR))
+        ).collect()
+    }
+    kruskal = {
+        (r["src"], r["dst"], r["weight"])
+        for r in graph_mst_kruskal(spark, SF_DIR).collect()
+    }
+    assert boruvka == kruskal
