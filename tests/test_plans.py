@@ -65,3 +65,32 @@ def test_semi_join_physical(spark):
 
     plan = _plan(join_semi(spark, SF_DIR))
     assert "LeftSemi" in plan
+
+
+def test_most_similar_broadcasts_anchor(spark):
+    """The dynamic anchor and its supplier set must broadcast — candidate
+    generation is a broadcast semi-ish join, never an all-pairs shuffle —
+    and top-k must be TakeOrderedAndProject, not a global sort."""
+    from neumann_spark.graph.algorithms import graph_most_similar
+
+    plan = _plan(graph_most_similar(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_similarity_pair_join_has_partial_agg(spark):
+    """Shared-supplier pair generation aggregates with a partial+final
+    HashAggregate pair (map-side combine before the (a,b) shuffle)."""
+    from neumann_spark.graph.algorithms import graph_node_similarity_cosine
+
+    plan = _plan(graph_node_similarity_cosine(spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_triangle_count_no_cartesian(spark):
+    from neumann_spark.graph.algorithms import graph_triangle_count
+
+    plan = _plan(graph_triangle_count(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
