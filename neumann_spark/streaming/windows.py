@@ -197,3 +197,149 @@ def stream_stateful_user_counts(
         .trigger(availableNow=True)
         .start()
     )
+
+
+@register(
+    "stream_dedup",
+    oracle=f"""
+    SELECT event_type, COUNT(*) AS n, {sql_dsum('value', 4)} AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication, batch form: a duplicate-injected stream
+    (every 10th event re-delivered — at-least-once redelivery) deduplicated
+    on event_id with `dropDuplicates`, then aggregated. The oracle is the
+    clean per-type aggregate, so any failure to collapse the injected
+    duplicates breaks counts AND sums. The genuine streaming path
+    (`stream_dedup_watermarked`) uses `dropDuplicatesWithinWatermark`-style
+    bounded state; at scale state is bounded by (watermark horizon x id
+    cardinality within it)."""
+    ev = load(spark, sf_dir, "events")
+    redelivered = ev.unionAll(ev.filter(F.col("event_id") % 10 == 0))
+    return (
+        redelivered.dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), dsum("value", 4).alias("sum_value"))
+    )
+
+
+def stream_dedup_watermarked(
+    spark: SparkSession, sf_dir: str, queryName: str = "stream_dedup"
+):
+    """Real streaming dedup: readStream → watermark → dropDuplicates on
+    (event_id) → per-type counts → memory sink."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = (
+        "event_id bigint, ts bigint, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 day")
+        .dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+    SELECT c.user_id,
+           COUNT(*) AS n_pairs,
+           CAST(MIN(date_diff('second', c.ts, p.ts)) AS BIGINT) AS min_lag_sec
+    FROM events c
+    JOIN events p
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 DAY
+    GROUP BY c.user_id
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join, batch form: clicks joined to purchases
+    by the same user within 1 day — the attribution-join shape. In
+    streaming both sides carry watermarks and the time-range predicate
+    bounds the join state (`stream_join_streams` below); the batch plan is
+    the identical interval equi-join on user_id + range filter, so the
+    shuffle key and state bound carry over to the streaming run."""
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 DAY")),
+    )
+    return joined.groupBy("user_id").agg(
+        F.count("*").alias("n_pairs"),
+        F.min(
+            F.col("p_ts").cast("long") - F.col("c_ts").cast("long")
+        ).alias("min_lag_sec"),
+    )
+
+
+def stream_join_streams(
+    spark: SparkSession, sf_dir: str, queryName: str = "stream_join"
+):
+    """Real stream-stream join: two watermarked readStreams of the same
+    source (clicks / purchases), interval-joined; append-mode memory sink.
+    The watermark + time bound let Spark evict join state for rows whose
+    match window has passed — bounded state at any scale."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = (
+        "event_id bigint, ts bigint, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+
+    def src():
+        return (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+
+    clicks = (
+        src()
+        .filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "1 day")
+    )
+    purchases = (
+        src()
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 day")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 DAY")),
+    ).select("user_id", "c_ts", "p_ts")
+    return (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -60,3 +60,55 @@ def test_stateful_operator_matches_batch_counts(spark):
         .collect()
     }
     assert streamed == batch
+
+
+def test_stream_dedup_matches_batch(spark):
+    """Watermarked streaming dedup equals the clean batch aggregate."""
+    from neumann_spark.catalog import load
+    from neumann_spark.streaming.windows import stream_dedup_watermarked
+
+    q = stream_dedup_watermarked(spark, SF_DIR, queryName="t_dedup")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = {
+        r["event_type"]: r["n"]
+        for r in spark.sql("SELECT * FROM t_dedup").collect()
+    }
+    batch = {
+        r["event_type"]: r["n"]
+        for r in load(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert streamed == batch
+
+
+def test_stream_stream_join_matches_batch(spark):
+    """Watermarked stream-stream interval join produces the same pairs as
+    the batch interval join."""
+    from neumann_spark.catalog import load
+    from neumann_spark.streaming.windows import stream_join_streams
+
+    q = stream_join_streams(spark, SF_DIR, queryName="t_ssjoin")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = spark.sql("SELECT COUNT(*) AS n FROM t_ssjoin").collect()[0]["n"]
+    ev = load(spark, SF_DIR, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    batch = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 DAY")),
+    ).count()
+    assert streamed == batch and streamed > 0
