@@ -1925,3 +1925,102 @@ def mst_boruvka_distributed(
             .localCheckpoint(eager=True)
         )
     return chosen
+
+
+# --------------------------------------------------------------------------
+# Full k-core decomposition (core number per node + degeneracy) —
+# `graph_engine/src/algorithms/kcore.rs:101,183` `kcore_decomposition`/
+# `degeneracy`. The reference peels with a binary heap (inherently
+# sequential); the distributed form is h-index iteration (Montresor et al.,
+# "Distributed k-Core Decomposition"): start from degrees, repeatedly set
+# core(v) = H-index of neighbors' current values — monotone non-increasing,
+# integer-exact, converges to the coreness (7 rounds on the fixture;
+# equality with exact peeling asserted in tests).
+# --------------------------------------------------------------------------
+
+CORE_ROUNDS = 12
+
+
+def core_decomposition(
+    nodes: DataFrame, uedges: DataFrame, rounds: int = CORE_ROUNDS
+) -> DataFrame:
+    """(id, core) for every node. One window + one groupBy per round, both
+    keyed on the node id (single shuffle); early exit at the provable
+    fixpoint (values only decrease, so an unchanged sum IS convergence),
+    which returns exactly the fixed-round oracle's answer."""
+    from pyspark.sql import Window
+
+    e = uedges.select("src", "dst").localCheckpoint(eager=True)
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    core = (
+        nodes.select("id")
+        .join(deg.withColumnRenamed("src", "id"), "id", "left")
+        .select("id", F.coalesce("deg", F.lit(0)).cast("bigint").alias("core"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = None
+    w = Window.partitionBy("src").orderBy(F.col("nc").desc())
+    for rnd in range(rounds):
+        nb = e.join(core, e.dst == core.id).select(
+            "src", F.col("core").alias("nc")
+        )
+        h = (
+            nb.withColumn("rn", F.row_number().over(w))
+            .groupBy("src")
+            .agg(F.max(F.least(F.col("rn"), F.col("nc"))).alias("h"))
+        )
+        # lazy checkpoint: the signature collect right after materializes it
+        # in the same job — one action per round, not two
+        core = (
+            core.join(h, core.id == h.src, "left")
+            .select(
+                "id",
+                F.least(F.col("core"), F.coalesce("h", F.lit(0))).alias("core"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        sig = core.agg(F.sum("core")).collect()[0][0]
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    return core
+
+
+def _core_decomposition_sql(rounds: int = CORE_ROUNDS) -> str:
+    parts = [
+        """
+    , cdeg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM uedges GROUP BY src),
+      k0 AS MATERIALIZED (
+        SELECT n.id, CAST(COALESCE(d.deg, 0) AS BIGINT) AS core
+        FROM nodes n LEFT JOIN cdeg d ON d.src = n.id
+      )
+    """
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f""",
+      k{t} AS MATERIALIZED (
+        SELECT c.id, LEAST(c.core, COALESCE(h.h, 0)) AS core
+        FROM k{t - 1} c LEFT JOIN (
+          SELECT src, MAX(LEAST(rn, nc)) AS h FROM (
+            SELECT e.src, cc.core AS nc,
+                   ROW_NUMBER() OVER (PARTITION BY e.src ORDER BY cc.core DESC) AS rn
+            FROM uedges e JOIN k{t - 1} cc ON cc.id = e.dst
+          ) GROUP BY src
+        ) h ON h.src = c.id
+      )"""
+        )
+    parts.append(f"\n    SELECT id, core FROM k{rounds}")
+    return "".join(parts)
+
+
+@register("graph_core_decomposition", oracle=GRAPH_SQL_CTE + _core_decomposition_sql())
+def graph_core_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full k-core decomposition — core number for every node; the
+    degeneracy is MAX(core) (`kcore.rs:101,183`). Distributed h-index
+    iteration; the oracle unrolls the same integer recurrence, so the check
+    is exact. The existing `graph_kcore` remains the k=3 subgraph view
+    (`kcore_subgraph`)."""
+    return core_decomposition(
+        nodes_df(spark, sf_dir), undirected_edges(edges_df(spark, sf_dir))
+    )

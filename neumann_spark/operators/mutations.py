@@ -76,15 +76,21 @@ def dml_graph_mutation(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT embedding FROM embeddings WHERE NOT (vec_id % 10 = 3)
     )
     SELECT (SELECT COUNT(*) FROM kept) + 1 AS n_vectors,
-           ROUND((SELECT CAST(SUM(CAST(embedding[1] AS DECIMAL(18,7)))
-                   AS DOUBLE) FROM kept) + 0.5, 5) AS sum_first
+           CAST((SELECT SUM(CAST(ROUND(CAST(embedding[1] AS DOUBLE), 5)
+                     AS DECIMAL(18,5))) FROM kept)
+                + CAST(0.5 AS DECIMAL(18,5)) AS DOUBLE) AS sum_first
     """,
 )
 def dml_vector_mutation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector-store mutation round-trip: batch delete (vec_id % 10 = 3),
     one EMBED upsert with a known vector — then count + exact-decimal sum
     of the first component. Exercises `delete_embeddings_where` and the
-    EMBED anti-join upsert."""
+    EMBED anti-join upsert.
+
+    Determinism: each float32 element is rounded to 5 dp AS A DOUBLE before
+    the exact decimal sum — a direct float->DECIMAL cast rounds differently
+    in Spark vs DuckDB at representation boundaries (seen at sf0.1), while
+    double ROUND agrees."""
     from neumann_spark.engine import NeumannSparkEngine
 
     eng = NeumannSparkEngine(spark, sf_dir)
@@ -92,12 +98,13 @@ def dml_vector_mutation(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng.execute("EMBED 'm:1' [" + ",".join(["0.5"] * 64) + "]")
     return eng._embeddings.agg(
         F.count("*").alias("n_vectors"),
-        F.round(
-            F.sum(F.element_at("embedding", 1).cast("decimal(18,7)")).cast(
-                "double"
-            ),
-            5,
-        ).alias("sum_first"),
+        F.sum(
+            F.round(F.element_at("embedding", 1).cast("double"), 5).cast(
+                "decimal(18,5)"
+            )
+        )
+        .cast("double")
+        .alias("sum_first"),
     )
 
 

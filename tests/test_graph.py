@@ -326,3 +326,44 @@ def test_mst_boruvka_matches_kruskal(spark):
         for r in graph_mst_kruskal(spark, SF_DIR).collect()
     }
     assert boruvka == kruskal
+
+
+def test_core_decomposition_matches_exact_peeling(spark):
+    """H-index iteration equals the reference's exact min-degree peeling
+    (`kcore.rs:101`) on the fixture graph."""
+    import heapq
+    from collections import defaultdict
+
+    from neumann_spark.graph.algorithms import core_decomposition
+    from neumann_spark.graph.model import edges_df, nodes_df, undirected_edges
+
+    ue = undirected_edges(edges_df(spark, SF_DIR))
+    got = {
+        r["id"]: r["core"]
+        for r in core_decomposition(nodes_df(spark, SF_DIR), ue).collect()
+    }
+    adj = defaultdict(set)
+    for r in ue.select("src", "dst").collect():
+        adj[r["src"]].add(r["dst"])
+        adj[r["dst"]].add(r["src"])
+    deg = {v: len(ns) for v, ns in adj.items()}
+    pq = [(d, v) for v, d in deg.items()]
+    heapq.heapify(pq)
+    done: set = set()
+    exact: dict = {}
+    cur = 0
+    while pq:
+        d, v = heapq.heappop(pq)
+        if v in done:
+            continue
+        cur = max(cur, deg[v])
+        exact[v] = cur
+        done.add(v)
+        for u in adj[v]:
+            if u not in done and deg[u] > 0:
+                deg[u] -= 1
+                heapq.heappush(pq, (deg[u], u))
+    got_connected = {v: c for v, c in got.items() if v in exact}
+    assert got_connected == exact
+    # degeneracy = max core (`kcore.rs:183`)
+    assert max(got.values()) == max(exact.values())
