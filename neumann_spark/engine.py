@@ -37,7 +37,7 @@ class NeumannSparkEngine:
 
     CACHEABLE = ("SELECT", "SIMILAR", "NEIGHBORS", "PATH", "FIND")
     WRITES = ("CREATE", "INSERT", "DROP", "NODE", "EDGE", "EMBED", "UPDATE",
-              "DELETE", "MERGE")
+              "DELETE", "MERGE", "ALTER")
 
     def __init__(self, spark: SparkSession, sf_dir: str):
         self.spark = spark
@@ -91,6 +91,8 @@ class NeumannSparkEngine:
             out = self._exec_insert(cmd)
         elif head == "DROP":
             out = self._exec_drop(cmd)
+        elif head == "ALTER":
+            out = self._exec_alter(cmd)
         elif head == "SHOW":
             out = self._exec_show(cmd)
         elif head == "DESCRIBE":
@@ -203,6 +205,48 @@ class NeumannSparkEngine:
         self._tables.pop(name, None)
         self.spark.catalog.dropTempView(name)
         return self.spark.createDataFrame([(name, "dropped")], "table string, status string")
+
+    def _exec_alter(self, cmd: str) -> DataFrame:
+        """ALTER TABLE add/drop/rename column on session tables
+        (`relational_engine/src/lib.rs:4807,4844,4935`). New columns are
+        NULL-filled, the columnar-append semantics of the reference."""
+        m = self._require(
+            re.match(
+                r"ALTER\s+TABLE\s+(\w+)\s+"
+                r"(?:(ADD)\s+COLUMN\s+(\w+)\s+(\w+)"
+                r"|(DROP)\s+COLUMN\s+(\w+)"
+                r"|(RENAME)\s+COLUMN\s+(\w+)\s+TO\s+(\w+))\s*$",
+                cmd,
+                re.I,
+            ),
+            "ALTER TABLE t ADD COLUMN c type | DROP COLUMN c | "
+            "RENAME COLUMN a TO b",
+        )
+        name = m.group(1)
+        if name not in self._tables:
+            raise KeyError(f"unknown session table {name!r}")
+        df = self._tables[name]
+        if m.group(2):  # ADD
+            col, typ = m.group(3), self._lower_type(m.group(4))
+            df = df.withColumn(col, F.lit(None).cast(typ))
+            action = f"added {col}"
+        elif m.group(5):  # DROP
+            col = m.group(6)
+            if col not in df.columns:
+                raise ValueError(f"no column {col!r} in {name!r}")
+            df = df.drop(col)
+            action = f"dropped {col}"
+        else:  # RENAME
+            old, new = m.group(8), m.group(9)
+            if old not in df.columns:
+                raise ValueError(f"no column {old!r} in {name!r}")
+            df = df.withColumnRenamed(old, new)
+            action = f"renamed {old} to {new}"
+        self._tables[name] = df
+        df.createOrReplaceTempView(name)
+        return self.spark.createDataFrame(
+            [(name, action)], "table string, status string"
+        )
 
     def _exec_show(self, cmd: str) -> DataFrame:
         if re.match(r"SHOW\s+TABLES", cmd, re.I):

@@ -242,3 +242,16 @@ def test_entity_lifecycle(engine):
     engine.delete_entity(9200020)
     assert engine._nodes.filter("id = 9200020").count() == 0
     assert engine._embeddings.filter("key = '9200020'").count() == 0
+
+
+def test_alter_table(engine):
+    engine.execute("CREATE TABLE alt_t (name TEXT, age INT)")
+    engine.execute("INSERT INTO alt_t VALUES ('x', 1)")
+    engine.execute("ALTER TABLE alt_t ADD COLUMN score FLOAT")
+    row = engine.execute("SELECT * FROM alt_t").collect()[0]
+    assert row["score"] is None and row["name"] == "x"
+    engine.execute("ALTER TABLE alt_t RENAME COLUMN score TO points")
+    assert "points" in engine.execute("SELECT * FROM alt_t").columns
+    engine.execute("ALTER TABLE alt_t DROP COLUMN points")
+    assert engine.execute("SELECT * FROM alt_t").columns == ["name", "age"]
+    engine.execute("DROP TABLE alt_t")
