@@ -58,3 +58,91 @@ def fulltext_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_terms_matched"), F.sum("tf").alias("total_tf"))
         .filter(F.col("n_terms_matched") == len(SEARCH_TERMS))
     )
+
+
+@register(
+    "fulltext_prefix_search",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, u.w AS term
+      FROM documents, UNNEST(str_split(text, ' ')) AS u(w)
+    )
+    SELECT doc_id,
+           CAST(COUNT(DISTINCT term) AS BIGINT) AS n_prefix_terms,
+           CAST(COUNT(*) AS BIGINT) AS n_hits
+    FROM tok
+    WHERE term LIKE 's%'
+    GROUP BY doc_id
+    """,
+)
+def fulltext_prefix_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix search (`search_prefix`, `graph_engine/src/fulltext.rs:181`):
+    docs containing any token starting with 's' (scan/sort/stream/spark/...),
+    with distinct-term
+    and hit counts. The LIKE 'prefix%' predicate is sargable — over a
+    term-partitioned inverted index at scale it prunes to the prefix range."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    return (
+        tok.filter(F.col("term").startswith("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("term").alias("n_prefix_terms"),
+            F.count("*").alias("n_hits"),
+        )
+    )
+
+
+FUZZY_QUERY = "straem"  # deliberate transposition of 'stream'
+FUZZY_MAX_DIST = 2
+
+
+@register(
+    "fulltext_fuzzy_search",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, u.w AS term
+      FROM documents, UNNEST(str_split(text, ' ')) AS u(w)
+    ),
+    cand AS (
+      SELECT DISTINCT term FROM tok
+      WHERE ABS(LENGTH(term) - LENGTH('{FUZZY_QUERY}')) <= {FUZZY_MAX_DIST}
+    ),
+    matched AS (
+      SELECT term, levenshtein(term, '{FUZZY_QUERY}') AS dist FROM cand
+      WHERE levenshtein(term, '{FUZZY_QUERY}') <= {FUZZY_MAX_DIST}
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_hits,
+           CAST(MIN(m.dist) AS BIGINT) AS best_dist
+    FROM tok t JOIN matched m ON t.term = m.term
+    GROUP BY t.doc_id
+    """,
+)
+def fulltext_fuzzy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy search (`search_fuzzy`, `graph_engine/src/fulltext.rs:201`):
+    Levenshtein distance <= 2 from 'straem'. Both engines have a native
+    levenshtein, so the check is exact. Scale shape: the expensive distance
+    runs only over DISTINCT terms length-filtered first (|distinct terms|
+    << |token stream|), then an equi-join back — never per token
+    occurrence."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    cand = (
+        tok.select("term")
+        .distinct()
+        .filter(
+            F.abs(F.length("term") - F.lit(len(FUZZY_QUERY))) <= FUZZY_MAX_DIST
+        )
+    )
+    matched = cand.select(
+        "term", F.levenshtein("term", F.lit(FUZZY_QUERY)).alias("dist")
+    ).filter(F.col("dist") <= FUZZY_MAX_DIST)
+    return (
+        tok.join(F.broadcast(matched), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_hits"),
+            F.min("dist").cast("bigint").alias("best_dist"),
+        )
+    )
