@@ -286,3 +286,96 @@ def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), F.col("vec_id"))
         .limit(IVF_TOPK)
     )
+
+
+# --- binary quantization + Hamming search --------------------------------
+# `vector_engine/src/lib.rs:978-983` IVF-Binary (BinaryThreshold::Sign) and
+# the PQ/binary/scalar quantization family (`:949-990`): each vector
+# compresses to its 64 sign bits; search ranks by Hamming distance on the
+# compact signature. Pure integer arithmetic — the oracle is exact.
+
+BINARY_TOPK = 20
+
+
+def _tree_sum(cols: list[Column]) -> Column:
+    """Balanced-pairwise sum: a 64-term left-leaning `+` chain is a
+    depth-64 expression tree that Catalyst analyzes quadratically (~10 s of
+    pure planning); the balanced tree is depth 6 and plans instantly."""
+    while len(cols) > 1:
+        cols = [
+            cols[i] + cols[i + 1] if i + 1 < len(cols) else cols[i]
+            for i in range(0, len(cols), 2)
+        ]
+    return cols[0]
+
+
+def _sig_exprs(vec: Column) -> tuple[Column, Column]:
+    """(lo, hi) 32-bit halves of the 64-d sign signature — two BIGINTs so
+    bit 63 never touches the sign bit."""
+    lo = _tree_sum(
+        [
+            (F.element_at(vec, i + 1) > 0).cast("bigint") * (1 << i)
+            for i in range(32)
+        ]
+    )
+    hi = _tree_sum(
+        [
+            (F.element_at(vec, i + 33) > 0).cast("bigint") * (1 << i)
+            for i in range(32)
+        ]
+    )
+    return lo, hi
+
+
+def _sig_sql(col: str, offset: int) -> str:
+    terms = " + ".join(
+        f"CAST({col}[{offset + i + 1}] > 0 AS BIGINT) * {1 << i}"
+        for i in range(32)
+    )
+    return f"({terms})"
+
+
+@register(
+    "ann_binary_hamming",
+    oracle=f"""
+    WITH sigs AS MATERIALIZED (
+      SELECT vec_id,
+             {_sig_sql('embedding', 0)} AS lo,
+             {_sig_sql('embedding', 32)} AS hi
+      FROM embeddings
+    ),
+    q AS MATERIALIZED (SELECT lo, hi FROM sigs WHERE vec_id = 0)
+    SELECT s.vec_id,
+           CAST(bit_count(xor(s.lo, (SELECT lo FROM q)))
+                + bit_count(xor(s.hi, (SELECT hi FROM q))) AS BIGINT) AS hamming
+    FROM sigs s
+    WHERE s.vec_id <> 0
+    ORDER BY hamming, s.vec_id
+    LIMIT {BINARY_TOPK}
+    """,
+)
+def ann_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized search: 64-bit sign signatures, top-{{k}} nearest to
+    vec#0 by Hamming distance (`IVFBuildOptions::binary`,
+    `vector_engine/src/lib.rs:978`). Map-only signature computation +
+    broadcast 1-row query signature + TakeOrdered — the signature column is
+    512x smaller than the float vectors, which is the point at 100 TB:
+    Hamming pre-ranking scans the compact column, full-precision rescoring
+    touches only the shortlist."""
+    emb = load(spark, sf_dir, "embeddings")
+    lo, hi = _sig_exprs(F.col("embedding"))
+    sigs = emb.select("vec_id", lo.alias("lo"), hi.alias("hi"))
+    q = sigs.filter(F.col("vec_id") == 0).select(
+        F.col("lo").alias("qlo"), F.col("hi").alias("qhi")
+    )
+    ham = (
+        F.bit_count(F.col("lo").bitwiseXOR(F.col("qlo")))
+        + F.bit_count(F.col("hi").bitwiseXOR(F.col("qhi")))
+    ).cast("bigint")
+    return (
+        sigs.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", ham.alias("hamming"))
+        .orderBy("hamming", "vec_id")
+        .limit(BINARY_TOPK)
+    )
