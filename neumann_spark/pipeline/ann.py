@@ -379,3 +379,224 @@ def ann_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hamming", "vec_id")
         .limit(BINARY_TOPK)
     )
+
+
+# --- product quantization (IVF-PQ) ----------------------------------------
+# `IVFBuildOptions::pq` / PQConfig (`vector_engine/src/lib.rs:966-973`,
+# `tensor_store/src/pq.rs`): the 64-d vector splits into PQ_S subspaces of
+# PQ_SUBDIM dims; each subspace gets a PQ_K-centroid codebook (deterministic
+# mini-Lloyd, init = vec_id % PQ_K); a vector compresses to PQ_S small
+# codes. Search is asymmetric distance (ADC): per subspace, the distance
+# from the query's subvector to each codebook centroid is precomputed (a
+# PQ_K-entry literal lookup table), and a vector's distance is the sum of
+# its codes' table entries — map-only over the code columns, never the
+# original floats.
+
+PQ_S = 8
+PQ_SUBDIM = 8
+PQ_K = 4
+PQ_ITERS = 2
+PQ_TOPK = 10
+
+
+def _pq_subvec(vec: Column, s: int) -> Column:
+    return F.slice(vec, s * PQ_SUBDIM + 1, PQ_SUBDIM)
+
+
+def pq_build(emb: DataFrame):
+    """All-subspace deterministic Lloyd (same recipe as `ivf_build`).
+    Returns (codes DataFrame (vec_id, code_0..code_{S-1}),
+    codebooks: list over s of [(code, [PQ_SUBDIM floats])]).
+
+    One job per iteration: the 8 per-subspace centroid groupBys share the
+    scan via unionAll and collect together (8 x PQ_K rows); reassignment is
+    a single map-only select producing all code columns — no per-subspace
+    loop of actions, no 8-way join at the end."""
+    emb_d = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).localCheckpoint(eager=True)
+    state = emb_d.select(
+        "vec_id",
+        "v",
+        *[
+            (F.col("vec_id") % PQ_K).cast("int").alias(f"code_{s}")
+            for s in range(PQ_S)
+        ],
+    )
+    codebooks: list[list[tuple[int, list[float]]]] = []
+    for _ in range(PQ_ITERS):
+        aggs = None
+        for s in range(PQ_S):
+            sub = _pq_subvec(F.col("v"), s)
+            part = (
+                state.groupBy(F.col(f"code_{s}").alias("code"))
+                .agg(
+                    *[
+                        F.avg(F.element_at(sub, i)).alias(f"c{i}")
+                        for i in range(1, PQ_SUBDIM + 1)
+                    ]
+                )
+                .withColumn("s", F.lit(s))
+            )
+            aggs = part if aggs is None else aggs.unionAll(part)
+        rows = aggs.collect()
+        codebooks = []
+        for s in range(PQ_S):
+            codebooks.append(
+                sorted(
+                    (
+                        int(r["code"]),
+                        [float(r[f"c{i}"]) for i in range(1, PQ_SUBDIM + 1)],
+                    )
+                    for r in rows
+                    if r["s"] == s
+                )
+            )
+        assigns = []
+        for s in range(PQ_S):
+            sub = _pq_subvec(F.col("v"), s)
+            assigns.append(
+                F.array_min(
+                    F.array(
+                        *[
+                            F.struct(
+                                _sq_dist_expr(sub, vals).alias("d"),
+                                F.lit(int(cid)).alias("code"),
+                            )
+                            for cid, vals in codebooks[s]
+                        ]
+                    )
+                )
+                .getField("code")
+                .alias(f"code_{s}")
+            )
+        # lazy checkpoint: the next iteration's centroid collect (or the
+        # final codes checkpoint) materializes it — keeps each job's
+        # codegen to ONE iteration's assignment expressions
+        state = emb_d.select("vec_id", "v", *assigns).localCheckpoint(eager=False)
+    codes = state.select(
+        "vec_id", *[f"code_{s}" for s in range(PQ_S)]
+    ).localCheckpoint(eager=True)
+    return codes, codebooks
+
+
+_PQ_CACHE: dict[tuple[int, str], tuple[DataFrame, list]] = {}
+
+
+def pq_index(spark: SparkSession, sf_dir: str):
+    key = (id(spark), sf_dir)
+    if key not in _PQ_CACHE:
+        _PQ_CACHE[key] = pq_build(load(spark, sf_dir, "embeddings"))
+    return _PQ_CACHE[key]
+
+
+def _pq_lloyd_sql(s: int) -> str:
+    """Unrolled mini-Lloyd for subspace s (dims s*8+1 .. s*8+8)."""
+    lo = s * PQ_SUBDIM
+    parts = [
+        f""",
+    p{s}a0 AS MATERIALIZED (
+      SELECT vec_id, CAST(vec_id % {PQ_K} AS INT) AS code FROM embeddings
+    )"""
+    ]
+    for t in range(1, PQ_ITERS + 1):
+        parts.append(
+            f""",
+    p{s}cent{t} AS MATERIALIZED (
+      SELECT a.code, t.i, AVG(CAST(e.embedding[{lo} + t.i] AS DOUBLE)) AS val
+      FROM embeddings e
+      JOIN p{s}a{t - 1} a ON a.vec_id = e.vec_id
+      CROSS JOIN generate_series(1, {PQ_SUBDIM}) AS t(i)
+      GROUP BY a.code, t.i
+    ),
+    p{s}dist{t} AS MATERIALIZED (
+      SELECT e.vec_id, c.code,
+             ROUND(SUM((CAST(e.embedding[{lo} + c.i] AS DOUBLE) - c.val)
+                     * (CAST(e.embedding[{lo} + c.i] AS DOUBLE) - c.val)), 6) AS d
+      FROM embeddings e CROSS JOIN p{s}cent{t} c
+      GROUP BY e.vec_id, c.code
+    ),
+    p{s}a{t} AS MATERIALIZED (
+      SELECT vec_id, code FROM (
+        SELECT vec_id, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, code) AS rn
+        FROM p{s}dist{t}
+      ) WHERE rn = 1
+    )"""
+        )
+    return "".join(parts)
+
+
+def _pq_search_sql() -> str:
+    """ADC search oracle: per subspace, final codebook + query-to-centroid
+    lookup table, then per-vector distance = sum of looked-up entries."""
+    parts = ["    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)"]
+    for s in range(PQ_S):
+        parts.append(_pq_lloyd_sql(s))
+        lo = s * PQ_SUBDIM
+        # LUT centroids are the codebook that PRODUCED the final assignment
+        # (p{s}cent{PQ_ITERS}, computed from a{PQ_ITERS-1}) — recomputing
+        # from the final codes would be a codebook the Spark side never saw
+        parts.append(
+            f""",
+    p{s}lut AS MATERIALIZED (
+      SELECT c.code,
+             ROUND(SUM((CAST(q.qv[{lo} + c.i] AS DOUBLE) - c.val)
+                     * (CAST(q.qv[{lo} + c.i] AS DOUBLE) - c.val)), 6) AS d
+      FROM p{s}cent{PQ_ITERS} c CROSS JOIN q
+      GROUP BY c.code
+    )"""
+        )
+    dist_sum = " + ".join(
+        f"(SELECT d FROM p{s}lut WHERE code = p{s}a{PQ_ITERS}.code)".replace(
+            f"p{s}a{PQ_ITERS}.code", f"a{s}.code"
+        )
+        for s in range(PQ_S)
+    )
+    joins = "\n      ".join(
+        f"JOIN p{s}a{PQ_ITERS} a{s} ON a{s}.vec_id = e.vec_id" for s in range(PQ_S)
+    )
+    parts.append(
+        f"""
+    SELECT e.vec_id, ROUND({dist_sum}, 6) AS pq_dist
+    FROM embeddings e
+      {joins}
+    WHERE e.vec_id <> 0
+    ORDER BY pq_dist, e.vec_id
+    LIMIT {PQ_TOPK}"""
+    )
+    return "".join(parts)
+
+
+@register("ann_pq_search", oracle=_pq_search_sql())
+def ann_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC search (`IVFBuildOptions::pq`,
+    `vector_engine/src/lib.rs:966`; `tensor_store/src/pq.rs`): top-10
+    nearest to vec#0 by summed per-subspace lookup distances. The search
+    touches only the PQ_S code columns (a 64x compression of the float
+    vectors) plus a PQ_S x PQ_K literal lookup table — the scan that runs
+    at 100 TB reads codes, not floats; full-precision rescoring would
+    touch only this shortlist."""
+    codes, codebooks = pq_index(spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings")
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    ]
+    total = None
+    for s in range(PQ_S):
+        qs = qv[s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
+        lut = []
+        for cid, cent in codebooks[s]:
+            d = round(sum((a - b) * (a - b) for a, b in zip(qs, cent)), 6)
+            lut.append(float(d))
+        term = F.element_at(
+            F.array(*[F.lit(d) for d in lut]), F.col(f"code_{s}") + 1
+        )
+        total = term if total is None else total + term
+    return (
+        codes.filter(F.col("vec_id") != 0)
+        .select("vec_id", F.round(total, 6).alias("pq_dist"))
+        .orderBy("pq_dist", "vec_id")
+        .limit(PQ_TOPK)
+    )
