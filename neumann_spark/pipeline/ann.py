@@ -600,3 +600,98 @@ def ann_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("pq_dist", "vec_id")
         .limit(PQ_TOPK)
     )
+
+
+# --- scalar quantization (int8) -------------------------------------------
+# Third member of the reference's quantization family
+# (`vector_engine/src/lib.rs:949-990` scalar quantization): each dimension
+# maps to an 8-bit code on a per-dimension [min, max] grid; search runs on
+# dequantized codes. No training loop — the "codebook" is 64 (min, step)
+# pairs — so build is one aggregate over the corpus.
+
+SQ_LEVELS = 255
+SQ_TOPK = 10
+
+
+@register(
+    "ann_sq_search",
+    oracle=f"""
+    WITH stats AS MATERIALIZED (
+      SELECT t.i,
+             MIN(CAST(e.embedding[t.i] AS DOUBLE)) AS lo,
+             MAX(CAST(e.embedding[t.i] AS DOUBLE)) AS hi
+      FROM embeddings e CROSS JOIN generate_series(1, {DIM}) AS t(i)
+      GROUP BY t.i
+    ),
+    codes AS MATERIALIZED (
+      SELECT e.vec_id, s.i,
+             LEAST({SQ_LEVELS}, GREATEST(0, CAST(FLOOR(
+               (CAST(e.embedding[s.i] AS DOUBLE) - s.lo)
+               / ((s.hi - s.lo) / {SQ_LEVELS})) AS BIGINT))) AS code
+      FROM embeddings e JOIN stats s ON TRUE
+    ),
+    deq AS MATERIALIZED (
+      SELECT c.vec_id, c.i,
+             s.lo + (c.code + 0.5) * ((s.hi - s.lo) / {SQ_LEVELS}) AS val
+      FROM codes c JOIN stats s ON s.i = c.i
+    ),
+    q AS MATERIALIZED (SELECT i, val FROM deq WHERE vec_id = 0)
+    SELECT d.vec_id,
+           ROUND(SUM((d.val - q.val) * (d.val - q.val)), 6) AS sq_dist
+    FROM deq d JOIN q ON q.i = d.i
+    WHERE d.vec_id <> 0
+    GROUP BY d.vec_id
+    ORDER BY sq_dist, d.vec_id
+    LIMIT {SQ_TOPK}
+    """,
+)
+def ann_sq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized search: int8 codes on per-dimension [min, max]
+    grids, top-10 nearest to vec#0 by dequantized squared distance
+    (`vector_engine/src/lib.rs:949-990` scalar quantization). Build = one
+    64-column min/max aggregate (a 1-row broadcast 'codebook'); quantize +
+    dequantize + distance are one map-only expression over the array;
+    TakeOrdered top-k. Integer codes are floor() of identical doubles, so
+    the oracle is exact modulo the 1e-6 distance grid."""
+    emb = load(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    stats_row = emb.agg(
+        *[F.min(F.element_at(v, i)).alias(f"lo{i}") for i in range(1, DIM + 1)],
+        *[F.max(F.element_at(v, i)).alias(f"hi{i}") for i in range(1, DIM + 1)],
+    ).collect()[0]
+    los = [float(stats_row[f"lo{i}"]) for i in range(1, DIM + 1)]
+    his = [float(stats_row[f"hi{i}"]) for i in range(1, DIM + 1)]
+
+    def deq_expr(i: int) -> Column:
+        lo, hi = los[i - 1], his[i - 1]
+        step = (hi - lo) / SQ_LEVELS
+        code = F.least(
+            F.lit(SQ_LEVELS),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.element_at(v, i) - F.lit(lo)) / F.lit(step)).cast(
+                    "bigint"
+                ),
+            ),
+        )
+        return F.lit(lo) + (code + F.lit(0.5)) * F.lit(step)
+
+    deq = emb.select(
+        "vec_id", F.array(*[deq_expr(i) for i in range(1, DIM + 1)]).alias("dv")
+    )
+    q = deq.filter(F.col("vec_id") == 0).select(F.col("dv").alias("qv"))
+    dist = F.round(
+        F.aggregate(
+            F.zip_with(F.col("dv"), F.col("qv"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    return (
+        deq.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", dist.alias("sq_dist"))
+        .orderBy("sq_dist", "vec_id")
+        .limit(SQ_TOPK)
+    )
