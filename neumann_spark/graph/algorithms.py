@@ -466,10 +466,7 @@ def _collect_edges(uedges: DataFrame, cols=("src", "dst", "weight")) -> list[tup
     return [tuple(r) for r in uedges.select(*cols).collect()]
 
 
-@register(
-    "graph_scc_tarjan",
-    oracle=GRAPH_SQL_CTE.replace("WITH nodes", "WITH RECURSIVE nodes", 1)
-    + """
+_SCC_ORACLE_SQL = GRAPH_SQL_CTE.replace("WITH nodes", "WITH RECURSIVE nodes", 1) + """
     , dedges AS MATERIALIZED (
         SELECT src, dst FROM edges
         UNION
@@ -489,19 +486,13 @@ def _collect_edges(uedges: DataFrame, cols=("src", "dst", "weight")) -> list[tup
         WHERE r1.a <> r1.b
       )
     SELECT a AS id, LEAST(a, MIN(b)) AS scc FROM mutual GROUP BY a
-    """,
-)
-def graph_scc_tarjan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Strongly connected components, Tarjan
-    (`graph_engine/src/algorithms/scc.rs:133`) on the directed graph plus
-    reverse 'purchases' edges (o_orderkey % 41) so non-trivial cycles exist.
-    Driver-side on the collected edge list (guarded), like the reference;
-    the distributed scale path is `scc_distributed` (forward-backward
-    coloring, differential-tested equal on the fixture). Oracle: full
-    transitive closure by recursive CTE, component = mutual-reachability
-    class keyed by its min member (singleton classes excluded on both
-    sides). Closure size is quadratic in the largest SCC — fine at oracle
-    scale (sf <= 0.01), which is why the Spark side doesn't use it."""
+    """
+
+
+def _scc_input_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed fixture edges + reverse 'purchases' edges (o_orderkey % 41)
+    so non-trivial cycles exist — shared input of `graph_scc_tarjan` and
+    `graph_scc_distributed`."""
     from neumann_spark.catalog import load
     from neumann_spark.graph.model import SUPPLIER_BASE
 
@@ -516,7 +507,22 @@ def graph_scc_tarjan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = [tuple(r) for r in e.unionAll(purchases).collect()]
+    return e.unionAll(purchases)
+
+
+@register("graph_scc_tarjan", oracle=_SCC_ORACLE_SQL)
+def graph_scc_tarjan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components, Tarjan
+    (`graph_engine/src/algorithms/scc.rs:133`) on the directed graph plus
+    reverse 'purchases' edges (o_orderkey % 41) so non-trivial cycles exist.
+    Driver-side on the collected edge list (guarded), like the reference;
+    the distributed scale path is `scc_distributed` (forward-backward
+    coloring, differential-tested equal on the fixture). Oracle: full
+    transitive closure by recursive CTE, component = mutual-reachability
+    class keyed by its min member (singleton classes excluded on both
+    sides). Closure size is quadratic in the largest SCC — fine at oracle
+    scale (sf <= 0.01), which is why the Spark side doesn't use it."""
+    edges = [tuple(r) for r in _scc_input_edges(spark, sf_dir).collect()]
 
     graph: dict[int, list[int]] = defaultdict(list)
     for s, d in edges:
@@ -1925,6 +1931,31 @@ def mst_boruvka_distributed(
             .localCheckpoint(eager=True)
         )
     return chosen
+
+
+@register("graph_scc_distributed", oracle=_SCC_ORACLE_SQL)
+def graph_scc_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The forward-backward-coloring SCC scale path registered as its own
+    driver-checked query: same input and same transitive-closure oracle as
+    `graph_scc_tarjan`, but computed fully distributed (no edge-list
+    collect) — joins + groupBy only, one shuffle per coloring step.
+    Singleton classes are dropped with a distributed size filter to match
+    the oracle's non-trivial-component output."""
+    dist = scc_distributed(_scc_input_edges(spark, sf_dir))
+    sizes = dist.groupBy("scc").agg(F.count("*").alias("n")).filter(F.col("n") > 1)
+    return dist.join(F.broadcast(sizes.select("scc")), "scc").select("id", "scc")
+
+
+@register("graph_mst_boruvka", oracle=GRAPH_SQL_CTE + _mst_oracle_sql())
+def graph_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Borůvka minimum-spanning-forest scale path registered as its own
+    driver-checked query: same cut-property oracle as `graph_mst_kruskal`
+    (the strict (weight, src, dst) total order makes the MSF unique, so
+    both algorithms must produce the identical edge set), computed fully
+    distributed — min-struct per component + contracted min-label merge,
+    no driver collect."""
+    mst = mst_boruvka_distributed(undirected_edges(edges_df(spark, sf_dir)))
+    return mst.select("src", "dst", F.round("weight", 2).alias("weight"))
 
 
 # --------------------------------------------------------------------------
