@@ -37,7 +37,7 @@ class NeumannSparkEngine:
 
     CACHEABLE = ("SELECT", "SIMILAR", "NEIGHBORS", "PATH", "FIND")
     WRITES = ("CREATE", "INSERT", "DROP", "NODE", "EDGE", "EMBED", "UPDATE",
-              "DELETE", "MERGE", "ALTER")
+              "DELETE", "MERGE", "ALTER", "ENTITY", "BATCH", "CONSTRAINT")
 
     def __init__(self, spark: SparkSession, sf_dir: str):
         self.spark = spark
@@ -57,6 +57,19 @@ class NeumannSparkEngine:
         self._emb_meta = spark.createDataFrame(
             [], "key string, meta_key string, meta_value string"
         )
+        # unified entity property store (`tensor_unified/src/lib.rs:475`:
+        # key → table fields; the node/embedding halves live in the
+        # overlays above, joined by the derived id / the key string)
+        self._entity_props = spark.createDataFrame(
+            [], "key string, label string, props string"
+        )
+        # graph constraints (`graph_engine` constraint registry; enforced
+        # on read via CONSTRAINT CREATE validation, SURVEY.md §2.9)
+        self._constraints: dict[str, tuple[str, Optional[str], str, str]] = {}
+        # declared graph indexes — a semantic no-op for a scan engine
+        # (partitioning/pruning concern, noted SURVEY.md §2.9); tracked so
+        # GRAPH INDEX SHOW round-trips
+        self._graph_indexes: dict[str, str] = {}
         self._mutations = 0
         for t in TABLES:
             load(spark, sf_dir, t).createOrReplaceTempView(t)
@@ -113,6 +126,22 @@ class NeumannSparkEngine:
             out = self._exec_find(cmd)
         elif head == "MATCH":
             out = self._exec_match(cmd)
+        elif head == "UPDATE":
+            out = self._exec_update(cmd)
+        elif head == "DELETE":
+            out = self._exec_delete(cmd)
+        elif head == "COUNT":
+            out = self._exec_count(cmd)
+        elif head == "ENTITY":
+            out = self._exec_entity(cmd)
+        elif head == "GRAPH":
+            out = self._exec_graph(cmd)
+        elif head == "CONSTRAINT":
+            out = self._exec_constraint(cmd)
+        elif head == "BATCH":
+            out = self._exec_batch(cmd)
+        elif head == "AGGREGATE":
+            out = self._exec_aggregate(cmd)
         else:
             raise ValueError(f"unsupported command: {head!r}")
 
@@ -252,7 +281,29 @@ class NeumannSparkEngine:
         if re.match(r"SHOW\s+TABLES", cmd, re.I):
             names = sorted(set(TABLES) | set(self._tables))
             return self.spark.createDataFrame([(n,) for n in names], "table string")
+        m = re.match(r"SHOW\s+EMBEDDINGS(?:\s+LIMIT\s+(\d+))?\s*$", cmd, re.I)
+        if m:
+            # `SHOW EMBEDDINGS [LIMIT n]` (`neumann_parser` ShowEmbeddings)
+            out = self._embeddings.select(
+                "key", F.size("embedding").alias("dimension")
+            ).orderBy("key")
+            return out.limit(int(m.group(1))) if m.group(1) else out
+        if re.match(r"SHOW\s+VECTOR\s+INDEX\s*$", cmd, re.I):
+            # `SHOW VECTOR INDEX` (`neumann_parser` ShowVectorIndex): this
+            # engine's "index" is the Catalyst scan + TakeOrdered plan
+            # (brute exact) with LSH/IVF/PQ variants in pipeline/ann.py
+            return self._embeddings.agg(
+                F.lit("brute-force+ann(lsh,ivf,pq,sq,binary)").alias("index_type"),
+                F.count("*").alias("vectors"),
+                F.coalesce(F.first(F.size("embedding")), F.lit(0)).alias("dimension"),
+            )
         return self.spark.sql(cmd)
+
+    def _exec_count(self, cmd: str) -> DataFrame:
+        """`COUNT EMBEDDINGS` (`neumann_parser` CountEmbeddings)."""
+        self._require(re.match(r"COUNT\s+EMBEDDINGS\s*$", cmd, re.I),
+                      "COUNT EMBEDDINGS")
+        return self._embeddings.agg(F.count("*").alias("count"))
 
     # -- graph commands ---------------------------------------------------
 
@@ -265,6 +316,47 @@ class NeumannSparkEngine:
         return m
 
     def _exec_node(self, cmd: str) -> DataFrame:
+        """NODE CREATE label {props} | GET id | DELETE id |
+        LIST [label] [LIMIT n] [OFFSET m] (`neumann_parser` NodeOp), plus
+        the shorthand `NODE id [label]`."""
+        sub = (cmd.split(None, 2) + ["", ""])[1].upper()
+        if sub == "CREATE":
+            m = self._require(
+                re.match(r"NODE\s+CREATE\s+(\w+)\s*(?:\{(.*?)\})?\s*$", cmd, re.I | re.S),
+                "NODE CREATE label {props}")
+            label, props = m.group(1), self._parse_props(m.group(2))
+            nid = int(props.get("id", self._next_node_id()))
+            new = self.spark.createDataFrame([(nid, label)], "id bigint, label string")
+            self._nodes = self._nodes.unionAll(new)
+            self._checkpoint_overlays()
+            return new
+        if sub == "GET":
+            m = self._require(re.match(r"NODE\s+GET\s+(\d+)\s*$", cmd, re.I),
+                              "NODE GET id")
+            return self._nodes.filter(F.col("id") == int(m.group(1)))
+        if sub == "DELETE":
+            m = self._require(re.match(r"NODE\s+DELETE\s+(\d+)\s*$", cmd, re.I),
+                              "NODE DELETE id")
+            nid = int(m.group(1))
+            self.delete_node(nid, detach=True)
+            return self.spark.createDataFrame(
+                [(nid, "deleted")], "id bigint, status string")
+        if sub == "LIST":
+            m = self._require(
+                re.match(
+                    r"NODE\s+LIST(?:\s+(?!LIMIT|OFFSET)(\w+))?"
+                    r"(?:\s+LIMIT\s+(\d+))?(?:\s+OFFSET\s+(\d+))?\s*$",
+                    cmd, re.I),
+                "NODE LIST [label] [LIMIT n] [OFFSET m]")
+            out = self._nodes
+            if m.group(1):
+                out = out.filter(F.col("label") == m.group(1))
+            out = out.orderBy("id")
+            if m.group(3):
+                out = out.offset(int(m.group(3)))
+            if m.group(2):
+                out = out.limit(int(m.group(2)))
+            return out
         m = self._require(re.match(r"NODE\s+(\d+)(?:\s+(\w+))?", cmd, re.I),
                           "NODE id [label]")
         nid, label = int(m.group(1)), m.group(2) or "node"
@@ -272,7 +364,57 @@ class NeumannSparkEngine:
         self._nodes = self._nodes.unionAll(new)
         return new
 
+    def _next_node_id(self) -> int:
+        """Auto-assigned node id (`graph_engine` NodeId allocator): one
+        1-row max aggregate — metadata-cheap at any scale."""
+        row = self._nodes.agg(F.max("id").alias("m")).collect()[0]
+        return int(row["m"] or 0) + 1
+
     def _exec_edge(self, cmd: str) -> DataFrame:
+        """EDGE CREATE a -> b : type {props} | DELETE a -> b [: type] |
+        LIST [type] [LIMIT n] [OFFSET m] (`neumann_parser` EdgeOp), plus the
+        shorthand `EDGE src dst [type] [weight]`."""
+        sub = (cmd.split(None, 2) + ["", ""])[1].upper()
+        if sub == "CREATE":
+            m = self._require(
+                re.match(
+                    r"EDGE\s+CREATE\s+(\d+)\s*->\s*(\d+)\s*:\s*(\w+)"
+                    r"\s*(?:\{(.*?)\})?\s*$",
+                    cmd, re.I | re.S),
+                "EDGE CREATE a -> b : type {props}")
+            src, dst, etype = int(m.group(1)), int(m.group(2)), m.group(3)
+            w = float(self._parse_props(m.group(4)).get("weight", 1.0))
+            new = self.spark.createDataFrame(
+                [(src, dst, etype, w)],
+                "src bigint, dst bigint, edge_type string, weight double")
+            self._edges = self._edges.unionAll(new)
+            self._checkpoint_overlays()
+            return new
+        if sub == "DELETE":
+            m = self._require(
+                re.match(r"EDGE\s+DELETE\s+(\d+)\s*->\s*(\d+)(?:\s*:\s*(\w+))?\s*$",
+                         cmd, re.I),
+                "EDGE DELETE a -> b [: type]")
+            self.delete_edge(int(m.group(1)), int(m.group(2)), m.group(3))
+            return self.spark.createDataFrame(
+                [(int(m.group(1)), int(m.group(2)), "deleted")],
+                "src bigint, dst bigint, status string")
+        if sub == "LIST":
+            m = self._require(
+                re.match(
+                    r"EDGE\s+LIST(?:\s+(?!LIMIT|OFFSET)(\w+))?"
+                    r"(?:\s+LIMIT\s+(\d+))?(?:\s+OFFSET\s+(\d+))?\s*$",
+                    cmd, re.I),
+                "EDGE LIST [type] [LIMIT n] [OFFSET m]")
+            out = self._edges
+            if m.group(1):
+                out = out.filter(F.col("edge_type") == m.group(1))
+            out = out.orderBy("src", "dst", "edge_type")
+            if m.group(3):
+                out = out.offset(int(m.group(3)))
+            if m.group(2):
+                out = out.limit(int(m.group(2)))
+            return out
         m = self._require(
             re.match(r"EDGE\s+(\d+)\s+(\d+)(?:\s+(\w+))?(?:\s+([\d.]+))?", cmd, re.I),
             "EDGE src dst [type] [weight]")
@@ -617,18 +759,34 @@ class NeumannSparkEngine:
 
     @staticmethod
     def _parse_props(body: Optional[str]) -> dict:
-        """`{id: 5, name: 'x'}` property map — literal values only."""
+        """`{id: 5, name: 'x', type: knows}` property map — literal values,
+        plus bare identifiers as strings (the reference's parser accepts
+        idents for e.g. `type:` / `labels:`, `neumann_parser` Property)."""
         props: dict = {}
-        if not body:
+        if not body or not body.strip():
+            return props
+        for lbl in re.finditer(r"labels\s*:\s*\[([^\]]*)\]", body, re.I):
+            first = lbl.group(1).split(",")[0].strip().strip("'\"")
+            if first:
+                props["label"] = first
+        body = re.sub(r"labels\s*:\s*\[[^\]]*\]\s*,?", "", body, flags=re.I)
+        if not body.strip():
             return props
         for pair in body.split(","):
+            if not pair.strip():
+                continue
             k, _, v = pair.partition(":")
             if not _:
                 raise ValueError(f"expected key: value in props: {pair!r}")
+            v = v.strip()
             try:
-                props[k.strip()] = ast.literal_eval(v.strip())
+                props[k.strip()] = ast.literal_eval(v)
             except (ValueError, SyntaxError) as e:
-                raise ValueError(f"property values must be literals: {v!r}") from e
+                if re.fullmatch(r"[A-Za-z_]\w*", v):
+                    props[k.strip()] = v
+                else:
+                    raise ValueError(
+                        f"property values must be literals: {v!r}") from e
         return props
 
     def _exec_cypher_create(self, cmd: str) -> DataFrame:
@@ -797,3 +955,416 @@ class NeumannSparkEngine:
             F.col(first).cast("string").alias("id"),
             F.to_json(F.struct(*base.columns)).alias("data"),
         )
+
+    # -- SQL DML (UPDATE / DELETE on session-overlaid tables) --------------
+
+    def _session_table(self, name: str) -> DataFrame:
+        """Table for DML: a session table, or a fixture table promoted to a
+        session overlay on first write (copy-on-write, like
+        `operators/dml.py` recompute-and-replace)."""
+        if name in self._tables:
+            return self._tables[name]
+        if name in TABLES:
+            df = load(self.spark, self.sf_dir, name)
+            self._tables[name] = df
+            return df
+        raise KeyError(f"unknown table {name!r}")
+
+    def _exec_update(self, cmd: str) -> DataFrame:
+        """`UPDATE t SET col = expr[, ...] [WHERE cond]`
+        (`relational_engine/src/lib.rs` update; lowered onto
+        `operators/dml.update_where`)."""
+        from neumann_spark.operators.dml import update_where
+
+        m = self._require(
+            re.match(r"UPDATE\s+(\w+)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+))?\s*$",
+                     cmd, re.I | re.S),
+            "UPDATE t SET col = expr [WHERE cond]")
+        name, sets, where = m.groups()
+        assignments = {}
+        for part in sets.split(","):
+            col, _, expr = part.partition("=")
+            if not _:
+                raise ValueError(f"expected col = expr in SET: {part!r}")
+            assignments[col.strip()] = F.expr(expr.strip())
+        df = self._session_table(name)
+        cond = F.expr(where) if where else F.lit(True)
+        before = df.count()
+        new = update_where(df, cond, assignments)
+        self._tables[name] = new
+        new.createOrReplaceTempView(name)
+        return self.spark.createDataFrame(
+            [(name, before)], "table string, scanned bigint")
+
+    def _exec_delete(self, cmd: str) -> DataFrame:
+        """`DELETE FROM t [WHERE cond]` (lowered onto
+        `operators/dml.delete_where`)."""
+        from neumann_spark.operators.dml import delete_where
+
+        m = self._require(
+            re.match(r"DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.+))?\s*$",
+                     cmd, re.I | re.S),
+            "DELETE FROM t [WHERE cond]")
+        name, where = m.groups()
+        df = self._session_table(name)
+        cond = F.expr(where) if where else F.lit(True)
+        n = df.filter(cond).count()
+        new = delete_where(df, cond)
+        self._tables[name] = new
+        new.createOrReplaceTempView(name)
+        return self.spark.createDataFrame(
+            [(name, n)], "table string, deleted bigint")
+
+    # -- ENTITY verbs (`neumann_parser` EntityOp;
+    #    `tensor_unified/src/lib.rs:475,516,562,708,804,690,839`) ----------
+
+    @staticmethod
+    def _entity_id(key: str) -> int:
+        """Node-half id for an entity key: numeric keys are used directly
+        (they address fixture nodes); string keys map to a stable md5-derived
+        id in a reserved range (>= 2^40, far above the fixture id bases)."""
+        if re.fullmatch(r"\d+", key):
+            return int(key)
+        import hashlib
+
+        h = int.from_bytes(hashlib.md5(key.encode()).digest()[:8], "big")
+        return (1 << 40) + (h % (1 << 40))
+
+    def _entity_upsert(self, key: str, props: dict,
+                       embedding: Optional[list] = None) -> None:
+        import json
+
+        label = str(props.get("label", "entity"))
+        row = self.spark.createDataFrame(
+            [(key, label, json.dumps(props, sort_keys=True))],
+            "key string, label string, props string")
+        self._entity_props = (
+            self._entity_props.join(row.select("key"), "key", "left_anti")
+            .unionAll(row))
+        nid = self._entity_id(key)
+        node = self.spark.createDataFrame([(nid, label)], "id bigint, label string")
+        self._nodes = (
+            self._nodes.filter(F.col("id") != nid).unionAll(node))
+        if embedding is not None:
+            new = self.spark.createDataFrame(
+                [(key, [float(x) for x in embedding])],
+                "key string, embedding array<float>")
+            self._embeddings = (
+                self._embeddings.join(new.select("key"), "key", "left_anti")
+                .unionAll(new))
+        self._checkpoint_overlays()
+
+    _ENT_KEY = r"'([^']+)'"
+
+    def _exec_entity(self, cmd: str) -> DataFrame:
+        sub = (cmd.split(None, 2) + ["", ""])[1].upper()
+        if sub in ("CREATE", "UPDATE"):
+            m = self._require(
+                re.match(
+                    rf"ENTITY\s+{sub}\s+{self._ENT_KEY}\s*\{{(.*?)\}}"
+                    r"(?:\s+EMBEDDING\s+\[(.+?)\])?\s*$",
+                    cmd, re.I | re.S),
+                f"ENTITY {sub} 'key' {{props}} [EMBEDDING [v, ...]]")
+            key, props_s, emb_s = m.groups()
+            emb = [float(x) for x in emb_s.split(",")] if emb_s else None
+            self._entity_upsert(key, self._parse_props(props_s), emb)
+            return self.spark.createDataFrame(
+                [(key, sub.lower() + "d")], "key string, status string")
+        if sub == "GET":
+            m = self._require(
+                re.match(rf"ENTITY\s+GET\s+{self._ENT_KEY}\s*$", cmd, re.I),
+                "ENTITY GET 'key'")
+            key = m.group(1)
+            has_emb = self._embeddings.filter(F.col("key") == key).limit(1)
+            return (
+                self._entity_props.filter(F.col("key") == key)
+                .join(has_emb.select("key", F.lit(True).alias("has_embedding")),
+                      "key", "left")
+                .select("key", "label", "props",
+                        F.coalesce("has_embedding", F.lit(False)).alias("has_embedding"))
+            )
+        if sub == "DELETE":
+            m = self._require(
+                re.match(rf"ENTITY\s+DELETE\s+{self._ENT_KEY}\s*$", cmd, re.I),
+                "ENTITY DELETE 'key'")
+            key = m.group(1)
+            self._entity_props = self._entity_props.filter(F.col("key") != key)
+            self.delete_node(self._entity_id(key), detach=True)
+            self.delete_embedding(key)
+            return self.spark.createDataFrame(
+                [(key, "deleted")], "key string, status string")
+        if sub == "CONNECT":
+            m = self._require(
+                re.match(
+                    rf"ENTITY\s+CONNECT\s+{self._ENT_KEY}\s*->\s*{self._ENT_KEY}"
+                    r"\s*:\s*(\w+)\s*$", cmd, re.I),
+                "ENTITY CONNECT 'from' -> 'to' : type")
+            a, b, etype = m.groups()
+            new = self.spark.createDataFrame(
+                [(self._entity_id(a), self._entity_id(b), etype, 1.0)],
+                "src bigint, dst bigint, edge_type string, weight double")
+            self._edges = self._edges.unionAll(new)
+            self._checkpoint_overlays()
+            return new
+        if sub == "BATCH":
+            m = self._require(
+                re.match(r"ENTITY\s+BATCH\s+CREATE\s+\[(.*)\]\s*$", cmd, re.I | re.S),
+                "ENTITY BATCH CREATE [{key: 'k', ...}, ...]")
+            for body in re.findall(r"\{(.*?)\}", m.group(1), re.S):
+                props = self._parse_props(body)
+                key = str(props.pop("key"))
+                self._entity_upsert(key, props)
+            n = len(re.findall(r"\{", m.group(1)))
+            return self.spark.createDataFrame([(n,)], "created bigint")
+        raise ValueError(
+            "expected ENTITY CREATE|GET|UPDATE|DELETE|CONNECT|BATCH CREATE")
+
+    # -- GRAPH algorithm / index verbs (`neumann_parser` parse_graph;
+    #    GraphAlgorithmOp + GraphIndexOp) — run over the session overlay
+    #    graph with the distributed primitives from graph/algorithms.py ----
+
+    def _exec_graph(self, cmd: str) -> DataFrame:
+        from neumann_spark.graph import algorithms as alg
+
+        rest = cmd.split(None, 1)[1] if len(cmd.split(None, 1)) > 1 else ""
+        up = rest.upper()
+        opts = {
+            k.upper(): float(v)
+            for k, v in re.findall(
+                r"(DAMPING|TOLERANCE|ITERATIONS|SAMPLING|RESOLUTION|PASSES)"
+                r"\s+([\d.]+)", rest, re.I)
+        }
+        tm = re.search(r"EDGE\s+TYPE\s+(\w+)", rest, re.I)
+        e = self._edges
+        if tm:
+            e = e.filter(F.col("edge_type") == tm.group(1))
+        dm = re.search(r"\b(OUTGOING|INCOMING|BOTH)\b", rest, re.I)
+        direction = (dm.group(1).upper() if dm else "OUTGOING")
+
+        if up.startswith("PAGERANK"):
+            de = e.select("src", "dst")
+            if direction == "INCOMING":
+                de = de.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            elif direction == "BOTH":
+                de = undirected_edges(e).select("src", "dst")
+            return alg.pagerank(
+                self._nodes, de,
+                iters=int(opts.get("ITERATIONS", alg.PR_ITERS)),
+                damping=opts.get("DAMPING", alg.DAMPING))
+        ue = undirected_edges(e)
+        if up.startswith("BETWEENNESS CENTRALITY"):
+            ratio = opts.get("SAMPLING", 0.1)
+            mod = max(1, round(1.0 / max(ratio, 1e-9)))
+            srcs = self._nodes.filter(F.col("id") % mod == 1).select(
+                F.col("id").alias("source"), F.col("id").alias("node"))
+            return alg.betweenness_distributed(ue.select("src", "dst"), srcs)
+        if up.startswith("CLOSENESS CENTRALITY"):
+            srcs = self._nodes.filter(F.col("id") % 10 == 1).select(
+                F.col("id").alias("source"), F.col("id").alias("node"))
+            sp = bfs_levels(ue.select("src", "dst"), srcs, 3).filter(F.col("dist") > 0)
+            return sp.groupBy("source").agg(
+                F.count("*").alias("n_reached"),
+                F.round(F.count("*").cast("double") / F.sum("dist"), 6)
+                .alias("closeness"))
+        if up.startswith("EIGENVECTOR CENTRALITY"):
+            return alg.eigenvector_centrality(
+                self._nodes, ue, iters=int(opts.get("ITERATIONS", alg.EV_ITERS)))
+        if up.startswith("LOUVAIN COMMUNITIES"):
+            if opts.get("RESOLUTION", 1.0) != 1.0:
+                raise ValueError("only RESOLUTION 1.0 is supported")
+            return alg.louvain_communities(
+                ue, rounds=int(opts.get("PASSES", alg.LOUVAIN_ROUNDS)))
+        if up.startswith("LABEL PROPAGATION"):
+            return alg.label_propagation(
+                self._nodes, ue, rounds=int(opts.get("ITERATIONS", alg.LPA_ROUNDS)))
+        if up.startswith("INDEX"):
+            return self._exec_graph_index(rest)
+        raise ValueError(
+            "expected GRAPH PAGERANK | BETWEENNESS CENTRALITY | CLOSENESS "
+            "CENTRALITY | EIGENVECTOR CENTRALITY | LOUVAIN COMMUNITIES | "
+            "LABEL PROPAGATION | INDEX ...")
+
+    def _exec_graph_index(self, rest: str) -> DataFrame:
+        """GRAPH INDEX CREATE/DROP/SHOW — declared indexes are a semantic
+        no-op for a scan engine (the partitioning/pruning concern is noted
+        in SURVEY.md §2.9); tracked so SHOW round-trips like the reference's
+        index registry."""
+        self._cache.clear()
+        m = re.match(
+            r"INDEX\s+CREATE\s+ON\s+(?:(NODE|EDGE)\s+PROPERTY\s+(\w+)"
+            r"|(LABEL)|(EDGE\s+TYPE))\s*$", rest, re.I)
+        if m:
+            if m.group(1):
+                key = f"{m.group(1).lower()}:{m.group(2)}"
+            elif m.group(3):
+                key = "node:label"
+            else:
+                key = "edge:type"
+            self._graph_indexes[key] = "created"
+            return self.spark.createDataFrame(
+                [(key, "created")], "index string, status string")
+        m = re.match(r"INDEX\s+DROP\s+ON\s+(NODE|EDGE)\s+PROPERTY\s+(\w+)\s*$",
+                     rest, re.I)
+        if m:
+            key = f"{m.group(1).lower()}:{m.group(2)}"
+            self._graph_indexes.pop(key, None)
+            return self.spark.createDataFrame(
+                [(key, "dropped")], "index string, status string")
+        m = self._require(
+            re.match(r"INDEX\s+SHOW\s+ON\s+(NODE|EDGE)\s*$", rest, re.I),
+            "GRAPH INDEX CREATE ON NODE|EDGE PROPERTY p | ON LABEL | "
+            "ON EDGE TYPE | DROP ... | SHOW ON NODE|EDGE")
+        kind = m.group(1).lower()
+        rows = [(k, v) for k, v in sorted(self._graph_indexes.items())
+                if k.startswith(kind)]
+        return self.spark.createDataFrame(rows, "index string, status string")
+
+    # -- CONSTRAINT verbs (`neumann_parser` parse_constraint;
+    #    GraphConstraintOp) ------------------------------------------------
+
+    _NODE_PROPS = ("id", "label")
+    _EDGE_PROPS = ("src", "dst", "edge_type", "weight")
+
+    def _exec_constraint(self, cmd: str) -> DataFrame:
+        sub = (cmd.split(None, 2) + ["", ""])[1].upper()
+        if sub == "CREATE":
+            m = self._require(
+                re.match(
+                    r"CONSTRAINT\s+CREATE\s+(\w+)\s+ON\s+(NODE|EDGE)"
+                    r"(?:\s+(?!PROPERTY)(\w+))?\s+PROPERTY\s+(\w+)\s+"
+                    r"(?:(UNIQUE)|(EXISTS)|TYPE\s+(\w+))\s*$", cmd, re.I),
+                "CONSTRAINT CREATE name ON NODE|EDGE [label] PROPERTY p "
+                "UNIQUE|EXISTS|TYPE t")
+            name, target, label, prop = m.group(1), m.group(2).upper(), m.group(3), m.group(4)
+            ctype = "unique" if m.group(5) else "exists" if m.group(6) else f"type:{m.group(7)}"
+            known = self._NODE_PROPS if target == "NODE" else self._EDGE_PROPS
+            if prop not in known:
+                raise ValueError(f"unknown {target.lower()} property {prop!r}")
+            violations = self._constraint_violations(target, label, prop, ctype)
+            if violations > 0:
+                raise ValueError(
+                    f"constraint {name!r} violated by {violations} existing "
+                    f"{target.lower()}s")
+            self._constraints[name] = (target, label, prop, ctype)
+            return self.spark.createDataFrame(
+                [(name, "created")], "constraint string, status string")
+        if sub == "DROP":
+            m = self._require(re.match(r"CONSTRAINT\s+DROP\s+(\w+)\s*$", cmd, re.I),
+                              "CONSTRAINT DROP name")
+            self._constraints.pop(m.group(1), None)
+            return self.spark.createDataFrame(
+                [(m.group(1), "dropped")], "constraint string, status string")
+        if sub == "LIST":
+            rows = [(n, t, l, p, c) for n, (t, l, p, c)
+                    in sorted(self._constraints.items())]
+            return self.spark.createDataFrame(
+                rows,
+                "constraint string, target string, label string, "
+                "property string, type string")
+        m = self._require(re.match(r"CONSTRAINT\s+GET\s+(\w+)\s*$", cmd, re.I),
+                          "CONSTRAINT CREATE|DROP|LIST|GET")
+        name = m.group(1)
+        if name not in self._constraints:
+            raise KeyError(f"no constraint {name!r}")
+        t, l, p, c = self._constraints[name]
+        return self.spark.createDataFrame(
+            [(name, t, l, p, c)],
+            "constraint string, target string, label string, "
+            "property string, type string")
+
+    def _constraint_violations(self, target: str, label: Optional[str],
+                               prop: str, ctype: str) -> int:
+        """Validate a new constraint against the current overlay (the
+        reference validates on write; recompute-and-replace validates the
+        store once at CREATE, then on subsequent creates via re-CREATE)."""
+        df = self._nodes if target == "NODE" else self._edges
+        if label is not None:
+            col = "label" if target == "NODE" else "edge_type"
+            df = df.filter(F.col(col) == label)
+        if ctype == "unique":
+            dup = df.groupBy(prop).agg(F.count("*").alias("n")).filter(F.col("n") > 1)
+            return dup.count()
+        if ctype == "exists":
+            return df.filter(F.col(prop).isNull()).count()
+        want = ctype.split(":", 1)[1].lower()
+        have = dict(df.dtypes)[prop]
+        compat = {"int": {"bigint", "int"}, "integer": {"bigint", "int"},
+                  "bigint": {"bigint"}, "float": {"double", "float"},
+                  "double": {"double"}, "string": {"string"}, "text": {"string"}}
+        return 0 if have in compat.get(want, {want}) else df.count()
+
+    # -- BATCH graph verbs (`neumann_parser` parse_batch; GraphBatchOp) ----
+
+    def _exec_batch(self, cmd: str) -> DataFrame:
+        m = self._require(
+            re.match(r"BATCH\s+(CREATE|DELETE|UPDATE)\s+(NODES?|EDGES?)\s+\[(.*)\]\s*$",
+                     cmd, re.I | re.S),
+            "BATCH CREATE|DELETE|UPDATE NODES|EDGES [...]")
+        verb, kind, body = m.group(1).upper(), m.group(2).upper(), m.group(3)
+        is_node = kind.startswith("NODE")
+        if verb == "CREATE":
+            defs = [self._parse_props(b)
+                    for b in re.findall(r"\{(.*?)\}", body, re.S)]
+            if is_node:
+                base = self._next_node_id()
+                rows = [(int(d.get("id", base + i)), str(d.get("label", "node")))
+                        for i, d in enumerate(defs)]
+                new = self.spark.createDataFrame(rows, "id bigint, label string")
+                self._nodes = self._nodes.unionAll(new)
+            else:
+                rows = [(int(d["from"]), int(d["to"]),
+                         str(d.get("type", "edge")),
+                         float(d.get("weight", 1.0))) for d in defs]
+                new = self.spark.createDataFrame(
+                    rows, "src bigint, dst bigint, edge_type string, weight double")
+                self._edges = self._edges.unionAll(new)
+            self._checkpoint_overlays()
+            return self.spark.createDataFrame([(len(rows),)], "created bigint")
+        if verb == "DELETE":
+            ids = [int(x) for x in re.findall(r"\d+", body)]
+            if is_node:
+                for nid in ids:
+                    self.delete_node(nid, detach=True)
+            else:
+                # edge ids are (src, dst) pairs flattened
+                for a, b in zip(ids[::2], ids[1::2]):
+                    self.delete_edge(a, b)
+            return self.spark.createDataFrame(
+                [(len(ids) if is_node else len(ids) // 2,)], "deleted bigint")
+        if not is_node:
+            raise ValueError("BATCH UPDATE supports NODES only")
+        n = 0
+        for b in re.findall(r"\{(.*?)\}", body, re.S):
+            d = self._parse_props(b)
+            if "label" in d:
+                self.update_node(int(d["id"]), str(d["label"]))
+            n += 1
+        return self.spark.createDataFrame([(n,)], "updated bigint")
+
+    # -- AGGREGATE graph verbs (`neumann_parser` parse_aggregate_stmt;
+    #    GraphAggregateOp) -------------------------------------------------
+
+    _AGG_FNS = {"SUM": F.sum, "AVG": F.avg, "MIN": F.min, "MAX": F.max,
+                "COUNT": F.count}
+
+    def _exec_aggregate(self, cmd: str) -> DataFrame:
+        m = self._require(
+            re.match(
+                r"AGGREGATE\s+(NODE|EDGE)\s+PROPERTY\s+(\w+)\s+"
+                r"(SUM|AVG|MIN|MAX|COUNT)"
+                r"(?:\s+(?:BY\s+(?:LABEL|TYPE)|ON)\s+(\w+))?"
+                r"(?:\s+WHERE\s+(.+))?\s*$", cmd, re.I | re.S),
+            "AGGREGATE NODE|EDGE PROPERTY p SUM|AVG|MIN|MAX|COUNT "
+            "[BY LABEL|TYPE x] [WHERE cond]")
+        target, prop, fn, by, where = m.groups()
+        is_node = target.upper() == "NODE"
+        known = self._NODE_PROPS if is_node else self._EDGE_PROPS
+        if prop not in known:
+            raise ValueError(f"unknown {target.lower()} property {prop!r}")
+        df = self._nodes if is_node else self._edges
+        if by:
+            df = df.filter(F.col("label" if is_node else "edge_type") == by)
+        if where:
+            df = df.filter(where)
+        agg = self._AGG_FNS[fn.upper()](prop).alias(f"{fn.lower()}_{prop}")
+        return df.agg(agg)

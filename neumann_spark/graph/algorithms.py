@@ -905,11 +905,15 @@ def graph_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: per round one groupBy on community (σ_tot), one edge join +
     groupBy on (node, community), one window argmax per node — all shuffles
     keyed on node/community ids; no driver collect."""
-    ue = (
-        undirected_edges(edges_df(spark, sf_dir))
-        .select("src", "dst", "weight")
-        .localCheckpoint(eager=True)
-    )
+    ue = undirected_edges(edges_df(spark, sf_dir))
+    return louvain_communities(ue)
+
+
+def louvain_communities(ue: DataFrame, rounds: int = LOUVAIN_ROUNDS) -> DataFrame:
+    """DataFrame-level synchronous Louvain over symmetric (src, dst, weight)
+    edges — the primitive behind `graph_louvain`, also runnable on the
+    engine facade's session overlay graph (GRAPH LOUVAIN COMMUNITIES)."""
+    ue = ue.select("src", "dst", "weight").localCheckpoint(eager=True)
     kdeg = (
         ue.groupBy(F.col("src").alias("v"))
         .agg(F.sum(F.col("weight").cast("decimal(18,2)")).cast("double").alias("k"))
@@ -923,7 +927,7 @@ def graph_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
     cm = kdeg.select("v", F.col("v").alias("c"))
     from pyspark.sql import Window
 
-    for _ in range(LOUVAIN_ROUNDS):
+    for _ in range(rounds):
         st = cm.join(kdeg, "v").groupBy("c").agg(
             F.sum(F.col("k").cast("decimal(18,2)")).cast("double").alias("st")
         )

@@ -255,3 +255,137 @@ def test_alter_table(engine):
     engine.execute("ALTER TABLE alt_t DROP COLUMN points")
     assert engine.execute("SELECT * FROM alt_t").columns == ["name", "age"]
     engine.execute("DROP TABLE alt_t")
+
+
+# -- reference parser-surface verbs added in round 2 ------------------------
+
+
+def test_node_edge_subcommands(engine):
+    r = engine.execute("NODE CREATE person {name: 'ada'}").collect()[0]
+    nid = r["id"]
+    assert r["label"] == "person"
+    assert engine.execute(f"NODE GET {nid}").collect()[0]["label"] == "person"
+    listed = engine.execute("NODE LIST person LIMIT 5").collect()
+    assert any(row["id"] == nid for row in listed)
+    r2 = engine.execute("NODE CREATE person").collect()[0]
+    assert r2["id"] == nid + 1
+    engine.execute(f"EDGE CREATE {nid} -> {r2['id']} : knows {{weight: 2.5}}")
+    edges = engine.execute("EDGE LIST knows LIMIT 10").collect()
+    assert any(e["src"] == nid and e["weight"] == 2.5 for e in edges)
+    engine.execute(f"EDGE DELETE {nid} -> {r2['id']} : knows")
+    assert not any(
+        e["src"] == nid
+        for e in engine.execute("EDGE LIST knows LIMIT 1000").collect()
+    )
+    engine.execute(f"NODE DELETE {r2['id']}")
+    assert engine.execute(f"NODE GET {r2['id']}").count() == 0
+
+
+def test_show_count_embeddings(engine):
+    n = engine.execute("COUNT EMBEDDINGS").collect()[0]["count"]
+    assert n > 0
+    shown = engine.execute("SHOW EMBEDDINGS LIMIT 3").collect()
+    assert len(shown) == 3 and shown[0]["dimension"] == 64
+    idx = engine.execute("SHOW VECTOR INDEX").collect()[0]
+    assert idx["vectors"] == n and idx["dimension"] == 64
+
+
+def test_sql_update_delete(engine):
+    engine.execute("CREATE TABLE dml_t (name TEXT, score INT)")
+    engine.execute("INSERT INTO dml_t VALUES ('a', 1), ('b', 2), ('c', 3)")
+    engine.execute("UPDATE dml_t SET score = score * 10 WHERE name <> 'a'")
+    rows = {r["name"]: r["score"]
+            for r in engine.execute("SELECT * FROM dml_t").collect()}
+    assert rows == {"a": 1, "b": 20, "c": 30}
+    r = engine.execute("DELETE FROM dml_t WHERE score >= 20").collect()[0]
+    assert r["deleted"] == 2
+    assert engine.execute("SELECT * FROM dml_t").count() == 1
+    engine.execute("DROP TABLE dml_t")
+
+
+def test_entity_verbs(engine):
+    vec = "[" + ", ".join(["0.5"] * 64) + "]"
+    engine.execute(f"ENTITY CREATE 'user:ada' {{name: 'ada', label: person}} EMBEDDING {vec}")
+    got = engine.execute("ENTITY GET 'user:ada'").collect()[0]
+    assert got["label"] == "person" and got["has_embedding"] is True
+    engine.execute("ENTITY UPDATE 'user:ada' {name: 'ada2', label: person}")
+    assert "ada2" in engine.execute("ENTITY GET 'user:ada'").collect()[0]["props"]
+    engine.execute("ENTITY CREATE 'user:bob' {label: person}")
+    engine.execute("ENTITY CONNECT 'user:ada' -> 'user:bob' : follows")
+    a, b = engine._entity_id("user:ada"), engine._entity_id("user:bob")
+    assert engine._edges.filter(
+        f"src = {a} AND dst = {b} AND edge_type = 'follows'").count() == 1
+    n = engine.execute(
+        "ENTITY BATCH CREATE [{key: 'user:c1', label: person}, {key: 'user:c2'}]"
+    ).collect()[0]["created"]
+    assert n == 2
+    engine.execute("ENTITY DELETE 'user:ada'")
+    assert engine.execute("ENTITY GET 'user:ada'").count() == 0
+    assert engine._embeddings.filter("key = 'user:ada'").count() == 0
+
+
+def test_graph_algorithm_verbs(engine):
+    pr = engine.execute("GRAPH PAGERANK ITERATIONS 3 EDGE TYPE located_in")
+    rows = pr.limit(5).collect()
+    assert {"id", "pr"} <= set(pr.columns) and len(rows) > 0
+    lv = engine.execute("GRAPH LOUVAIN COMMUNITIES PASSES 2 EDGE TYPE located_in")
+    assert {"id", "community"} <= set(lv.columns)
+    lp = engine.execute("GRAPH LABEL PROPAGATION ITERATIONS 2 EDGE TYPE located_in")
+    assert lp.limit(1).count() == 1
+    cl = engine.execute("GRAPH CLOSENESS CENTRALITY EDGE TYPE located_in")
+    assert {"source", "closeness"} <= set(cl.columns)
+
+
+def test_graph_index_verbs(engine):
+    r = engine.execute("GRAPH INDEX CREATE ON NODE PROPERTY label").collect()[0]
+    assert r["status"] == "created"
+    engine.execute("GRAPH INDEX CREATE ON LABEL")
+    shown = engine.execute("GRAPH INDEX SHOW ON NODE").collect()
+    assert {row["index"] for row in shown} == {"node:label"}
+    engine.execute("GRAPH INDEX DROP ON NODE PROPERTY label")
+
+
+def test_constraint_verbs(engine):
+    r = engine.execute(
+        "CONSTRAINT CREATE label_exists ON NODE PROPERTY label EXISTS"
+    ).collect()[0]
+    assert r["status"] == "created"
+    listed = engine.execute("CONSTRAINT LIST").collect()
+    assert any(row["constraint"] == "label_exists" for row in listed)
+    got = engine.execute("CONSTRAINT GET label_exists").collect()[0]
+    assert got["type"] == "exists"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        # ids collide across created nodes -> UNIQUE on label must fail
+        engine.execute("CONSTRAINT CREATE lbl_unique ON NODE PROPERTY label UNIQUE")
+    engine.execute("CONSTRAINT DROP label_exists")
+    assert not engine.execute("CONSTRAINT LIST").collect()
+
+
+def test_batch_verbs(engine):
+    r = engine.execute(
+        "BATCH CREATE NODES [{id: 9300001, labels: [robot]}, {id: 9300002, label: robot}]"
+    ).collect()[0]
+    assert r["created"] == 2
+    engine.execute(
+        "BATCH CREATE EDGES [{from: 9300001, to: 9300002, type: pings, weight: 0.5}]"
+    )
+    assert engine._edges.filter("edge_type = 'pings'").count() == 1
+    engine.execute("BATCH UPDATE NODES [{id: 9300001, label: droid}]")
+    assert engine.execute("NODE GET 9300001").collect()[0]["label"] == "droid"
+    engine.execute("BATCH DELETE EDGES [9300001, 9300002]")
+    assert engine._edges.filter("edge_type = 'pings'").count() == 0
+    engine.execute("BATCH DELETE NODES [9300001, 9300002]")
+    assert engine.execute("NODE GET 9300001").count() == 0
+
+
+def test_aggregate_verbs(engine):
+    r = engine.execute(
+        "AGGREGATE EDGE PROPERTY weight AVG BY TYPE located_in"
+    ).collect()[0]
+    assert r["avg_weight"] == 1.0
+    c = engine.execute(
+        "AGGREGATE NODE PROPERTY id COUNT BY LABEL nation"
+    ).collect()[0]
+    assert c["count_id"] == 25
