@@ -87,12 +87,23 @@ def main() -> None:
         floors.append(time.time() - t0)
     floor = round(sorted(floors)[len(floors) // 2], 3)
 
+    # median of 3 runs per query: the reference's published numbers are
+    # criterion steady-state (post-warmup) medians, so the comparable figure
+    # here is also the steady-state one — run 1 additionally pays one-off
+    # Catalyst planning + JIT for this plan shape, reported separately as
+    # `queries_cold`.
+    RUNS = 3
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        samples = []
+        for _ in range(RUNS):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples.append(round(time.time() - t0, 3))
+        cold[name] = samples[0]
+        timings[name] = sorted(samples)[RUNS // 2]
 
     # scaling evidence: the same top queries at 10x less data. A ratio near
     # 1.0 means fixed overhead dominates (the plan scales); a ratio near 10
@@ -120,6 +131,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf),
                 "empty_job_floor_sec": floor,
+                "queries_cold": cold,
                 "queries_minus_floor": {
                     k: round(max(0.0, v - floor), 3) for k, v in timings.items()
                 },
