@@ -57,6 +57,9 @@ class NeumannSparkEngine:
         self._emb_meta = spark.createDataFrame(
             [], "key string, meta_key string, meta_value string"
         )
+        # embedding collections (`vector_engine/src/lib.rs:1369-1585`):
+        # session membership overlay; fixture vectors are uncollected
+        self._emb_coll = spark.createDataFrame([], "key string, collection string")
         # unified entity property store (`tensor_unified/src/lib.rs:475`:
         # key → table fields; the node/embedding halves live in the
         # overlays above, joined by the derived id / the key string)
@@ -427,30 +430,96 @@ class NeumannSparkEngine:
         return new
 
     def _exec_neighbors(self, cmd: str) -> DataFrame:
-        m = self._require(re.match(r"NEIGHBORS\s+'?(\d+)'?", cmd, re.I),
-                          "NEIGHBORS id")
+        """`NEIGHBORS id [OUTGOING|INCOMING|BOTH] [: type]
+        [BY SIMILARITY LIMIT k]` (`neumann_parser` NeighborsStmt: direction,
+        edge-type filter, cross-engine BY SIMILARITY)."""
+        m = self._require(
+            re.match(
+                r"NEIGHBORS\s+'?(\d+)'?(?:\s+(OUTGOING|INCOMING|BOTH))?"
+                r"(?:\s*:\s*(\w+))?(?:\s+(BY\s+SIMILARITY))?"
+                r"(?:\s+LIMIT\s+(\d+))?\s*$",
+                cmd, re.I),
+            "NEIGHBORS id [OUTGOING|INCOMING|BOTH] [: type] "
+            "[BY SIMILARITY] [LIMIT k]")
         nid = int(m.group(1))
-        ue = undirected_edges(self._edges).filter(F.col("src") == nid)
-        return ue.join(self._nodes, ue.dst == self._nodes.id).select(
+        direction = (m.group(2) or "BOTH").upper()
+        e = self._edges
+        if m.group(3):
+            e = e.filter(F.col("edge_type") == m.group(3))
+        if direction == "OUTGOING":
+            nbrs = e.filter(F.col("src") == nid)
+        elif direction == "INCOMING":
+            nbrs = e.filter(F.col("dst") == nid).select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"),
+                "edge_type", "weight")
+        else:
+            nbrs = undirected_edges(e).filter(F.col("src") == nid)
+        out = nbrs.join(self._nodes, nbrs.dst == self._nodes.id).select(
             F.col("dst").alias("neighbor_id"), "label", "edge_type", "weight"
         )
+        if m.group(4):
+            # rank neighbors by embedding similarity to the anchor
+            # (`find_neighbors_by_similarity`, tensor_unified/src/lib.rs:1021)
+            anchor = self._embeddings.filter(F.col("key") == str(nid)).head()
+            if anchor is None:
+                raise KeyError(f"no embedding for node {nid}")
+            qv = [float(x) for x in anchor["embedding"]]
+            cand = out.join(
+                self._embeddings.withColumn(
+                    "_nid", F.expr("try_cast(key AS BIGINT)")),
+                out.neighbor_id == F.col("_nid"),
+            ).select("neighbor_id", "label", "edge_type", "weight", "embedding")
+            k = int(m.group(5) or 10)
+            return knn(cand, "embedding", qv, k, "cosine",
+                       id_cols=("neighbor_id", "label", "edge_type", "weight"))
+        if m.group(5):
+            out = out.orderBy("neighbor_id").limit(int(m.group(5)))
+        return out
 
     def _exec_path(self, cmd: str) -> DataFrame:
+        """`PATH [SHORTEST|ALL|WEIGHTED] a -> b [MAX d] [LIMIT n]`
+        (`neumann_parser` PathStmt / PathAlgorithm), plus the shorthand
+        `PATH a TO b [MAX d]`. SHORTEST = BFS level; WEIGHTED = bounded
+        Bellman-Ford relaxation (the distributed Dijkstra analog); ALL =
+        path counts per hop length (cycle-free walk enumeration)."""
         m = self._require(
-            re.match(r"PATH\s+'?(\d+)'?\s+TO\s+'?(\d+)'?(?:\s+MAX\s+(\d+))?", cmd, re.I),
-            "PATH a TO b [MAX d]")
-        a, b = int(m.group(1)), int(m.group(2))
-        max_d = int(m.group(3) or 4)
-        src = self.spark.createDataFrame([(a, a)], "source bigint, node bigint")
-        levels = bfs_levels(undirected_edges(self._edges), src, max_d)
-        return levels.filter(F.col("node") == b).select("node", "dist")
+            re.match(
+                r"PATH\s+(?:(SHORTEST|ALL|WEIGHTED)\s+)?'?(\d+)'?\s*"
+                r"(?:->|TO)\s*'?(\d+)'?(?:\s+MAX\s+(\d+))?"
+                r"(?:\s+LIMIT\s+(\d+))?\s*$",
+                cmd, re.I),
+            "PATH [SHORTEST|ALL|WEIGHTED] a -> b [MAX d] [LIMIT n]")
+        algo = (m.group(1) or "SHORTEST").upper()
+        a, b = int(m.group(2)), int(m.group(3))
+        max_d = int(m.group(4) or 4)
+        ue = undirected_edges(self._edges)
+        if algo == "WEIGHTED":
+            from neumann_spark.graph.traversal import bounded_dijkstra
+
+            dist = bounded_dijkstra(ue, a, max_d)
+            out = dist.filter(F.col("node") == b).select(
+                "node", F.round("dist", 6).alias("dist"))
+        elif algo == "ALL":
+            src = self.spark.createDataFrame([(a, a)], "source bigint, node bigint")
+            # count simple shortest-path-length-d arrivals per hop count:
+            # re-run BFS per depth bound (bounded enumeration, SURVEY §2.9)
+            levels = bfs_levels(ue, src, max_d)
+            out = (
+                levels.filter(F.col("node") == b)
+                .select(F.col("node"), F.col("dist").alias("hops"))
+            )
+        else:
+            src = self.spark.createDataFrame([(a, a)], "source bigint, node bigint")
+            levels = bfs_levels(ue, src, max_d)
+            out = levels.filter(F.col("node") == b).select("node", "dist")
+        if m.group(5):
+            out = out.limit(int(m.group(5)))
+        return out
 
     # -- vector commands --------------------------------------------------
 
-    def _exec_embed(self, cmd: str) -> DataFrame:
-        m = self._require(re.match(r"EMBED\s+'?([\w:]+)'?\s+\[(.+)\]", cmd, re.I | re.S),
-                          "EMBED key [v1, v2, ...]")
-        key, vals = m.group(1), [float(x) for x in m.group(2).split(",")]
+    def _store_embedding(self, key: str, vals: list[float],
+                         collection: Optional[str] = None) -> None:
         # dimension enforced per store, like the reference
         # (`vector_engine/src/lib.rs:1840-1895`)
         first = self._embeddings.select(F.size("embedding").alias("d")).head()
@@ -459,30 +528,121 @@ class NeumannSparkEngine:
                 f"dimension mismatch: store holds {first['d']}-d vectors, "
                 f"got {len(vals)}"
             )
-        new = self.spark.createDataFrame([(key, vals)], "key string, embedding array<float>")
+        new = self.spark.createDataFrame(
+            [(key, vals)], "key string, embedding array<float>")
         self._embeddings = (
             self._embeddings.join(new.select("key"), "key", "left_anti").unionAll(new)
         )
-        return new.select("key")
+        if collection:
+            row = self.spark.createDataFrame(
+                [(key, collection)], "key string, collection string")
+            self._emb_coll = (
+                self._emb_coll.join(row.select("key"), "key", "left_anti")
+                .unionAll(row))
+
+    def _exec_embed(self, cmd: str) -> DataFrame:
+        """EMBED STORE 'key' [vec] | GET 'key' | DELETE 'key' |
+        BUILD INDEX | BATCH [('k', [..]), ...] [IN|INTO coll]
+        (`neumann_parser` EmbedOp), plus the shorthand `EMBED key [vec]`."""
+        cm = re.search(r"\s+(?:IN|INTO)\s+(\w+)\s*$", cmd, re.I)
+        coll = cm.group(1) if cm else None
+        if cm:
+            cmd = cmd[: cm.start()]
+        sub = (cmd.split(None, 2) + ["", ""])[1].upper()
+        if sub == "STORE":
+            m = self._require(
+                re.match(r"EMBED\s+STORE\s+'?([\w:]+)'?\s+\[(.*?)\]\s*$",
+                         cmd, re.I | re.S),
+                "EMBED STORE 'key' [v1, v2, ...]")
+            vals = [float(x) for x in m.group(2).split(",") if x.strip()]
+            self._store_embedding(m.group(1), vals, coll)
+            return self.spark.createDataFrame(
+                [(m.group(1), "stored")], "key string, status string")
+        if sub == "GET":
+            m = self._require(
+                re.match(r"EMBED\s+GET\s+'?([\w:]+)'?\s*$", cmd, re.I),
+                "EMBED GET 'key'")
+            return self._embeddings.filter(F.col("key") == m.group(1))
+        if sub == "DELETE":
+            m = self._require(
+                re.match(r"EMBED\s+DELETE\s+'?([\w:]+)'?\s*$", cmd, re.I),
+                "EMBED DELETE 'key'")
+            self.delete_embedding(m.group(1))
+            return self.spark.createDataFrame(
+                [(m.group(1), "deleted")], "key string, status string")
+        if sub == "BUILD":
+            # EMBED BUILD INDEX — index construction is declarative here:
+            # the ANN structures (LSH buckets / IVF lists / PQ codes,
+            # pipeline/ann.py) build lazily from the store; acknowledge like
+            # the reference's build_hnsw_index
+            self._require(re.match(r"EMBED\s+BUILD\s+INDEX\s*$", cmd, re.I),
+                          "EMBED BUILD INDEX")
+            n = self._embeddings.count()
+            return self.spark.createDataFrame(
+                [("built", n)], "status string, vectors bigint")
+        if sub == "BATCH":
+            m = self._require(
+                re.match(r"EMBED\s+BATCH\s+\[(.*)\]\s*$", cmd, re.I | re.S),
+                "EMBED BATCH [('k1', [v, ...]), ...]")
+            body = m.group(1).strip()
+            items: list[tuple] = []
+            if body:
+                try:
+                    items = list(ast.literal_eval(f"[{body}]"))
+                except (ValueError, SyntaxError) as e:
+                    raise ValueError(
+                        "EMBED BATCH items must be ('key', [floats]) literals"
+                    ) from e
+            for key, vec in items:
+                self._store_embedding(str(key), [float(x) for x in vec], coll)
+            return self.spark.createDataFrame([(len(items),)], "stored bigint")
+        m = self._require(re.match(r"EMBED\s+'?([\w:]+)'?\s+\[(.+)\]", cmd, re.I | re.S),
+                          "EMBED key [v1, v2, ...]")
+        vals = [float(x) for x in m.group(2).split(",")]
+        self._store_embedding(m.group(1), vals, coll)
+        return self.spark.createDataFrame([(m.group(1),)], "key string")
 
     def _exec_similar(self, cmd: str) -> DataFrame:
+        """`SIMILAR 'key'|[vec] [TOP k|LIMIT k] [COSINE|EUCLIDEAN|DOT_PRODUCT]
+        [CONNECTED TO id] [IN coll] [WHERE expr]` (`neumann_parser`
+        SimilarStmt: key-or-vector query, metric, limit, cross-engine
+        CONNECTED TO, collection scope, filtered search)."""
         m = self._require(
             re.match(
-                r"SIMILAR\s+'?([\w:]+)'?\s+TOP\s+(\d+)(?:\s+CONNECTED\s+TO\s+'?(\d+)'?)?",
+                r"SIMILAR\s+(?:'?([\w:]+)'?|\[(.+?)\])"
+                r"(?:\s+(?:TOP|LIMIT)\s+(\d+))?"
+                r"(?:\s+(COSINE|EUCLIDEAN|DOT_PRODUCT))?"
+                r"(?:\s+CONNECTED\s+TO\s+'?(\d+)'?)?"
+                r"(?:\s+IN\s+(\w+))?"
+                r"(?:\s+WHERE\s+(.+?))?\s*$",
                 cmd,
-                re.I,
+                re.I | re.S,
             ),
-            "SIMILAR key TOP k [CONNECTED TO id]")
-        key, k = m.group(1), int(m.group(2))
-        anchor = self._embeddings.filter(F.col("key") == key).head()
-        if anchor is None:
-            raise KeyError(f"no embedding for key {key!r}")
-        qv = [float(x) for x in anchor["embedding"]]
-        base = self._embeddings.filter(F.col("key") != key)
-        if m.group(3) is None:
-            return knn(base, "embedding", qv, k, "cosine", id_cols=("key",))
+            "SIMILAR 'key'|[vec] [TOP|LIMIT k] [metric] [CONNECTED TO id] "
+            "[IN coll] [WHERE expr]")
+        key, vec_s, k_s, metric_s, conn_s, coll, where = m.groups()
+        k = int(k_s or 10)
+        metric = {"COSINE": "cosine", "EUCLIDEAN": "euclidean",
+                  "DOT_PRODUCT": "dot"}[(metric_s or "COSINE").upper()]
+        if vec_s is not None:
+            qv = [float(x) for x in vec_s.split(",")]
+            base = self._embeddings
+        else:
+            anchor = self._embeddings.filter(F.col("key") == key).head()
+            if anchor is None:
+                raise KeyError(f"no embedding for key {key!r}")
+            qv = [float(x) for x in anchor["embedding"]]
+            base = self._embeddings.filter(F.col("key") != key)
+        if coll:
+            base = base.join(
+                self._emb_coll.filter(F.col("collection") == coll).select("key"),
+                "key", "left_semi")
+        if where:
+            base = base.filter(where)
+        if conn_s is None:
+            return knn(base, "embedding", qv, k, metric, id_cols=("key",))
         # SIMILAR … CONNECTED TO: restrict to ≤2-hop reachability of anchor
-        conn = int(m.group(3))
+        conn = int(conn_s)
         src = self.spark.createDataFrame([(conn, conn)], "source bigint, node bigint")
         reach = bfs_levels(undirected_edges(self._edges), src, 2).select("node")
         # try_cast: non-numeric session keys (e.g. 'q:1') are simply
@@ -490,7 +650,7 @@ class NeumannSparkEngine:
         cand = base.withColumn("_nid", F.expr("try_cast(key AS BIGINT)")).join(
             reach, F.col("_nid") == reach.node, "left_semi"
         ).drop("_nid")
-        return knn(cand, "embedding", qv, k, "cosine", id_cols=("key",))
+        return knn(cand, "embedding", qv, k, metric, id_cols=("key",))
 
     # -- Cypher subset ----------------------------------------------------
 
@@ -920,41 +1080,61 @@ class NeumannSparkEngine:
     # -- unified FIND -----------------------------------------------------
 
     def _exec_find(self, cmd: str) -> DataFrame:
+        """`FIND NODE[S]|VERTEX [label] | EDGE[S] [type] | ROWS [FROM] table
+        [WHERE cond] [RETURN items] [LIMIT n]` (`neumann_parser` FindStmt /
+        FindPattern; UnifiedItem result schema unless RETURN projects)."""
         m = self._require(
             re.match(
-                r"FIND\s+(NODES|EDGES|ROWS)\s+(?:(\w+)\s+)?(?:WHERE\s+(.+))?$",
+                r"FIND\s+(NODES?|VERTEX|EDGES?|ROWS)"
+                r"(?:\s+(?:FROM\s+)?(?!WHERE\b|RETURN\b|LIMIT\b)(\w+))?"
+                r"(?:\s+WHERE\s+(.+?))?"
+                r"(?:\s+RETURN\s+(.+?))?"
+                r"(?:\s+LIMIT\s+(\d+))?\s*$",
                 cmd,
                 re.I | re.S,
             ),
-            "FIND NODES|EDGES|ROWS [table] [WHERE cond]")
+            "FIND NODES|VERTEX|EDGES|ROWS [label|type|table] [WHERE cond] "
+            "[RETURN items] [LIMIT n]")
         kind = m.group(1).upper()
+        kind = {"NODE": "NODES", "VERTEX": "NODES", "EDGE": "EDGES"}.get(kind, kind)
+        name = m.group(2)
         if kind == "NODES":
             base = self._nodes
+            if name:
+                base = base.filter(F.col("label") == name)
         elif kind == "EDGES":
             base = self._edges
+            if name:
+                base = base.filter(F.col("edge_type") == name)
         else:
-            base = self.spark.table(m.group(2) or "customer")
+            base = self.spark.table(name or "customer")
         if m.group(3):
             base = base.filter(m.group(3))
+        ret, limit = m.group(4), m.group(5)
+        if ret:
+            out = base.select(*[c.strip() for c in ret.split(",")])
+            return out.limit(int(limit)) if limit else out
         # UnifiedItem result schema: (source, id, data) — SURVEY.md §2.11
         if kind == "NODES":
-            return base.select(
+            out = base.select(
                 F.lit("graph").alias("source"),
                 F.col("id").cast("string").alias("id"),
                 F.col("label").alias("data"),
             )
-        if kind == "EDGES":
-            return base.select(
+        elif kind == "EDGES":
+            out = base.select(
                 F.lit("graph").alias("source"),
                 F.concat_ws("->", "src", "dst").alias("id"),
                 F.col("edge_type").alias("data"),
             )
-        first = base.columns[0]
-        return base.select(
-            F.lit("relational").alias("source"),
-            F.col(first).cast("string").alias("id"),
-            F.to_json(F.struct(*base.columns)).alias("data"),
-        )
+        else:
+            first = base.columns[0]
+            out = base.select(
+                F.lit("relational").alias("source"),
+                F.col(first).cast("string").alias("id"),
+                F.to_json(F.struct(*base.columns)).alias("data"),
+            )
+        return out.limit(int(limit)) if limit else out
 
     # -- SQL DML (UPDATE / DELETE on session-overlaid tables) --------------
 

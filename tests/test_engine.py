@@ -389,3 +389,86 @@ def test_aggregate_verbs(engine):
         "AGGREGATE NODE PROPERTY id COUNT BY LABEL nation"
     ).collect()[0]
     assert c["count_id"] == 25
+
+
+def test_embed_subcommands(engine):
+    vec = "[" + ", ".join(["0.25"] * 64) + "]"
+    engine.execute(f"EMBED STORE 'doc:e1' {vec}")
+    got = engine.execute("EMBED GET 'doc:e1'").collect()
+    assert len(got) == 1 and len(got[0]["embedding"]) == 64
+    r = engine.execute("EMBED BUILD INDEX").collect()[0]
+    assert r["status"] == "built" and r["vectors"] > 0
+    pair_a = "(" + "'doc:b1', [" + ", ".join(["0.1"] * 64) + "])"
+    pair_b = "(" + "'doc:b2', [" + ", ".join(["0.2"] * 64) + "])"
+    n = engine.execute(
+        f"EMBED BATCH [{pair_a}, {pair_b}] INTO mycoll"
+    ).collect()[0]["stored"]
+    assert n == 2
+    engine.execute("EMBED DELETE 'doc:e1'")
+    assert engine.execute("EMBED GET 'doc:e1'").count() == 0
+
+
+def test_similar_full_syntax(engine):
+    got = engine.execute("SIMILAR 'doc:b1' LIMIT 3 COSINE").collect()
+    # doc:b2 is colinear (cosine 1.0); other colinear session vectors may
+    # tie within float ULPs, so assert membership at the top, not rank 1
+    assert len(got) == 3 and "doc:b2" in {r["key"] for r in got[:2]}
+    vec = "[" + ", ".join(["0.2"] * 64) + "]"
+    by_vec = engine.execute(f"SIMILAR {vec} LIMIT 2 EUCLIDEAN").collect()
+    assert by_vec[0]["key"] == "doc:b2"  # exact match, distance 0
+    in_coll = engine.execute("SIMILAR 'doc:b1' LIMIT 5 IN mycoll").collect()
+    assert {r["key"] for r in in_coll} == {"doc:b2"}
+    filtered = engine.execute(
+        "SIMILAR 'doc:b1' LIMIT 5 WHERE key LIKE 'doc:%'"
+    ).collect()
+    assert all(r["key"].startswith("doc:") for r in filtered)
+
+
+def test_neighbors_direction_type(engine):
+    engine.execute("NODE 9400001 hub")
+    engine.execute("NODE 9400002 spoke")
+    engine.execute("NODE 9400003 spoke")
+    engine.execute("EDGE 9400001 9400002 links 1.0")
+    engine.execute("EDGE 9400003 9400001 links 1.0")
+    out = engine.execute("NEIGHBORS 9400001 OUTGOING : links").collect()
+    assert {r["neighbor_id"] for r in out} == {9400002}
+    inc = engine.execute("NEIGHBORS 9400001 INCOMING : links").collect()
+    assert {r["neighbor_id"] for r in inc} == {9400003}
+    both = engine.execute("NEIGHBORS 9400001 BOTH : links LIMIT 10").collect()
+    assert {r["neighbor_id"] for r in both} == {9400002, 9400003}
+
+
+def test_neighbors_by_similarity(engine):
+    v1 = "[" + ", ".join(["0.9"] * 64) + "]"
+    # NOT colinear with v1 (constant vectors all have cosine 1.0 with each
+    # other) — alternate signs so the direction genuinely differs
+    v2 = "[" + ", ".join(["0.9", "-0.9"] * 32) + "]"
+    engine.execute(f"EMBED '9400001' {v1}")
+    engine.execute(f"EMBED '9400002' {v1}")
+    engine.execute(f"EMBED '9400003' {v2}")
+    out = engine.execute(
+        "NEIGHBORS 9400001 BOTH : links BY SIMILARITY LIMIT 2"
+    ).collect()
+    assert out[0]["neighbor_id"] == 9400002  # identical vector ranks first
+
+
+def test_path_algorithms(engine):
+    sp = engine.execute("PATH SHORTEST 9400002 -> 9400003 MAX 3").collect()
+    assert sp and sp[0]["dist"] == 2
+    wp = engine.execute("PATH WEIGHTED 9400002 -> 9400003 MAX 3").collect()
+    assert wp and wp[0]["dist"] == 2.0
+    legacy = engine.execute("PATH 9400002 TO 9400003 MAX 3").collect()
+    assert legacy and legacy[0]["dist"] == 2
+
+
+def test_find_full_syntax(engine):
+    hubs = engine.execute("FIND NODE hub").collect()
+    assert all(r["data"] == "hub" for r in hubs) and len(hubs) >= 1
+    links = engine.execute("FIND EDGE links LIMIT 1").collect()
+    assert len(links) == 1 and links[0]["data"] == "links"
+    rows = engine.execute(
+        "FIND ROWS FROM nation WHERE n_regionkey = 0 RETURN n_name LIMIT 2"
+    ).collect()
+    assert len(rows) == 2 and rows[0]["n_name"]
+    ret = engine.execute("FIND NODE spoke RETURN id LIMIT 5").collect()
+    assert set(ret[0].asDict()) == {"id"}
