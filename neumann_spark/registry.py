@@ -44,6 +44,7 @@ def _import_all() -> None:
     reaches the iterative graph algorithms, which dominate wall-time at
     fixture scale (per-job overhead, not data volume)."""
     from neumann_spark.pipeline import text_queries  # noqa: F401
+    from neumann_spark.sources import formats  # noqa: F401
     from neumann_spark.functions import geo, vector  # noqa: F401
     from neumann_spark.streaming import windows as stream_windows  # noqa: F401
     from neumann_spark.operators import asof, dml, joins, mutations, relational, windows  # noqa: F401
