@@ -169,6 +169,16 @@ class NeumannSparkEngine:
     # -- relational DDL/DML ----------------------------------------------
 
     def _exec_create(self, cmd: str) -> DataFrame:
+        im = re.match(r"CREATE\s+INDEX\s+(\w+)\s+ON\s+(\w+)\s*\((\w+)\)\s*$",
+                      cmd, re.I)
+        if im:
+            # CREATE INDEX (`neumann_parser` CreateIndexStmt): a scan engine
+            # has no secondary index; declared and tracked (the partitioning/
+            # sort-order concern is noted in SURVEY.md §2.1), like GRAPH INDEX
+            self._graph_indexes[f"sql:{im.group(1)}"] = (
+                f"{im.group(2)}({im.group(3)})")
+            return self.spark.createDataFrame(
+                [(im.group(1), "created")], "index string, status string")
         m = re.match(r"CREATE\s+TABLE\s+(\w+)\s*\((.+)\)\s*$", cmd, re.I | re.S)
         if not m:
             raise ValueError("expected CREATE TABLE name (col type, ...)")
@@ -231,6 +241,11 @@ class NeumannSparkEngine:
         return rows
 
     def _exec_drop(self, cmd: str) -> DataFrame:
+        im = re.match(r"DROP\s+INDEX\s+(\w+)\s*$", cmd, re.I)
+        if im:
+            self._graph_indexes.pop(f"sql:{im.group(1)}", None)
+            return self.spark.createDataFrame(
+                [(im.group(1), "dropped")], "index string, status string")
         m = self._require(re.match(r"DROP\s+TABLE\s+(\w+)", cmd, re.I),
                           "DROP TABLE name")
         name = m.group(1)

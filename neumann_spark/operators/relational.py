@@ -315,6 +315,25 @@ def rel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "rel_cube",
+    oracle=f"""
+    SELECT l_returnflag, l_linenumber, COUNT(*) AS n,
+           {sql_dsum('l_extendedprice')} AS sum_price
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linenumber)
+    """,
+)
+def rel_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (superset, SURVEY.md §2.4 — same family as
+    `rel_rollup`): all 2^k group-by combinations in one pass, Spark expands
+    to a single shuffle with a grouping-id column."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linenumber").agg(
+        F.count("*").alias("n"), dsum("l_extendedprice").alias("sum_price")
+    )
+
+
 # --- §2.6 sorts / limits --------------------------------------------------
 
 

@@ -104,3 +104,31 @@ def win_rank_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("s_suppkey").over(w).alias("prev_supp"),
         F.lead("s_suppkey").over(w).alias("next_supp"),
     )
+
+
+@register(
+    "win_distribution_functions",
+    oracle="""
+    SELECT s_suppkey, s_nationkey,
+           NTILE(4)       OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey) AS quartile,
+           ROUND(PERCENT_RANK() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey), 8) AS pct_rank,
+           ROUND(CUME_DIST()    OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey), 8) AS cume
+    FROM supplier
+    """,
+)
+def win_distribution_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions NTILE / PERCENT_RANK / CUME_DIST
+    (superset — SURVEY.md §2.5; same single shuffle on the partition key as
+    the ranking family). percent_rank/cume_dist are ratios of integer ranks
+    — identical doubles in both engines, rounded defensively at 1e-8."""
+    s = load(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.col("s_acctbal").desc(), F.col("s_suppkey")
+    )
+    return s.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 8).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 8).alias("cume"),
+    )

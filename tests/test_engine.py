@@ -472,3 +472,11 @@ def test_find_full_syntax(engine):
     assert len(rows) == 2 and rows[0]["n_name"]
     ret = engine.execute("FIND NODE spoke RETURN id LIMIT 5").collect()
     assert set(ret[0].asDict()) == {"id"}
+
+
+def test_create_drop_index(engine):
+    r = engine.execute("CREATE INDEX idx_bal ON customer(c_acctbal)").collect()[0]
+    assert r["status"] == "created"
+    assert "sql:idx_bal" in engine._graph_indexes
+    engine.execute("DROP INDEX idx_bal")
+    assert "sql:idx_bal" not in engine._graph_indexes
