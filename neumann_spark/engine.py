@@ -145,6 +145,22 @@ class NeumannSparkEngine:
             out = self._exec_batch(cmd)
         elif head == "AGGREGATE":
             out = self._exec_aggregate(cmd)
+        elif head == "LIST" and re.match(r"LIST\s+TABLES", cmd, re.I):
+            out = self._exec_show("SHOW TABLES")
+        elif head in ("PAGERANK", "LOUVAIN", "BETWEENNESS", "CLOSENESS",
+                      "EIGENVECTOR", "LABEL"):
+            # bare algorithm heads (samples/knowledge-base.nql spelling:
+            # `PAGERANK EDGE_TYPE reports_to`, `LOUVAIN`)
+            expand = {"LOUVAIN": "LOUVAIN COMMUNITIES",
+                      "BETWEENNESS": "BETWEENNESS CENTRALITY",
+                      "CLOSENESS": "CLOSENESS CENTRALITY",
+                      "EIGENVECTOR": "EIGENVECTOR CENTRALITY"}
+            body = cmd.split(None, 1)[1] if len(cmd.split(None, 1)) > 1 else ""
+            verb = expand.get(head, head)
+            if head in expand and re.match(
+                    rf"{head}\s+{expand[head].split()[1]}", cmd, re.I):
+                verb = head  # already spelled out
+            out = self._exec_graph(f"GRAPH {verb} {body}".strip())
         else:
             raise ValueError(f"unsupported command: {head!r}")
 
@@ -318,10 +334,17 @@ class NeumannSparkEngine:
         return self.spark.sql(cmd)
 
     def _exec_count(self, cmd: str) -> DataFrame:
-        """`COUNT EMBEDDINGS` (`neumann_parser` CountEmbeddings)."""
-        self._require(re.match(r"COUNT\s+EMBEDDINGS\s*$", cmd, re.I),
-                      "COUNT EMBEDDINGS")
-        return self._embeddings.agg(F.count("*").alias("count"))
+        """`COUNT EMBEDDINGS` (`neumann_parser` CountEmbeddings) and the
+        examples' `COUNT <table>` row-count form
+        (`examples/basic_relational.rs`)."""
+        if re.match(r"COUNT\s+EMBEDDINGS\s*$", cmd, re.I):
+            return self._embeddings.agg(F.count("*").alias("count"))
+        m = self._require(re.match(r"COUNT\s+(\w+)\s*$", cmd, re.I),
+                          "COUNT EMBEDDINGS | COUNT table")
+        name = m.group(1)
+        if name not in self._tables and name not in TABLES:
+            raise KeyError(f"unknown table {name!r}")
+        return self.spark.table(name).agg(F.count("*").alias("count"))
 
     # -- graph commands ---------------------------------------------------
 
@@ -340,9 +363,15 @@ class NeumannSparkEngine:
         sub = (cmd.split(None, 2) + ["", ""])[1].upper()
         if sub == "CREATE":
             m = self._require(
-                re.match(r"NODE\s+CREATE\s+(\w+)\s*(?:\{(.*?)\})?\s*$", cmd, re.I | re.S),
-                "NODE CREATE label {props}")
-            label, props = m.group(1), self._parse_props(m.group(2))
+                re.match(
+                    r"NODE\s+CREATE\s+(\w+)\s*(?:\{(.*?)\}|((?:\w+\s*=\s*\S.*)))?\s*$",
+                    cmd, re.I | re.S),
+                "NODE CREATE label {props} | NODE CREATE label k='v', ...")
+            label = m.group(1)
+            # the examples' brace-less `name='Alice', role='dev'` form
+            # (`examples/graph_traversal.rs`) normalizes onto the brace parser
+            props_body = m.group(2) or (m.group(3) or "").replace("=", ":")
+            props = self._parse_props(props_body)
             nid = int(props.get("id", self._next_node_id()))
             new = self.spark.createDataFrame([(nid, label)], "id bigint, label string")
             self._nodes = self._nodes.unionAll(new)
@@ -359,10 +388,11 @@ class NeumannSparkEngine:
             self.delete_node(nid, detach=True)
             return self.spark.createDataFrame(
                 [(nid, "deleted")], "id bigint, status string")
-        if sub == "LIST":
+        if sub in ("LIST", "QUERY"):
+            # NODE QUERY label (`examples/graph_traversal.rs`) = NODE LIST
             m = self._require(
                 re.match(
-                    r"NODE\s+LIST(?:\s+(?!LIMIT|OFFSET)(\w+))?"
+                    r"NODE\s+(?:LIST|QUERY)(?:\s+(?!LIMIT|OFFSET)(\w+))?"
                     r"(?:\s+LIMIT\s+(\d+))?(?:\s+OFFSET\s+(\d+))?\s*$",
                     cmd, re.I),
                 "NODE LIST [label] [LIMIT n] [OFFSET m]")
@@ -394,12 +424,14 @@ class NeumannSparkEngine:
         shorthand `EDGE src dst [type] [weight]`."""
         sub = (cmd.split(None, 2) + ["", ""])[1].upper()
         if sub == "CREATE":
+            # colon form `a -> b : type {props}` (parser) and the examples'
+            # bare form `a -> b TYPE` (`examples/graph_traversal.rs`)
             m = self._require(
                 re.match(
-                    r"EDGE\s+CREATE\s+(\d+)\s*->\s*(\d+)\s*:\s*(\w+)"
+                    r"EDGE\s+CREATE\s+(\d+)\s*->\s*(\d+)\s*:?\s*(\w+)"
                     r"\s*(?:\{(.*?)\})?\s*$",
                     cmd, re.I | re.S),
-                "EDGE CREATE a -> b : type {props}")
+                "EDGE CREATE a -> b [:] type {props}")
             src, dst, etype = int(m.group(1)), int(m.group(2)), m.group(3)
             w = float(self._parse_props(m.group(4)).get("weight", 1.0))
             new = self.spark.createDataFrame(
@@ -626,7 +658,7 @@ class NeumannSparkEngine:
             re.match(
                 r"SIMILAR\s+(?:'?([\w:]+)'?|\[(.+?)\])"
                 r"(?:\s+(?:TOP|LIMIT)\s+(\d+))?"
-                r"(?:\s+(COSINE|EUCLIDEAN|DOT_PRODUCT))?"
+                r"(?:\s+(?:METRIC\s+)?(COSINE|EUCLIDEAN|DOT_PRODUCT))?"
                 r"(?:\s+CONNECTED\s+TO\s+'?(\d+)'?)?"
                 r"(?:\s+IN\s+(\w+))?"
                 r"(?:\s+WHERE\s+(.+?))?\s*$",
@@ -1329,7 +1361,7 @@ class NeumannSparkEngine:
                 r"(DAMPING|TOLERANCE|ITERATIONS|SAMPLING|RESOLUTION|PASSES)"
                 r"\s+([\d.]+)", rest, re.I)
         }
-        tm = re.search(r"EDGE\s+TYPE\s+(\w+)", rest, re.I)
+        tm = re.search(r"EDGE[_\s]+TYPE\s+(\w+)", rest, re.I)
         e = self._edges
         if tm:
             e = e.filter(F.col("edge_type") == tm.group(1))

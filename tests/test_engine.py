@@ -480,3 +480,28 @@ def test_create_drop_index(engine):
     assert "sql:idx_bal" in engine._graph_indexes
     engine.execute("DROP INDEX idx_bal")
     assert "sql:idx_bal" not in engine._graph_indexes
+
+
+def test_samples_dialect(engine):
+    """The spellings used by the reference's examples/ and samples/
+    knowledge-base.nql script."""
+    r = engine.execute("NODE CREATE person name='sample', role='dev'").collect()[0]
+    nid = r["id"]
+    assert r["label"] == "person"
+    r2 = engine.execute("NODE CREATE person name='peer'").collect()[0]
+    engine.execute(f"EDGE CREATE {nid} -> {r2['id']} reports_to")
+    listed = engine.execute("NODE QUERY person LIMIT 100").collect()
+    assert any(row["id"] == nid for row in listed)
+    tabs = {row["table"] for row in engine.execute("LIST TABLES").collect()}
+    assert "customer" in tabs
+    n = engine.execute("COUNT region").collect()[0]["count"]
+    assert n == 5
+    pr = engine.execute("PAGERANK EDGE_TYPE reports_to ITERATIONS 2")
+    assert {"id", "pr"} <= set(pr.columns)
+    lv = engine.execute("LOUVAIN EDGE_TYPE reports_to PASSES 1")
+    assert {"id", "community"} <= set(lv.columns)
+    vec = "[" + ", ".join(["0.3"] * 64) + "]"
+    top = engine.execute(f"SIMILAR {vec} LIMIT 3 METRIC COSINE").collect()
+    assert len(top) == 3
+    engine.execute(f"NODE DELETE {nid}")
+    engine.execute(f"NODE DELETE {r2['id']}")
