@@ -94,3 +94,38 @@ def test_triangle_count_no_cartesian(spark):
 
     plan = _plan(graph_triangle_count(spark, SF_DIR))
     assert "CartesianProduct" not in plan
+
+
+def test_geo_knn_take_ordered(spark):
+    from neumann_spark.functions.geo import geo_knn
+
+    plan = _plan(geo_knn(spark, SF_DIR))
+    # nearest-k is per-partition top-k + k-row merge, never a full sort
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_geo_bbox_is_map_only(spark):
+    from neumann_spark.functions.geo import geo_bbox_search
+
+    plan = _plan(geo_bbox_search(spark, SF_DIR))
+    # pure predicate: no shuffle anywhere in the plan
+    assert "Exchange" not in plan
+
+
+def test_cube_single_shuffle(spark):
+    from neumann_spark.operators.relational import rel_cube
+
+    plan = _plan(rel_cube(spark, SF_DIR))
+    # CUBE expands in one Expand + partial/final agg pair — one shuffle
+    assert "Expand" in plan
+    assert plan.count(") Exchange") == 1 and "hashpartitioning" in plan
+
+
+def test_distribution_windows_single_shuffle(spark):
+    from neumann_spark.operators.windows import win_distribution_functions
+
+    plan = _plan(win_distribution_functions(spark, SF_DIR))
+    # all three distribution functions share one window shuffle+sort
+    assert plan.count(") Exchange") == 1 and "hashpartitioning" in plan
+    assert ") Window" in plan
