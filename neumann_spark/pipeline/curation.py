@@ -1,0 +1,221 @@
+"""Training-data curation operators — LLM-pipeline extension alongside
+dedup/ANN/text-analysis (the brief's first-class components): benchmark
+decontamination, source/language data mixing, PII scrubbing, and
+length-bucketing for batch packing.
+
+Scale design: every operator is map-only or a single equality-join/groupBy
+on a compact key. Decontamination joins on n-gram hashes (the eval side is
+tiny — broadcast); mixing is a deterministic hash predicate (no sampling
+state, reproducible across runs and engines); PII scrubbing is one
+regexp_replace pass inside whole-stage codegen; bucketing is one groupBy on
+a log2 bucket id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from neumann_spark.catalog import load
+from neumann_spark.functions.text import SQL_MD5_INT64, md5_int64
+from neumann_spark.registry import register
+
+# --- benchmark decontamination -------------------------------------------
+# Eval set = doc_id % 97 == 0 (the held-out "benchmark"); a training doc is
+# contaminated if it shares >= CONTAM_MIN_NGRAMS distinct 4-gram shingles
+# with any eval doc. The real-world shape (The Pile / FineWeb decontam):
+# n-gram hash join between corpus and benchmark, benchmark side broadcast.
+
+CONTAM_NGRAM = 4
+CONTAM_MIN_NGRAMS = 1
+
+
+def _ngrams(df: DataFrame, n: int) -> DataFrame:
+    w = F.split("text", " ")
+    grams = F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - F.lit(n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(w, i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select("doc_id", F.explode(grams).alias("g")).distinct()
+
+
+_NGRAMS_SQL = f"""
+    words AS MATERIALIZED (
+      SELECT doc_id, str_split(text, ' ') AS w FROM documents
+    ),
+    grams AS MATERIALIZED (
+      SELECT DISTINCT doc_id, u.g
+      FROM words, UNNEST(list_transform(
+        generate_series(1, len(w) - {CONTAM_NGRAM - 1}),
+        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+      )) AS u(g)
+      WHERE len(w) >= {CONTAM_NGRAM}
+    )
+"""
+
+
+@register(
+    "pipeline_decontaminate",
+    oracle="WITH "
+    + _NGRAMS_SQL
+    + f"""
+    , ev AS MATERIALIZED (
+        SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0
+      ),
+      hits AS (
+        SELECT g.doc_id, COUNT(*) AS n_shared
+        FROM grams g JOIN ev ON ev.g = g.g
+        WHERE g.doc_id % 97 <> 0
+        GROUP BY g.doc_id
+      )
+    SELECT doc_id, n_shared FROM hits WHERE n_shared >= {CONTAM_MIN_NGRAMS}
+    """,
+)
+def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing >= 3 distinct
+    4-grams with the eval split (doc_id % 97). The eval n-gram set is tiny
+    relative to the corpus — broadcast it so the scan-side join is map-only
+    at 100 TB; output is the flag list to anti-join out of the train set."""
+    d = load(spark, sf_dir, "documents")
+    grams = _ngrams(d, CONTAM_NGRAM)
+    ev = grams.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
+    return (
+        grams.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(ev), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= CONTAM_MIN_NGRAMS)
+    )
+
+
+# --- data mixing ----------------------------------------------------------
+
+MIX_RATES = {"en": 90, "es": 40}  # percent kept; default below
+MIX_DEFAULT = 20
+
+
+def _mix_rate_sql() -> str:
+    cases = " ".join(
+        f"WHEN lang = '{k}' THEN {v}" for k, v in MIX_RATES.items()
+    )
+    return f"CASE {cases} ELSE {MIX_DEFAULT} END"
+
+
+@register(
+    "pipeline_data_mixture",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT lang, source,
+             ({SQL_MD5_INT64.format(x="'mix:' || CAST(doc_id AS VARCHAR)")}) % 100 AS u,
+             {_mix_rate_sql()} AS rate
+      FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_total,
+           SUM(CASE WHEN u < rate THEN 1 ELSE 0 END) AS n_kept
+    FROM tagged GROUP BY lang
+    """,
+)
+def pipeline_data_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic language-weighted data mixing (upsample en, downsample
+    the tail — the standard pretraining mixture op): keep-decision is a pure
+    hash of the doc id, so the sample is reproducible, stateless, and
+    engine-independent — no RNG, no sampling state to coordinate across
+    1000 executors. Map-only + one groupBy."""
+    d = load(spark, sf_dir, "documents")
+    u = md5_int64(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))) % 100
+    rate = F.lit(MIX_DEFAULT)
+    for k, v in reversed(MIX_RATES.items()):
+        rate = F.when(F.col("lang") == k, F.lit(v)).otherwise(rate)
+    return (
+        d.select("lang", u.alias("u"), rate.alias("rate"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(F.when(F.col("u") < F.col("rate"), 1).otherwise(0)).alias(
+                "n_kept"
+            ),
+        )
+    )
+
+
+# --- PII scrubbing --------------------------------------------------------
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"[0-9]{3}-[0-9]{4}"
+
+
+@register(
+    "pipeline_pii_scrub",
+    oracle=rf"""
+    WITH contact AS (
+      SELECT doc_id,
+             'u' || CAST(doc_id AS VARCHAR) || '@ex' || CAST(doc_id % 7 AS VARCHAR)
+               || '.com call 555-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+               || ' ' || substr(text, 1, 40) AS blob
+      FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT doc_id,
+           regexp_replace(regexp_replace(blob, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_PHONE_RE}', '<PHONE>', 'g') AS scrubbed,
+           LENGTH(blob)
+             - LENGTH(regexp_replace(blob, '{_EMAIL_RE}', '', 'g'))
+             AS email_chars
+    FROM contact
+    """,
+)
+def pipeline_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails + phone-shaped tokens) over a synthesized
+    contact field — one regexp_replace pass, whole-stage codegen, map-only
+    (the regexes use the RE2-compatible subset so Java and RE2 agree). The
+    emitted email_chars column audits how much was removed — the usual
+    scrub-report metric."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    blob = F.concat(
+        F.lit("u"), F.col("doc_id").cast("string"),
+        F.lit("@ex"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".com call 555-"),
+        (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+        F.lit(" "), F.substring("text", 1, 40),
+    )
+    scrub = F.regexp_replace(
+        F.regexp_replace(blob, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        scrub.alias("scrubbed"),
+        (F.length(blob) - F.length(F.regexp_replace(blob, _EMAIL_RE, ""))).alias(
+            "email_chars"
+        ),
+    )
+
+
+# --- length bucketing -----------------------------------------------------
+
+
+@register(
+    "pipeline_length_buckets",
+    oracle="""
+    SELECT CAST(FLOOR(LOG2(GREATEST(len(str_split(text, ' ')), 1))) AS BIGINT)
+             AS bucket,
+           COUNT(*) AS n_docs,
+           SUM(len(str_split(text, ' '))) AS total_tokens
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def pipeline_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-2 token-length buckets (batch-packing histogram for
+    sequence training): map-only token count + one groupBy on the log2
+    bucket id. Integer tokens sum exactly — no float drift."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.size(F.split("text", " "))
+    bucket = F.floor(F.log2(F.greatest(toks, F.lit(1)))).cast("bigint")
+    return d.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(toks.cast("bigint")).alias("total_tokens"),
+    )

@@ -43,7 +43,7 @@ def _import_all() -> None:
     correctness budget should cover as many queries as possible before it
     reaches the iterative graph algorithms, which dominate wall-time at
     fixture scale (per-job overhead, not data volume)."""
-    from neumann_spark.pipeline import text_queries  # noqa: F401
+    from neumann_spark.pipeline import curation, text_queries  # noqa: F401
     from neumann_spark.sources import formats  # noqa: F401
     from neumann_spark.functions import geo, vector  # noqa: F401
     from neumann_spark.streaming import windows as stream_windows  # noqa: F401
