@@ -343,3 +343,66 @@ def stream_join_streams(
         .trigger(availableNow=True)
         .start()
     )
+
+
+@register(
+    "events_gap_fill",
+    oracle=f"""
+    WITH spine AS MATERIALIZED (
+      SELECT t.day, et.event_type
+      FROM generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-30',
+                           INTERVAL 1 DAY) AS t(day)
+      CROSS JOIN (SELECT DISTINCT event_type FROM events) AS et
+    ),
+    daily AS MATERIALIZED (
+      SELECT time_bucket(INTERVAL '1 day', ts) AS day, event_type,
+             COUNT(*) AS n, {sql_dsum('value', 4)} AS sum_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT s.day, s.event_type,
+           COALESCE(d.n, 0) AS n,
+           last_value(d.sum_value IGNORE NULLS) OVER (
+             PARTITION BY s.event_type ORDER BY s.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_sum
+    FROM spine s LEFT JOIN daily d
+      ON d.day = s.day AND d.event_type = s.event_type
+    """,
+)
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill + LOCF (the hypertable `time_bucket_gapfill` /
+    `locf` rollup shape): a generated daily spine per event type LEFT-joins
+    the daily rollup, missing days count 0, and the running sum
+    carries the last observation forward with an IGNORE NULLS window.
+
+    Scale: the spine is days x types — tiny, broadcast side of the join;
+    the rollup is one partial/final agg over the fact scan; LOCF is one
+    window shuffle keyed by type. At 100 TB the fact scan dominates and
+    everything else stays proportional to the spine, not the data."""
+    ev = load(spark, sf_dir, "events")
+    spine = (
+        spark.sql(
+            "SELECT explode(sequence(timestamp'2024-01-01', "
+            "timestamp'2024-01-30', interval 1 day)) AS day"
+        )
+        .crossJoin(ev.select("event_type").distinct())
+    )
+    daily = (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), dsum("value", 4).alias("sum_value"))
+        .select(F.col("w.start").alias("day"), "event_type", "n", "sum_value")
+    )
+    from pyspark.sql import Window as W
+
+    locf = W.partitionBy("event_type").orderBy("day").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return (
+        spine.join(daily, ["day", "event_type"], "left")
+        .select(
+            "day",
+            "event_type",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.last("sum_value", ignorenulls=True).over(locf).alias("filled_sum"),
+        )
+    )
