@@ -62,6 +62,12 @@ def pagerank(
     outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     e = edges.select("src", "dst").join(outdeg, "src").localCheckpoint(eager=True)
     nodes_c = nodes.select("id").localCheckpoint(eager=True)
+    # nodes with no in-edges keep pr = base every round — a STATIC set, so
+    # the per-round "restore missing nodes" left join (a third shuffle per
+    # iteration) is replaced by a shuffle-free union with this frame
+    no_in = nodes_c.join(
+        e.select(F.col("dst").alias("id")).distinct(), "id", "left_anti"
+    ).localCheckpoint(eager=True)
     pr = nodes_c.select("id", F.lit(1.0 / n_total).alias("pr"))
     base = (1.0 - damping) / n_total
     for it in range(iters):
@@ -71,12 +77,10 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))
         )
-        pr = nodes_c.join(contrib, nodes_c.id == contrib.dst, "left").select(
-            "id",
-            (F.lit(base) + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))).alias(
-                "pr"
-            ),
-        )
+        pr = contrib.select(
+            F.col("dst").alias("id"),
+            (F.lit(base) + F.lit(damping) * F.col("contrib")).alias("pr"),
+        ).unionAll(no_in.select("id", F.lit(float(base)).alias("pr")))
         # pr feeds exactly ONE consumer per round, so the lazy plan grows
         # linearly — the whole power iteration compiles to a single job with
         # chained shuffles. A mid-loop checkpoint every 6 rounds caps
