@@ -96,7 +96,13 @@ class NeumannSparkEngine:
             return self._exec_cypher_delete(cmd)
 
         if head in ("SELECT", "WITH"):
-            out = self.spark.sql(cmd)
+            # the integration tests' bare `SELECT <table>` form
+            # (`integration_tests/tests/cross_engine.rs`) = full scan
+            bm = re.match(r"SELECT\s+(\w+)\s*$", cmd, re.I)
+            if bm and (bm.group(1) in self._tables or bm.group(1) in TABLES):
+                out = self.spark.table(bm.group(1))
+            else:
+                out = self.spark.sql(cmd)
         elif head == "CREATE" and re.match(r"CREATE\s*\(", cmd, re.I):
             out = self._exec_cypher_create(cmd)
         elif head == "MERGE":
@@ -199,10 +205,15 @@ class NeumannSparkEngine:
         if not m:
             raise ValueError("expected CREATE TABLE name (col type, ...)")
         name, cols = m.group(1), m.group(2)
-        schema = ", ".join(
-            f"{c.strip().split()[0]} {self._lower_type(c.strip().split()[1])}"
-            for c in cols.split(",")
-        )
+        # `id INT` (parser) and `id:INT` (integration-test dialect,
+        # `integration_tests/tests/cross_engine.rs`) both accepted; trailing
+        # constraint words (PRIMARY KEY / NOT NULL / DEFAULT x) ignored —
+        # Spark has no enforced constraints (SURVEY.md §1.2)
+        def _col(c: str) -> str:
+            parts = re.split(r"[:\s]+", c.strip())
+            return f"{parts[0]} {self._lower_type(parts[1])}"
+
+        schema = ", ".join(_col(c) for c in cols.split(","))
         df = self.spark.createDataFrame([], schema)
         self._tables[name] = df
         df.createOrReplaceTempView(name)
@@ -226,7 +237,25 @@ class NeumannSparkEngine:
     def _exec_insert(self, cmd: str) -> DataFrame:
         m = re.match(r"INSERT\s+INTO\s+(\w+)\s+VALUES\s*(.+)$", cmd, re.I | re.S)
         if not m:
-            raise ValueError("expected INSERT INTO name VALUES (...), (...)")
+            # the integration tests' keyed form `INSERT t k=v, k=v`
+            # (`integration_tests/tests/client_server.rs:157`)
+            km = re.match(r"INSERT\s+(\w+)\s+(\w+\s*=.+)$", cmd, re.I | re.S)
+            if km and km.group(1) in self._tables:
+                name = km.group(1)
+                props = self._parse_props(km.group(2).replace("=", ":"))
+                cols = self._tables[name].columns
+                unknown = set(props) - set(cols)
+                if unknown:
+                    raise ValueError(f"unknown columns {sorted(unknown)} in {name!r}")
+                row = tuple(props.get(c) for c in cols)
+                new = self.spark.createDataFrame([row], self._tables[name].schema)
+                self._tables[name] = self._tables[name].unionAll(new)
+                self._tables[name].createOrReplaceTempView(name)
+                return self.spark.createDataFrame(
+                    [(name, 1)], "table string, inserted bigint"
+                )
+            raise ValueError(
+                "expected INSERT INTO name VALUES (...), (...) or INSERT name k=v, ...")
         name = m.group(1)
         if name not in self._tables:
             raise KeyError(f"unknown session table {name!r}")
@@ -643,8 +672,12 @@ class NeumannSparkEngine:
             for key, vec in items:
                 self._store_embedding(str(key), [float(x) for x in vec], coll)
             return self.spark.createDataFrame([(len(items),)], "stored bigint")
-        m = self._require(re.match(r"EMBED\s+'?([\w:]+)'?\s+\[(.+)\]", cmd, re.I | re.S),
-                          "EMBED key [v1, v2, ...]")
+        # bracketed `EMBED key [v, ...]` and the integration tests' bare
+        # `EMBED key v, v, ...` form (`integration_tests/tests/find_command.rs:63`)
+        m = self._require(
+            re.match(r"EMBED\s+'?([\w:]+)'?\s+\[?([\d.,\s+eE-]+)\]?\s*$",
+                     cmd, re.I | re.S),
+            "EMBED key [v1, v2, ...]")
         vals = [float(x) for x in m.group(2).split(",")]
         self._store_embedding(m.group(1), vals, coll)
         return self.spark.createDataFrame([(m.group(1),)], "key string")
@@ -1129,7 +1162,26 @@ class NeumannSparkEngine:
     def _exec_find(self, cmd: str) -> DataFrame:
         """`FIND NODE[S]|VERTEX [label] | EDGE[S] [type] | ROWS [FROM] table
         [WHERE cond] [RETURN items] [LIMIT n]` (`neumann_parser` FindStmt /
-        FindPattern; UnifiedItem result schema unless RETURN projects)."""
+        FindPattern; UnifiedItem result schema unless RETURN projects), plus
+        the cross-engine `FIND <name> [WHERE cond] SIMILAR TO "key" [TOP k]
+        [CONNECTED TO id]` form (`integration_tests/tests/find_command.rs`)."""
+        sm = re.match(
+            r"FIND\s+(\w+)(?:\s+WHERE\s+(.+?))?\s+SIMILAR\s+TO\s+"
+            r"[\"']([\w:]+)[\"'](?:\s+TOP\s+(\d+))?"
+            r"(?:\s+CONNECTED\s+TO\s+'?(\d+)'?)?\s*$",
+            cmd,
+            re.I | re.S,
+        )
+        if sm:
+            _name, where, key, k_s, conn = sm.groups()
+            parts = [f"SIMILAR '{key}'", f"TOP {int(k_s or 10)}"]
+            if conn:
+                parts.append(f"CONNECTED TO '{conn}'")
+            if where:
+                # WHERE over the embedding candidates (key-space predicate);
+                # relational-column predicates belong to FIND ROWS
+                parts.append(f"WHERE {where}")
+            return self._exec_similar(" ".join(parts))
         m = self._require(
             re.match(
                 r"FIND\s+(NODES?|VERTEX|EDGES?|ROWS)"

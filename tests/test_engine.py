@@ -505,3 +505,19 @@ def test_samples_dialect(engine):
     assert len(top) == 3
     engine.execute(f"NODE DELETE {nid}")
     engine.execute(f"NODE DELETE {r2['id']}")
+
+
+def test_integration_dialect(engine):
+    """The spellings used by the reference's integration_tests/ suites."""
+    engine.execute("CREATE TABLE itests (id:INT, name:TEXT, price:FLOAT)")
+    engine.execute("INSERT itests id=1, name='Widget', price=9.5")
+    engine.execute("INSERT INTO itests VALUES (2, 'Gadget', 19.5)")
+    rows = {r["id"]: r["name"] for r in engine.execute("SELECT itests").collect()}
+    assert rows == {1: "Widget", 2: "Gadget"}
+    vec = ", ".join(["0.4"] * 64)
+    engine.execute(f"EMBED itest:1 {vec}")  # bare form, no brackets
+    got = engine.execute("EMBED GET 'itest:1'").collect()
+    assert len(got) == 1 and len(got[0]["embedding"]) == 64
+    top = engine.execute('FIND docs SIMILAR TO "itest:1" TOP 3').collect()
+    assert len(top) == 3 and all(r["key"] != "itest:1" for r in top)
+    engine.execute("DROP TABLE itests")
