@@ -511,7 +511,7 @@ class NeumannSparkEngine:
         edge-type filter, cross-engine BY SIMILARITY)."""
         m = self._require(
             re.match(
-                r"NEIGHBORS\s+'?(\d+)'?(?:\s+(OUTGOING|INCOMING|BOTH))?"
+                r"NEIGHBORS\s+'?(\d+)'?(?:\s+(OUTGOING|OUT|INCOMING|IN|BOTH))?"
                 r"(?:\s*:\s*(\w+))?(?:\s+(BY\s+SIMILARITY))?"
                 r"(?:\s+LIMIT\s+(\d+))?\s*$",
                 cmd, re.I),
@@ -519,6 +519,7 @@ class NeumannSparkEngine:
             "[BY SIMILARITY] [LIMIT k]")
         nid = int(m.group(1))
         direction = (m.group(2) or "BOTH").upper()
+        direction = {"OUT": "OUTGOING", "IN": "INCOMING"}.get(direction, direction)
         e = self._edges
         if m.group(3):
             e = e.filter(F.col("edge_type") == m.group(3))
@@ -1281,9 +1282,9 @@ class NeumannSparkEngine:
         from neumann_spark.operators.dml import delete_where
 
         m = self._require(
-            re.match(r"DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.+))?\s*$",
+            re.match(r"DELETE\s+(?:FROM\s+)?(\w+)(?:\s+WHERE\s+(.+))?\s*$",
                      cmd, re.I | re.S),
-            "DELETE FROM t [WHERE cond]")
+            "DELETE [FROM] t [WHERE cond]")
         name, where = m.groups()
         df = self._session_table(name)
         cond = F.expr(where) if where else F.lit(True)

@@ -520,4 +520,8 @@ def test_integration_dialect(engine):
     assert len(got) == 1 and len(got[0]["embedding"]) == 64
     top = engine.execute('FIND docs SIMILAR TO "itest:1" TOP 3').collect()
     assert len(top) == 3 and all(r["key"] != "itest:1" for r in top)
+    r = engine.execute("DELETE itests WHERE id = 1").collect()[0]
+    assert r["deleted"] == 1
+    out = engine.execute("NEIGHBORS 9000001 OUT").collect()
+    assert all(r["neighbor_id"] != 9000001 for r in out)
     engine.execute("DROP TABLE itests")
