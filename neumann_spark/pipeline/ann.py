@@ -695,3 +695,106 @@ def ann_sq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("sq_dist", "vec_id")
         .limit(SQ_TOPK)
     )
+
+
+# --- IVF-PQ combined search -----------------------------------------------
+# The reference pairs the coarse IVF quantizer with PQ codes inside each
+# list (`IVFBuildOptions::pq`, `vector_engine/src/lib.rs:949-990`;
+# `tensor_store/src/ivf.rs` + `pq.rs`) — the FAISS IVFPQ shape. Search =
+# rank coarse centroids, probe nprobe lists, ADC-score ONLY those lists'
+# PQ codes. At 100 TB the scan reads (cluster, 8 code bytes) per vector —
+# never the floats — and the probe filter prunes ~(1 - nprobe/k) of it.
+
+
+def _ivfpq_search_sql() -> str:
+    """Oracle: IVF probe prefix (unrolled Lloyd → centroids → query
+    distances → nprobe lists) + per-subspace PQ Lloyd/LUT CTEs, final ADC
+    sum restricted to vectors whose IVF cluster is probed."""
+    ivf = _ivf_search_sql()
+    cut = ivf.rindex("scored AS")
+    probe_prefix = ivf[: ivf.rindex(",", 0, cut)]
+    parts = [probe_prefix]
+    for s in range(PQ_S):
+        parts.append(_pq_lloyd_sql(s))
+        lo = s * PQ_SUBDIM
+        parts.append(
+            f""",
+    p{s}lut AS MATERIALIZED (
+      SELECT c.code,
+             ROUND(SUM((CAST(q.qv[{lo} + c.i] AS DOUBLE) - c.val)
+                     * (CAST(q.qv[{lo} + c.i] AS DOUBLE) - c.val)), 6) AS d
+      FROM p{s}cent{PQ_ITERS} c CROSS JOIN q
+      GROUP BY c.code
+    )"""
+        )
+    dist_sum = " + ".join(
+        f"(SELECT d FROM p{s}lut WHERE code = a{s}.code)" for s in range(PQ_S)
+    )
+    code_joins = "\n      ".join(
+        f"JOIN p{s}a{PQ_ITERS} a{s} ON a{s}.vec_id = e.vec_id"
+        for s in range(PQ_S)
+    )
+    parts.append(
+        f"""
+    SELECT e.vec_id, av.cluster, ROUND({dist_sum}, 6) AS pq_dist
+    FROM embeddings e
+      JOIN a{IVF_ITERS} av ON av.vec_id = e.vec_id
+      JOIN probes p ON p.cluster = av.cluster
+      {code_joins}
+    WHERE e.vec_id <> 0
+    ORDER BY pq_dist, e.vec_id
+    LIMIT {PQ_TOPK}"""
+    )
+    return "".join(parts)
+
+
+@register("ann_ivfpq_search", oracle=_ivfpq_search_sql())
+def ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search: coarse-quantize with the session IVF index, probe the
+    nprobe=2 nearest lists, and rank ONLY those lists' vectors by PQ ADC
+    distance (per-subspace literal lookup tables). Both indexes come from
+    the session caches (built once, searched many); the probed-list filter
+    is a broadcast join; the distance never touches the float vectors."""
+    state, centroids = ivf_index(spark, sf_dir)
+    codes, codebooks = pq_index(spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings")
+    probe_cells = [
+        F.struct(_sq_dist_expr(F.col("qv"), vals).alias("d"), F.lit(int(cid)).alias("cluster"))
+        for cid, vals in centroids
+    ]
+    probes = (
+        state.filter(F.col("vec_id") == 0)
+        .select(F.col("v").alias("qv"))
+        .select(
+            F.explode(
+                F.slice(F.array_sort(F.array(*probe_cells)), 1, IVF_NPROBE)
+            ).alias("p")
+        )
+        .select(F.col("p.cluster").alias("cluster"))
+    )
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    ]
+    total = None
+    for s in range(PQ_S):
+        qs = qv[s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
+        lut = [
+            float(round(sum((a - b) * (a - b) for a, b in zip(qs, cent)), 6))
+            for _, cent in codebooks[s]
+        ]
+        term = F.element_at(
+            F.array(*[F.lit(d) for d in lut]), F.col(f"code_{s}") + 1
+        )
+        total = term if total is None else total + term
+    cand = (
+        state.select("vec_id", "cluster")
+        .filter(F.col("vec_id") != 0)
+        .join(F.broadcast(probes), "cluster")
+        .join(codes, "vec_id")
+    )
+    return (
+        cand.select("vec_id", "cluster", F.round(total, 6).alias("pq_dist"))
+        .orderBy("pq_dist", "vec_id")
+        .limit(PQ_TOPK)
+    )
