@@ -798,3 +798,87 @@ def ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("pq_dist", "vec_id")
         .limit(PQ_TOPK)
     )
+
+
+# --- PQ shortlist + full-precision rescore --------------------------------
+
+PQ_SHORTLIST = 50
+
+
+def _pq_rescore_sql() -> str:
+    """Oracle: PQ ADC shortlist (top PQ_SHORTLIST), then exact cosine over
+    only the shortlist, top PQ_TOPK."""
+    pq = _pq_search_sql()
+    cut = pq.rindex("\n    SELECT e.vec_id, ROUND(")
+    prefix = pq[:cut]
+    tail = pq[cut:]
+    shortlist = tail.replace(
+        f"ORDER BY pq_dist, e.vec_id\n    LIMIT {PQ_TOPK}",
+        f"ORDER BY pq_dist, e.vec_id\n      LIMIT {PQ_SHORTLIST}",
+    ).replace("\n    SELECT e.vec_id, ROUND(", "SELECT e.vec_id, ROUND(")
+    return (
+        prefix
+        + f""",
+    shortlist AS MATERIALIZED (
+      {shortlist}
+    )
+    SELECT e.vec_id,
+           ROUND(SUM(CAST(e.embedding[t.i] AS DOUBLE) * CAST(q.qv[t.i] AS DOUBLE))
+                 / (SQRT(SUM(CAST(e.embedding[t.i] AS DOUBLE) * CAST(e.embedding[t.i] AS DOUBLE)))
+                  * SQRT(SUM(CAST(q.qv[t.i] AS DOUBLE) * CAST(q.qv[t.i] AS DOUBLE)))), 6) AS score
+    FROM embeddings e
+    JOIN shortlist s ON s.vec_id = e.vec_id
+    CROSS JOIN q
+    CROSS JOIN generate_series(1, {DIM}) AS t(i)
+    GROUP BY e.vec_id
+    ORDER BY score DESC, e.vec_id
+    LIMIT {PQ_TOPK}"""
+    )
+
+
+@register("ann_pq_rescore", oracle=_pq_rescore_sql())
+def ann_pq_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval (`tensor_store/src/pq.rs` ADC + the rescoring
+    pass every production PQ deployment runs): ADC-rank the compressed
+    codes, keep a PQ_SHORTLIST=50 shortlist, then exact-cosine rescore only
+    the shortlist and return the top 10. At 100 TB stage 1 scans codes
+    (64x smaller than floats) and stage 2 touches exactly 50 full vectors —
+    a broadcast semi-join, not a second scan-wide pass."""
+    from neumann_spark.functions.vector import cosine_expr
+
+    codes, codebooks = pq_index(spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings")
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    ]
+    total = None
+    for s in range(PQ_S):
+        qs = qv[s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
+        lut = [
+            float(round(sum((a - b) * (a - b) for a, b in zip(qs, cent)), 6))
+            for _, cent in codebooks[s]
+        ]
+        term = F.element_at(
+            F.array(*[F.lit(d) for d in lut]), F.col(f"code_{s}") + 1
+        )
+        total = term if total is None else total + term
+    shortlist = (
+        codes.filter(F.col("vec_id") != 0)
+        .select("vec_id", F.round(total, 6).alias("pq_dist"))
+        .orderBy("pq_dist", "vec_id")
+        .limit(PQ_SHORTLIST)
+        .select("vec_id")
+    )
+    q = F.lit(qv).cast("array<double>")
+    return (
+        emb.join(F.broadcast(shortlist), "vec_id")
+        .select(
+            "vec_id",
+            F.round(
+                cosine_expr(F.col("embedding").cast("array<double>"), q), 6
+            ).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("vec_id"))
+        .limit(PQ_TOPK)
+    )
