@@ -748,18 +748,73 @@ class NeumannSparkEngine:
         )
         if vm:
             return self._exec_match_varlength(vm)
-        m = re.match(
-            r"MATCH\s+\((\w+)(?::(\w+))?\)\s*-\s*\[:?(\w+)?\]\s*->\s*\((\w+)(?::(\w+))?\)"
+        nm = re.match(
+            rf"MATCH\s*{self._NODE_PAT}"
+            r"(?:\s+WHERE\s+(.+?))?\s+RETURN\s+(.+?)"
+            r"(?:\s+ORDER\s+BY\s+(.+?))?(?:\s+SKIP\s+(\d+))?"
+            r"(?:\s+LIMIT\s+(\d+))?\s*$",
+            cmd,
+            re.I | re.S,
+        )
+        if nm:
+            # node-only pattern `MATCH (n[:Label] [{props}]) ...`
+            # (`neumann_parser/src/cypher.rs` CypherNode) with WHERE /
+            # ORDER BY / SKIP / LIMIT clauses
+            var, label, props, where, ret, order, skip, limit = nm.groups()
+            out = self._nodes.select(
+                F.col("id").alias(f"{var}_id"), F.col("label").alias(f"{var}_label")
+            )
+            if label:
+                out = out.filter(F.col(f"{var}_label") == label)
+            for k, v in self._parse_props(props).items():
+                col = f"{var}_id" if k == "id" else k
+                out = out.filter(F.col(col) == F.lit(v))
+            if where:
+                out = out.filter(re.sub(rf"\b{var}\.(\w+)", rf"{var}_\1", where))
+            cols = [c.strip() for c in ret.split(",")]
+            proj = [f"{c}_id" if c == var else c for c in cols]
+            out = out.select(*proj)
+            if order:
+                items = []
+                for part in order.split(","):
+                    toks = part.split()
+                    col = toks[0].replace(f"{var}.", f"{var}_")
+                    col = f"{var}_id" if col == var else col
+                    desc = len(toks) > 1 and toks[1].upper() == "DESC"
+                    items.append(F.col(col).desc() if desc else F.col(col).asc())
+                out = out.orderBy(*items)
+            else:
+                out = out.orderBy(proj[0])
+            if skip:
+                out = out.offset(int(skip))
+            if limit:
+                out = out.limit(int(limit))
+            return out
+        # incoming form `(a)<-[:T]-(b)` normalizes onto the outgoing
+        # matcher with endpoints swapped (`cypher.rs` CypherRel direction)
+        im = re.match(
+            r"MATCH\s+\((\w+)(?::(\w+))?\)\s*<-\s*\[:?([\w|]+)?\]\s*-\s*\((\w+)(?::(\w+))?\)"
             r"(?:\s+WHERE\s+(.+?))?\s+RETURN\s+(.+?)(?:\s+LIMIT\s+(\d+))?\s*$",
             cmd,
             re.I | re.S,
         )
-        if not m:
-            raise ValueError(
-                "unsupported MATCH pattern (single directed edge, optionally "
-                "variable-length `-[:T*min..max]->`)"
+        if im:
+            a, a_lbl, etype, b, b_lbl, where, ret, limit = im.groups()
+            a, a_lbl, b, b_lbl = b, b_lbl, a, a_lbl
+        else:
+            m = re.match(
+                r"MATCH\s+\((\w+)(?::(\w+))?\)\s*-\s*\[:?([\w|]+)?\]\s*->\s*\((\w+)(?::(\w+))?\)"
+                r"(?:\s+WHERE\s+(.+?))?\s+RETURN\s+(.+?)(?:\s+LIMIT\s+(\d+))?\s*$",
+                cmd,
+                re.I | re.S,
             )
-        a, a_lbl, etype, b, b_lbl, where, ret, limit = m.groups()
+            if not m:
+                raise ValueError(
+                    "unsupported MATCH pattern (node-only, single directed "
+                    "edge either direction, or variable-length "
+                    "`-[:T*min..max]->`)"
+                )
+            a, a_lbl, etype, b, b_lbl, where, ret, limit = m.groups()
         na = self._nodes.select(
             F.col("id").alias(f"{a}_id"), F.col("label").alias(f"{a}_label")
         )
@@ -768,7 +823,8 @@ class NeumannSparkEngine:
         )
         e = self._edges
         if etype:
-            e = e.filter(F.col("edge_type") == etype)
+            # `[:A|B]` type alternation (`cypher.rs` CypherRel rel_types)
+            e = e.filter(F.col("edge_type").isin(etype.split("|")))
         out = (
             e.join(na, e.src == F.col(f"{a}_id"))
             .join(nb, e.dst == F.col(f"{b}_id"))

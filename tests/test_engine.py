@@ -525,3 +525,30 @@ def test_integration_dialect(engine):
     out = engine.execute("NEIGHBORS 9000001 OUT").collect()
     assert all(r["neighbor_id"] != 9000001 for r in out)
     engine.execute("DROP TABLE itests")
+
+
+def test_cypher_node_only_match(engine):
+    rows = engine.execute(
+        "MATCH (n:nation) RETURN n ORDER BY n_id DESC LIMIT 3"
+    ).collect()
+    assert len(rows) == 3 and rows[0]["n_id"] > rows[2]["n_id"]
+    where = engine.execute(
+        "MATCH (n:nation) WHERE n_id = 2000003 RETURN n, n_label"
+    ).collect()
+    assert len(where) == 1 and where[0]["n_label"] == "nation"
+    skipped = engine.execute(
+        "MATCH (n:region) RETURN n ORDER BY n_id SKIP 2 LIMIT 2"
+    ).collect()
+    assert len(skipped) == 2
+
+
+def test_cypher_incoming_and_alternation(engine):
+    inc = engine.execute(
+        "MATCH (n:nation)<-[:located_in]-(c:customer) RETURN c, n LIMIT 5"
+    ).collect()
+    assert len(inc) == 5 and all(r["n_id"] >= 2_000_000 for r in inc)
+    alt = engine.execute(
+        "MATCH (x)-[:located_in|part_of]->(y) RETURN x, y, edge_type LIMIT 2000"
+    ).collect()
+    assert {r["edge_type"] for r in alt} <= {"located_in", "part_of"}
+    assert len({r["edge_type"] for r in alt}) == 2
