@@ -13,7 +13,7 @@ a log2 bucket id.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from neumann_spark.catalog import load
@@ -218,4 +218,103 @@ def pipeline_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy(bucket.alias("bucket")).agg(
         F.count("*").alias("n_docs"),
         F.sum(toks.cast("bigint")).alias("total_tokens"),
+    )
+
+
+# --- stratified sampling --------------------------------------------------
+
+STRAT_K = 10  # exact docs kept per stratum
+
+
+@register(
+    "pipeline_stratified_sample",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY {SQL_MD5_INT64.format(x="'strat:' || CAST(doc_id AS VARCHAR)")},
+                        doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT source, doc_id, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {STRAT_K}
+    """,
+)
+def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: exactly K docs per stratum
+    (source), chosen by rank over a doc-id hash — a reproducible uniform
+    sample with no RNG state, so re-runs and engines agree bit-for-bit.
+    One window shuffle keyed on the stratum; at 100 TB the same result
+    comes cheaper via per-partition top-K pre-aggregation before the final
+    per-stratum top-K (rank is over the hash, so partial top-Ks compose)."""
+    d = load(spark, sf_dir, "documents")
+    h = md5_int64(F.concat(F.lit("strat:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        d.select("source", "doc_id", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= STRAT_K)
+        .select("source", "doc_id", F.col("rk").cast("bigint").alias("rk"))
+    )
+
+
+# --- sequence packing -----------------------------------------------------
+
+PACK_CTX = 256  # context-window length in tokens
+
+
+@register(
+    "pipeline_sequence_packing",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, doc_id, len(str_split(text, ' ')) AS n_tok
+      FROM documents
+    ),
+    cum AS (
+      SELECT source, doc_id, n_tok,
+             COALESCE(SUM(n_tok) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS prev_cum
+      FROM toks
+    )
+    SELECT source,
+           CAST(prev_cum // {PACK_CTX} AS BIGINT) AS chunk,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM cum
+    GROUP BY source, prev_cum // {PACK_CTX}
+    """,
+)
+def pipeline_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training batches — the concat-then-chunk shape:
+    docs within a source stream are concatenated in doc_id order and cut
+    into {PACK_CTX}-token context windows; each doc lands in the chunk
+    where it starts (integer running total → exact on both engines).
+    One window shuffle keyed on the stream id; chunk stats are the
+    packing-efficiency report. At 100 TB the stream id is the shard key,
+    so windows never cross executors."""
+    d = load(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = d.select(
+        "source",
+        "doc_id",
+        n_tok.alias("n_tok"),
+        F.coalesce(F.sum(n_tok).over(w), F.lit(0)).alias("prev_cum"),
+    )
+    return (
+        cum.groupBy(
+            "source",
+            F.floor(F.col("prev_cum") / PACK_CTX).cast("bigint").alias("chunk"),
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
     )

@@ -173,14 +173,14 @@ def _seed_constants() -> list[int]:
     ]
 
 
-def _minhash_sql() -> str:
-    """Oracle: 8 min-hashes per doc (one md5 per shingle, xor-shifted per
-    seed — the standard cheap hash-family trick) → 4 bands of 2 →
-    candidate pairs where any band collides."""
+def _minhash_pairs_ctes() -> str:
+    """CTE chain ending in `pairs(id_a, id_b, n_bands)`: 8 min-hashes per doc
+    (one md5 per shingle, xor-shifted per seed — the standard cheap
+    hash-family trick) → 4 bands of 2 → candidate pairs where any band
+    collides. Shared by the pair query and the cluster-canonical query."""
     base = SQL_MD5_INT64.format(x="s.sh")
     consts = _seed_constants()
-    return f"""
-    WITH {_SHINGLES_SQL},
+    return f"""{_SHINGLES_SQL},
     seeds(j, c) AS (VALUES {", ".join(f"({j}, {c})" for j, c in enumerate(consts))}),
     sigs AS (
       SELECT s.doc_id, t.j, MIN(xor({base}, t.c)) AS sig
@@ -191,13 +191,22 @@ def _minhash_sql() -> str:
       SELECT doc_id, j // {MINHASH_BAND_ROWS} AS band,
              string_agg(CAST(sig AS VARCHAR), ',' ORDER BY j) AS band_sig
       FROM sigs GROUP BY doc_id, j // {MINHASH_BAND_ROWS}
+    ),
+    pairs AS MATERIALIZED (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_bands
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+                 AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )"""
+
+
+def _minhash_sql() -> str:
+    return (
+        "WITH "
+        + _minhash_pairs_ctes()
+        + "\n    SELECT id_a, id_b, n_bands FROM pairs"
     )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_bands
-    FROM bands a
-    JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
-               AND a.doc_id < b.doc_id
-    GROUP BY a.doc_id, b.doc_id
-    """
 
 
 @register("dedup_minhash_lsh", oracle=_minhash_sql())
@@ -246,6 +255,87 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_bands"))
+    )
+
+
+# --- duplicate-cluster canonicalization -----------------------------------
+
+# LSH pairs alone aren't dedup: A~B and B~C must collapse to ONE survivor,
+# so pairs feed a connected-components pass and each cluster keeps its
+# min-id doc. Fixed rounds on both engines → exact regardless of
+# convergence; LSH clusters are near-cliques, so diameter << rounds.
+DEDUP_CC_ROUNDS = 5
+
+
+def _cluster_sql(rounds: int = DEDUP_CC_ROUNDS) -> str:
+    parts = [
+        "WITH ",
+        _minhash_pairs_ctes(),
+        """,
+    dedges AS MATERIALIZED (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    k0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS comp FROM dedges)""",
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f""",
+    k{t} AS MATERIALIZED (
+      SELECT c.id,
+             LEAST(MIN(c.comp), COALESCE(MIN(cm.comp), MIN(c.comp))) AS comp
+      FROM k{t-1} c
+      LEFT JOIN dedges e ON e.src = c.id
+      LEFT JOIN k{t-1} cm ON cm.id = e.dst
+      GROUP BY c.id
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT comp AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_removed
+    FROM k{rounds} GROUP BY comp"""
+    )
+    return "".join(parts)
+
+
+@register("dedup_cluster_canonical", oracle=_cluster_sql())
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-dedup clustering — the production shape downstream of LSH:
+    candidate pairs → connected components (min-id propagation) → keep the
+    min-id doc per cluster, drop the rest. Returns per-cluster stats
+    (cluster_id = the surviving canonical doc). Scale: the pair graph is
+    tiny relative to the corpus (only near-dups appear), so the CC loop
+    shuffles a vanishing fraction of the data; the final keep-set applies
+    back to the corpus as a broadcast anti-join."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
+    e = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionAll(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    comp = e.select(F.col("src").alias("id")).distinct().select(
+        "id", F.col("id").alias("comp")
+    )
+    for _ in range(DEDUP_CC_ROUNDS):
+        nb = (
+            e.join(comp, e.dst == comp.id)
+            .groupBy("src")
+            .agg(F.min("comp").alias("nb_comp"))
+        )
+        comp = comp.join(nb, comp.id == nb.src, "left").select(
+            "id",
+            F.least(F.col("comp"), F.coalesce("nb_comp", F.col("comp"))).alias(
+                "comp"
+            ),
+        )
+    return comp.groupBy(F.col("comp").alias("cluster_id")).agg(
+        F.count("*").alias("n_docs"),
+        (F.count("*") - F.lit(1)).cast("bigint").alias("n_removed"),
     )
 
 

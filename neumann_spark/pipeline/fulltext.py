@@ -146,3 +146,87 @@ def fulltext_fuzzy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("dist").cast("bigint").alias("best_dist"),
         )
     )
+
+
+# --- BM25 ranking ---------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+@register(
+    "fulltext_bm25",
+    oracle=f"""
+    WITH terms AS (SELECT UNNEST(['hash', 'merge', 'stream']) AS term),
+    tok AS (
+      SELECT doc_id, u.w AS term
+      FROM documents, UNNEST(str_split(text, ' ')) AS u(w)
+    ),
+    dl AS (
+      SELECT doc_id, len(str_split(text, ' ')) AS dl FROM documents
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             AVG(CAST(dl AS DOUBLE)) AS avgdl
+      FROM dl
+    ),
+    tf AS (
+      SELECT t.doc_id, t.term, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM tok t JOIN terms q ON t.term = q.term
+      GROUP BY t.doc_id, t.term
+    ),
+    df AS (
+      SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term
+    )
+    SELECT tf.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
+           ROUND(SUM(
+             LN(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * ({BM25_K1} + 1.0)
+             / (tf.tf + {BM25_K1}
+                * (1.0 - {BM25_B} + {BM25_B} * d.dl / s.avgdl))
+           ), 4) AS bm25
+    FROM tf
+    JOIN df ON df.term = tf.term
+    JOIN dl d ON d.doc_id = tf.doc_id
+    CROSS JOIN stats s
+    GROUP BY tf.doc_id
+    """,
+)
+def fulltext_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive BM25-ranked search for {hash, merge, stream} — the
+    standard inverted-index ranking the reference's tf scoring upgrades to
+    (`fulltext.rs` rank path; BM25 parameters k1=1.2, b=0.75).
+    Scale shape: tf is the (term, doc) inverted-index join (term list
+    broadcast); df and the corpus stats are two tiny aggregates broadcast
+    back — the scoring itself is a map-side expression, one shuffle on
+    doc_id total."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    terms = spark.createDataFrame([(t,) for t in SEARCH_TERMS], "term string")
+    dl = d.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    tf = (
+        tok.join(F.broadcast(terms), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    score = idf * F.col("tf") * (BM25_K1 + 1.0) / (
+        F.col("tf")
+        + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_terms_matched"),
+            F.round(F.sum(score), 4).alias("bm25"),
+        )
+    )

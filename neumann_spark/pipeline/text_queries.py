@@ -133,3 +133,81 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("fingerprint"),
         min_hash.alias("min_word_hash"),
     )
+
+
+@register(
+    "text_repetition_signals",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, str_split(text, ' ') AS ws FROM documents
+    ),
+    base AS (
+      SELECT doc_id, len(ws) AS n_words, len(list_distinct(ws)) AS n_distinct
+      FROM w
+    ),
+    bg AS (
+      SELECT doc_id, u.g, COUNT(*) AS c
+      FROM w, UNNEST(list_transform(generate_series(1, len(ws) - 1),
+                                    i -> ws[i] || ' ' || ws[i + 1])) AS u(g)
+      WHERE len(ws) >= 2
+      GROUP BY doc_id, u.g
+    ),
+    bgs AS (
+      SELECT doc_id, MAX(c) AS top_c, SUM(c) AS total_bg
+      FROM bg GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           b.n_words,
+           ROUND(1.0 - CAST(b.n_distinct AS DOUBLE) / b.n_words, 6)
+             AS dup_word_frac,
+           ROUND(CAST(g.top_c AS DOUBLE) / g.total_bg, 6) AS top_bigram_frac,
+           CAST(1.0 - CAST(b.n_distinct AS DOUBLE) / b.n_words > 0.5
+                OR CAST(g.top_c AS DOUBLE) / g.total_bg > 0.1 AS INT)
+             AS flagged
+    FROM base b JOIN bgs g ON g.doc_id = b.doc_id
+    """,
+)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals (the Gopher/MassiveText filter
+    family): duplicate-word fraction (1 - distinct/total, a map-only array
+    expression) and top-bigram fraction (most frequent 2-gram's share of
+    all 2-grams — explode + two-level agg keyed on doc_id, so the shuffle
+    key is the doc id, never a global token table). `flagged` applies the
+    published-style thresholds; downstream removal is a broadcast
+    anti-join of flagged ids."""
+    d = load(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    base = d.select(
+        "doc_id",
+        F.size(w).alias("n_words"),
+        F.size(F.array_distinct(w)).alias("n_distinct"),
+        F.when(
+            F.size(w) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(w, i), F.element_at(w, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>")).alias("bigrams"),
+    )
+    bgs = (
+        base.select("doc_id", F.explode("bigrams").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("total_bg"))
+    )
+    dup = F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_words")
+    top = F.col("top_c").cast("double") / F.col("total_bg")
+    return (
+        base.drop("bigrams")
+        .join(bgs, "doc_id")
+        .select(
+            "doc_id",
+            "n_words",
+            F.round(dup, 6).alias("dup_word_frac"),
+            F.round(top, 6).alias("top_bigram_frac"),
+            ((dup > 0.5) | (top > 0.1)).cast("int").alias("flagged"),
+        )
+    )

@@ -104,3 +104,56 @@ def test_lsh_same_vector_same_bucket(spark):
     )
     rows = df.select("id", lsh_bucket_expr(F.col("v")).alias("b")).collect()
     assert rows[0]["b"] == rows[1]["b"]
+
+
+def test_cluster_canonical_invariants(spark):
+    """Every cluster keeps exactly one canonical (min-id) doc and its id is
+    a member: cluster_id must appear among the pair endpoints, and n_docs
+    >= 2 (singletons never enter the pair graph)."""
+    from neumann_spark.pipeline.dedup import (
+        dedup_cluster_canonical,
+        dedup_minhash_lsh,
+    )
+
+    pairs = dedup_minhash_lsh(spark, SF_DIR).collect()
+    members = {r.id_a for r in pairs} | {r.id_b for r in pairs}
+    clusters = dedup_cluster_canonical(spark, SF_DIR).collect()
+    assert sum(r.n_docs for r in clusters) == len(members)
+    for r in clusters:
+        assert r.n_docs >= 2
+        assert r.cluster_id in members
+        assert r.n_removed == r.n_docs - 1
+
+
+def test_sequence_packing_conserves_tokens(spark):
+    """Chunk token totals must sum to the corpus token total per source."""
+    from neumann_spark.pipeline.curation import pipeline_sequence_packing
+    from neumann_spark.catalog import load
+    from pyspark.sql import functions as F
+
+    packed = pipeline_sequence_packing(spark, SF_DIR)
+    per_source = {
+        r.source: r.total
+        for r in packed.groupBy("source")
+        .agg(F.sum("n_tokens").alias("total"))
+        .collect()
+    }
+    d = load(spark, SF_DIR, "documents")
+    truth = {
+        r.source: r.total
+        for r in d.groupBy("source")
+        .agg(F.sum(F.size(F.split("text", " "))).alias("total"))
+        .collect()
+    }
+    assert per_source == truth
+
+
+def test_stratified_sample_exact_k(spark):
+    from neumann_spark.pipeline.curation import STRAT_K, pipeline_stratified_sample
+
+    rows = pipeline_stratified_sample(spark, SF_DIR).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, set()).add(r.doc_id)
+    for src, ids in by_src.items():
+        assert len(ids) == STRAT_K, src
