@@ -92,6 +92,28 @@ def main() -> None:
     # here is also the steady-state one — run 1 additionally pays one-off
     # Catalyst planning + JIT for this plan shape, reported separately as
     # `queries_cold`.
+    # Per-query state release: iterative queries localCheckpoint per round,
+    # and those block-manager entries outlive the run (the DataFrame refs die
+    # but the JVM keeps the blocks until ContextCleaner notices). Across
+    # 12 queries x 3 runs the leaked blocks compete with shuffle memory and
+    # flake later timings (the r2 dedup_minhash_lsh 10.4s-vs-3s phantom).
+    # Keep only the session graph cache; unpersist everything else between
+    # queries.
+    import gc
+
+    def _persistent_ids() -> set[int]:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in jmap.keySet().toArray()}
+
+    def _release_query_state(keep: set[int]) -> None:
+        gc.collect()  # drop py-side refs so unpersist below is safe
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for k in jmap.keySet().toArray():
+            if int(k) not in keep:
+                jmap.get(k).unpersist(False)
+
+    keep_ids = _persistent_ids()
+
     RUNS = 3
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
@@ -102,6 +124,7 @@ def main() -> None:
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(round(time.time() - t0, 3))
+            _release_query_state(keep_ids)
         cold[name] = samples[0]
         timings[name] = sorted(samples)[RUNS // 2]
 
@@ -111,7 +134,20 @@ def main() -> None:
     scaling: dict[str, dict[str, float]] = {}
     small_dir = sf_dir.replace("sf0.1", "sf0.01")
     if small_dir != sf_dir and os.path.isdir(small_dir):
-        for name in ("q1_pricing_summary", "join_multi_q5", "dedup_minhash_lsh"):
+        # graph queries pay a one-off graph-derivation at the new sf_dir;
+        # materialize it outside the timed region, mirroring the main run
+        nodes_df(spark, small_dir).count()
+        edges_df(spark, small_dir).count()
+        keep_ids = _persistent_ids()
+        for name in (
+            "q1_pricing_summary",
+            "join_multi_q5",
+            "dedup_minhash_lsh",
+            "graph_pagerank",
+            "graph_connected_components",
+            "graph_bfs_levels",
+            "unified_similar_connected",
+        ):
             t0 = time.time()
             queries[name](spark, small_dir).write.format("noop").mode(
                 "overwrite"
@@ -120,6 +156,7 @@ def main() -> None:
                 "sf0.01_sec": round(time.time() - t0, 3),
                 "sf0.1_sec": timings[name],
             }
+            _release_query_state(keep_ids)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -43,14 +43,19 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # The events fixture stores TIMESTAMP(NANOS); Spark's parquet reader
-        # rejects nanos natively, so read them as long and truncate to the
-        # microsecond grid — exactly what DuckDB's reader does, keeping the
-        # oracle comparable.
+        # The events fixture has shipped `ts` as both TIMESTAMP(MICROS) and
+        # TIMESTAMP(NANOS) across driver versions; Spark rejects nanos
+        # natively, so branch on the dtype the reader actually produces and
+        # only apply the nanos->micros truncation when `ts` came back as a
+        # long (the `nanosAsLong` escape hatch).
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        ts_type = raw.schema["ts"].dataType
+        if isinstance(ts_type, (T.TimestampType, T.TimestampNTZType)):
+            return raw.withColumn("ts", F.col("ts").cast("timestamp"))
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

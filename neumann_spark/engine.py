@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import ast
 import re
+from collections import OrderedDict
 from typing import Iterator, Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -38,11 +39,16 @@ class NeumannSparkEngine:
     CACHEABLE = ("SELECT", "SIMILAR", "NEIGHBORS", "PATH", "FIND")
     WRITES = ("CREATE", "INSERT", "DROP", "NODE", "EDGE", "EMBED", "UPDATE",
               "DELETE", "MERGE", "ALTER", "ENTITY", "BATCH", "CONSTRAINT")
+    # verbs in WRITES whose read-only subcommands must NOT invalidate
+    # (`query_router/src/lib.rs:1931-1961` keys invalidation on mutation,
+    # not on verb family: NODE GET is a lookup, NODE CREATE is a write)
+    READ_SUBS = frozenset({"GET", "LIST", "QUERY"})
+    CACHE_MAX = 32
 
     def __init__(self, spark: SparkSession, sf_dir: str):
         self.spark = spark
         self.sf_dir = sf_dir
-        self._cache: dict[str, DataFrame] = {}
+        self._cache: "OrderedDict[str, DataFrame]" = OrderedDict()
         self._tables: dict[str, DataFrame] = {}
         self._nodes = nodes_df(spark, sf_dir)
         self._edges = edges_df(spark, sf_dir)
@@ -86,13 +92,14 @@ class NeumannSparkEngine:
         (`query_router/src/lib.rs:1931-1961`)."""
         cmd = command.strip()
         head = cmd.split(None, 1)[0].upper() if cmd else ""
-        if head in self.WRITES:
-            self._cache.clear()
+        if self._is_write(head, cmd):
+            self._cache_clear()
         elif cmd in self._cache:
+            self._cache.move_to_end(cmd)  # LRU touch
             return self._cache[cmd]
 
         if head == "MATCH" and re.search(r"\b(DETACH\s+)?DELETE\b", cmd, re.I):
-            self._cache.clear()  # a write despite its MATCH head
+            self._cache_clear()  # a write despite its MATCH head
             return self._exec_cypher_delete(cmd)
 
         if head in ("SELECT", "WITH"):
@@ -171,8 +178,34 @@ class NeumannSparkEngine:
             raise ValueError(f"unsupported command: {head!r}")
 
         if head in self.CACHEABLE:
-            self._cache[cmd] = out
+            self._cache_store(cmd, out)
         return out
+
+    # -- query-result cache (`query_router/src/lib.rs:1931-1961`) ---------
+
+    def _is_write(self, head: str, cmd: str) -> bool:
+        if head not in self.WRITES:
+            return False
+        if head in ("NODE", "EDGE", "EMBED", "ENTITY", "CONSTRAINT"):
+            sub = (cmd.split(None, 2) + ["", ""])[1].upper()
+            return sub not in self.READ_SUBS
+        return True
+
+    def _cache_store(self, cmd: str, out: DataFrame) -> None:
+        """Memoize + persist: the first re-execution materializes into
+        Spark's block cache, so repeated facade reads are memory-speed —
+        the Spark analogue of the reference's result-map cache. Bounded
+        LRU; evicted/invalidated entries release their storage."""
+        out.persist()
+        self._cache[cmd] = out
+        while len(self._cache) > self.CACHE_MAX:
+            _, old = self._cache.popitem(last=False)
+            old.unpersist(False)
+
+    def _cache_clear(self) -> None:
+        for df in self._cache.values():
+            df.unpersist(False)
+        self._cache.clear()
 
     def execute_streaming(self, command: str, batch_size: int = 1000) -> Iterator[list]:
         """Batch-fetch cursor over a large result
@@ -899,7 +932,7 @@ class NeumannSparkEngine:
 
     def update_node(self, node_id: int, label: str) -> None:
         """Replace a node's primary label (`update_node`, lib.rs:3551)."""
-        self._cache.clear()
+        self._cache_clear()
         self._nodes = self._nodes.withColumn(
             "label",
             F.when(F.col("id") == node_id, F.lit(label)).otherwise(F.col("label")),
@@ -910,7 +943,7 @@ class NeumannSparkEngine:
         """Delete a node (`delete_node`, lib.rs:3744). Without `detach`,
         refuses while incident edges exist — Cypher DELETE semantics; DETACH
         removes the edges too."""
-        self._cache.clear()
+        self._cache_clear()
         incident = (F.col("src") == node_id) | (F.col("dst") == node_id)
         if detach:
             self._edges = self._edges.filter(~incident)
@@ -924,7 +957,7 @@ class NeumannSparkEngine:
 
     def add_label(self, node_id: int, label: str) -> None:
         """Add a secondary label (`add_label`, lib.rs:3641)."""
-        self._cache.clear()
+        self._cache_clear()
         new = self.spark.createDataFrame([(node_id, label)], "id bigint, label string")
         self._extra_labels = (
             self._extra_labels.unionAll(new).dropDuplicates(["id", "label"])
@@ -932,7 +965,7 @@ class NeumannSparkEngine:
 
     def remove_label(self, node_id: int, label: str) -> None:
         """Remove a secondary label (`remove_label`, lib.rs:3679)."""
-        self._cache.clear()
+        self._cache_clear()
         self._extra_labels = self._extra_labels.filter(
             ~((F.col("id") == node_id) & (F.col("label") == label))
         )
@@ -957,7 +990,7 @@ class NeumannSparkEngine:
         weight: Optional[float] = None,
     ) -> None:
         """Update an edge's type/weight (`update_edge`, lib.rs:6417)."""
-        self._cache.clear()
+        self._cache_clear()
         hit = (F.col("src") == src) & (F.col("dst") == dst)
         if edge_type is not None and weight is None:
             hit = hit & (F.col("edge_type") == edge_type)
@@ -977,7 +1010,7 @@ class NeumannSparkEngine:
         self, src: int, dst: int, edge_type: Optional[str] = None
     ) -> None:
         """Delete edge(s) between src and dst (`delete_edge`, lib.rs:6459)."""
-        self._cache.clear()
+        self._cache_clear()
         hit = (F.col("src") == src) & (F.col("dst") == dst)
         if edge_type is not None:
             hit = hit & (F.col("edge_type") == edge_type)
@@ -988,14 +1021,14 @@ class NeumannSparkEngine:
 
     def delete_embedding(self, key: str) -> None:
         """Delete one embedding (`delete`, vector_engine/src/lib.rs:1915)."""
-        self._cache.clear()
+        self._cache_clear()
         self._embeddings = self._embeddings.filter(F.col("key") != key)
         self._emb_meta = self._emb_meta.filter(F.col("key") != key)
 
     def delete_embeddings_where(self, predicate: str) -> None:
         """Batch delete by predicate (`batch_delete`,
         vector_engine/src/lib.rs:1915 batch form)."""
-        self._cache.clear()
+        self._cache_clear()
         self._embeddings = self._embeddings.filter(f"NOT ({predicate})")
         self._emb_meta = self._emb_meta.join(
             self._embeddings.select("key"), "key", "left_semi"
@@ -1003,14 +1036,14 @@ class NeumannSparkEngine:
 
     def clear_embeddings(self) -> None:
         """Clear the store (`clear`, vector_engine/src/lib.rs:2340)."""
-        self._cache.clear()
+        self._cache_clear()
         self._embeddings = self._embeddings.limit(0)
         self._emb_meta = self._emb_meta.limit(0)
 
     def update_embedding_metadata(self, key: str, **meta: str) -> None:
         """Merge metadata key/values for an embedding
         (`update_metadata`, vector_engine/src/lib.rs:3320,3346)."""
-        self._cache.clear()
+        self._cache_clear()
         new = self.spark.createDataFrame(
             [(key, k, str(v)) for k, v in meta.items()],
             "key string, meta_key string, meta_value string",
@@ -1043,7 +1076,7 @@ class NeumannSparkEngine:
     def disconnect_entities(self, a: int, b: int) -> None:
         """Drop every edge between two entities, both directions
         (`disconnect_entities`, tensor_unified/src/lib.rs:839)."""
-        self._cache.clear()
+        self._cache_clear()
         hit = ((F.col("src") == a) & (F.col("dst") == b)) | (
             (F.col("src") == b) & (F.col("dst") == a)
         )
@@ -1525,7 +1558,7 @@ class NeumannSparkEngine:
         no-op for a scan engine (the partitioning/pruning concern is noted
         in SURVEY.md §2.9); tracked so SHOW round-trips like the reference's
         index registry."""
-        self._cache.clear()
+        self._cache_clear()
         m = re.match(
             r"INDEX\s+CREATE\s+ON\s+(?:(NODE|EDGE)\s+PROPERTY\s+(\w+)"
             r"|(LABEL)|(EDGE\s+TYPE))\s*$", rest, re.I)

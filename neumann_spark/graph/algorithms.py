@@ -526,7 +526,7 @@ def graph_scc_tarjan(spark: SparkSession, sf_dir: str) -> DataFrame:
     class keyed by its min member (singleton classes excluded on both
     sides). Closure size is quadratic in the largest SCC — fine at oracle
     scale (sf <= 0.01), which is why the Spark side doesn't use it."""
-    edges = [tuple(r) for r in _scc_input_edges(spark, sf_dir).collect()]
+    edges = _collect_edges(_scc_input_edges(spark, sf_dir), cols=("src", "dst"))
 
     graph: dict[int, list[int]] = defaultdict(list)
     for s, d in edges:

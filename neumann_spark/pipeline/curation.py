@@ -116,7 +116,7 @@ def _mix_rate_sql() -> str:
       FROM documents
     )
     SELECT lang, COUNT(*) AS n_total,
-           SUM(CASE WHEN u < rate THEN 1 ELSE 0 END) AS n_kept
+           CAST(SUM(CASE WHEN u < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
     FROM tagged GROUP BY lang
     """,
 )
@@ -203,7 +203,7 @@ def pipeline_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(FLOOR(LOG2(GREATEST(len(str_split(text, ' ')), 1))) AS BIGINT)
              AS bucket,
            COUNT(*) AS n_docs,
-           SUM(len(str_split(text, ' '))) AS total_tokens
+           CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS total_tokens
     FROM documents
     GROUP BY 1
     """,

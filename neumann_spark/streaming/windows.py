@@ -111,6 +111,30 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- genuine streaming path (exercised in tests) --------------------------
 
 
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events fixture, adapting to the `ts` encoding the
+    file actually stores: TIMESTAMP(MICROS) today (read natively), INT64
+    nanos historically (read as long via `nanosAsLong`, truncated to the
+    micros grid). Mirrors the batch-side branch in catalog.load."""
+    from pyspark.sql import types as T
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_ts = spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType
+    nanos = not isinstance(raw_ts, (T.TimestampType, T.TimestampNTZType))
+    schema = (
+        f"event_id bigint, ts {'bigint' if nanos else 'timestamp'}, "
+        "user_id bigint, event_type string, value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")  # file source needs a dir
+        .parquet(sf_dir)
+    )
+    if nanos:
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
 def stream_windowed_counts(
     spark: SparkSession, sf_dir: str, queryName: str = "stream_counts"
 ):
@@ -120,17 +144,7 @@ def stream_windowed_counts(
 
     Watermark 1 day: late events beyond the horizon are dropped and closed
     windows leave the state store — bounded state at any scale."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = (
-        "event_id bigint, ts bigint, user_id bigint, event_type string, "
-        "value double, props string"
-    )
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")  # file source needs a dir
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = _events_stream(spark, sf_dir)
     agg = (
         stream.filter(F.col("event_id").isNotNull())
         .withWatermark("ts", "1 day")
@@ -165,16 +179,7 @@ def stream_stateful_user_counts(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = (
-        "event_id bigint, ts bigint, user_id bigint, event_type string, "
-        "value double, props string"
-    )
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    stream = _events_stream(spark, sf_dir)
 
     def update(key, pdfs, state: GroupState):
         n = state.get[0] if state.exists else 0
@@ -229,17 +234,7 @@ def stream_dedup_watermarked(
 ):
     """Real streaming dedup: readStream → watermark → dropDuplicates on
     (event_id) → per-type counts → memory sink."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = (
-        "event_id bigint, ts bigint, user_id bigint, event_type string, "
-        "value double, props string"
-    )
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = _events_stream(spark, sf_dir)
     agg = (
         stream.withWatermark("ts", "1 day")
         .dropDuplicates(["event_id"])
@@ -304,19 +299,8 @@ def stream_join_streams(
     source (clicks / purchases), interval-joined; append-mode memory sink.
     The watermark + time bound let Spark evict join state for rows whose
     match window has passed — bounded state at any scale."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = (
-        "event_id bigint, ts bigint, user_id bigint, event_type string, "
-        "value double, props string"
-    )
-
     def src():
-        return (
-            spark.readStream.schema(raw_schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        )
+        return _events_stream(spark, sf_dir)
 
     clicks = (
         src()
