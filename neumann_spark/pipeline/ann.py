@@ -394,13 +394,27 @@ def ann_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PQ_S = 8
 PQ_SUBDIM = 8
-PQ_K = 4
+PQ_K = 16
 PQ_ITERS = 2
 PQ_TOPK = 10
 
 
 def _pq_subvec(vec: Column, s: int) -> Column:
     return F.slice(vec, s * PQ_SUBDIM + 1, PQ_SUBDIM)
+
+
+def _adc_term(qs: list[float], codebook: list[tuple[int, list[float]]],
+              code_col: Column) -> Column:
+    """One subspace's ADC term: literal map code_id → rounded squared
+    distance to the query subvector. A map, not a dense array — the
+    deterministic Lloyd drops a code when its cell empties, so code ids can
+    be sparse (e.g. {0,1,3,...,15}) and positional indexing would read out
+    of bounds."""
+    entries: list[Column] = []
+    for cid, cent in codebook:
+        d = float(round(sum((a - b) * (a - b) for a, b in zip(qs, cent)), 6))
+        entries += [F.lit(int(cid)), F.lit(d)]
+    return F.element_at(F.create_map(*entries), code_col)
 
 
 def pq_build(emb: DataFrame):
@@ -586,13 +600,7 @@ def ann_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = None
     for s in range(PQ_S):
         qs = qv[s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
-        lut = []
-        for cid, cent in codebooks[s]:
-            d = round(sum((a - b) * (a - b) for a, b in zip(qs, cent)), 6)
-            lut.append(float(d))
-        term = F.element_at(
-            F.array(*[F.lit(d) for d in lut]), F.col(f"code_{s}") + 1
-        )
+        term = _adc_term(qs, codebooks[s], F.col(f"code_{s}"))
         total = term if total is None else total + term
     return (
         codes.filter(F.col("vec_id") != 0)
@@ -779,13 +787,7 @@ def ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = None
     for s in range(PQ_S):
         qs = qv[s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
-        lut = [
-            float(round(sum((a - b) * (a - b) for a, b in zip(qs, cent)), 6))
-            for _, cent in codebooks[s]
-        ]
-        term = F.element_at(
-            F.array(*[F.lit(d) for d in lut]), F.col(f"code_{s}") + 1
-        )
+        term = _adc_term(qs, codebooks[s], F.col(f"code_{s}"))
         total = term if total is None else total + term
     cand = (
         state.select("vec_id", "cluster")
@@ -802,7 +804,7 @@ def ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- PQ shortlist + full-precision rescore --------------------------------
 
-PQ_SHORTLIST = 50
+PQ_SHORTLIST = 200
 
 
 def _pq_rescore_sql() -> str:
@@ -840,9 +842,9 @@ def _pq_rescore_sql() -> str:
 def ann_pq_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage retrieval (`tensor_store/src/pq.rs` ADC + the rescoring
     pass every production PQ deployment runs): ADC-rank the compressed
-    codes, keep a PQ_SHORTLIST=50 shortlist, then exact-cosine rescore only
+    codes, keep a PQ_SHORTLIST=200 shortlist, then exact-cosine rescore only
     the shortlist and return the top 10. At 100 TB stage 1 scans codes
-    (64x smaller than floats) and stage 2 touches exactly 50 full vectors —
+    (64x smaller than floats) and stage 2 touches exactly 200 full vectors —
     a broadcast semi-join, not a second scan-wide pass."""
     from neumann_spark.functions.vector import cosine_expr
 
@@ -855,13 +857,7 @@ def ann_pq_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = None
     for s in range(PQ_S):
         qs = qv[s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
-        lut = [
-            float(round(sum((a - b) * (a - b) for a, b in zip(qs, cent)), 6))
-            for _, cent in codebooks[s]
-        ]
-        term = F.element_at(
-            F.array(*[F.lit(d) for d in lut]), F.col(f"code_{s}") + 1
-        )
+        term = _adc_term(qs, codebooks[s], F.col(f"code_{s}"))
         total = term if total is None else total + term
     shortlist = (
         codes.filter(F.col("vec_id") != 0)

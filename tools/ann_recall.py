@@ -1,0 +1,215 @@
+"""Measured recall@10 for the ANN family vs exact ground truth.
+
+The reference ships HNSW (`tensor_store/src/hnsw.rs:1434-1533`,
+`vector_engine/src/lib.rs:2378-2560`); Spark has no HNSW, so this repo
+substitutes the bucketed/quantized family (LSH, IVF, binary-sign, PQ, SQ,
+IVF-PQ, PQ+rescore — pipeline/ann.py). This tool quantifies that
+substitution: for each method, the average fraction of the exact top-10
+neighbours the method's candidate-generation + ranking recovers, over many
+query anchors.
+
+Index artifacts (cluster assignments, PQ codes, LSH buckets, sign
+signatures, dequantized SQ vectors) are produced by the SAME Spark
+builders/expressions the registered `ann_*` queries use — collected here
+(2k x 64d fixture scale) only to sweep query anchors without running one
+Spark job per (method, anchor). Ranking rules replicate the queries
+exactly: rounded distance grids and (distance, vec_id) tie-breaks.
+
+Usage: python tools/ann_recall.py [sf_dir] [n_queries]
+Prints one JSON line and writes ANN_RECALL.json at the repo root.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TOPK = 10
+
+
+def _exact_top10(order_scores: np.ndarray, qi: int, largest: bool) -> set[int]:
+    s = order_scores.copy()
+    s[qi] = -np.inf if largest else np.inf
+    idx = np.argsort(-s if largest else s, kind="stable")[:TOPK]
+    return set(idx.tolist())
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    n_q = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+
+    from pyspark.sql import functions as F
+
+    from neumann_spark.catalog import load
+    from neumann_spark.pipeline.ann import (
+        IVF_NPROBE,
+        PQ_S,
+        PQ_SHORTLIST,
+        PQ_SUBDIM,
+        _sig_exprs,
+        ivf_index,
+        lsh_bucket_expr,
+        pq_index,
+    )
+    from neumann_spark.session import get_spark
+
+    spark = get_spark("ann_recall")
+
+    state, centroids = ivf_index(spark, sf_dir)
+    codes_df, codebooks = pq_index(spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    lo, hi = _sig_exprs(v)
+    art = (
+        emb.select(
+            "vec_id",
+            v.alias("v"),
+            lsh_bucket_expr(v).alias("bucket"),
+            lo.alias("sig_lo"),
+            hi.alias("sig_hi"),
+        )
+        .join(state.select("vec_id", "cluster"), "vec_id")
+        .join(codes_df, "vec_id")
+        .orderBy("vec_id")
+        .toPandas()
+    )
+
+    vecs = np.array(art["v"].tolist(), dtype=np.float64)  # n x 64
+    n = len(vecs)
+    vec_ids = art["vec_id"].to_numpy()
+    buckets = art["bucket"].to_numpy()
+    clusters = art["cluster"].to_numpy()
+    codes = np.stack(
+        [art[f"code_{s}"].to_numpy() for s in range(PQ_S)], axis=1
+    )  # n x S
+    sigs = np.stack([art["sig_lo"].to_numpy(), art["sig_hi"].to_numpy()], axis=1)
+
+    cent = np.array([c for _, c in centroids])  # k x 64
+    cent_ids = np.array([cid for cid, _ in centroids])
+
+    # SQ dequantization — same per-dimension [lo, hi]/255 grid as
+    # ann_sq_search (SQ_LEVELS=255 there; import to stay in lockstep)
+    from neumann_spark.pipeline.ann import SQ_LEVELS
+
+    dlo, dhi = vecs.min(axis=0), vecs.max(axis=0)
+    step = (dhi - dlo) / SQ_LEVELS
+    sq_codes = np.clip(np.floor((vecs - dlo) / step), 0, SQ_LEVELS)
+    deq = dlo + (sq_codes + 0.5) * step
+
+    norms = np.linalg.norm(vecs, axis=1)
+    rng_idx = np.linspace(0, n - 1, num=min(n_q, n), dtype=int)
+
+    def tie_rank(dist: np.ndarray, qi: int, k: int, largest: bool = False):
+        """top-k indices by (dist, vec_id) — the queries' tie-break."""
+        d = dist.copy().astype(np.float64)
+        d[qi] = -np.inf if largest else np.inf
+        order = np.lexsort((vec_ids, -d if largest else d))
+        return order[:k]
+
+    hits: dict[str, list[float]] = {m: [] for m in (
+        "lsh_bucket", "ivf_nprobe2", "binary_hamming", "pq_adc",
+        "sq_dequant", "ivfpq_adc", "pq_rescore")}
+    scanned: dict[str, list[float]] = {m: [] for m in hits}
+
+    for qi in rng_idx:
+        q = vecs[qi]
+        cos = (vecs @ q) / (norms * np.linalg.norm(q) + 1e-12)
+        l2 = ((vecs - q) ** 2).sum(axis=1)
+        gt_cos = _exact_top10(cos, qi, largest=True)
+        gt_l2 = _exact_top10(-l2, qi, largest=True)
+
+        # LSH: same-bucket candidates ranked by cosine
+        cand = np.where(buckets == buckets[qi])[0]
+        cand = cand[cand != qi]
+        top = cand[np.argsort(-cos[cand], kind="stable")][:TOPK]
+        hits["lsh_bucket"].append(len(set(top.tolist()) & gt_cos) / TOPK)
+        scanned["lsh_bucket"].append(len(cand) / n)
+
+        # IVF: probe the 2 centroids nearest the query (rounded grid +
+        # cluster-id tie-break, as in ann_ivf_search), rank by cosine
+        cd = np.round(((cent - q) ** 2).sum(axis=1), 6)
+        probe = cent_ids[np.lexsort((cent_ids, cd))[:IVF_NPROBE]]
+        cand = np.where(np.isin(clusters, probe))[0]
+        cand = cand[cand != qi]
+        top = cand[np.argsort(-cos[cand], kind="stable")][:TOPK]
+        hits["ivf_nprobe2"].append(len(set(top.tolist()) & gt_cos) / TOPK)
+        scanned["ivf_nprobe2"].append(len(cand) / n)
+
+        # binary sign signature: full scan ranked by 64-bit hamming
+        xor = np.concatenate(
+            [
+                (sigs[:, 0].astype(np.uint64) ^ np.uint64(sigs[qi, 0]))[:, None],
+                (sigs[:, 1].astype(np.uint64) ^ np.uint64(sigs[qi, 1]))[:, None],
+            ],
+            axis=1,
+        )
+        ham = (
+            np.unpackbits(xor.view(np.uint8), axis=1).sum(axis=1).astype(np.int64)
+        )
+        top = tie_rank(ham.astype(np.float64), qi, TOPK)
+        hits["binary_hamming"].append(len(set(top.tolist()) & gt_cos) / TOPK)
+        scanned["binary_hamming"].append(1.0)
+
+        # PQ ADC: per-subspace LUT of rounded squared distances
+        adc = np.zeros(n)
+        for s in range(PQ_S):
+            qs = q[s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
+            lut = np.array(
+                [round(float(((qs - np.array(c)) ** 2).sum()), 6)
+                 for _, c in codebooks[s]]
+            )
+            adc += lut[codes[:, s]]
+        adc = np.round(adc, 6)
+        top = tie_rank(adc, qi, TOPK)
+        hits["pq_adc"].append(len(set(top.tolist()) & gt_l2) / TOPK)
+        scanned["pq_adc"].append(1.0)
+
+        # SQ: dequantized exact distance
+        dq = np.round(((deq - deq[qi]) ** 2).sum(axis=1), 6)
+        top = tie_rank(dq, qi, TOPK)
+        hits["sq_dequant"].append(len(set(top.tolist()) & gt_l2) / TOPK)
+        scanned["sq_dequant"].append(1.0)
+
+        # IVF-PQ: probe 2 lists, rank those by ADC
+        cand = np.where(np.isin(clusters, probe))[0]
+        cand = cand[cand != qi]
+        top = cand[np.lexsort((vec_ids[cand], adc[cand]))][:TOPK]
+        hits["ivfpq_adc"].append(len(set(top.tolist()) & gt_l2) / TOPK)
+        scanned["ivfpq_adc"].append(len(cand) / n)
+
+        # PQ shortlist + exact-cosine rescore (ann_pq_rescore rescoring
+        # metric is cosine, so its ground truth is the cosine top-10)
+        short = tie_rank(adc, qi, PQ_SHORTLIST)
+        top = short[np.argsort(-cos[short], kind="stable")][:TOPK]
+        hits["pq_rescore"].append(len(set(top.tolist()) & gt_cos) / TOPK)
+        scanned["pq_rescore"].append(PQ_SHORTLIST / n)
+
+    out = {
+        "metric": "ann_recall_at_10",
+        "sf_dir": sf_dir,
+        "n_vectors": int(n),
+        "n_queries": int(len(rng_idx)),
+        "ground_truth": {
+            "lsh_bucket": "cosine", "ivf_nprobe2": "cosine",
+            "binary_hamming": "cosine", "pq_adc": "euclidean",
+            "sq_dequant": "euclidean", "ivfpq_adc": "euclidean",
+            "pq_rescore": "cosine",
+        },
+        "recall_at_10": {m: round(float(np.mean(h)), 3) for m, h in hits.items()},
+        "avg_scan_fraction": {
+            m: round(float(np.mean(s)), 3) for m, s in scanned.items()
+        },
+    }
+    print(json.dumps(out))
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "ANN_RECALL.json"), "w") as f:
+        json.dump(out, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
