@@ -50,6 +50,11 @@ class NeumannSparkEngine:
         self.sf_dir = sf_dir
         self._cache: "OrderedDict[str, DataFrame]" = OrderedDict()
         self._tables: dict[str, DataFrame] = {}
+        # foreign keys per session table (`relational_engine/src/lib.rs:
+        # 183-258` ForeignKeyConstraint + ReferentialAction)
+        self._fks: dict[str, list[dict]] = {}
+        # open pagination cursors (`query_router/src/cursor.rs`)
+        self._cursors: dict[str, dict] = {}
         self._nodes = nodes_df(spark, sf_dir)
         self._edges = edges_df(spark, sf_dir)
         self._embeddings = load(spark, sf_dir, "embeddings").select(
@@ -207,6 +212,82 @@ class NeumannSparkEngine:
             df.unpersist(False)
         self._cache.clear()
 
+    # -- paginated cursor tokens (`query_router/src/cursor.rs:1-435`) -----
+
+    DEFAULT_PAGE_SIZE = 100   # CursorState::DEFAULT_PAGE_SIZE
+    DEFAULT_TTL_SECS = 300    # CursorState::DEFAULT_TTL_SECS
+    MAX_TTL_SECS = 1800       # CursorState::MAX_TTL_SECS
+
+    def open_cursor(self, command: str, page_size: int = DEFAULT_PAGE_SIZE,
+                    ttl_secs: int = DEFAULT_TTL_SECS) -> str:
+        """Open a paginated cursor over a command's result and return an
+        opaque resume token (`CursorState::encode`, cursor.rs:146-154 —
+        base64url JSON here instead of bitcode). The result is materialized
+        once (localCheckpoint), so every page reads the same snapshot —
+        the analog of the reference buffering the result set; pages are
+        offset/limit slices of the pinned partitions, not re-executions."""
+        import uuid
+
+        ttl_secs = min(int(ttl_secs), self.MAX_TTL_SECS)
+        df = self.execute(command).localCheckpoint(eager=True)
+        cur_id = str(uuid.uuid4())
+        self._cursors[cur_id] = {"df": df, "total": df.count()}
+        return self._encode_cursor({
+            "id": cur_id, "offset": 0, "page_size": int(page_size),
+            "ttl_secs": ttl_secs, "last_accessed_at": int(self._now()),
+        })
+
+    def fetch_page(self, token: str) -> "tuple[DataFrame, Optional[str]]":
+        """One page for a cursor token → (page DataFrame, next token or
+        None when exhausted). Expired or unknown tokens raise (cursor.rs
+        `is_expired`:134-139 — TTL measured from last access, so an active
+        consumer never expires mid-scan)."""
+        st = self._decode_cursor(token)
+        now = int(self._now())
+        if now - st["last_accessed_at"] > st["ttl_secs"]:
+            self._close_cursor(st["id"])
+            raise ValueError(f"cursor {st['id']} expired")
+        ent = self._cursors.get(st["id"])
+        if ent is None:
+            raise KeyError(f"unknown cursor {st['id']}")
+        page = ent["df"].offset(st["offset"]).limit(st["page_size"])
+        next_off = st["offset"] + st["page_size"]
+        if next_off >= ent["total"]:
+            self._close_cursor(st["id"])
+            return page, None
+        nxt = dict(st, offset=next_off, last_accessed_at=now)
+        return page, self._encode_cursor(nxt)
+
+    def _close_cursor(self, cur_id: str) -> None:
+        ent = self._cursors.pop(cur_id, None)
+        if ent is not None:
+            ent["df"].unpersist(False)
+
+    @staticmethod
+    def _now() -> float:
+        import time
+
+        return time.time()
+
+    @staticmethod
+    def _encode_cursor(state: dict) -> str:
+        import base64
+        import json
+
+        raw = json.dumps(state, sort_keys=True).encode()
+        return base64.urlsafe_b64encode(raw).rstrip(b"=").decode()
+
+    @staticmethod
+    def _decode_cursor(token: str) -> dict:
+        import base64
+        import json
+
+        try:
+            pad = "=" * (-len(token) % 4)
+            return json.loads(base64.urlsafe_b64decode(token + pad))
+        except Exception as e:  # noqa: BLE001 — any malformed token
+            raise ValueError(f"invalid cursor token: {e}") from e
+
     def execute_streaming(self, command: str, batch_size: int = 1000) -> Iterator[list]:
         """Batch-fetch cursor over a large result
         (`relational_engine/src/cursor.rs` StreamingCursor): yields row
@@ -239,18 +320,76 @@ class NeumannSparkEngine:
             raise ValueError("expected CREATE TABLE name (col type, ...)")
         name, cols = m.group(1), m.group(2)
         # `id INT` (parser) and `id:INT` (integration-test dialect,
-        # `integration_tests/tests/cross_engine.rs`) both accepted; trailing
-        # constraint words (PRIMARY KEY / NOT NULL / DEFAULT x) ignored —
-        # Spark has no enforced constraints (SURVEY.md §1.2)
-        def _col(c: str) -> str:
+        # `integration_tests/tests/cross_engine.rs`) both accepted; other
+        # trailing constraint words (PRIMARY KEY / NOT NULL / DEFAULT x)
+        # ignored — Spark has no enforced row constraints (SURVEY.md §1.2).
+        # FOREIGN KEY ... REFERENCES [ON DELETE action] IS enforced, as
+        # relational joins at write time (`relational_engine/src/lib.rs:
+        # 165-258` ReferentialAction + ForeignKeyConstraint).
+        col_defs: list[str] = []
+        fks: list[dict] = []
+        for c in self._split_top_level(cols):
+            fkm = re.match(
+                r"(?:CONSTRAINT\s+(\w+)\s+)?FOREIGN\s+KEY\s*\(([^)]+)\)\s*"
+                r"REFERENCES\s+(\w+)\s*(?:\(([^)]+)\))?"
+                r"(?:\s+ON\s+DELETE\s+(RESTRICT|CASCADE|SET\s+NULL|NO\s+ACTION))?\s*$",
+                c.strip(), re.I)
+            if fkm:
+                fk_cols = [x.strip() for x in fkm.group(2).split(",")]
+                ref_cols = ([x.strip() for x in fkm.group(4).split(",")]
+                            if fkm.group(4) else fk_cols)
+                fks.append({
+                    "name": fkm.group(1) or f"fk_{name}_{fk_cols[0]}",
+                    "columns": fk_cols,
+                    "ref_table": fkm.group(3),
+                    "ref_columns": ref_cols,
+                    "on_delete": re.sub(r"\s+", "_",
+                                        (fkm.group(5) or "RESTRICT").upper()),
+                })
+                continue
             parts = re.split(r"[:\s]+", c.strip())
-            return f"{parts[0]} {self._lower_type(parts[1])}"
+            col_defs.append(f"{parts[0]} {self._lower_type(parts[1])}")
+            # column-level `col TYPE REFERENCES other(refcol) [ON DELETE a]`
+            rm = re.search(
+                r"REFERENCES\s+(\w+)\s*(?:\((\w+)\))?"
+                r"(?:\s+ON\s+DELETE\s+(RESTRICT|CASCADE|SET\s+NULL|NO\s+ACTION))?",
+                c, re.I)
+            if rm:
+                fks.append({
+                    "name": f"fk_{name}_{parts[0]}",
+                    "columns": [parts[0]],
+                    "ref_table": rm.group(1),
+                    "ref_columns": [rm.group(2) or parts[0]],
+                    "on_delete": re.sub(r"\s+", "_",
+                                        (rm.group(3) or "RESTRICT").upper()),
+                })
 
-        schema = ", ".join(_col(c) for c in cols.split(","))
+        schema = ", ".join(col_defs)
         df = self.spark.createDataFrame([], schema)
         self._tables[name] = df
+        if fks:
+            self._fks[name] = fks
         df.createOrReplaceTempView(name)
         return self.spark.createDataFrame([(name, "created")], "table string, status string")
+
+    @staticmethod
+    def _split_top_level(body: str) -> list[str]:
+        """Split a CREATE TABLE column list on commas outside parentheses
+        (so `FOREIGN KEY (a, b) REFERENCES t(x, y)` stays one item)."""
+        items, depth, cur = [], 0, []
+        for ch in body:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if ch == "," and depth == 0:
+                items.append("".join(cur))
+                cur = []
+            else:
+                cur.append(ch)
+        if cur:
+            items.append("".join(cur))
+        return [i for i in (s.strip() for s in items) if i]
 
     @staticmethod
     def _lower_type(t: str) -> str:
@@ -282,6 +421,7 @@ class NeumannSparkEngine:
                     raise ValueError(f"unknown columns {sorted(unknown)} in {name!r}")
                 row = tuple(props.get(c) for c in cols)
                 new = self.spark.createDataFrame([row], self._tables[name].schema)
+                self._check_fk_inserts(name, new)
                 self._tables[name] = self._tables[name].unionAll(new)
                 self._tables[name].createOrReplaceTempView(name)
                 return self.spark.createDataFrame(
@@ -294,11 +434,80 @@ class NeumannSparkEngine:
             raise KeyError(f"unknown session table {name!r}")
         rows = self._parse_values(m.group(2))
         new = self.spark.createDataFrame(list(rows), self._tables[name].schema)
+        self._check_fk_inserts(name, new)
         self._tables[name] = self._tables[name].unionAll(new)
         self._tables[name].createOrReplaceTempView(name)
         return self.spark.createDataFrame(
             [(name, len(rows))], "table string, inserted bigint"
         )
+
+    # -- foreign keys (`relational_engine/src/lib.rs:165-258` constraint
+    #    model; `:5209-5242` validate_fk_reference; errors `:1415-1432`) --
+
+    def _check_fk_inserts(self, name: str, new: DataFrame) -> None:
+        """Insert-side FK validation: every non-NULL FK tuple must exist in
+        the referenced table (NULLs pass, as in `validate_fk_reference`).
+        One broadcast anti-join per constraint — at scale the referenced
+        keys are a broadcast dim, so validation adds no shuffle."""
+        for fk in self._fks.get(name, ()):
+            ref = self._session_table(fk["ref_table"])
+            probe = new
+            for c in fk["columns"]:
+                probe = probe.filter(F.col(c).isNotNull())
+            ref_keys = ref.select(
+                *[F.col(rc).alias(c)
+                  for c, rc in zip(fk["columns"], fk["ref_columns"])]
+            ).distinct()
+            missing = (
+                probe.select(*fk["columns"])
+                .join(F.broadcast(ref_keys), fk["columns"], "left_anti")
+                .count()
+            )
+            if missing:
+                raise ValueError(
+                    f"foreign key violation: constraint {fk['name']!r} — "
+                    f"{missing} row(s) reference missing "
+                    f"{fk['ref_table']}({', '.join(fk['ref_columns'])})")
+
+    def _apply_fk_on_delete(self, name: str, deleted: DataFrame) -> None:
+        """Delete-side referential actions against the rows being removed
+        from `name`: RESTRICT/NO_ACTION error out, CASCADE deletes the
+        referencing rows, SET_NULL nulls the referencing columns. Each
+        action is one join against the (small, broadcast) deleted-key set."""
+        for child, fks in list(self._fks.items()):
+            for fk in fks:
+                if fk["ref_table"] != name or child not in self._tables:
+                    continue
+                keys = deleted.select(
+                    *[F.col(rc).alias(c)
+                      for c, rc in zip(fk["columns"], fk["ref_columns"])]
+                ).distinct()
+                child_df = self._tables[child]
+                hit = child_df.join(F.broadcast(keys), fk["columns"], "semi")
+                action = fk["on_delete"]
+                if action in ("RESTRICT", "NO_ACTION"):
+                    n = hit.count()
+                    if n:
+                        raise ValueError(
+                            f"foreign key restrict: {n} row(s) in "
+                            f"{child!r} reference deleted rows of {name!r} "
+                            f"(constraint {fk['name']!r})")
+                elif action == "CASCADE":
+                    self._tables[child] = child_df.join(
+                        F.broadcast(keys), fk["columns"], "left_anti")
+                    self._tables[child].createOrReplaceTempView(child)
+                elif action == "SET_NULL":
+                    marked = child_df.join(
+                        F.broadcast(keys.withColumn("_fk_hit", F.lit(True))),
+                        fk["columns"], "left")
+                    sets = {
+                        c: F.when(F.col("_fk_hit"), F.lit(None)).otherwise(
+                            F.col(c)).alias(c)
+                        for c in fk["columns"]
+                    }
+                    self._tables[child] = marked.select(
+                        *[sets.get(c, F.col(c)) for c in child_df.columns])
+                    self._tables[child].createOrReplaceTempView(child)
 
     @staticmethod
     def _parse_values(body: str) -> list[tuple]:
@@ -328,6 +537,7 @@ class NeumannSparkEngine:
                           "DROP TABLE name")
         name = m.group(1)
         self._tables.pop(name, None)
+        self._fks.pop(name, None)
         self.spark.catalog.dropTempView(name)
         return self.spark.createDataFrame([(name, "dropped")], "table string, status string")
 
@@ -1377,7 +1587,10 @@ class NeumannSparkEngine:
         name, where = m.groups()
         df = self._session_table(name)
         cond = F.expr(where) if where else F.lit(True)
-        n = df.filter(cond).count()
+        doomed = df.filter(cond)
+        n = doomed.count()
+        if n:
+            self._apply_fk_on_delete(name, doomed)
         new = delete_where(df, cond)
         self._tables[name] = new
         new.createOrReplaceTempView(name)

@@ -552,3 +552,79 @@ def test_cypher_incoming_and_alternation(engine):
     ).collect()
     assert {r["edge_type"] for r in alt} <= {"located_in", "part_of"}
     assert len({r["edge_type"] for r in alt}) == 2
+
+
+def test_cache_read_subcommands_do_not_invalidate(engine):
+    q = "SELECT COUNT(*) AS n FROM supplier"
+    a = engine.execute(q)
+    engine.execute("NODE GET 1")          # read-only NODE form
+    engine.execute("EMBED GET 'doc:1'")   # read-only EMBED form
+    engine.execute("CONSTRAINT LIST")     # read-only CONSTRAINT form
+    assert engine.execute(q) is a  # cache survived the reads
+    engine.execute("NODE 9000044 cachetest")  # shorthand create = write
+    assert engine.execute(q) is not a
+
+
+def test_cache_lru_bound(engine):
+    cap = engine.CACHE_MAX
+    first = "SELECT 0 AS probe"
+    engine.execute(first)
+    for i in range(1, cap + 1):  # cap new entries -> first must evict
+        engine.execute(f"SELECT {i} AS probe")
+    assert len(engine._cache) == cap
+    assert first not in engine._cache
+
+
+def test_fk_insert_validation_and_restrict(engine):
+    engine.execute("CREATE TABLE fk_users (id INT, name TEXT)")
+    engine.execute(
+        "CREATE TABLE fk_orders (oid INT, user_id INT, "
+        "FOREIGN KEY (user_id) REFERENCES fk_users(id))"
+    )
+    engine.execute("INSERT INTO fk_users VALUES (1, 'alice'), (2, 'bob')")
+    engine.execute("INSERT INTO fk_orders VALUES (10, 1), (11, None)")  # NULL ok
+    with pytest.raises(ValueError, match="foreign key violation"):
+        engine.execute("INSERT INTO fk_orders VALUES (12, 99)")
+    with pytest.raises(ValueError, match="foreign key restrict"):
+        engine.execute("DELETE FROM fk_users WHERE id = 1")
+    # deleting an unreferenced row is fine
+    engine.execute("DELETE FROM fk_users WHERE id = 2")
+
+
+def test_fk_on_delete_cascade_and_set_null(engine):
+    engine.execute("CREATE TABLE fk_p (id INT)")
+    engine.execute(
+        "CREATE TABLE fk_c1 (cid INT, pid INT REFERENCES fk_p(id) ON DELETE CASCADE)"
+    )
+    engine.execute(
+        "CREATE TABLE fk_c2 (cid INT, pid INT, "
+        "FOREIGN KEY (pid) REFERENCES fk_p(id) ON DELETE SET NULL)"
+    )
+    engine.execute("INSERT INTO fk_p VALUES (1), (2)")
+    engine.execute("INSERT INTO fk_c1 VALUES (100, 1), (101, 2)")
+    engine.execute("INSERT INTO fk_c2 VALUES (200, 1), (201, 2)")
+    engine.execute("DELETE FROM fk_p WHERE id = 1")
+    c1 = engine.execute("SELECT * FROM fk_c1").collect()
+    assert [(r["cid"], r["pid"]) for r in c1] == [(101, 2)]
+    c2 = sorted((r["cid"], r["pid"]) for r in engine.execute(
+        "SELECT * FROM fk_c2").collect())
+    assert c2 == [(200, None), (201, 2)]
+
+
+def test_cursor_token_pagination(engine):
+    token = engine.open_cursor("SELECT * FROM nation", page_size=10)
+    seen = []
+    while token is not None:
+        page, token = engine.fetch_page(token)
+        seen.extend(r["n_nationkey"] for r in page.collect())
+    assert len(seen) == 25 and len(set(seen)) == 25
+
+
+def test_cursor_token_expiry(engine, monkeypatch):
+    token = engine.open_cursor("SELECT * FROM region", page_size=2, ttl_secs=60)
+    real_now = engine._now()
+    monkeypatch.setattr(type(engine), "_now", staticmethod(lambda: real_now + 61))
+    with pytest.raises(ValueError, match="expired"):
+        engine.fetch_page(token)
+    with pytest.raises(ValueError, match="invalid cursor token"):
+        engine.fetch_page("garbage!!")
