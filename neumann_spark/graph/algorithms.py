@@ -686,7 +686,7 @@ def betweenness_driver_side(spark: SparkSession, sf_dir: str) -> DataFrame:
     execution tier) — retained as the differential check for the
     distributed implementation."""
     ue = undirected_edges(edges_df(spark, sf_dir)).select("src", "dst")
-    edges = [tuple(r) for r in ue.collect()]
+    edges = _collect_edges(ue, cols=("src", "dst"))
     adj: dict[int, list[int]] = defaultdict(list)
     for s, d in edges:
         adj[s].append(d)

@@ -143,3 +143,87 @@ def dml_entity_mutation(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = eng._edges.agg(F.count("*").alias("n_edges"))
     v = eng._embeddings.agg(F.count("*").alias("n_embeddings"))
     return n.crossJoin(e).crossJoin(v)
+
+
+@register(
+    "dml_fk_actions",
+    oracle="""
+    WITH parent AS MATERIALIZED (
+      SELECT CAST(i AS BIGINT) AS id FROM generate_series(0, 4) AS t(i)
+      WHERE i NOT IN (1, 3)
+    ),
+    cascade_child AS MATERIALIZED (
+      SELECT CAST(i AS BIGINT) AS cid, CAST(i % 5 AS BIGINT) AS pid
+      FROM generate_series(0, 24) AS t(i)
+      WHERE i % 5 NOT IN (1, 3)
+    ),
+    setnull_child AS MATERIALIZED (
+      SELECT CAST(i AS BIGINT) AS cid,
+             CASE WHEN i % 5 IN (1, 3) THEN NULL
+                  ELSE CAST(i % 5 AS BIGINT) END AS pid
+      FROM generate_series(100, 124) AS t(i)
+    )
+    SELECT (SELECT COUNT(*) FROM parent) AS n_parents,
+           (SELECT COUNT(*) FROM cascade_child) AS n_cascade_left,
+           (SELECT COUNT(*) FROM setnull_child WHERE pid IS NULL) AS n_nulled,
+           (SELECT COUNT(*) FROM setnull_child) AS n_setnull_total
+    """,
+)
+def dml_fk_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key referential actions end-to-end
+    (`relational_engine/src/lib.rs:165-258` ReferentialAction;
+    `:5209-5242` insert-side validate_fk_reference): parent(0..4),
+    a CASCADE child (25 rows, pid = cid % 5) and a SET NULL child; delete
+    parents 1 and 3; the one-row aggregate pins the post-action state.
+    Enforcement is broadcast anti/semi joins — no shuffle at scale."""
+    from neumann_spark.engine import NeumannSparkEngine
+
+    eng = NeumannSparkEngine(spark, sf_dir)
+    eng.execute("CREATE TABLE fkq_parent (id INT)")
+    eng.execute(
+        "CREATE TABLE fkq_cascade (cid INT, pid INT, "
+        "FOREIGN KEY (pid) REFERENCES fkq_parent(id) ON DELETE CASCADE)")
+    eng.execute(
+        "CREATE TABLE fkq_setnull (cid INT, pid INT, "
+        "FOREIGN KEY (pid) REFERENCES fkq_parent(id) ON DELETE SET NULL)")
+    eng.execute("INSERT INTO fkq_parent VALUES (0), (1), (2), (3), (4)")
+    eng.execute(
+        "INSERT INTO fkq_cascade VALUES "
+        + ", ".join(f"({i}, {i % 5})" for i in range(25)))
+    eng.execute(
+        "INSERT INTO fkq_setnull VALUES "
+        + ", ".join(f"({i}, {i % 5})" for i in range(100, 125)))
+    eng.execute("DELETE FROM fkq_parent WHERE id IN (1, 3)")
+    p = eng._tables["fkq_parent"].agg(F.count("*").alias("n_parents"))
+    c = eng._tables["fkq_cascade"].agg(F.count("*").alias("n_cascade_left"))
+    s = eng._tables["fkq_setnull"].agg(
+        F.sum(F.when(F.col("pid").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_nulled"),
+        F.count("*").alias("n_setnull_total"),
+    )
+    return p.crossJoin(c).crossJoin(s)
+
+
+@register(
+    "cursor_pagination",
+    oracle="""
+    SELECT n_nationkey, n_name FROM nation
+    ORDER BY n_nationkey LIMIT 7 OFFSET 7
+    """,
+)
+def cursor_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paginated cursor tokens (`query_router/src/cursor.rs:1-435`): open a
+    cursor over an ordered SELECT (result snapshot localCheckpointed once),
+    advance one page via the returned token, and return the second page —
+    the driver hash pins both the token round-trip and the offset/limit
+    slicing."""
+    from neumann_spark.engine import NeumannSparkEngine
+
+    eng = NeumannSparkEngine(spark, sf_dir)
+    token = eng.open_cursor(
+        "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey",
+        page_size=7)
+    _, token = eng.fetch_page(token)
+    page, _ = eng.fetch_page(token)
+    return page
