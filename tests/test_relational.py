@@ -48,3 +48,41 @@ def test_sum_empty_group_semantics(spark):
     df = spark.createDataFrame([(1, 1.0)], "k int, v double").filter("k > 99")
     row = df.agg(F.sum("v").alias("s"), F.avg("v").alias("a")).collect()[0]
     assert row["s"] is None and row["a"] is None
+
+
+def test_events_loader_handles_both_ts_encodings(spark, tmp_path):
+    """catalog.load must read `ts` whether the fixture stores
+    TIMESTAMP(MICROS) (current driver) or INT64 nanos (r1-r2 driver) —
+    the encoding has flipped between rounds before."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from neumann_spark.catalog import load
+
+    base = [1_700_000_000_000_000, 1_700_000_123_456_789]  # micros
+    cols = {
+        "event_id": pa.array([1, 2], pa.int64()),
+        "user_id": pa.array([10, 20], pa.int64()),
+        "event_type": pa.array(["click", "view"]),
+        "value": pa.array([1.0, 2.0], pa.float64()),
+        "props": pa.array(["{}", "{}"]),
+    }
+    for sub, ts_arr in (
+        ("us", pa.array(base, pa.timestamp("us"))),
+        ("ns", pa.array([b * 1000 for b in base], pa.timestamp("ns"))),
+    ):
+        d = tmp_path / sub
+        d.mkdir()
+        pq.write_table(
+            pa.table({"event_id": cols["event_id"], "ts": ts_arr,
+                      "user_id": cols["user_id"],
+                      "event_type": cols["event_type"],
+                      "value": cols["value"], "props": cols["props"]}),
+            d / "events.parquet",
+        )
+    out = {}
+    for sub in ("us", "ns"):
+        df = load(spark, str(tmp_path / sub), "events")
+        assert dict(df.dtypes)["ts"] == "timestamp"
+        out[sub] = [r["ts"] for r in df.orderBy("event_id").collect()]
+    assert out["us"] == out["ns"]
