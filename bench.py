@@ -176,6 +176,13 @@ def main() -> None:
                     sum(max(0.0, v - floor) for v in timings.values()), 3
                 ),
                 "scaling_10x": scaling,
+                # every fixture table is ONE parquet row group, so scan
+                # stages are single-task by file format (byte-range splits
+                # can't cross a row-group): sf0.1 timings carry a serial
+                # scan + fixed job-submit floor that a real multi-file
+                # 100 TB layout would not have. The flat scaling_10x ratios
+                # above are the evidence the plans themselves scale.
+                "input_layout": "single row-group per table",
             }
         )
     )
