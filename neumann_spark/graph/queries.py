@@ -170,3 +170,49 @@ def graph_motif_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy((F.col("nation") - NATION_BASE).alias("nationkey"))
         .agg(F.count("*").alias("n_pairs"))
     )
+
+
+@register(
+    "cypher_match_edges",
+    oracle=GRAPH_SQL_CTE
+    + """
+    SELECT e.src AS c_id, e.dst AS n_id, e.weight
+    FROM edges e
+    WHERE e.edge_type = 'located_in' AND e.src < 1000000
+      AND e.src % 50 = 1
+    """,
+)
+def cypher_match_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cypher relationship-pattern MATCH through the engine facade
+    (`neumann_parser/src/cypher.rs:15-210` parse; `query_router/src/
+    cypher.rs:47` exec): `(c:customer)-[:located_in]->(n:nation)` with a
+    WHERE filter — the pattern lowers to an edges⋈nodes⋈nodes join, driver
+    hash-checked against the derived-graph SQL."""
+    from neumann_spark.engine import NeumannSparkEngine
+
+    eng = NeumannSparkEngine(spark, sf_dir)
+    return eng.execute(
+        "MATCH (c:customer)-[:located_in]->(n:nation) "
+        "WHERE c_id % 50 = 1 RETURN c, n, weight"
+    )
+
+
+@register(
+    "cypher_node_match",
+    oracle=GRAPH_SQL_CTE
+    + """
+    SELECT id AS s_id, label AS s_label FROM nodes
+    WHERE label = 'supplier' AND id % 5 = 3
+    ORDER BY id LIMIT 40
+    """,
+)
+def cypher_node_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cypher node-only MATCH with WHERE/ORDER BY/LIMIT through the engine
+    facade (`neumann_parser/src/cypher.rs` CypherNode clauses)."""
+    from neumann_spark.engine import NeumannSparkEngine
+
+    eng = NeumannSparkEngine(spark, sf_dir)
+    return eng.execute(
+        "MATCH (s:supplier) WHERE s.id % 5 = 3 "
+        "RETURN s, s_label ORDER BY s.id LIMIT 40"
+    )
