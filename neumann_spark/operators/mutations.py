@@ -227,3 +227,29 @@ def cursor_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, token = eng.fetch_page(token)
     page, _ = eng.fetch_page(token)
     return page
+
+
+@register(
+    "ddl_roundtrip",
+    oracle="""
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), 'a', CAST(1.5 AS DOUBLE), CAST(NULL AS BOOLEAN)),
+      (CAST(2 AS BIGINT), 'b', CAST(9.9 AS DOUBLE), CAST(NULL AS BOOLEAN))
+    ) t(id, name, score, flag)
+    """,
+)
+def ddl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-table DDL/DML round-trip through the engine facade:
+    CREATE TABLE → INSERT → ALTER ADD COLUMN (NULL-filled, the columnar
+    append of `relational_engine/src/lib.rs:4807`) → UPDATE → DELETE →
+    SELECT. The driver hash pins the post-mutation state end-to-end."""
+    from neumann_spark.engine import NeumannSparkEngine
+
+    eng = NeumannSparkEngine(spark, sf_dir)
+    eng.execute("CREATE TABLE ddl_t (id INT, name TEXT, score FLOAT)")
+    eng.execute(
+        "INSERT INTO ddl_t VALUES (1, 'a', 1.5), (2, 'b', 2.5), (3, 'c', 3.5)")
+    eng.execute("ALTER TABLE ddl_t ADD COLUMN flag BOOLEAN")
+    eng.execute("UPDATE ddl_t SET score = 9.9 WHERE id = 2")
+    eng.execute("DELETE FROM ddl_t WHERE id = 3")
+    return eng.execute("SELECT id, name, score, flag FROM ddl_t")
