@@ -390,3 +390,28 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("sum_value", ignorenulls=True).over(locf).alias("filled_sum"),
         )
     )
+
+
+@register(
+    "stream_live_windowed_counts",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_live_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GENUINE Structured Streaming path, driver-checked: parquet
+    readStream → 1-day watermark → tumbling window counts → memory sink,
+    run to completion with availableNow, then the sink table is returned
+    and hash-compared against the batch-equivalent oracle. Proves the
+    streaming and batch window semantics agree on the same input — the
+    Kappa-architecture property the north star asks for."""
+    q = stream_windowed_counts(spark, sf_dir, queryName="live_counts_dc")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table("live_counts_dc").select("window_start", "event_type", "n")
