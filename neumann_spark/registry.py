@@ -47,7 +47,7 @@ def _import_all() -> None:
     from neumann_spark.sources import formats  # noqa: F401
     from neumann_spark.functions import geo, vector  # noqa: F401
     from neumann_spark.streaming import windows as stream_windows  # noqa: F401
-    from neumann_spark.operators import asof, dml, joins, mutations, relational, windows  # noqa: F401
+    from neumann_spark.operators import asof, dml, facade, joins, mutations, relational, windows  # noqa: F401
     from neumann_spark.pipeline import ann, dedup, multimodal  # noqa: F401
     from neumann_spark.unified import entities  # noqa: F401
     from neumann_spark.pipeline import fulltext  # noqa: F401
