@@ -45,11 +45,18 @@ def bfs_levels(
     if deep:
         e = e.localCheckpoint(eager=True)
     for depth in range(1, max_depth + 1):
+        # shallow traversals broadcast the frontier/visited sides: the
+        # expansion join and the anti-join become map-side over the edge
+        # table — the big side never shuffles, which is the whole cost at
+        # 100 TB. Deep walks keep shuffle joins (a deep frontier can exceed
+        # broadcast limits) and rely on AQE's runtime conversion instead.
+        fr = frontier if deep else F.broadcast(frontier)
+        seen = visited.select(src_col, "node")
         nxt = (
-            frontier.join(e, frontier.node == e.src)
+            fr.join(e, frontier.node == e.src)
             .select(src_col, F.col("dst").alias("node"), F.lit(depth).alias("dist"))
             .dropDuplicates([src_col, "node"])
-            .join(visited.select(src_col, "node"), [src_col, "node"], "left_anti")
+            .join(seen if deep else F.broadcast(seen), [src_col, "node"], "left_anti")
         )
         if deep:
             nxt = nxt.localCheckpoint(eager=True)
@@ -95,8 +102,12 @@ def bounded_dijkstra(
         [(source_id, 0.0)], "node bigint, dist double"
     )
     for _ in range(max_hops):
+        # bounded-hop frontier stays small: broadcast it so the edge table
+        # never shuffles in the relaxation join (same frontier-broadcast
+        # shape as bfs_levels). Deep relaxations fall back to shuffle joins.
+        lhs = F.broadcast(dist) if max_hops <= 4 else dist
         relaxed = (
-            dist.join(e, dist.node == e.src)
+            lhs.join(e, dist.node == e.src)
             .select(F.col("dst").alias("node"), (F.col("dist") + F.col("weight")).alias("dist"))
         )
         dist = (
