@@ -86,3 +86,57 @@ def test_connected_components_partition_invariance(spark, pairs):
     a = sorted(map(tuple, connected_components(nodes, ue.repartition(1), 12).collect()))
     b = sorted(map(tuple, connected_components(nodes, ue.repartition(5), 12).collect()))
     assert a == b
+
+
+_fk_pairs = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),   # child id tail
+        st.one_of(st.none(), st.integers(min_value=0, max_value=7)),  # pid
+    ),
+    min_size=0,
+    max_size=15,
+)
+_parents = st.sets(st.integers(min_value=0, max_value=7), min_size=1, max_size=8)
+_doomed = st.sets(st.integers(min_value=0, max_value=7), min_size=1, max_size=3)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_parents, _fk_pairs, _doomed)
+def test_fk_cascade_and_set_null_properties(spark, parents, pairs, doomed):
+    """ON DELETE CASCADE must remove exactly the children of deleted
+    parents; SET NULL must null exactly those children's pid — for ANY
+    parent set / child multiset / delete set. NULL pids always survive."""
+    from neumann_spark.engine import NeumannSparkEngine
+    from tests.conftest import SF_DIR
+
+    eng = NeumannSparkEngine(spark, SF_DIR)
+    # children may only reference existing parents (insert validation is
+    # part of the property: invalid pids must be rejected up front)
+    pairs = [(i, p) for i, (i_, p) in enumerate(pairs) for _ in [0]
+             if p is None or p in parents] or [(0, None)]
+    eng.execute("CREATE TABLE pp (id INT)")
+    eng.execute(
+        "CREATE TABLE cc (cid INT, pid INT, "
+        "FOREIGN KEY (pid) REFERENCES pp(id) ON DELETE CASCADE)")
+    eng.execute(
+        "CREATE TABLE cn (cid INT, pid INT, "
+        "FOREIGN KEY (pid) REFERENCES pp(id) ON DELETE SET NULL)")
+    try:
+        eng.execute("INSERT INTO pp VALUES " + ", ".join(
+            f"({p})" for p in sorted(parents)))
+        vals = ", ".join(f"({c}, {'None' if p is None else p})" for c, p in pairs)
+        eng.execute(f"INSERT INTO cc VALUES {vals}")
+        eng.execute(f"INSERT INTO cn VALUES {vals}")
+        eng.execute(
+            "DELETE FROM pp WHERE id IN (" + ", ".join(map(str, sorted(doomed))) + ")")
+        cc = {(r["cid"], r["pid"]) for r in eng.execute("SELECT * FROM cc").collect()}
+        cn = {(r["cid"], r["pid"]) for r in eng.execute("SELECT * FROM cn").collect()}
+        want_cc = {(c, p) for c, p in pairs if p is None or p not in doomed}
+        want_cn = {(c, None if (p is not None and p in doomed) else p)
+                   for c, p in pairs}
+        assert cc == want_cc
+        assert cn == want_cn
+    finally:
+        eng.execute("DROP TABLE cc")
+        eng.execute("DROP TABLE cn")
+        eng.execute("DROP TABLE pp")
