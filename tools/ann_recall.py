@@ -112,8 +112,8 @@ def main() -> None:
         return order[:k]
 
     hits: dict[str, list[float]] = {m: [] for m in (
-        "lsh_bucket", "ivf_nprobe2", "binary_hamming", "pq_adc",
-        "sq_dequant", "ivfpq_adc", "pq_rescore")}
+        "lsh_bucket", "lsh_multiprobe", "ivf_nprobe2", "binary_hamming",
+        "pq_adc", "sq_dequant", "ivfpq_adc", "pq_rescore")}
     scanned: dict[str, list[float]] = {m: [] for m in hits}
 
     for qi in rng_idx:
@@ -129,6 +129,18 @@ def main() -> None:
         top = cand[np.argsort(-cos[cand], kind="stable")][:TOPK]
         hits["lsh_bucket"].append(len(set(top.tolist()) & gt_cos) / TOPK)
         scanned["lsh_bucket"].append(len(cand) / n)
+
+        # multiprobe LSH: query bucket + all buckets at Hamming distance 1
+        from neumann_spark.pipeline.ann import LSH_PLANES
+
+        probe_buckets = {buckets[qi]} | {
+            buckets[qi] ^ (1 << j) for j in range(LSH_PLANES)
+        }
+        cand = np.where(np.isin(buckets, list(probe_buckets)))[0]
+        cand = cand[cand != qi]
+        top = cand[np.argsort(-cos[cand], kind="stable")][:TOPK]
+        hits["lsh_multiprobe"].append(len(set(top.tolist()) & gt_cos) / TOPK)
+        scanned["lsh_multiprobe"].append(len(cand) / n)
 
         # IVF: probe the 2 centroids nearest the query (rounded grid +
         # cluster-id tie-break, as in ann_ivf_search), rank by cosine
@@ -195,7 +207,8 @@ def main() -> None:
         "n_vectors": int(n),
         "n_queries": int(len(rng_idx)),
         "ground_truth": {
-            "lsh_bucket": "cosine", "ivf_nprobe2": "cosine",
+            "lsh_bucket": "cosine", "lsh_multiprobe": "cosine",
+            "ivf_nprobe2": "cosine",
             "binary_hamming": "cosine", "pq_adc": "euclidean",
             "sq_dequant": "euclidean", "ivfpq_adc": "euclidean",
             "pq_rescore": "cosine",
