@@ -424,3 +424,70 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_sim_raw") > 0.28)
         .select("id_a", "id_b", "label", F.round("cos_sim_raw", 6).alias("cos_sim"))
     )
+
+
+# --- corpus-level boilerplate (hot n-gram) detection ----------------------
+
+HOT_NGRAM_MIN_DOCS = 3
+
+
+@register(
+    "dedup_hot_ngrams",
+    oracle="""
+    WITH words AS MATERIALIZED (
+      SELECT doc_id, str_split(text, ' ') AS w FROM documents
+    ),
+    grams AS MATERIALIZED (
+      SELECT DISTINCT doc_id, u.g
+      FROM words, UNNEST(list_transform(generate_series(1, len(w) - 2),
+                         i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS u(g)
+      WHERE len(w) >= 3
+    ),
+    hot AS MATERIALIZED (
+      SELECT g, COUNT(*) AS df FROM grams GROUP BY g
+      HAVING COUNT(*) >= 3
+    )
+    SELECT gr.doc_id,
+           COUNT(*) AS n_hot_grams,
+           MAX(h.df) AS max_df
+    FROM grams gr JOIN hot h ON h.g = gr.g
+    GROUP BY gr.doc_id
+    """,
+)
+def dedup_hot_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency boilerplate detection (the exact-substring-dedup
+    family, Lee et al. 2021 "Deduplicating Training Data Makes Language
+    Models Better"): distinct word 3-grams per doc → corpus document
+    frequency → flag docs containing 3-grams shared by >= 3 documents
+    (headers, footers, licence blocks, templated spans).
+
+    Scale shape: one explode (map-side), one groupBy on the gram hash (the
+    only wide shuffle, combiner-reduced), one semi-join back — no pairwise
+    comparison anywhere, so cost is linear in corpus token count. At 100 TB
+    the gram table would be frequency-pruned per partition first (local df
+    >= 2) to cut the shuffle; the semantics are unchanged."""
+    d = load(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    trigrams = F.when(
+        F.size(w) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(w, i),
+                F.element_at(w, i + 1),
+                F.element_at(w, i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = d.select("doc_id", F.explode(trigrams).alias("g")).distinct()
+    hot = (
+        grams.groupBy("g")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= HOT_NGRAM_MIN_DOCS)
+    )
+    return (
+        grams.join(hot, "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hot_grams"), F.max("df").alias("max_df"))
+    )
