@@ -318,3 +318,57 @@ def pipeline_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").cast("bigint").alias("n_tokens"),
         )
     )
+
+
+# --- document chunking (context-window splitting with overlap) ------------
+
+CHUNK_WINDOW = 64
+CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+
+
+@register(
+    "pipeline_chunk_documents",
+    oracle=f"""
+    WITH words AS MATERIALIZED (
+      SELECT doc_id, str_split(text, ' ') AS w FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, u.i AS chunk_id,
+             list_slice(w, u.i * {CHUNK_STRIDE} + 1,
+                        u.i * {CHUNK_STRIDE} + {CHUNK_WINDOW}) AS cw
+      FROM words, UNNEST(generate_series(0, CAST(GREATEST(
+          CEIL((len(w) - {CHUNK_WINDOW}) / CAST({CHUNK_STRIDE} AS DOUBLE)),
+          0) AS BIGINT))) AS u(i)
+    )
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(len(cw) AS BIGINT) AS n_tokens,
+           cw[1] AS first_token
+    FROM chunks WHERE len(cw) > 0
+    """,
+)
+def pipeline_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split documents into overlapping context-window chunks (window 64
+    tokens, stride 48 — the standard prep for embedding models and packed
+    pretraining): chunk count per doc is ceil((n-W)/S)+1, each chunk a
+    slice of the word array. Map-only — one `transform` + `posexplode`,
+    no shuffle at all; at 100 TB this pipelines with the parquet scan."""
+    d = load(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    n_chunks = F.greatest(
+        F.ceil((F.size(w) - F.lit(CHUNK_WINDOW)) / F.lit(float(CHUNK_STRIDE))),
+        F.lit(0),
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks),
+        lambda i: F.slice(w, i * CHUNK_STRIDE + 1, CHUNK_WINDOW),
+    )
+    return (
+        d.select("doc_id", F.posexplode(chunks).alias("chunk_id", "cw"))
+        .filter(F.size("cw") > 0)
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            F.size("cw").cast("bigint").alias("n_tokens"),
+            F.element_at("cw", 1).alias("first_token"),
+        )
+    )
