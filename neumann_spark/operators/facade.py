@@ -54,3 +54,26 @@ def facade_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     eng = NeumannSparkEngine(spark, sf_dir)
     return eng.execute("NEIGHBORS 1000001 BOTH")
+
+
+@register(
+    "facade_path",
+    oracle=GRAPH_SQL_CTE.replace("WITH nodes", "WITH RECURSIVE nodes", 1)
+    + """
+    , walk AS (
+      SELECT CAST(1 AS BIGINT) AS node, 0 AS dist
+      UNION ALL
+      SELECT e.dst, w.dist + 1 FROM walk w JOIN uedges e ON e.src = w.node
+      WHERE w.dist < 3
+    )
+    SELECT node, MIN(dist) AS dist FROM walk WHERE node = 17 GROUP BY node
+    """,
+)
+def facade_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`PATH SHORTEST a -> b MAX d` through the facade (`neumann_parser`
+    PathStmt): BFS hop distance between two customers, hash-checked against
+    the recursive-walk oracle."""
+    from neumann_spark.engine import NeumannSparkEngine
+
+    eng = NeumannSparkEngine(spark, sf_dir)
+    return eng.execute("PATH SHORTEST 1 -> 17 MAX 3")
