@@ -932,6 +932,142 @@ def _pq_rescore_sql() -> str:
     )
 
 
+# --- IVF-PQ shortlist + full-precision rescore (the production config) -----
+# Coarse IVF pruning -> ADC shortlist over probed lists' codes -> exact
+# cosine over only the shortlist. This is the configuration a real user
+# would run against the reference's `high_recall` HNSW preset
+# (`tensor_store/src/hnsw.rs:1434-1533`): measured recall@10 = 0.83 at
+# 0.20 full-vector scan fraction (tools/ann_recall.py, 100 anchors,
+# sf0.1 2k x 64d near-uniform fixture — ANN's hardest regime). Stage 1
+# reads PQ codes (64x smaller than floats) for nprobe/k of the corpus
+# (~1.2% byte-equivalent at nprobe=6/8); stage 2 reads exactly
+# ANN_RESCORE_SHORTLIST full vectors via a broadcast semi-join.
+
+ANN_RESCORE_NPROBE = 6
+ANN_RESCORE_SHORTLIST = 400
+
+
+def _ivfpq_rescore_sql(nprobe: int = ANN_RESCORE_NPROBE,
+                       shortlist: int = ANN_RESCORE_SHORTLIST) -> str:
+    """Oracle: IVF probe prefix (nprobe lists) + per-subspace PQ LUT CTEs +
+    ADC shortlist over probed vectors + exact-cosine rescore of the
+    shortlist."""
+    ivf = _ivf_search_sql()
+    cut = ivf.rindex("scored AS")
+    probe_prefix = ivf[: ivf.rindex(",", 0, cut)].replace(
+        f"LIMIT {IVF_NPROBE})", f"LIMIT {nprobe})"
+    )
+    parts = [probe_prefix]
+    for s in range(PQ_S):
+        parts.append(_pq_lloyd_sql(s))
+        lo = s * PQ_SUBDIM
+        parts.append(
+            f""",
+    p{s}lut AS MATERIALIZED (
+      SELECT c.code,
+             ROUND(SUM((CAST(q.qv[{lo} + c.i] AS DOUBLE) - c.val)
+                     * (CAST(q.qv[{lo} + c.i] AS DOUBLE) - c.val)), 6) AS d
+      FROM p{s}cent{PQ_ITERS} c CROSS JOIN q
+      GROUP BY c.code
+    )"""
+        )
+    dist_sum = " + ".join(
+        f"(SELECT d FROM p{s}lut WHERE code = a{s}.code)" for s in range(PQ_S)
+    )
+    code_joins = "\n        ".join(
+        f"JOIN p{s}a{PQ_ITERS} a{s} ON a{s}.vec_id = e.vec_id"
+        for s in range(PQ_S)
+    )
+    parts.append(
+        f""",
+    shortlist AS MATERIALIZED (
+      SELECT e.vec_id, ROUND({dist_sum}, 6) AS pq_dist
+      FROM embeddings e
+        JOIN a{IVF_ITERS} av ON av.vec_id = e.vec_id
+        JOIN probes p ON p.cluster = av.cluster
+        {code_joins}
+      WHERE e.vec_id <> 0
+      ORDER BY pq_dist, e.vec_id
+      LIMIT {shortlist}
+    )
+    SELECT e.vec_id,
+           ROUND(SUM(CAST(e.embedding[t.i] AS DOUBLE) * CAST(q.qv[t.i] AS DOUBLE))
+                 / (SQRT(SUM(CAST(e.embedding[t.i] AS DOUBLE) * CAST(e.embedding[t.i] AS DOUBLE)))
+                  * SQRT(SUM(CAST(q.qv[t.i] AS DOUBLE) * CAST(q.qv[t.i] AS DOUBLE)))), 6) AS score
+    FROM embeddings e
+    JOIN shortlist s ON s.vec_id = e.vec_id
+    CROSS JOIN q
+    CROSS JOIN generate_series(1, {DIM}) AS t(i)
+    GROUP BY e.vec_id
+    ORDER BY score DESC, e.vec_id
+    LIMIT {PQ_TOPK}"""
+    )
+    return "".join(parts)
+
+
+@register("ann_ivfpq_rescore", oracle=_ivfpq_rescore_sql())
+def ann_ivfpq_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production two-stage ANN: IVF-prune to the nprobe=6 nearest lists,
+    ADC-rank ONLY those lists' PQ codes, keep a 400-vector shortlist, then
+    exact-cosine rescore the shortlist and return the top 10. Tuned on
+    tools/ann_recall.py to recall@10 >= 0.8 at <= 0.3 full-vector scan
+    fraction (measured 0.83 @ 0.20); the reference's analogous knob is the
+    HNSW `high_recall` preset (`tensor_store/src/hnsw.rs:1434-1533`,
+    searched at `vector_engine/src/lib.rs:2378-2560`). Both indexes come
+    from the session caches; the probe filter and the shortlist are
+    broadcast joins — the float vectors are read only for the shortlist."""
+    from neumann_spark.functions.vector import cosine_expr
+
+    state, centroids = ivf_index(spark, sf_dir)
+    codes, codebooks = pq_index(spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings")
+    probe_cells = [
+        F.struct(_sq_dist_expr(F.col("qv"), vals).alias("d"), F.lit(int(cid)).alias("cluster"))
+        for cid, vals in centroids
+    ]
+    probes = (
+        state.filter(F.col("vec_id") == 0)
+        .select(F.col("v").alias("qv"))
+        .select(
+            F.explode(
+                F.slice(F.array_sort(F.array(*probe_cells)), 1, ANN_RESCORE_NPROBE)
+            ).alias("p")
+        )
+        .select(F.col("p.cluster").alias("cluster"))
+    )
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    ]
+    total = None
+    for s in range(PQ_S):
+        qs = qv[s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
+        term = _adc_term(qs, codebooks[s], F.col(f"code_{s}"))
+        total = term if total is None else total + term
+    shortlist = (
+        state.select("vec_id", "cluster")
+        .filter(F.col("vec_id") != 0)
+        .join(F.broadcast(probes), "cluster")
+        .join(codes, "vec_id")
+        .select("vec_id", F.round(total, 6).alias("pq_dist"))
+        .orderBy("pq_dist", "vec_id")
+        .limit(ANN_RESCORE_SHORTLIST)
+        .select("vec_id")
+    )
+    q = F.lit(qv).cast("array<double>")
+    return (
+        emb.join(F.broadcast(shortlist), "vec_id")
+        .select(
+            "vec_id",
+            F.round(
+                cosine_expr(F.col("embedding").cast("array<double>"), q), 6
+            ).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("vec_id"))
+        .limit(PQ_TOPK)
+    )
+
+
 @register("ann_pq_rescore", oracle=_pq_rescore_sql())
 def ann_pq_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage retrieval (`tensor_store/src/pq.rs` ADC + the rescoring

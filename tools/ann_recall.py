@@ -47,6 +47,8 @@ def main() -> None:
 
     from neumann_spark.catalog import load
     from neumann_spark.pipeline.ann import (
+        ANN_RESCORE_NPROBE,
+        ANN_RESCORE_SHORTLIST,
         IVF_NPROBE,
         PQ_S,
         PQ_SHORTLIST,
@@ -113,7 +115,7 @@ def main() -> None:
 
     hits: dict[str, list[float]] = {m: [] for m in (
         "lsh_bucket", "lsh_multiprobe", "ivf_nprobe2", "binary_hamming",
-        "pq_adc", "sq_dequant", "ivfpq_adc", "pq_rescore")}
+        "pq_adc", "sq_dequant", "ivfpq_adc", "pq_rescore", "ivfpq_rescore")}
     scanned: dict[str, list[float]] = {m: [] for m in hits}
 
     for qi in rng_idx:
@@ -167,14 +169,17 @@ def main() -> None:
         hits["binary_hamming"].append(len(set(top.tolist()) & gt_cos) / TOPK)
         scanned["binary_hamming"].append(1.0)
 
-        # PQ ADC: per-subspace LUT of rounded squared distances
+        # PQ ADC: per-subspace LUT of rounded squared distances. The LUT is
+        # keyed by code id (not positional): the deterministic Lloyd drops a
+        # code when its cell empties, so codebooks can be sparse ({0,1,3,..})
+        # and positional indexing would mis-map or read out of bounds —
+        # mirrors the engine's map-based `_adc_term`.
         adc = np.zeros(n)
         for s in range(PQ_S):
             qs = q[s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
-            lut = np.array(
-                [round(float(((qs - np.array(c)) ** 2).sum()), 6)
-                 for _, c in codebooks[s]]
-            )
+            lut = np.full(max(cid for cid, _ in codebooks[s]) + 1, np.inf)
+            for cid, c in codebooks[s]:
+                lut[cid] = round(float(((qs - np.array(c)) ** 2).sum()), 6)
             adc += lut[codes[:, s]]
         adc = np.round(adc, 6)
         top = tie_rank(adc, qi, TOPK)
@@ -201,6 +206,20 @@ def main() -> None:
         hits["pq_rescore"].append(len(set(top.tolist()) & gt_cos) / TOPK)
         scanned["pq_rescore"].append(PQ_SHORTLIST / n)
 
+        # IVF-PQ shortlist + exact-cosine rescore (ann_ivfpq_rescore — the
+        # tuned production config): probe ANN_RESCORE_NPROBE lists, ADC-rank
+        # only those lists' codes, exact-rescore the shortlist. Scan fraction
+        # = full-precision vectors read (shortlist); stage 1 reads only PQ
+        # codes (64x compressed) for the probed nprobe/k of the corpus.
+        rprobe = cent_ids[np.lexsort((cent_ids, cd))[:ANN_RESCORE_NPROBE]]
+        cand = np.where(np.isin(clusters, rprobe))[0]
+        cand = cand[cand != qi]
+        order = cand[np.lexsort((vec_ids[cand], adc[cand]))]
+        short = order[:ANN_RESCORE_SHORTLIST]
+        top = short[np.argsort(-cos[short], kind="stable")][:TOPK]
+        hits["ivfpq_rescore"].append(len(set(top.tolist()) & gt_cos) / TOPK)
+        scanned["ivfpq_rescore"].append(len(short) / n)
+
     out = {
         "metric": "ann_recall_at_10",
         "sf_dir": sf_dir,
@@ -211,7 +230,7 @@ def main() -> None:
             "ivf_nprobe2": "cosine",
             "binary_hamming": "cosine", "pq_adc": "euclidean",
             "sq_dequant": "euclidean", "ivfpq_adc": "euclidean",
-            "pq_rescore": "cosine",
+            "pq_rescore": "cosine", "ivfpq_rescore": "cosine",
         },
         "recall_at_10": {m: round(float(np.mean(h)), 3) for m, h in hits.items()},
         "avg_scan_fraction": {
