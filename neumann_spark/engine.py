@@ -228,12 +228,22 @@ class NeumannSparkEngine:
         offset/limit slices of the pinned partitions, not re-executions."""
         import uuid
 
-        ttl_secs = min(int(ttl_secs), self.MAX_TTL_SECS)
+        # page_size >= 1 or the token never advances (empty pages with
+        # next_off == offset would spin a drain loop forever); ttl floored
+        # at 0 so a negative TTL can't expire every token at birth
+        page_size = max(1, int(page_size))
+        ttl_secs = min(max(0, int(ttl_secs)), self.MAX_TTL_SECS)
         df = self.execute(command).localCheckpoint(eager=True)
         cur_id = str(uuid.uuid4())
-        self._cursors[cur_id] = {"df": df, "total": df.count()}
+        # ttl + last-access live server-side and are authoritative: the
+        # token is unsigned client-held JSON, so its copies are display-only
+        # and a client-edited token cannot extend a cursor's life
+        self._cursors[cur_id] = {
+            "df": df, "total": df.count(),
+            "ttl_secs": ttl_secs, "last_accessed_at": int(self._now()),
+        }
         return self._encode_cursor({
-            "id": cur_id, "offset": 0, "page_size": int(page_size),
+            "id": cur_id, "offset": 0, "page_size": page_size,
             "ttl_secs": ttl_secs, "last_accessed_at": int(self._now()),
         })
 
@@ -243,13 +253,18 @@ class NeumannSparkEngine:
         `is_expired`:134-139 — TTL measured from last access, so an active
         consumer never expires mid-scan)."""
         st = self._decode_cursor(token)
+        # tokens are unsigned client-held JSON: re-clamp page_size so an
+        # edited token can't stall pagination; ttl/last-access come from the
+        # server-side entry (authoritative), never from the token
+        st["page_size"] = max(1, int(st.get("page_size", self.DEFAULT_PAGE_SIZE)))
         now = int(self._now())
-        if now - st["last_accessed_at"] > st["ttl_secs"]:
-            self._close_cursor(st["id"])
-            raise ValueError(f"cursor {st['id']} expired")
         ent = self._cursors.get(st["id"])
         if ent is None:
             raise KeyError(f"unknown cursor {st['id']}")
+        if now - ent["last_accessed_at"] > ent["ttl_secs"]:
+            self._close_cursor(st["id"])
+            raise ValueError(f"cursor {st['id']} expired")
+        ent["last_accessed_at"] = now
         page = ent["df"].offset(st["offset"]).limit(st["page_size"])
         next_off = st["offset"] + st["page_size"]
         if next_off >= ent["total"]:
@@ -451,6 +466,10 @@ class NeumannSparkEngine:
         keys are a broadcast dim, so validation adds no shuffle."""
         for fk in self._fks.get(name, ()):
             ref = self._session_table(fk["ref_table"])
+            if fk["ref_table"] == name:
+                # self-referential FK: the constraint holds at end of
+                # statement, so rows may reference keys in the same batch
+                ref = ref.unionAll(new)
             probe = new
             for c in fk["columns"]:
                 probe = probe.filter(F.col(c).isNotNull())
@@ -469,45 +488,67 @@ class NeumannSparkEngine:
                     f"{missing} row(s) reference missing "
                     f"{fk['ref_table']}({', '.join(fk['ref_columns'])})")
 
+    MAX_FK_CASCADE_ROUNDS = 32
+
     def _apply_fk_on_delete(self, name: str, deleted: DataFrame) -> None:
         """Delete-side referential actions against the rows being removed
         from `name`: RESTRICT/NO_ACTION error out, CASCADE deletes the
         referencing rows, SET_NULL nulls the referencing columns. Each
-        action is one join against the (small, broadcast) deleted-key set."""
-        for child, fks in list(self._fks.items()):
-            for fk in fks:
-                if fk["ref_table"] != name or child not in self._tables:
-                    continue
-                keys = deleted.select(
-                    *[F.col(rc).alias(c)
-                      for c, rc in zip(fk["columns"], fk["ref_columns"])]
-                ).distinct()
-                child_df = self._tables[child]
-                hit = child_df.join(F.broadcast(keys), fk["columns"], "semi")
-                action = fk["on_delete"]
-                if action in ("RESTRICT", "NO_ACTION"):
-                    n = hit.count()
-                    if n:
-                        raise ValueError(
-                            f"foreign key restrict: {n} row(s) in "
-                            f"{child!r} reference deleted rows of {name!r} "
-                            f"(constraint {fk['name']!r})")
-                elif action == "CASCADE":
-                    self._tables[child] = child_df.join(
-                        F.broadcast(keys), fk["columns"], "left_anti")
-                    self._tables[child].createOrReplaceTempView(child)
-                elif action == "SET_NULL":
-                    marked = child_df.join(
-                        F.broadcast(keys.withColumn("_fk_hit", F.lit(True))),
-                        fk["columns"], "left")
-                    sets = {
-                        c: F.when(F.col("_fk_hit"), F.lit(None)).otherwise(
-                            F.col(c)).alias(c)
-                        for c in fk["columns"]
-                    }
-                    self._tables[child] = marked.select(
-                        *[sets.get(c, F.col(c)) for c in child_df.columns])
-                    self._tables[child].createOrReplaceTempView(child)
+        action is one join against the (small, broadcast) deleted-key set.
+
+        Cascades resolve to a fixpoint via a worklist: every batch of rows
+        a CASCADE removes is re-enqueued so chained FKs (grandchildren) and
+        self-referential FKs both propagate; a round cap guards pathological
+        cyclic data. Cascaded batches are empty-checked before enqueueing,
+        so acyclic chains terminate when a level removes nothing."""
+        work: list[tuple[str, DataFrame]] = [(name, deleted)]
+        rounds = 0
+        while work:
+            rounds += 1
+            if rounds > self.MAX_FK_CASCADE_ROUNDS:
+                raise ValueError(
+                    f"FK cascade exceeded {self.MAX_FK_CASCADE_ROUNDS} "
+                    f"rounds — cyclic referential actions?")
+            tbl, doomed = work.pop()
+            for child, fks in list(self._fks.items()):
+                for fk in fks:
+                    if fk["ref_table"] != tbl or child not in self._tables:
+                        continue
+                    keys = doomed.select(
+                        *[F.col(rc).alias(c)
+                          for c, rc in zip(fk["columns"], fk["ref_columns"])]
+                    ).distinct()
+                    child_df = self._tables[child]
+                    hit = child_df.join(F.broadcast(keys), fk["columns"], "semi")
+                    action = fk["on_delete"]
+                    if action in ("RESTRICT", "NO_ACTION"):
+                        n = hit.count()
+                        if n:
+                            raise ValueError(
+                                f"foreign key restrict: {n} row(s) in "
+                                f"{child!r} reference deleted rows of {tbl!r} "
+                                f"(constraint {fk['name']!r})")
+                    elif action == "CASCADE":
+                        # pin the removed batch before replacing the table:
+                        # the enqueued frame must see pre-cascade contents
+                        hit_rows = hit.localCheckpoint(eager=True)
+                        if hit_rows.count():
+                            self._tables[child] = child_df.join(
+                                F.broadcast(keys), fk["columns"], "left_anti")
+                            self._tables[child].createOrReplaceTempView(child)
+                            work.append((child, hit_rows))
+                    elif action == "SET_NULL":
+                        marked = child_df.join(
+                            F.broadcast(keys.withColumn("_fk_hit", F.lit(True))),
+                            fk["columns"], "left")
+                        sets = {
+                            c: F.when(F.col("_fk_hit"), F.lit(None)).otherwise(
+                                F.col(c)).alias(c)
+                            for c in fk["columns"]
+                        }
+                        self._tables[child] = marked.select(
+                            *[sets.get(c, F.col(c)) for c in child_df.columns])
+                        self._tables[child].createOrReplaceTempView(child)
 
     @staticmethod
     def _parse_values(body: str) -> list[tuple]:
@@ -971,8 +1012,11 @@ class NeumannSparkEngine:
         reach = bfs_levels(undirected_edges(self._edges), src, 2).select("node")
         # try_cast: non-numeric session keys (e.g. 'q:1') are simply
         # unreachable rather than an ANSI cast error
+        # pre-filter strategy (`vector_engine/src/lib.rs:387-399`): the
+        # bounded-BFS reachable set is tiny, so broadcast-semi-join it
+        # below the scoring scan — cosine runs only over reachable keys
         cand = base.withColumn("_nid", F.expr("try_cast(key AS BIGINT)")).join(
-            reach, F.col("_nid") == reach.node, "left_semi"
+            F.broadcast(reach), F.col("_nid") == reach.node, "left_semi"
         ).drop("_nid")
         return knn(cand, "embedding", qv, k, metric, id_cols=("key",))
 
@@ -1591,7 +1635,10 @@ class NeumannSparkEngine:
         n = doomed.count()
         if n:
             self._apply_fk_on_delete(name, doomed)
-        new = delete_where(df, cond)
+        # re-read: a self-referential CASCADE may have already replaced the
+        # table; deleting from the pre-cascade frame would resurrect the
+        # cascade-removed rows
+        new = delete_where(self._session_table(name), cond)
         self._tables[name] = new
         new.createOrReplaceTempView(name)
         return self.spark.createDataFrame(

@@ -195,8 +195,12 @@ def unified_similar_connected(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine-kNN to entity 0's embedding, restricted (semi-join) to nodes
     within 2 hops of node 17, top 10.
 
-    Scale shape: the BFS frontier is tiny (bounded hops); the scoring scan
-    is map-only; the composition joins candidate node ids only."""
+    Scale shape: the BFS frontier is tiny (bounded hops), so the reachable
+    set is broadcast-joined against the embeddings BEFORE the cosine
+    projection — the reference's pre-filter strategy for selective filters
+    (`vector_engine/src/lib.rs:387-399`, <10% selectivity → filter first).
+    At 100 TB the dot product runs over only the few-hundred reachable
+    vectors, never the full corpus."""
     emb = entity_embeddings(spark, sf_dir)
     anchor = (
         load(spark, sf_dir, "embeddings")
@@ -206,27 +210,22 @@ def unified_similar_connected(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = undirected_edges(edges_df(spark, sf_dir))
     src = e.sparkSession.createDataFrame([(17, 17)], "source bigint, node bigint")
     reach = bfs_levels(e, src, 2).select("node", "dist")
-    scored = (
-        emb.filter(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(anchor))
-        .select(
-            "node_id",
-            "vec_id",
-            cosine_expr(F.col("embedding"), F.col("qv")).alias("raw_score"),
-        )
+    cand = emb.filter(F.col("vec_id") != 0).join(
+        F.broadcast(reach), emb.node_id == reach.node
     )
     return (
-        scored.join(reach, scored.node_id == reach.node)
+        cand.crossJoin(F.broadcast(anchor))
         .select(
             "node_id",
             "vec_id",
             "dist",
-            F.round("raw_score", 6).alias("score"),
-            F.col("raw_score"),
+            cosine_expr(F.col("embedding"), F.col("qv")).alias("raw_score"),
         )
         .orderBy(F.col("raw_score").desc(), F.col("node_id"))
         .limit(10)
-        .drop("raw_score")
+        .select(
+            "node_id", "vec_id", "dist", F.round("raw_score", 6).alias("score")
+        )
     )
 
 

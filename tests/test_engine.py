@@ -563,6 +563,9 @@ def test_cache_read_subcommands_do_not_invalidate(engine):
     assert engine.execute(q) is a  # cache survived the reads
     engine.execute("NODE 9000044 cachetest")  # shorthand create = write
     assert engine.execute(q) is not a
+    # restore shared-fixture state: later tests in this module must not see
+    # the probe node (the engine fixture is module-scoped)
+    engine.execute("NODE DELETE 9000044")
 
 
 def test_cache_lru_bound(engine):
@@ -611,6 +614,34 @@ def test_fk_on_delete_cascade_and_set_null(engine):
     assert c2 == [(200, None), (201, 2)]
 
 
+def test_fk_cascade_multilevel_and_self_ref(engine):
+    # grandchild chain: deleting the root cascades through the middle table
+    engine.execute("CREATE TABLE fk_g0 (id INT)")
+    engine.execute(
+        "CREATE TABLE fk_g1 (id INT, p INT REFERENCES fk_g0(id) ON DELETE CASCADE)"
+    )
+    engine.execute(
+        "CREATE TABLE fk_g2 (id INT, p INT REFERENCES fk_g1(id) ON DELETE CASCADE)"
+    )
+    engine.execute("INSERT INTO fk_g0 VALUES (1), (2)")
+    engine.execute("INSERT INTO fk_g1 VALUES (10, 1), (11, 2)")
+    engine.execute("INSERT INTO fk_g2 VALUES (100, 10), (101, 11)")
+    engine.execute("DELETE FROM fk_g0 WHERE id = 1")
+    assert [r["id"] for r in engine.execute("SELECT * FROM fk_g1").collect()] == [11]
+    assert [r["id"] for r in engine.execute("SELECT * FROM fk_g2").collect()] == [101]
+    # self-referential chain: 1 <- 2 <- 3; deleting 1 takes the whole chain
+    engine.execute(
+        "CREATE TABLE fk_tree (id INT, parent INT "
+        "REFERENCES fk_tree(id) ON DELETE CASCADE)"
+    )
+    engine.execute(
+        "INSERT INTO fk_tree VALUES (1, None), (2, 1), (3, 2), (9, None)"
+    )
+    engine.execute("DELETE FROM fk_tree WHERE id = 1")
+    left = sorted(r["id"] for r in engine.execute("SELECT * FROM fk_tree").collect())
+    assert left == [9]
+
+
 def test_cursor_token_pagination(engine):
     token = engine.open_cursor("SELECT * FROM nation", page_size=10)
     seen = []
@@ -628,3 +659,36 @@ def test_cursor_token_expiry(engine, monkeypatch):
         engine.fetch_page(token)
     with pytest.raises(ValueError, match="invalid cursor token"):
         engine.fetch_page("garbage!!")
+
+
+def test_cursor_clamps_page_size_and_ttl(engine, monkeypatch):
+    import base64
+    import json
+
+    # page_size=0 would never advance; engine clamps to >= 1 so the drain
+    # terminates
+    token = engine.open_cursor("SELECT * FROM region", page_size=0)
+    seen = 0
+    while token is not None:
+        page, token = engine.fetch_page(token)
+        seen += page.count()
+    assert seen == 5
+    # negative TTL clamps to 0 at open (not silently negative, not MAX)
+    t2 = engine.open_cursor("SELECT * FROM region", ttl_secs=-5)
+    pad2 = "=" * (-len(t2) % 4)
+    assert json.loads(base64.urlsafe_b64decode(t2 + pad2))["ttl_secs"] == 0
+    # a client-edited token can't extend TTL past MAX_TTL_SECS: decode,
+    # inflate ttl + last_accessed_at, re-encode — fetch must still expire
+    token = engine.open_cursor("SELECT * FROM region", page_size=2)
+    pad = "=" * (-len(token) % 4)
+    st = json.loads(base64.urlsafe_b64decode(token + pad))
+    st["ttl_secs"] = 10**9
+    st["last_accessed_at"] = int(engine._now()) + 10**9
+    forged = base64.urlsafe_b64encode(
+        json.dumps(st, sort_keys=True).encode()).rstrip(b"=").decode()
+    real_now = engine._now()
+    monkeypatch.setattr(
+        type(engine), "_now",
+        staticmethod(lambda: real_now + engine.MAX_TTL_SECS + 61))
+    with pytest.raises(ValueError, match="expired"):
+        engine.fetch_page(forged)

@@ -122,6 +122,25 @@ def test_cube_single_shuffle(spark):
     assert plan.count(") Exchange") == 1 and "hashpartitioning" in plan
 
 
+def test_similar_connected_filters_before_scoring(spark):
+    """`unified_similar_connected` must push the (tiny, bounded-BFS)
+    reachability semi-join BELOW the cosine projection — the reference's
+    pre-filter strategy at <10% selectivity (`vector_engine/src/lib.rs:
+    387-399`). In the physical tree the scoring Project is therefore a
+    parent of the broadcast reach join: at 100 TB the dot product runs
+    over only reachable vectors, never the full corpus."""
+    from neumann_spark.unified.entities import unified_similar_connected
+
+    df = unified_similar_connected(spark, SF_DIR)
+    lines = df._jdf.queryExecution().executedPlan().toString().splitlines()
+    score_i = next(i for i, l in enumerate(lines) if "zip_with" in l)
+    join_i = next(
+        i for i, l in enumerate(lines)
+        if "BroadcastHashJoin" in l and "node" in l
+    )
+    assert score_i < join_i  # scoring sits above (after) the reach join
+
+
 def test_distribution_windows_single_shuffle(spark):
     from neumann_spark.operators.windows import win_distribution_functions
 
