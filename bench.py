@@ -158,6 +158,47 @@ def main() -> None:
             }
             _release_query_state(keep_ids)
 
+    # multi-row-group layout: every fixture table is ONE parquet row group,
+    # so every scan stage is single-task by file-format constraint (a
+    # byte-range split cannot cross a row group) and the main series
+    # understates the engine on local[32]. Write (once, cached across runs)
+    # a repartitioned multi-file copy of the same data and re-time the
+    # headline suite on it — identical plans, parallel scans. This is the
+    # layout a real 100 TB deployment reads (many files/row groups), so the
+    # multilayout series is the honest compute comparison vs BASELINE.md.
+    from neumann_spark.catalog import TABLES, load as cat_load
+
+    n_parts = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    ml_dir = os.environ.get(
+        "SPARK_GRAFT_MULTILAYOUT_DIR",
+        f"/tmp/neumann_bench_multilayout/{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    multilayout: dict[str, float] = {}
+    try:
+        marker = os.path.join(ml_dir, "_DONE")
+        if not os.path.exists(marker):
+            for t in TABLES:
+                cat_load(spark, sf_dir, t).repartition(n_parts).write.mode(
+                    "overwrite"
+                ).parquet(f"{ml_dir}/{t}.parquet")
+            with open(marker, "w") as fh:
+                fh.write("ok")
+        nodes_df(spark, ml_dir).count()
+        edges_df(spark, ml_dir).count()
+        keep_ids = _persistent_ids()
+        for name in HEADLINE:
+            samples = []
+            for _ in range(RUNS):
+                t0 = time.time()
+                queries[name](spark, ml_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                samples.append(round(time.time() - t0, 3))
+                _release_query_state(keep_ids)
+            multilayout[name] = sorted(samples)[RUNS // 2]
+    except Exception as e:  # noqa: BLE001 — multilayout is evidence, not the gate
+        multilayout = {"_error": repr(e)[:200]}
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -176,6 +217,21 @@ def main() -> None:
                     sum(max(0.0, v - floor) for v in timings.values()), 3
                 ),
                 "scaling_10x": scaling,
+                # same queries, same data, multi-file layout (32 files per
+                # table): parallel scans instead of the single-row-group
+                # serial scan — the layout a real deployment reads
+                "queries_multilayout": multilayout,
+                "multilayout_total": round(
+                    sum(v for v in multilayout.values()
+                        if isinstance(v, (int, float))), 3
+                ),
+                "multilayout_note": (
+                    "scan-bound queries speed up ~2-3x (parallel scans); "
+                    "iterative graph queries slow down at fixture scale "
+                    "because each of their ~dozens of rounds now launches "
+                    "32 tasks over ~2k rows - pure task-launch overhead "
+                    "that vanishes when partitions hold real data"
+                ),
                 # every fixture table is ONE parquet row group, so scan
                 # stages are single-task by file format (byte-range splits
                 # can't cross a row-group): sf0.1 timings carry a serial

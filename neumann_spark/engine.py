@@ -1605,7 +1605,10 @@ class NeumannSparkEngine:
             "UPDATE t SET col = expr [WHERE cond]")
         name, sets, where = m.groups()
         assignments = {}
-        for part in sets.split(","):
+        # top-level split only: SET expressions are full Spark SQL (the
+        # reference's expr dialect, `neumann_parser/src/expr.rs:7-18`), so
+        # CASE WHEN / IN (a, b) / function calls may contain commas
+        for part in self._split_top_level(sets):
             col, _, expr = part.partition("=")
             if not _:
                 raise ValueError(f"expected col = expr in SET: {part!r}")
@@ -1618,6 +1621,32 @@ class NeumannSparkEngine:
         new.createOrReplaceTempView(name)
         return self.spark.createDataFrame(
             [(name, before)], "table string, scanned bigint")
+
+    @staticmethod
+    def _split_top_level(s: str) -> list[str]:
+        """Split on commas outside parentheses/brackets/quotes — the comma
+        depth a SQL expression list needs (CASE WHEN, IN-lists, calls)."""
+        parts: list[str] = []
+        cur: list[str] = []
+        depth = 0
+        quote: str | None = None
+        for ch in s:
+            if quote:
+                if ch == quote:
+                    quote = None
+            elif ch in "'\"":
+                quote = ch
+            elif ch in "([":
+                depth += 1
+            elif ch in ")]":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                parts.append("".join(cur))
+                cur = []
+                continue
+            cur.append(ch)
+        parts.append("".join(cur))
+        return parts
 
     def _exec_delete(self, cmd: str) -> DataFrame:
         """`DELETE FROM t [WHERE cond]` (lowered onto

@@ -1072,9 +1072,8 @@ def _bf_rounds_sql(hops: int, start: int) -> str:
     return "".join(parts)
 
 
-@register(
-    "graph_astar_path",
-    oracle=GRAPH_SQL_CTE.replace("WITH nodes", "WITH RECURSIVE nodes", 1)
+_ASTAR_ORACLE = (
+    GRAPH_SQL_CTE.replace("WITH nodes", "WITH RECURSIVE nodes", 1)
     + _bf_rounds_sql(ASTAR_HOPS, 1)
     + """
     , pred AS MATERIALIZED (
@@ -1095,8 +1094,11 @@ def _bf_rounds_sql(hops: int, start: int) -> str:
            b.node,
            ROUND(d.dist, 4) AS cum_weight
     FROM back b JOIN dist d ON d.node = b.node
-    """,
+    """
 )
+
+
+@register("graph_astar_path", oracle=_ASTAR_ORACLE)
 def graph_astar_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A* weighted path (`graph_engine/src/algorithms/astar.rs:192`) from
     customer#1 to customer#17, zero heuristic (the weighted fixture graph
@@ -1111,6 +1113,54 @@ def graph_astar_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist, path, _ = astar_search(edges, 1, 17, "zero")
     rows = [(i, int(n), float(round(dist[n], 4))) for i, n in enumerate(path)]
     return spark.createDataFrame(rows, "step int, node bigint, cum_weight double")
+
+
+@register("graph_astar_distributed", oracle=_ASTAR_ORACLE)
+def graph_astar_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed scale path for `graph_astar_path`, registered as its
+    own driver-checked query (same source/goal, same Bellman-Ford +
+    canonical-predecessor oracle): min distances by `bounded_dijkstra`
+    frontier relaxation (hop-order float sums match Bellman-Ford
+    bit-for-bit), predecessors by one join (min src with
+    dist[src] + w = dist[dst], exact float equality), and the back-walk
+    from the goal as one broadcast join per hop — bounded by the path
+    length, never collecting the graph. Differential equality with the
+    driver-side A* is asserted in tests/test_graph.py."""
+    from neumann_spark.graph.traversal import bounded_dijkstra
+
+    ue = undirected_edges(edges_df(spark, sf_dir)).select("src", "dst", "weight")
+    dist = bounded_dijkstra(ue, 1, ASTAR_HOPS).localCheckpoint(eager=True)
+    pred = (
+        ue.join(dist.select(F.col("node").alias("src"), F.col("dist").alias("sdist")), "src")
+        .join(dist.select(F.col("node").alias("dst"), F.col("dist").alias("ddist")), "dst")
+        .filter(F.col("sdist") + F.col("weight") == F.col("ddist"))
+        .groupBy("dst")
+        .agg(F.min("src").alias("p"))
+        .select(F.col("dst").alias("node"), "p")
+        .localCheckpoint(eager=True)
+    )
+    cur = spark.createDataFrame([(17, 0)], "node bigint, back_idx int")
+    back = cur
+    for _ in range(ASTAR_HOPS):
+        head = cur.head()
+        if head is None or head["node"] == 1:
+            break
+        cur = (
+            pred.join(F.broadcast(cur), "node")
+            .select(F.col("p").alias("node"), (F.col("back_idx") + 1).alias("back_idx"))
+            .localCheckpoint(eager=True)
+        )
+        back = back.unionAll(cur)
+    mx = back.agg(F.max("back_idx").alias("mx"))
+    return (
+        back.crossJoin(F.broadcast(mx))
+        .join(dist, "node")
+        .select(
+            (F.col("mx") - F.col("back_idx")).cast("int").alias("step"),
+            "node",
+            F.round("dist", 4).alias("cum_weight"),
+        )
+    )
 
 
 @register(
@@ -1991,6 +2041,278 @@ def graph_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
     no driver collect."""
     mst = mst_boruvka_distributed(undirected_edges(edges_df(spark, sf_dir)))
     return mst.select("src", "dst", F.round("weight", 2).alias("weight"))
+
+
+# --------------------------------------------------------------------------
+# Distributed biconnectivity — BFS spanning forest + fundamental-cycle
+# chaining. The scale path for the last two driver-side components
+# (`graph_articulation_points` / `graph_bridges`, `biconnected.rs:112,127`):
+# everything below is joins + groupBy, no edge-list collect.
+# --------------------------------------------------------------------------
+
+
+def bcc_distributed(
+    uedges: DataFrame, max_depth: int = 40
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Bridges + articulation points, fully distributed
+    (`biconnected.rs:112,127` — the reference runs Hopcroft-Tarjan
+    single-node; DFS doesn't distribute, so this uses the spanning-tree
+    characterization instead):
+
+    1. **BFS spanning forest** from each component's min node (parent = min
+       neighbor in the previous frontier) — one frontier join per level,
+       rounds = graph diameter.
+    2. **Fundamental-cycle walks**: every non-tree edge closes exactly one
+       cycle with the forest. Walk both endpoints up toward the LCA
+       (lifting the deeper side, both when tied). Each step emits the
+       traversed tree edge (*coverage*) and an *aux pair* chaining it to
+       the previous edge on the same side; the two sides' last edges pair
+       up at the LCA. Rounds = diameter; emitted rows = total fundamental-
+       cycle length (Tarjan-Vishkin's low/high computation shortcuts this
+       to O(m) aux edges via an Euler tour — the chain form trades that
+       for plain joins, the right trade below pathological cycle lengths).
+    3. **Connected components over the aux graph** (tree edges keyed by
+       their child endpoint): consecutive edges of one cycle share a
+       biconnected component, and cycles sharing a tree edge merge
+       transitively — the resulting classes are exactly the BCCs
+       restricted to tree edges.
+
+    Then: a tree edge covered by NO cycle is a bridge (non-tree edges are
+    never bridges); a vertex is an articulation point iff its incident
+    tree edges span >= 2 distinct BCC labels (uncovered tree edges count
+    as singleton BCCs; every BCC at a vertex contains one of its tree
+    edges, so tree-edge labels see every component).
+
+    Returns (forest, bridges, articulation):
+      forest — (child, parent, depth), one row per non-root node
+      bridges — (src, dst) canonical src < dst
+      articulation — (id)
+    """
+    spark = uedges.sparkSession
+    e = (
+        uedges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = e.select(F.col("src").alias("id")).distinct()
+    comp = connected_components(nodes, e, rounds=max_depth)
+    roots = comp.filter(F.col("id") == F.col("comp")).select("id")
+
+    # 1. BFS forest
+    visited = roots.localCheckpoint(eager=True)
+    frontier = visited
+    forest = spark.createDataFrame([], "child bigint, parent bigint, depth int")
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            e.join(frontier.withColumnRenamed("id", "src"), "src")
+            .select(F.col("dst").alias("child"), F.col("src").alias("parent"))
+            .join(visited.withColumnRenamed("id", "child"), "child", "left_anti")
+            .groupBy("child")
+            .agg(F.min("parent").alias("parent"))
+            .withColumn("depth", F.lit(depth))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        forest = forest.unionAll(nxt)
+        visited = visited.unionAll(
+            nxt.select(F.col("child").alias("id"))
+        ).localCheckpoint(eager=True)
+        frontier = nxt.select(F.col("child").alias("id"))
+    else:
+        raise ValueError(f"BFS forest did not terminate in {max_depth} levels")
+    forest = forest.localCheckpoint(eager=True)
+
+    # 2. fundamental-cycle walks
+    canon = e.filter(F.col("src") < F.col("dst"))
+    tree_canon = forest.select(
+        F.least("child", "parent").alias("src"),
+        F.greatest("child", "parent").alias("dst"),
+    )
+    dep = forest.select(F.col("child").alias("id"), "depth").unionAll(
+        roots.select("id", F.lit(0).alias("depth"))
+    )
+    state = (
+        canon.join(tree_canon, ["src", "dst"], "left_anti")
+        .join(
+            dep.select(F.col("id").alias("src"), F.col("depth").alias("da")), "src"
+        )
+        .join(
+            dep.select(F.col("id").alias("dst"), F.col("depth").alias("db")), "dst"
+        )
+        .select(
+            (F.col("src") * F.lit(1 << 32) + F.col("dst")).alias("eid"),
+            F.col("src").alias("a"),
+            "da",
+            F.col("dst").alias("b"),
+            "db",
+            F.lit(None).cast("bigint").alias("la"),
+            F.lit(None).cast("bigint").alias("lb"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    coverage = spark.createDataFrame([], "child bigint")
+    aux = spark.createDataFrame([], "x bigint, y bigint")
+    pa = forest.select(F.col("child").alias("a"), F.col("parent").alias("p_a"))
+    pb = forest.select(F.col("child").alias("b"), F.col("parent").alias("p_b"))
+    for _ in range(2 * max_depth + 2):
+        if state.isEmpty():
+            break
+        lift_a = F.col("da") >= F.col("db")
+        lift_b = F.col("db") >= F.col("da")
+        coverage = coverage.unionAll(
+            state.filter(lift_a).select(F.col("a").alias("child"))
+        ).unionAll(state.filter(lift_b).select(F.col("b").alias("child")))
+        aux = aux.unionAll(
+            state.filter(lift_a & F.col("la").isNotNull()).select(
+                F.col("la").alias("x"), F.col("a").alias("y")
+            )
+        ).unionAll(
+            state.filter(lift_b & F.col("lb").isNotNull()).select(
+                F.col("lb").alias("x"), F.col("b").alias("y")
+            )
+        )
+        state = (
+            state.join(pa, "a", "left")
+            .join(pb, "b", "left")
+            .select(
+                "eid",
+                F.when(lift_a, F.col("p_a")).otherwise(F.col("a")).alias("a"),
+                F.when(lift_a, F.col("da") - 1).otherwise(F.col("da")).alias("da"),
+                F.when(lift_b, F.col("p_b")).otherwise(F.col("b")).alias("b"),
+                F.when(lift_b, F.col("db") - 1).otherwise(F.col("db")).alias("db"),
+                F.when(lift_a, F.col("a")).otherwise(F.col("la")).alias("la"),
+                F.when(lift_b, F.col("b")).otherwise(F.col("lb")).alias("lb"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        arrived = state.filter(F.col("a") == F.col("b"))
+        aux = aux.unionAll(
+            arrived.filter(F.col("la").isNotNull() & F.col("lb").isNotNull())
+            .select(F.col("la").alias("x"), F.col("lb").alias("y"))
+        ).localCheckpoint(eager=True)
+        coverage = coverage.localCheckpoint(eager=True)
+        state = state.filter(F.col("a") != F.col("b")).localCheckpoint(eager=True)
+    else:
+        raise ValueError(f"LCA walks did not converge in {2 * max_depth + 2} rounds")
+
+    # 3. BCC labels = CC over the aux graph; uncovered edges are singletons
+    covered = coverage.distinct().localCheckpoint(eager=True)
+    aux_ue = (
+        aux.unionAll(aux.select(F.col("y").alias("x"), F.col("x").alias("y")))
+        .select(F.col("x").alias("src"), F.col("y").alias("dst"))
+        .distinct()
+    )
+    lbl = connected_components(
+        covered.select(F.col("child").alias("id")), aux_ue, rounds=max_depth
+    )
+    labels = (
+        forest.select("child")
+        .join(
+            lbl.select(F.col("id").alias("child"), F.col("comp").alias("bcc")),
+            "child",
+            "left",
+        )
+        .select("child", F.coalesce("bcc", F.col("child")).alias("bcc"))
+        .localCheckpoint(eager=True)
+    )
+
+    bridges = (
+        forest.join(covered, "child", "left_anti")
+        .select(
+            F.least("child", "parent").alias("src"),
+            F.greatest("child", "parent").alias("dst"),
+        )
+    )
+    incident = labels.join(forest, "child").select(
+        F.col("parent").alias("id"), "bcc"
+    ).unionAll(labels.join(forest, "child").select(F.col("child").alias("id"), "bcc"))
+    articulation = (
+        incident.groupBy("id")
+        .agg(F.countDistinct("bcc").alias("n_bcc"))
+        .filter(F.col("n_bcc") >= 2)
+        .select("id")
+    )
+    return forest, bridges, articulation
+
+
+# one bcc_distributed pass serves both registered queries (and repeated
+# calls) — the analog of the reference computing articulation/bridges/
+# components in a single biconnected() pass (`biconnected.rs:96-139`)
+_BCC_CACHE: dict[tuple[int, str], tuple[DataFrame, DataFrame, DataFrame]] = {}
+
+
+def _bcc_index(spark: SparkSession, sf_dir: str):
+    key = (id(spark), sf_dir)
+    if key not in _BCC_CACHE:
+        ue = undirected_edges(edges_df(spark, sf_dir)).select("src", "dst")
+        forest, bridges, art = bcc_distributed(ue)
+        _BCC_CACHE[key] = (
+            forest,
+            bridges.localCheckpoint(eager=True),
+            art.localCheckpoint(eager=True),
+        )
+    return _BCC_CACHE[key]
+
+
+@register(
+    "graph_bridges_distributed",
+    oracle=GRAPH_SQL_CTE.replace("WITH nodes", "WITH RECURSIVE nodes", 1)
+    + _bridges_oracle_sql(),
+)
+def graph_bridges_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed-bridges scale path registered as its own
+    driver-checked query: same candidate panel and same removal-definition
+    reachability oracle as `graph_bridges`, but the bridge set comes from
+    `bcc_distributed` (spanning forest + cycle coverage) — no edge-list
+    collect anywhere. Full-set equality vs the Hopcroft-Tarjan pass is
+    asserted by the differential test in tests/test_graph.py."""
+    _, bridges, _ = _bcc_index(spark, sf_dir)
+    e = edges_df(spark, sf_dir)
+    cand = (
+        e.filter(
+            (F.col("edge_type") == "part_of")
+            & F.col("src").isin([2000000 + n for n in BRIDGE_CANDIDATES])
+        )
+        .select("src", "dst")
+    )
+    flagged = bridges.withColumn("is_bridge", F.lit(1))
+    return (
+        cand.join(
+            F.broadcast(flagged),
+            (F.least(cand.src, cand.dst) == flagged.src)
+            & (F.greatest(cand.src, cand.dst) == flagged.dst),
+            "left",
+        )
+        .select(
+            cand.src.alias("src"),
+            cand.dst.alias("dst"),
+            F.coalesce("is_bridge", F.lit(0)).alias("is_bridge"),
+        )
+    )
+
+
+@register(
+    "graph_articulation_distributed",
+    oracle=GRAPH_SQL_CTE.replace("WITH nodes", "WITH RECURSIVE nodes", 1)
+    + _articulation_oracle_sql(),
+)
+def graph_articulation_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed articulation-points scale path: same candidate panel
+    and same neighbor-reachability-in-G\\v oracle as
+    `graph_articulation_points`, but the articulation set comes from
+    `bcc_distributed` (a vertex is articulation iff its incident tree
+    edges span >= 2 BCC labels) — joins + groupBy only. Full-set equality
+    vs Hopcroft-Tarjan asserted in tests/test_graph.py."""
+    _, _, art = _bcc_index(spark, sf_dir)
+    cand = spark.createDataFrame([(int(v),) for v in ART_CANDIDATES], "id bigint")
+    return (
+        cand.join(
+            F.broadcast(art.withColumn("hit", F.lit(1))), "id", "left"
+        )
+        .select("id", F.coalesce("hit", F.lit(0)).alias("is_articulation"))
+    )
 
 
 # --------------------------------------------------------------------------

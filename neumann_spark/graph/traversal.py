@@ -235,3 +235,63 @@ def graph_variable_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paths.groupBy(F.col("node").alias("dst"), "hops").agg(
         F.count("*").alias("n_paths")
     )
+
+
+@register(
+    "graph_all_weighted_paths",
+    oracle=RECURSIVE_CTE
+    + """
+    , walk AS (
+      SELECT CAST(1 AS BIGINT) AS node, [CAST(1 AS BIGINT)] AS path,
+             CAST(0.0 AS DOUBLE) AS w, 0 AS hops
+      UNION ALL
+      SELECT e.dst, list_append(w.path, e.dst), w.w + e.weight, w.hops + 1
+      FROM walk w JOIN uedges e ON e.src = w.node
+      WHERE w.hops < 4 AND w.node <> 13 AND NOT list_contains(w.path, e.dst)
+    )
+    SELECT array_to_string(path, '->') AS path, hops, ROUND(w, 4) AS total_weight
+    FROM walk WHERE node = 13
+    """,
+)
+def graph_all_weighted_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enumerate ALL simple paths customer#1 -> customer#13 within 4 hops,
+    each with its cumulative weight (`find_all_weighted_paths`,
+    `graph_engine/src/lib.rs:5211` — the enumerate-everything variant next
+    to `find_weighted_path`'s single-best answer). Same frontier-extension
+    shape as `graph_variable_paths` plus a weight accumulator; paths are
+    pruned at the target (a simple path cannot revisit 13 anyway — the
+    filter just skips dead extension work). Weight sums are hop-order
+    double accumulations, bit-identical across engines; the hop bound is
+    the exponential-enumeration guard (SURVEY.md §7)."""
+    e = (
+        undirected_edges(edges_df(spark, sf_dir))
+        .select("src", "dst", "weight")
+        .localCheckpoint(eager=True)
+    )
+    frontier = spark.createDataFrame(
+        [(1, [1], 0.0, 0)],
+        "node bigint, path array<bigint>, w double, hops int",
+    )
+    hits = []
+    for depth in range(1, 5):
+        frontier = (
+            frontier.filter(F.col("node") != 13)
+            .join(e, frontier.node == e.src)
+            .filter(~F.array_contains(F.col("path"), F.col("dst")))
+            .select(
+                F.col("dst").alias("node"),
+                F.concat(F.col("path"), F.array(F.col("dst"))).alias("path"),
+                (F.col("w") + F.col("weight")).alias("w"),
+                F.lit(depth).alias("hops"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        hits.append(frontier.filter(F.col("node") == 13))
+    out = hits[0]
+    for h in hits[1:]:
+        out = out.unionAll(h)
+    return out.select(
+        F.concat_ws("->", F.col("path").cast("array<string>")).alias("path"),
+        "hops",
+        F.round("w", 4).alias("total_weight"),
+    )

@@ -642,6 +642,51 @@ def test_fk_cascade_multilevel_and_self_ref(engine):
     assert left == [9]
 
 
+def test_facade_where_between_in_case(engine):
+    """WHERE-dialect parity with the reference's expression grammar
+    (`neumann_parser/src/expr.rs:7-18`): BETWEEN, IN-lists, and CASE work
+    in every facade verb that takes WHERE."""
+    # BETWEEN on FIND NODES
+    rows = engine.execute(
+        "FIND NODES customer WHERE id BETWEEN 5 AND 8 RETURN id"
+    ).collect()
+    assert sorted(r["id"] for r in rows) == [5, 6, 7, 8]
+    # IN-list on FIND ROWS
+    rows = engine.execute(
+        "FIND ROWS region WHERE r_regionkey IN (1, 3) RETURN r_regionkey"
+    ).collect()
+    assert sorted(r["r_regionkey"] for r in rows) == [1, 3]
+    # CASE (with IN-list commas inside) in UPDATE SET + BETWEEN in WHERE
+    engine.execute("CREATE TABLE wc_t (id INT, v INT)")
+    engine.execute("INSERT INTO wc_t VALUES (1, 10), (2, 20), (3, 30)")
+    engine.execute(
+        "UPDATE wc_t SET v = CASE WHEN id IN (1, 2) THEN 0 ELSE v END "
+        "WHERE id BETWEEN 2 AND 3"
+    )
+    got = sorted(
+        (r["id"], r["v"]) for r in engine.execute("SELECT * FROM wc_t").collect()
+    )
+    assert got == [(1, 10), (2, 0), (3, 30)]
+    # multi-assignment SET still splits correctly alongside a CASE
+    engine.execute(
+        "UPDATE wc_t SET v = CASE WHEN id IN (2, 3) THEN 7 ELSE v END, "
+        "id = id + 10 WHERE id IN (2, 3)"
+    )
+    got = sorted(
+        (r["id"], r["v"]) for r in engine.execute("SELECT * FROM wc_t").collect()
+    )
+    assert got == [(1, 10), (12, 7), (13, 7)]
+    # DELETE with IN-list
+    engine.execute("DELETE FROM wc_t WHERE id IN (12, 13)")
+    assert engine.execute("SELECT * FROM wc_t").count() == 1
+    # Cypher MATCH WHERE with BETWEEN
+    rows = engine.execute(
+        "MATCH (n:region) WHERE n.id BETWEEN 3000001 AND 3000003 RETURN n"
+    ).collect()
+    assert sorted(r["n_id"] for r in rows) == [3000001, 3000002, 3000003]
+    engine.execute("DROP TABLE wc_t")
+
+
 def test_cursor_token_pagination(engine):
     token = engine.open_cursor("SELECT * FROM nation", page_size=10)
     seen = []

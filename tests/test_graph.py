@@ -276,6 +276,67 @@ def test_biconnected_tree_all_bridges():
     assert len(comps) == 4
 
 
+def _bcc_df(spark, edges):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    return df.unionAll(df.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+
+def test_bcc_distributed_synthetic(spark):
+    """Triangle -[bridge]- square -[bridge]- pendant: known bridges and
+    articulation points, checked against the distributed spanning-forest +
+    cycle-coverage pass."""
+    from neumann_spark.graph.algorithms import bcc_distributed
+
+    # 1-2-3 triangle, bridge 3-4, square 4-5-6-7, pendant 7-8
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6), (6, 7), (4, 7), (7, 8)]
+    _, bridges, art = bcc_distributed(_bcc_df(spark, edges))
+    assert {(r["src"], r["dst"]) for r in bridges.collect()} == {(3, 4), (7, 8)}
+    assert {r["id"] for r in art.collect()} == {3, 4, 7}
+
+
+def test_bcc_distributed_overlapping_cycles(spark):
+    """Cycles sharing a tree edge must merge into one BCC (no false
+    articulation): K4 minus one edge is biconnected."""
+    from neumann_spark.graph.algorithms import bcc_distributed
+
+    edges = [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)]
+    _, bridges, art = bcc_distributed(_bcc_df(spark, edges))
+    assert bridges.isEmpty()
+    assert art.isEmpty()
+
+
+def test_bcc_distributed_matches_tarjan(spark):
+    """Full-set differential: distributed bridges + articulation points
+    equal driver-side Hopcroft-Tarjan on the fixture graph."""
+    from neumann_spark.graph.algorithms import (
+        _collect_edges,
+        bcc_distributed,
+        biconnected,
+    )
+    from neumann_spark.graph.model import edges_df, undirected_edges
+
+    ue = undirected_edges(edges_df(spark, SF_DIR)).select("src", "dst")
+    art_t, bridges_t, _ = biconnected(_collect_edges(ue, cols=("src", "dst")))
+    _, bridges_d, art_d = bcc_distributed(ue)
+    assert {(r["src"], r["dst"]) for r in bridges_d.collect()} == bridges_t
+    assert {r["id"] for r in art_d.collect()} == art_t
+
+
+def test_astar_distributed_matches_driver_side(spark):
+    """The bounded_dijkstra-backed twin returns the identical canonical
+    path (step, node, cum_weight) as driver-side A*."""
+    from neumann_spark.graph.algorithms import (
+        graph_astar_distributed,
+        graph_astar_path,
+    )
+
+    a = sorted(tuple(r) for r in graph_astar_path(spark, SF_DIR).collect())
+    b = sorted(tuple(r) for r in graph_astar_distributed(spark, SF_DIR).collect())
+    assert a == b and len(a) >= 2
+
+
 def test_scc_distributed_matches_tarjan(spark):
     """Forward-backward coloring SCC equals driver-side Tarjan on the
     fixture graph (directed edges + purchases back-edges)."""

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import os
 import sys
 import time
 from datetime import date, datetime
@@ -81,6 +82,35 @@ def make_duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+# Output types whose canonical form drifts from Spark's BIGINT/DOUBLE:
+# DuckDB widens a bare integer SUM to HUGEINT and keeps DECIMAL scales that
+# Spark rounds away — this exact class caused red driver rows in three
+# separate rounds, so it is now a hard audit failure.
+FORBIDDEN_ORACLE_TYPES = (
+    "HUGEINT", "DECIMAL", "UBIGINT", "UINTEGER", "USMALLINT", "UTINYINT",
+)
+
+
+def audit_oracle_types(con, oracles: dict) -> dict[str, list[str]]:
+    """DESCRIBE every oracle (planning only, no execution) and flag any
+    output column with a forbidden type. Returns {query: [col:type, ...]}."""
+    bad: dict[str, list[str]] = {}
+    for name, sql in oracles.items():
+        try:
+            rows = con.execute(f"DESCRIBE {sql}").fetchall()
+        except Exception as e:  # noqa: BLE001 — unplannable oracle = failure
+            bad[name] = [f"DESCRIBE failed: {repr(e)[:200]}"]
+            continue
+        viols = [
+            f"{r[0]}:{r[1]}"
+            for r in rows
+            if any(t in str(r[1]).upper() for t in FORBIDDEN_ORACLE_TYPES)
+        ]
+        if viols:
+            bad[name] = viols
+    return bad
+
+
 def compare_one(name, fn, sql, spark, con, sf_dir):
     t0 = time.time()
     sdf = fn(spark, sf_dir).toPandas()
@@ -121,8 +151,20 @@ def main() -> int:
     spark = get_spark("selfcheck")
     con = make_duck(sf_dir)
     failed = 0
+    results: dict[str, dict] = {}
+
+    # typing audit first: a forbidden oracle output type is a failure even
+    # if today's values happen to hash-match
+    audit_scope = {n: s for n, s in oracles.items() if not only or n in only}
+    type_viols = audit_oracle_types(con, audit_scope)
+    for name, viols in sorted(type_viols.items()):
+        print(f"[T] {name:<34} forbidden oracle types: {'; '.join(viols)}",
+              flush=True)
+        results[name] = {"status": "TYPE_FAIL", "issues": viols}
+        failed += 1
+
     for name, fn in queries.items():
-        if only and name not in only:
+        if (only and name not in only) or name in type_viols:
             continue
         try:
             res = compare_one(name, fn, oracles.get(name), spark, con, sf_dir)
@@ -134,6 +176,24 @@ def main() -> int:
               flush=True)
         if res["status"] in ("FAIL", "ERROR"):
             failed += 1
+        results[name] = {k: v for k, v in res.items() if k != "name"}
+
+    out_path = os.environ.get("SELFCHECK_OUT")
+    if out_path:
+        import json
+
+        with open(out_path, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_queries": len(results),
+                    "n_failing": failed,
+                    "oracle_type_audit": "clean" if not type_viols else type_viols,
+                    "results": results,
+                },
+                fh,
+                indent=1,
+            )
     print(f"\n{'PASS' if failed == 0 else 'FAIL'}: {failed} failing of "
           f"{len(only) if only else len(queries)}")
     return 1 if failed else 0
