@@ -141,6 +141,18 @@ def test_similar_connected_filters_before_scoring(spark):
     assert score_i < join_i  # scoring sits above (after) the reach join
 
 
+def test_ivfpq_rescore_broadcasts_shortlist(spark):
+    """The production two-stage ANN config: probe filter and shortlist are
+    broadcast joins (never a shuffle of the embeddings), final top-k is
+    TakeOrdered, and nothing degenerates to a cartesian product."""
+    from neumann_spark.pipeline.ann import ann_ivfpq_rescore
+
+    plan = _plan(ann_ivfpq_rescore(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_distribution_windows_single_shuffle(spark):
     from neumann_spark.operators.windows import win_distribution_functions
 
