@@ -415,3 +415,33 @@ def stream_live_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table("live_counts_dc").select("window_start", "event_type", "n")
+
+
+@register(
+    "stream_stateful_counts",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom-stateful streaming operator driver-checked: per-user
+    running counters held in the state store via `applyInPandasWithState`
+    (`stream_stateful_user_counts`), run to completion with availableNow.
+    The update-mode memory sink receives one row per (user, micro-batch)
+    update; the final total per user is the max (counters only grow), and
+    must equal the batch GROUP BY — proving the Arrow-batched stateful
+    path computes the same answer as the declarative one. This is the
+    extension point for sessionization/CDC/anomaly operators that
+    windowed aggregation can't express; state is bounded by key
+    cardinality (+ timeouts for idle-key eviction in production)."""
+    q = stream_stateful_user_counts(spark, sf_dir, queryName="stateful_counts_dc")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table("stateful_counts_dc")
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+    )
