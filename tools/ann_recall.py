@@ -117,6 +117,11 @@ def main() -> None:
         "lsh_bucket", "lsh_multiprobe", "ivf_nprobe2", "binary_hamming",
         "pq_adc", "sq_dequant", "ivfpq_adc", "pq_rescore", "ivfpq_rescore")}
     scanned: dict[str, list[float]] = {m: [] for m in hits}
+    # fraction of rows whose COMPRESSED representation (codes/signatures)
+    # is read — for two-stage methods `scanned` counts only full-precision
+    # vector reads, so this is the other half of the byte accounting
+    code_scanned: dict[str, list[float]] = {m: [] for m in (
+        "binary_hamming", "pq_adc", "ivfpq_adc", "pq_rescore", "ivfpq_rescore")}
 
     for qi in rng_idx:
         q = vecs[qi]
@@ -168,6 +173,7 @@ def main() -> None:
         top = tie_rank(ham.astype(np.float64), qi, TOPK)
         hits["binary_hamming"].append(len(set(top.tolist()) & gt_cos) / TOPK)
         scanned["binary_hamming"].append(1.0)
+        code_scanned["binary_hamming"].append(1.0)
 
         # PQ ADC: per-subspace LUT of rounded squared distances. The LUT is
         # keyed by code id (not positional): the deterministic Lloyd drops a
@@ -185,6 +191,7 @@ def main() -> None:
         top = tie_rank(adc, qi, TOPK)
         hits["pq_adc"].append(len(set(top.tolist()) & gt_l2) / TOPK)
         scanned["pq_adc"].append(1.0)
+        code_scanned["pq_adc"].append(1.0)
 
         # SQ: dequantized exact distance
         dq = np.round(((deq - deq[qi]) ** 2).sum(axis=1), 6)
@@ -198,6 +205,7 @@ def main() -> None:
         top = cand[np.lexsort((vec_ids[cand], adc[cand]))][:TOPK]
         hits["ivfpq_adc"].append(len(set(top.tolist()) & gt_l2) / TOPK)
         scanned["ivfpq_adc"].append(len(cand) / n)
+        code_scanned["ivfpq_adc"].append(len(cand) / n)
 
         # PQ shortlist + exact-cosine rescore (ann_pq_rescore rescoring
         # metric is cosine, so its ground truth is the cosine top-10)
@@ -205,6 +213,7 @@ def main() -> None:
         top = short[np.argsort(-cos[short], kind="stable")][:TOPK]
         hits["pq_rescore"].append(len(set(top.tolist()) & gt_cos) / TOPK)
         scanned["pq_rescore"].append(PQ_SHORTLIST / n)
+        code_scanned["pq_rescore"].append(1.0)
 
         # IVF-PQ shortlist + exact-cosine rescore (ann_ivfpq_rescore — the
         # tuned production config): probe ANN_RESCORE_NPROBE lists, ADC-rank
@@ -219,6 +228,7 @@ def main() -> None:
         top = short[np.argsort(-cos[short], kind="stable")][:TOPK]
         hits["ivfpq_rescore"].append(len(set(top.tolist()) & gt_cos) / TOPK)
         scanned["ivfpq_rescore"].append(len(short) / n)
+        code_scanned["ivfpq_rescore"].append(len(cand) / n)
 
     out = {
         "metric": "ann_recall_at_10",
@@ -235,6 +245,12 @@ def main() -> None:
         "recall_at_10": {m: round(float(np.mean(h)), 3) for m, h in hits.items()},
         "avg_scan_fraction": {
             m: round(float(np.mean(s)), 3) for m, s in scanned.items()
+        },
+        # for quantized methods: fraction of rows whose compressed codes
+        # (8 B vs 512 B floats, a 64x ratio) are read. Byte-equivalent
+        # total scan = avg_scan_fraction + avg_code_scan_fraction / 64.
+        "avg_code_scan_fraction": {
+            m: round(float(np.mean(s)), 3) for m, s in code_scanned.items()
         },
     }
     print(json.dumps(out))
