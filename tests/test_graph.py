@@ -307,6 +307,19 @@ def test_bcc_distributed_overlapping_cycles(spark):
     assert art.isEmpty()
 
 
+def test_bcc_distributed_multi_component(spark):
+    """Two disconnected components each get their own BFS root; bridges
+    and articulation points are found independently per component."""
+    from neumann_spark.graph.algorithms import bcc_distributed
+
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (10, 11), (11, 12)]
+    _, bridges, art = bcc_distributed(_bcc_df(spark, edges))
+    assert {(r["src"], r["dst"]) for r in bridges.collect()} == {
+        (3, 4), (10, 11), (11, 12)
+    }
+    assert {r["id"] for r in art.collect()} == {3, 11}
+
+
 def test_bcc_distributed_matches_tarjan(spark):
     """Full-set differential: distributed bridges + articulation points
     equal driver-side Hopcroft-Tarjan on the fixture graph."""
