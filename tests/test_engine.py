@@ -642,6 +642,22 @@ def test_fk_cascade_multilevel_and_self_ref(engine):
     assert left == [9]
 
 
+def test_split_top_level():
+    from neumann_spark.engine import NeumannSparkEngine
+
+    split = NeumannSparkEngine._split_top_level
+    assert split("a = 1, b = 2") == ["a = 1", " b = 2"]
+    assert split("v = CASE WHEN id IN (1, 2) THEN 0 ELSE v END, id = id + 1") == [
+        "v = CASE WHEN id IN (1, 2) THEN 0 ELSE v END",
+        " id = id + 1",
+    ]
+    assert split("s = concat('a,b', x), t = 'y,z'") == [
+        "s = concat('a,b', x)",
+        " t = 'y,z'",
+    ]
+    assert split("one = 1") == ["one = 1"]
+
+
 def test_facade_where_between_in_case(engine):
     """WHERE-dialect parity with the reference's expression grammar
     (`neumann_parser/src/expr.rs:7-18`): BETWEEN, IN-lists, and CASE work

@@ -320,6 +320,30 @@ def test_bcc_distributed_multi_component(spark):
     assert {r["id"] for r in art.collect()} == {3, 11}
 
 
+def test_bcc_distributed_random_graphs(spark):
+    """Seeded random graphs (mixed density, with isolated-ish tails and
+    multiple components) — distributed bridges/articulation must equal
+    Hopcroft-Tarjan on every one."""
+    import random
+
+    from neumann_spark.graph.algorithms import bcc_distributed, biconnected
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        n = rng.randint(8, 14)
+        edges = sorted(
+            {
+                (a, b)
+                for _ in range(rng.randint(n, 2 * n))
+                for a, b in [sorted(rng.sample(range(1, n + 1), 2))]
+            }
+        )
+        art_t, bridges_t, _ = biconnected(edges)
+        _, bridges_d, art_d = bcc_distributed(_bcc_df(spark, edges))
+        assert {(r["src"], r["dst"]) for r in bridges_d.collect()} == bridges_t, seed
+        assert {r["id"] for r in art_d.collect()} == art_t, seed
+
+
 def test_bcc_distributed_matches_tarjan(spark):
     """Full-set differential: distributed bridges + articulation points
     equal driver-side Hopcroft-Tarjan on the fixture graph."""
