@@ -51,3 +51,26 @@ def test_bucketed_join_has_no_shuffle(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_ivf_cluster_partition_pruning(spark, tmp_path):
+    """The ANN scale claim made physical: write embeddings partitioned by
+    their IVF cluster id, probe two lists, and assert the parquet scan
+    prunes to exactly those partitions (PartitionFilters in the plan) —
+    at 100 TB this is why a probe reads nprobe/k of the data."""
+    from neumann_spark.pipeline.ann import ivf_index
+
+    state, _ = ivf_index(spark, SF_DIR)
+    dst = str(tmp_path / "emb_by_cluster")
+    state.select("vec_id", "cluster").write.partitionBy("cluster").mode(
+        "overwrite"
+    ).parquet(dst)
+    part = spark.read.parquet(dst)
+    probed = part.filter(F.col("cluster").isin(2, 5))
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster" in plan.split(
+        "PartitionFilters"
+    )[1][:200]
+    # pruning is semantics-preserving
+    expected = state.filter(F.col("cluster").isin(2, 5)).count()
+    assert probed.count() == expected and expected > 0
