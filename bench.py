@@ -176,13 +176,23 @@ def main() -> None:
     multilayout: dict[str, float] = {}
     try:
         marker = os.path.join(ml_dir, "_DONE")
-        if not os.path.exists(marker):
+        # cache key = source fixture mtimes: if the driver regenerates the
+        # fixtures between rounds, a stale copy must rebuild, not silently
+        # serve old data
+        src_sig = ",".join(
+            str(os.path.getmtime(f"{sf_dir}/{t}.parquet")) for t in TABLES
+        )
+        cached_sig = None
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                cached_sig = fh.read()
+        if cached_sig != src_sig:
             for t in TABLES:
                 cat_load(spark, sf_dir, t).repartition(n_parts).write.mode(
                     "overwrite"
                 ).parquet(f"{ml_dir}/{t}.parquet")
             with open(marker, "w") as fh:
-                fh.write("ok")
+                fh.write(src_sig)
         nodes_df(spark, ml_dir).count()
         edges_df(spark, ml_dir).count()
         keep_ids = _persistent_ids()

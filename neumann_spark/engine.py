@@ -253,10 +253,12 @@ class NeumannSparkEngine:
         `is_expired`:134-139 — TTL measured from last access, so an active
         consumer never expires mid-scan)."""
         st = self._decode_cursor(token)
-        # tokens are unsigned client-held JSON: re-clamp page_size so an
-        # edited token can't stall pagination; ttl/last-access come from the
+        # tokens are unsigned client-held JSON: re-clamp the numeric fields
+        # so an edited token can't stall pagination (page_size=0) or crash
+        # the slice (negative offset); ttl/last-access come from the
         # server-side entry (authoritative), never from the token
         st["page_size"] = max(1, int(st.get("page_size", self.DEFAULT_PAGE_SIZE)))
+        st["offset"] = max(0, int(st.get("offset", 0)))
         now = int(self._now())
         ent = self._cursors.get(st["id"])
         if ent is None:
@@ -268,6 +270,10 @@ class NeumannSparkEngine:
         page = ent["df"].offset(st["offset"]).limit(st["page_size"])
         next_off = st["offset"] + st["page_size"]
         if next_off >= ent["total"]:
+            # materialize the final page BEFORE releasing the cursor's
+            # checkpoint blocks — the returned frame must not depend on
+            # storage the close just scheduled for removal
+            page = page.localCheckpoint(eager=True)
             self._close_cursor(st["id"])
             return page, None
         nxt = dict(st, offset=next_off, last_accessed_at=now)
@@ -389,21 +395,37 @@ class NeumannSparkEngine:
 
     @staticmethod
     def _split_top_level(body: str) -> list[str]:
-        """Split a CREATE TABLE column list on commas outside parentheses
-        (so `FOREIGN KEY (a, b) REFERENCES t(x, y)` stays one item)."""
-        items, depth, cur = [], 0, []
+        """Split on commas outside parentheses/brackets/quotes — the comma
+        depth a SQL list needs, shared by CREATE TABLE column defs (so
+        `FOREIGN KEY (a, b) REFERENCES t(x, y)` stays one item) and UPDATE
+        SET expressions (CASE WHEN / IN-lists / calls). Backslash-escaped
+        characters inside a string literal don't toggle the quote state;
+        items are stripped and empties dropped."""
+        items: list[str] = []
+        cur: list[str] = []
+        depth = 0
+        quote: str | None = None
+        esc = False
         for ch in body:
-            if ch == "(":
+            if quote:
+                if esc:
+                    esc = False
+                elif ch == "\\":
+                    esc = True
+                elif ch == quote:
+                    quote = None
+            elif ch in "'\"":
+                quote = ch
+            elif ch in "([":
                 depth += 1
-            elif ch == ")":
+            elif ch in ")]":
                 depth -= 1
-            if ch == "," and depth == 0:
+            elif ch == "," and depth == 0:
                 items.append("".join(cur))
                 cur = []
-            else:
-                cur.append(ch)
-        if cur:
-            items.append("".join(cur))
+                continue
+            cur.append(ch)
+        items.append("".join(cur))
         return [i for i in (s.strip() for s in items) if i]
 
     @staticmethod
@@ -488,28 +510,37 @@ class NeumannSparkEngine:
                     f"{missing} row(s) reference missing "
                     f"{fk['ref_table']}({', '.join(fk['ref_columns'])})")
 
-    MAX_FK_CASCADE_ROUNDS = 32
+    MAX_FK_CASCADE_DEPTH = 32
 
-    def _apply_fk_on_delete(self, name: str, deleted: DataFrame) -> None:
+    def _apply_fk_on_delete(
+        self, name: str, deleted: DataFrame, staged: dict[str, DataFrame]
+    ) -> None:
         """Delete-side referential actions against the rows being removed
         from `name`: RESTRICT/NO_ACTION error out, CASCADE deletes the
         referencing rows, SET_NULL nulls the referencing columns. Each
         action is one join against the (small, broadcast) deleted-key set.
 
-        Cascades resolve to a fixpoint via a worklist: every batch of rows
-        a CASCADE removes is re-enqueued so chained FKs (grandchildren) and
-        self-referential FKs both propagate; a round cap guards pathological
-        cyclic data. Cascaded batches are empty-checked before enqueueing,
-        so acyclic chains terminate when a level removes nothing."""
-        work: list[tuple[str, DataFrame]] = [(name, deleted)]
-        rounds = 0
+        All table rewrites go into `staged` (committed by the caller only
+        after the whole pass succeeds), so a RESTRICT discovered deep in a
+        cascade chain aborts the statement atomically — no partial cascade
+        ever reaches session state. Cascades resolve to a fixpoint via a
+        worklist: every batch of rows a CASCADE removes is re-enqueued with
+        its depth so chained FKs (grandchildren) and self-referential FKs
+        both propagate; the cap is on chain DEPTH (wide trees enqueue many
+        batches per level legitimately), guarding pathological cyclic data.
+        Cascaded batches are empty-checked before enqueueing, so acyclic
+        chains terminate when a level removes nothing."""
+
+        def current(tbl: str) -> DataFrame:
+            return staged.get(tbl, self._tables[tbl])
+
+        work: list[tuple[str, DataFrame, int]] = [(name, deleted, 0)]
         while work:
-            rounds += 1
-            if rounds > self.MAX_FK_CASCADE_ROUNDS:
+            tbl, doomed, depth = work.pop()
+            if depth > self.MAX_FK_CASCADE_DEPTH:
                 raise ValueError(
-                    f"FK cascade exceeded {self.MAX_FK_CASCADE_ROUNDS} "
-                    f"rounds — cyclic referential actions?")
-            tbl, doomed = work.pop()
+                    f"FK cascade exceeded depth {self.MAX_FK_CASCADE_DEPTH} "
+                    f"— cyclic referential actions?")
             for child, fks in list(self._fks.items()):
                 for fk in fks:
                     if fk["ref_table"] != tbl or child not in self._tables:
@@ -518,7 +549,7 @@ class NeumannSparkEngine:
                         *[F.col(rc).alias(c)
                           for c, rc in zip(fk["columns"], fk["ref_columns"])]
                     ).distinct()
-                    child_df = self._tables[child]
+                    child_df = current(child)
                     hit = child_df.join(F.broadcast(keys), fk["columns"], "semi")
                     action = fk["on_delete"]
                     if action in ("RESTRICT", "NO_ACTION"):
@@ -529,14 +560,13 @@ class NeumannSparkEngine:
                                 f"{child!r} reference deleted rows of {tbl!r} "
                                 f"(constraint {fk['name']!r})")
                     elif action == "CASCADE":
-                        # pin the removed batch before replacing the table:
+                        # pin the removed batch before staging the rewrite:
                         # the enqueued frame must see pre-cascade contents
                         hit_rows = hit.localCheckpoint(eager=True)
                         if hit_rows.count():
-                            self._tables[child] = child_df.join(
+                            staged[child] = child_df.join(
                                 F.broadcast(keys), fk["columns"], "left_anti")
-                            self._tables[child].createOrReplaceTempView(child)
-                            work.append((child, hit_rows))
+                            work.append((child, hit_rows, depth + 1))
                     elif action == "SET_NULL":
                         marked = child_df.join(
                             F.broadcast(keys.withColumn("_fk_hit", F.lit(True))),
@@ -546,9 +576,8 @@ class NeumannSparkEngine:
                                 F.col(c)).alias(c)
                             for c in fk["columns"]
                         }
-                        self._tables[child] = marked.select(
+                        staged[child] = marked.select(
                             *[sets.get(c, F.col(c)) for c in child_df.columns])
-                        self._tables[child].createOrReplaceTempView(child)
 
     @staticmethod
     def _parse_values(body: str) -> list[tuple]:
@@ -1622,32 +1651,6 @@ class NeumannSparkEngine:
         return self.spark.createDataFrame(
             [(name, before)], "table string, scanned bigint")
 
-    @staticmethod
-    def _split_top_level(s: str) -> list[str]:
-        """Split on commas outside parentheses/brackets/quotes — the comma
-        depth a SQL expression list needs (CASE WHEN, IN-lists, calls)."""
-        parts: list[str] = []
-        cur: list[str] = []
-        depth = 0
-        quote: str | None = None
-        for ch in s:
-            if quote:
-                if ch == quote:
-                    quote = None
-            elif ch in "'\"":
-                quote = ch
-            elif ch in "([":
-                depth += 1
-            elif ch in ")]":
-                depth -= 1
-            elif ch == "," and depth == 0:
-                parts.append("".join(cur))
-                cur = []
-                continue
-            cur.append(ch)
-        parts.append("".join(cur))
-        return parts
-
     def _exec_delete(self, cmd: str) -> DataFrame:
         """`DELETE FROM t [WHERE cond]` (lowered onto
         `operators/dml.delete_where`)."""
@@ -1660,16 +1663,21 @@ class NeumannSparkEngine:
         name, where = m.groups()
         df = self._session_table(name)
         cond = F.expr(where) if where else F.lit(True)
-        doomed = df.filter(cond)
+        # pin the doomed rows BEFORE any mutation: referential actions key
+        # off this snapshot, and the survivor set is computed from the
+        # pristine table — never by re-filtering cond after a cascade may
+        # have rewritten the very columns cond reads (SET_NULL)
+        doomed = df.filter(cond).localCheckpoint(eager=True)
         n = doomed.count()
+        staged: dict[str, DataFrame] = {name: delete_where(df, cond)}
         if n:
-            self._apply_fk_on_delete(name, doomed)
-        # re-read: a self-referential CASCADE may have already replaced the
-        # table; deleting from the pre-cascade frame would resurrect the
-        # cascade-removed rows
-        new = delete_where(self._session_table(name), cond)
-        self._tables[name] = new
-        new.createOrReplaceTempView(name)
+            # self-referential FKs see the staged survivor table, so the
+            # main delete and its cascades compose; a RESTRICT anywhere in
+            # the chain raises before ANY staged change is committed
+            self._apply_fk_on_delete(name, doomed, staged)
+        for tbl, tdf in staged.items():
+            self._tables[tbl] = tdf
+            tdf.createOrReplaceTempView(tbl)
         return self.spark.createDataFrame(
             [(name, n)], "table string, deleted bigint")
 

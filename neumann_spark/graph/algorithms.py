@@ -2097,13 +2097,27 @@ def bcc_distributed(
     )
     nodes = e.select(F.col("src").alias("id")).distinct()
     comp = connected_components(nodes, e, rounds=max_depth)
+    # non-convergence check: an edge whose endpoints still carry different
+    # labels means the diameter exceeded the round budget — proceeding
+    # would seed multiple BFS roots inside ONE component and silently
+    # mis-classify its bridges, so fail loudly instead
+    viol = (
+        e.join(comp.select(F.col("id").alias("src"), F.col("comp").alias("cs")), "src")
+        .join(comp.select(F.col("id").alias("dst"), F.col("comp").alias("cd")), "dst")
+        .filter(F.col("cs") != F.col("cd"))
+    )
+    if not viol.isEmpty():
+        raise ValueError(
+            f"component labeling did not converge in {max_depth} rounds — "
+            f"graph diameter exceeds max_depth; raise max_depth")
     roots = comp.filter(F.col("id") == F.col("comp")).select("id")
 
-    # 1. BFS forest
+    # 1. BFS forest (max_depth+1 rounds: completion is only observable as
+    # an EMPTY round, so a node at depth exactly max_depth is still valid)
     visited = roots.localCheckpoint(eager=True)
     frontier = visited
     forest = spark.createDataFrame([], "child bigint, parent bigint, depth int")
-    for depth in range(1, max_depth + 1):
+    for depth in range(1, max_depth + 2):
         nxt = (
             e.join(frontier.withColumnRenamed("id", "src"), "src")
             .select(F.col("dst").alias("child"), F.col("src").alias("parent"))
@@ -2115,13 +2129,14 @@ def bcc_distributed(
         )
         if nxt.isEmpty():
             break
+        if depth > max_depth:
+            raise ValueError(
+                f"BFS forest did not terminate in {max_depth} levels")
         forest = forest.unionAll(nxt)
         visited = visited.unionAll(
             nxt.select(F.col("child").alias("id"))
         ).localCheckpoint(eager=True)
         frontier = nxt.select(F.col("child").alias("id"))
-    else:
-        raise ValueError(f"BFS forest did not terminate in {max_depth} levels")
     forest = forest.localCheckpoint(eager=True)
 
     # 2. fundamental-cycle walks
@@ -2204,8 +2219,12 @@ def bcc_distributed(
         .select(F.col("x").alias("src"), F.col("y").alias("dst"))
         .distinct()
     )
+    # aux chains are as long as fundamental-cycle paths (up to ~2*max_depth
+    # edges), so the label propagation needs a matching round budget — the
+    # graph-diameter bound does NOT bound the aux-graph diameter
     lbl = connected_components(
-        covered.select(F.col("child").alias("id")), aux_ue, rounds=max_depth
+        covered.select(F.col("child").alias("id")), aux_ue,
+        rounds=2 * max_depth + 4,
     )
     labels = (
         forest.select("child")

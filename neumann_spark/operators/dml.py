@@ -34,8 +34,13 @@ def update_where(df: DataFrame, cond, assignments: dict) -> DataFrame:
 def delete_where(df: DataFrame, cond) -> DataFrame:
     """DELETE FROM tbl WHERE cond (`relational_engine/src/lib.rs:3954`) as a
     negated filter (the reference itself uses a deletion bitmap, i.e. also
-    logical deletion — `tensor_store/src/relational_slab.rs:2-13`)."""
-    return df.filter(~cond)
+    logical deletion — `tensor_store/src/relational_slab.rs:2-13`).
+
+    SQL three-valued logic: a row whose predicate evaluates to NULL is NOT
+    deleted — a bare `filter(~cond)` would silently drop it (NULL negates
+    to NULL, and filters drop non-TRUE), so survivors are rows where cond
+    is anything but exactly TRUE."""
+    return df.filter(~cond.eqNullSafe(F.lit(True)))
 
 
 @register(

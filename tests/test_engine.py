@@ -646,16 +646,24 @@ def test_split_top_level():
     from neumann_spark.engine import NeumannSparkEngine
 
     split = NeumannSparkEngine._split_top_level
-    assert split("a = 1, b = 2") == ["a = 1", " b = 2"]
+    assert split("a = 1, b = 2") == ["a = 1", "b = 2"]
     assert split("v = CASE WHEN id IN (1, 2) THEN 0 ELSE v END, id = id + 1") == [
         "v = CASE WHEN id IN (1, 2) THEN 0 ELSE v END",
-        " id = id + 1",
+        "id = id + 1",
     ]
     assert split("s = concat('a,b', x), t = 'y,z'") == [
         "s = concat('a,b', x)",
-        " t = 'y,z'",
+        "t = 'y,z'",
     ]
     assert split("one = 1") == ["one = 1"]
+    # CREATE TABLE column-list duties (the same helper serves both callers)
+    assert split("id INT, FOREIGN KEY (a, b) REFERENCES t(x, y)") == [
+        "id INT",
+        "FOREIGN KEY (a, b) REFERENCES t(x, y)",
+    ]
+    assert split("a INT,") == ["a INT"]  # trailing comma tolerated
+    # backslash-escaped quote inside a literal must not end the string
+    assert split(r"s = 'a\'b, c', x = 1") == [r"s = 'a\'b, c'", "x = 1"]
 
 
 def test_facade_where_between_in_case(engine):
@@ -701,6 +709,44 @@ def test_facade_where_between_in_case(engine):
     ).collect()
     assert sorted(r["n_id"] for r in rows) == [3000001, 3000002, 3000003]
     engine.execute("DROP TABLE wc_t")
+
+
+def test_fk_cascade_restrict_is_atomic(engine):
+    """A RESTRICT discovered deep in a cascade chain must abort the whole
+    DELETE with no table mutated (parent-[CASCADE]->child-[RESTRICT]->
+    grandchild)."""
+    engine.execute("CREATE TABLE fka_p (id INT)")
+    engine.execute(
+        "CREATE TABLE fka_c (id INT, p INT REFERENCES fka_p(id) ON DELETE CASCADE)"
+    )
+    engine.execute(
+        "CREATE TABLE fka_g (id INT, c INT REFERENCES fka_c(id) ON DELETE RESTRICT)"
+    )
+    engine.execute("INSERT INTO fka_p VALUES (1)")
+    engine.execute("INSERT INTO fka_c VALUES (10, 1)")
+    engine.execute("INSERT INTO fka_g VALUES (100, 10)")
+    with pytest.raises(ValueError, match="foreign key restrict"):
+        engine.execute("DELETE FROM fka_p WHERE id = 1")
+    assert engine.execute("SELECT * FROM fka_p").count() == 1
+    assert engine.execute("SELECT * FROM fka_c").count() == 1
+    assert engine.execute("SELECT * FROM fka_g").count() == 1
+
+
+def test_fk_set_null_self_ref_delete(engine):
+    """Self-referential SET_NULL must not resurrect doomed rows: the
+    survivor set comes from the pristine snapshot, never from re-filtering
+    the predicate after the cascade nulled its column."""
+    engine.execute(
+        "CREATE TABLE fksn (id INT, parent INT "
+        "REFERENCES fksn(id) ON DELETE SET NULL)"
+    )
+    engine.execute("INSERT INTO fksn VALUES (1, 1), (2, 1), (3, None)")
+    engine.execute("DELETE FROM fksn WHERE parent = 1")
+    left = [
+        (r["id"], r["parent"])
+        for r in engine.execute("SELECT * FROM fksn").collect()
+    ]
+    assert left == [(3, None)]
 
 
 def test_cursor_token_pagination(engine):
@@ -753,3 +799,17 @@ def test_cursor_clamps_page_size_and_ttl(engine, monkeypatch):
         staticmethod(lambda: real_now + engine.MAX_TTL_SECS + 61))
     with pytest.raises(ValueError, match="expired"):
         engine.fetch_page(forged)
+
+
+def test_cursor_forged_negative_offset_clamped(engine):
+    import base64
+    import json
+
+    token = engine.open_cursor("SELECT * FROM region", page_size=3)
+    pad = "=" * (-len(token) % 4)
+    st = json.loads(base64.urlsafe_b64decode(token + pad))
+    st["offset"] = -5
+    forged = base64.urlsafe_b64encode(
+        json.dumps(st, sort_keys=True).encode()).rstrip(b"=").decode()
+    page, nxt = engine.fetch_page(forged)  # clamps to 0 instead of crashing
+    assert page.count() == 3 and nxt is not None

@@ -320,6 +320,32 @@ def test_bcc_distributed_multi_component(spark):
     assert {r["id"] for r in art.collect()} == {3, 11}
 
 
+def test_bcc_distributed_long_cycle(spark):
+    """A single long cycle: BFS eccentricity equals max_depth exactly (the
+    completion-only-observable-as-empty-round case) and the aux chain is
+    ~2x longer than the BFS diameter — the label propagation must still
+    converge to ONE biconnected component: no bridges, no articulation."""
+    from neumann_spark.graph.algorithms import bcc_distributed
+
+    n = 30
+    edges = [(i, i % n + 1) for i in range(1, n + 1)]  # cycle 1..30
+    _, bridges, art = bcc_distributed(_bcc_df(spark, edges), max_depth=15)
+    assert bridges.isEmpty()
+    assert art.isEmpty()
+
+
+def test_bcc_distributed_raises_when_diameter_exceeds_budget(spark):
+    """A path longer than max_depth must fail loudly (component labeling
+    can't converge), never silently mis-classify bridges."""
+    import pytest
+
+    from neumann_spark.graph.algorithms import bcc_distributed
+
+    edges = [(i, i + 1) for i in range(1, 12)]  # path of 12 nodes
+    with pytest.raises(ValueError, match="did not converge|did not terminate"):
+        bcc_distributed(_bcc_df(spark, edges), max_depth=4)
+
+
 def test_bcc_distributed_random_graphs(spark):
     """Seeded random graphs (mixed density, with isolated-ish tails and
     multiple components) — distributed bridges/articulation must equal
