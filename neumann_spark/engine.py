@@ -53,6 +53,12 @@ class NeumannSparkEngine:
         # foreign keys per session table (`relational_engine/src/lib.rs:
         # 183-258` ForeignKeyConstraint + ReferentialAction)
         self._fks: dict[str, list[dict]] = {}
+        # PRIMARY KEY / UNIQUE / NOT NULL / DEFAULT per session table
+        # (`relational_engine/src/lib.rs:235-258` Constraint;
+        # `:1397-1432` PrimaryKeyViolation/UniqueViolation): uniques is a
+        # list of {name, columns, pk}, not_null a column list, defaults a
+        # {column: literal} map applied to keyed inserts and SET DEFAULT
+        self._table_constraints: dict[str, dict] = {}
         # open pagination cursors (`query_router/src/cursor.rs`)
         self._cursors: dict[str, dict] = {}
         self._nodes = nodes_df(spark, sf_dir)
@@ -341,19 +347,30 @@ class NeumannSparkEngine:
             raise ValueError("expected CREATE TABLE name (col type, ...)")
         name, cols = m.group(1), m.group(2)
         # `id INT` (parser) and `id:INT` (integration-test dialect,
-        # `integration_tests/tests/cross_engine.rs`) both accepted; other
-        # trailing constraint words (PRIMARY KEY / NOT NULL / DEFAULT x)
-        # ignored — Spark has no enforced row constraints (SURVEY.md §1.2).
-        # FOREIGN KEY ... REFERENCES [ON DELETE action] IS enforced, as
-        # relational joins at write time (`relational_engine/src/lib.rs:
-        # 165-258` ReferentialAction + ForeignKeyConstraint).
+        # `integration_tests/tests/cross_engine.rs`) both accepted.
+        # Constraints are ENFORCED, at write time, as relational joins —
+        # FOREIGN KEY + referential actions (`relational_engine/src/lib.rs:
+        # 165-258`), PRIMARY KEY (unique + not null), UNIQUE, NOT NULL
+        # (`:235-258` Constraint; violations `:1397-1432`), DEFAULT
+        # (applied to keyed inserts and SET DEFAULT actions). CHECK parses
+        # but is not enforced (the reference's engine Constraint enum has
+        # no Check variant either — parser-only surface).
+        _ACTIONS = r"RESTRICT|CASCADE|SET\s+NULL|SET\s+DEFAULT|NO\s+ACTION"
         col_defs: list[str] = []
         fks: list[dict] = []
+        uniques: list[dict] = []
+        not_null: list[str] = []
+        defaults: dict[str, object] = {}
+
+        def norm_action(a: Optional[str]) -> str:
+            return re.sub(r"\s+", "_", (a or "RESTRICT").upper())
+
         for c in self._split_top_level(cols):
             fkm = re.match(
                 r"(?:CONSTRAINT\s+(\w+)\s+)?FOREIGN\s+KEY\s*\(([^)]+)\)\s*"
-                r"REFERENCES\s+(\w+)\s*(?:\(([^)]+)\))?"
-                r"(?:\s+ON\s+DELETE\s+(RESTRICT|CASCADE|SET\s+NULL|NO\s+ACTION))?\s*$",
+                rf"REFERENCES\s+(\w+)\s*(?:\(([^)]+)\))?"
+                rf"(?:\s+ON\s+DELETE\s+({_ACTIONS}))?"
+                rf"(?:\s+ON\s+UPDATE\s+({_ACTIONS}))?\s*$",
                 c.strip(), re.I)
             if fkm:
                 fk_cols = [x.strip() for x in fkm.group(2).split(",")]
@@ -364,16 +381,45 @@ class NeumannSparkEngine:
                     "columns": fk_cols,
                     "ref_table": fkm.group(3),
                     "ref_columns": ref_cols,
-                    "on_delete": re.sub(r"\s+", "_",
-                                        (fkm.group(5) or "RESTRICT").upper()),
+                    "on_delete": norm_action(fkm.group(5)),
+                    "on_update": norm_action(fkm.group(6)),
                 })
+                continue
+            pkm = re.match(
+                r"(?:CONSTRAINT\s+(\w+)\s+)?"
+                r"(PRIMARY\s+KEY|UNIQUE)\s*\(([^)]+)\)\s*$", c.strip(), re.I)
+            if pkm:
+                u_cols = [x.strip() for x in pkm.group(3).split(",")]
+                is_pk = pkm.group(2).upper().startswith("PRIMARY")
+                uniques.append({
+                    "name": pkm.group(1)
+                    or f"{'pk' if is_pk else 'uq'}_{name}_{u_cols[0]}",
+                    "columns": u_cols, "pk": is_pk,
+                })
+                if is_pk:
+                    not_null.extend(u_cols)
                 continue
             parts = re.split(r"[:\s]+", c.strip())
             col_defs.append(f"{parts[0]} {self._lower_type(parts[1])}")
-            # column-level `col TYPE REFERENCES other(refcol) [ON DELETE a]`
+            if re.search(r"\bPRIMARY\s+KEY\b", c, re.I):
+                uniques.append({"name": f"pk_{name}_{parts[0]}",
+                                "columns": [parts[0]], "pk": True})
+                not_null.append(parts[0])
+            elif re.search(r"\bUNIQUE\b", c, re.I):
+                uniques.append({"name": f"uq_{name}_{parts[0]}",
+                                "columns": [parts[0]], "pk": False})
+            if re.search(r"\bNOT\s+NULL\b", c, re.I):
+                not_null.append(parts[0])
+            dm = re.search(
+                r"\bDEFAULT\s+('(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\"|[\w.+-]+)",
+                c, re.I)
+            if dm:
+                defaults[parts[0]] = self._parse_default_literal(dm.group(1))
+            # column-level `col TYPE REFERENCES other(refcol) [actions]`
             rm = re.search(
-                r"REFERENCES\s+(\w+)\s*(?:\((\w+)\))?"
-                r"(?:\s+ON\s+DELETE\s+(RESTRICT|CASCADE|SET\s+NULL|NO\s+ACTION))?",
+                rf"REFERENCES\s+(\w+)\s*(?:\((\w+)\))?"
+                rf"(?:\s+ON\s+DELETE\s+({_ACTIONS}))?"
+                rf"(?:\s+ON\s+UPDATE\s+({_ACTIONS}))?",
                 c, re.I)
             if rm:
                 fks.append({
@@ -381,8 +427,8 @@ class NeumannSparkEngine:
                     "columns": [parts[0]],
                     "ref_table": rm.group(1),
                     "ref_columns": [rm.group(2) or parts[0]],
-                    "on_delete": re.sub(r"\s+", "_",
-                                        (rm.group(3) or "RESTRICT").upper()),
+                    "on_delete": norm_action(rm.group(3)),
+                    "on_update": norm_action(rm.group(4)),
                 })
 
         schema = ", ".join(col_defs)
@@ -390,8 +436,29 @@ class NeumannSparkEngine:
         self._tables[name] = df
         if fks:
             self._fks[name] = fks
+        if uniques or not_null or defaults:
+            self._table_constraints[name] = {
+                "uniques": uniques,
+                "not_null": sorted(set(not_null)),
+                "defaults": defaults,
+            }
         df.createOrReplaceTempView(name)
         return self.spark.createDataFrame([(name, "created")], "table string, status string")
+
+    @staticmethod
+    def _parse_default_literal(tok: str):
+        """A DEFAULT literal: quoted string, number, boolean, or NULL."""
+        if tok[0] in "'\"":
+            return ast.literal_eval(tok)
+        up = tok.upper()
+        if up == "NULL":
+            return None
+        if up in ("TRUE", "FALSE"):
+            return up == "TRUE"
+        try:
+            return ast.literal_eval(tok)
+        except (ValueError, SyntaxError):
+            return tok
 
     @staticmethod
     def _split_top_level(body: str) -> list[str]:
@@ -456,9 +523,15 @@ class NeumannSparkEngine:
                 unknown = set(props) - set(cols)
                 if unknown:
                     raise ValueError(f"unknown columns {sorted(unknown)} in {name!r}")
-                row = tuple(props.get(c) for c in cols)
+                # unsupplied columns take their DEFAULT (reference column
+                # defaults, `neumann_parser` ColumnConstraint::Default)
+                defaults = self._table_constraints.get(name, {}).get("defaults", {})
+                row = tuple(
+                    props[c] if c in props else defaults.get(c) for c in cols
+                )
                 new = self.spark.createDataFrame([row], self._tables[name].schema)
                 self._check_fk_inserts(name, new)
+                self._check_table_constraints(name, new)
                 self._tables[name] = self._tables[name].unionAll(new)
                 self._tables[name].createOrReplaceTempView(name)
                 return self.spark.createDataFrame(
@@ -472,6 +545,7 @@ class NeumannSparkEngine:
         rows = self._parse_values(m.group(2))
         new = self.spark.createDataFrame(list(rows), self._tables[name].schema)
         self._check_fk_inserts(name, new)
+        self._check_table_constraints(name, new)
         self._tables[name] = self._tables[name].unionAll(new)
         self._tables[name].createOrReplaceTempView(name)
         return self.spark.createDataFrame(
@@ -509,6 +583,44 @@ class NeumannSparkEngine:
                     f"foreign key violation: constraint {fk['name']!r} — "
                     f"{missing} row(s) reference missing "
                     f"{fk['ref_table']}({', '.join(fk['ref_columns'])})")
+
+    def _check_table_constraints(self, name: str, new: DataFrame) -> None:
+        """PRIMARY KEY / UNIQUE / NOT NULL validation for an insert batch
+        (`relational_engine/src/lib.rs:5002` — insert returns
+        PrimaryKeyViolation/UniqueViolation; `:252-258` NotNull).
+
+        Scale shape: NOT NULL is a map-only filter over the batch; each
+        uniqueness check is one groupBy over the batch plus one semi-join of
+        the (broadcast) batch keys against the stored table — the batch is
+        the small side, so the stored table never shuffles. UNIQUE follows
+        SQL semantics (NULL tuples exempt); PRIMARY KEY columns are also
+        registered NOT NULL at CREATE time."""
+        tc = self._table_constraints.get(name)
+        if not tc:
+            return
+        for col in tc["not_null"]:
+            n = new.filter(F.col(col).isNull()).count()
+            if n:
+                raise ValueError(
+                    f"not-null violation: column {col!r} of {name!r} "
+                    f"({n} row(s))")
+        existing = self._tables[name]
+        for u in tc["uniques"]:
+            ucols = u["columns"]
+            probe = new
+            for c in ucols:
+                probe = probe.filter(F.col(c).isNotNull())
+            dup_in_batch = (
+                probe.groupBy(*ucols).count().filter(F.col("count") > 1).count()
+            )
+            clash = existing.join(
+                F.broadcast(probe.select(*ucols).distinct()), ucols, "semi"
+            ).count()
+            if dup_in_batch or clash:
+                kind = "primary key" if u["pk"] else "unique"
+                raise ValueError(
+                    f"{kind} violation: constraint {u['name']!r} on "
+                    f"{name}({', '.join(ucols)})")
 
     MAX_FK_CASCADE_DEPTH = 32
 
@@ -567,17 +679,30 @@ class NeumannSparkEngine:
                             staged[child] = child_df.join(
                                 F.broadcast(keys), fk["columns"], "left_anti")
                             work.append((child, hit_rows, depth + 1))
-                    elif action == "SET_NULL":
+                    elif action in ("SET_NULL", "SET_DEFAULT"):
+                        # SET DEFAULT (`ReferentialAction::SetDefault`,
+                        # lib.rs:176): the column default if declared, else
+                        # NULL (SQL's implicit default). A non-NULL default
+                        # must itself satisfy the FK against the SURVIVING
+                        # parent — validated below against staged state.
+                        repl = (
+                            self._table_constraints.get(child, {})
+                            .get("defaults", {})
+                            if action == "SET_DEFAULT" else {}
+                        )
                         marked = child_df.join(
                             F.broadcast(keys.withColumn("_fk_hit", F.lit(True))),
                             fk["columns"], "left")
                         sets = {
-                            c: F.when(F.col("_fk_hit"), F.lit(None)).otherwise(
-                                F.col(c)).alias(c)
+                            c: F.when(F.col("_fk_hit"), F.lit(repl.get(c)))
+                            .otherwise(F.col(c)).alias(c)
                             for c in fk["columns"]
                         }
                         staged[child] = marked.select(
                             *[sets.get(c, F.col(c)) for c in child_df.columns])
+                        if action == "SET_DEFAULT":
+                            self._check_default_tuple_fk(
+                                child, fk, repl, current(fk["ref_table"]))
 
     @staticmethod
     def _parse_values(body: str) -> list[tuple]:
@@ -608,6 +733,7 @@ class NeumannSparkEngine:
         name = m.group(1)
         self._tables.pop(name, None)
         self._fks.pop(name, None)
+        self._table_constraints.pop(name, None)
         self.spark.catalog.dropTempView(name)
         return self.spark.createDataFrame([(name, "dropped")], "table string, status string")
 
@@ -1646,10 +1772,143 @@ class NeumannSparkEngine:
         cond = F.expr(where) if where else F.lit(True)
         before = df.count()
         new = update_where(df, cond, assignments)
-        self._tables[name] = new
-        new.createOrReplaceTempView(name)
+        # ON UPDATE referential actions fire when the update rewrites key
+        # columns that children reference; staged like the delete path so a
+        # RESTRICT aborts the whole statement atomically
+        staged: dict[str, DataFrame] = {}
+        self._apply_fk_on_update(name, df, cond, assignments, new, staged)
+        staged[name] = new
+        for tbl, tdf in staged.items():
+            self._tables[tbl] = tdf
+            tdf.createOrReplaceTempView(tbl)
         return self.spark.createDataFrame(
             [(name, before)], "table string, scanned bigint")
+
+    def _apply_fk_on_update(
+        self, name: str, df: DataFrame, cond, assignments: dict,
+        parent_after: DataFrame, staged: dict[str, DataFrame],
+    ) -> None:
+        """Update-side referential actions
+        (`ForeignKeyConstraint.on_update`, `relational_engine/src/lib.rs:
+        195`): when an UPDATE rewrites columns some child references, rows
+        holding the OLD keys follow the declared action — RESTRICT/NO
+        ACTION error, CASCADE rewrites the child keys to the new values,
+        SET NULL / SET DEFAULT overwrite them.
+
+        Old→new key pairs come from ONE pass over the matching parent rows
+        (old columns and assignment expressions in the same select — no row
+        identity needed), and each child rewrite is a broadcast join
+        against the small changed-pairs frame: the child table never
+        shuffles. Single-level by design (a cascaded child-key rewrite does
+        not fire grandchild ON UPDATE actions — matching the reference's
+        single-table update path); self-referential ON UPDATE raises
+        rather than guessing an order."""
+        from functools import reduce
+        from operator import and_, or_
+
+        assigned = set(assignments)
+        for child, fks in list(self._fks.items()):
+            for fk in fks:
+                if fk["ref_table"] != name or child not in self._tables:
+                    continue
+                rcs = fk["ref_columns"]
+                if not (set(rcs) & assigned):
+                    continue
+                pairs = df.filter(cond).select(
+                    *[F.col(rc).alias(f"_o{i}") for i, rc in enumerate(rcs)],
+                    *[
+                        (assignments[rc] if rc in assignments
+                         else F.col(rc)).alias(f"_n{i}")
+                        for i, rc in enumerate(rcs)
+                    ],
+                )
+                changed = pairs.filter(
+                    reduce(or_, [
+                        ~F.col(f"_o{i}").eqNullSafe(F.col(f"_n{i}"))
+                        for i in range(len(rcs))
+                    ])
+                ).distinct().localCheckpoint(eager=True)
+                if changed.isEmpty():
+                    continue
+                if child == name:
+                    raise ValueError(
+                        f"self-referential ON UPDATE action on {name!r} is "
+                        f"not supported (constraint {fk['name']!r})")
+                action = fk.get("on_update", "RESTRICT")
+                child_df = staged.get(child, self._tables[child])
+                join_cond = reduce(and_, [
+                    child_df[c] == F.col(f"_o{i}")
+                    for i, c in enumerate(fk["columns"])
+                ])
+                if action in ("RESTRICT", "NO_ACTION"):
+                    n = child_df.join(
+                        F.broadcast(changed), join_cond, "semi").count()
+                    if n:
+                        raise ValueError(
+                            f"foreign key restrict: {n} row(s) in {child!r} "
+                            f"reference updated keys of {name!r} "
+                            f"(constraint {fk['name']!r})")
+                    continue
+                if action == "CASCADE":
+                    amb = (
+                        changed.groupBy(
+                            *[f"_o{i}" for i in range(len(rcs))])
+                        .count().filter(F.col("count") > 1).count()
+                    )
+                    if amb:
+                        raise ValueError(
+                            f"ambiguous ON UPDATE CASCADE: an old key of "
+                            f"{name!r} maps to multiple new keys "
+                            f"(constraint {fk['name']!r})")
+                marked = child_df.join(
+                    F.broadcast(changed.withColumn("_fk_hit", F.lit(True))),
+                    join_cond, "left")
+                repl = (
+                    self._table_constraints.get(child, {}).get("defaults", {})
+                    if action == "SET_DEFAULT" else {}
+                )
+                if action == "CASCADE":
+                    sets = {
+                        c: F.when(F.col("_fk_hit"), F.col(f"_n{i}"))
+                        .otherwise(child_df[c]).alias(c)
+                        for i, c in enumerate(fk["columns"])
+                    }
+                else:  # SET_NULL / SET_DEFAULT
+                    sets = {
+                        c: F.when(F.col("_fk_hit"), F.lit(repl.get(c)))
+                        .otherwise(child_df[c]).alias(c)
+                        for c in fk["columns"]
+                    }
+                staged[child] = marked.select(
+                    *[sets.get(c, child_df[c]) for c in child_df.columns])
+                if action == "SET_DEFAULT":
+                    self._check_default_tuple_fk(child, fk, repl, parent_after)
+
+    def _check_default_tuple_fk(
+        self, child: str, fk: dict, repl: dict, parent: DataFrame
+    ) -> None:
+        """A SET DEFAULT action rewrites child keys to the declared column
+        defaults — that tuple must itself satisfy the FK against the
+        post-statement parent. MATCH SIMPLE semantics: a tuple with any
+        NULL component passes (like NULL FKs on insert). One filtered
+        1-row existence probe on the parent."""
+        from functools import reduce
+        from operator import and_
+
+        if any(repl.get(c) is None for c in fk["columns"]):
+            return
+        hit = parent.filter(
+            reduce(and_, [
+                F.col(rc) == F.lit(repl[c])
+                for c, rc in zip(fk["columns"], fk["ref_columns"])
+            ])
+        ).count()
+        if not hit:
+            vals = tuple(repl[c] for c in fk["columns"])
+            raise ValueError(
+                f"foreign key violation: SET DEFAULT on {child!r} — default "
+                f"{vals!r} does not exist in {fk['ref_table']!r} "
+                f"(constraint {fk['name']!r})")
 
     def _exec_delete(self, cmd: str) -> DataFrame:
         """`DELETE FROM t [WHERE cond]` (lowered onto

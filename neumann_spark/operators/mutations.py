@@ -253,3 +253,62 @@ def ddl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng.execute("UPDATE ddl_t SET score = 9.9 WHERE id = 2")
     eng.execute("DELETE FROM ddl_t WHERE id = 3")
     return eng.execute("SELECT id, name, score, flag FROM ddl_t")
+
+
+@register(
+    "dml_constraint_enforcement",
+    oracle="""
+    WITH parent AS MATERIALIZED (
+      SELECT CASE WHEN i IN (1, 3) THEN i + 100 ELSE i END AS id
+      FROM generate_series(0, 4) AS t(i)
+    ),
+    child AS MATERIALIZED (
+      SELECT i AS cid,
+             CASE WHEN i % 5 IN (1, 3) THEN (i % 5) + 100 ELSE i % 5 END AS pid
+      FROM generate_series(0, 9) AS t(i)
+    )
+    SELECT (SELECT COUNT(*) FROM parent) AS n_parents,
+           (SELECT CAST(SUM(id) AS BIGINT) FROM parent) AS sum_parent_ids,
+           (SELECT COUNT(*) FROM child) AS n_children,
+           (SELECT CAST(SUM(pid) AS BIGINT) FROM child) AS sum_child_pids,
+           CAST(7 AS BIGINT) AS default_grp
+    """,
+)
+def dml_constraint_enforcement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRIMARY KEY / DEFAULT / FK ON UPDATE CASCADE end-to-end
+    (`relational_engine/src/lib.rs:235-258` Constraint, `:1397` violations,
+    `:195` on_update): a PK'd parent (0..4) with a CASCADE-on-update child
+    (10 rows, pid = cid % 5); a duplicate-PK insert is rejected (leaving
+    state untouched — pinned by the aggregates), parent keys 1 and 3 are
+    renumbered (+100) and the child follows via ON UPDATE CASCADE; a keyed
+    insert takes a DEFAULT column value. Enforcement is broadcast
+    semi/anti joins over the (small) write batch — the stored tables never
+    shuffle."""
+    from neumann_spark.engine import NeumannSparkEngine
+
+    eng = NeumannSparkEngine(spark, sf_dir)
+    eng.execute("CREATE TABLE cstr_parent (id INT PRIMARY KEY)")
+    eng.execute(
+        "CREATE TABLE cstr_child (cid INT, pid INT, FOREIGN KEY (pid) "
+        "REFERENCES cstr_parent(id) ON DELETE CASCADE ON UPDATE CASCADE)")
+    eng.execute("CREATE TABLE cstr_def (id INT PRIMARY KEY, grp INT DEFAULT 7)")
+    eng.execute("INSERT INTO cstr_parent VALUES (0), (1), (2), (3), (4)")
+    eng.execute(
+        "INSERT INTO cstr_child VALUES "
+        + ", ".join(f"({i}, {i % 5})" for i in range(10)))
+    try:  # duplicate PK — must reject and leave both tables untouched
+        eng.execute("INSERT INTO cstr_parent VALUES (2)")
+    except ValueError:
+        pass
+    eng.execute("UPDATE cstr_parent SET id = id + 100 WHERE id IN (1, 3)")
+    eng.execute("INSERT cstr_def id=9")  # keyed insert: grp takes DEFAULT
+    p = eng._tables["cstr_parent"].agg(
+        F.count("*").alias("n_parents"),
+        F.sum("id").alias("sum_parent_ids"),
+    )
+    c = eng._tables["cstr_child"].agg(
+        F.count("*").alias("n_children"),
+        F.sum("pid").alias("sum_child_pids"),
+    )
+    d = eng._tables["cstr_def"].agg(F.max("grp").alias("default_grp"))
+    return p.crossJoin(c).crossJoin(d)

@@ -813,3 +813,126 @@ def test_cursor_forged_negative_offset_clamped(engine):
         json.dumps(st, sort_keys=True).encode()).rstrip(b"=").decode()
     page, nxt = engine.fetch_page(forged)  # clamps to 0 instead of crashing
     assert page.count() == 3 and nxt is not None
+
+
+# -- PRIMARY KEY / UNIQUE / NOT NULL / DEFAULT enforcement
+#    (`relational_engine/src/lib.rs:235-258` Constraint; violations
+#    `:1397-1432`) and FK ON UPDATE / SET DEFAULT actions (`:176,195`) ------
+
+
+def test_pk_unique_notnull_default(engine):
+    engine.execute(
+        "CREATE TABLE tc_p (id INT PRIMARY KEY, name TEXT UNIQUE, "
+        "grp INT DEFAULT 7, note TEXT NOT NULL)")
+    engine.execute("INSERT INTO tc_p VALUES (1, 'a', 1, 'x'), (2, 'b', 2, 'y')")
+    with pytest.raises(ValueError, match="primary key violation"):
+        engine.execute("INSERT INTO tc_p VALUES (1, 'c', 3, 'z')")
+    with pytest.raises(ValueError, match="unique violation"):
+        engine.execute("INSERT INTO tc_p VALUES (3, 'a', 3, 'z')")
+    with pytest.raises(ValueError, match="not-null violation"):
+        engine.execute("INSERT INTO tc_p VALUES (4, 'd', 4, None)")
+    # duplicate inside one batch is also a violation
+    with pytest.raises(ValueError, match="primary key violation"):
+        engine.execute("INSERT INTO tc_p VALUES (5, 'e', 5, 'q'), (5, 'f', 6, 'r')")
+    # a rejected batch must not be partially applied
+    assert engine.execute("SELECT * FROM tc_p").count() == 2
+    # keyed insert: unsupplied grp takes its DEFAULT
+    engine.execute("INSERT tc_p id=9, name='z', note='w'")
+    rows = {r["id"]: r for r in engine.execute("SELECT * FROM tc_p").collect()}
+    assert rows[9]["grp"] == 7
+    engine.execute("DROP TABLE tc_p")
+
+
+def test_table_level_composite_pk(engine):
+    engine.execute(
+        "CREATE TABLE tc_comp (a INT, b INT, v TEXT, PRIMARY KEY (a, b))")
+    engine.execute("INSERT INTO tc_comp VALUES (1, 1, 'x'), (1, 2, 'y')")
+    with pytest.raises(ValueError, match="primary key violation"):
+        engine.execute("INSERT INTO tc_comp VALUES (1, 2, 'z')")
+    with pytest.raises(ValueError, match="not-null violation"):
+        engine.execute("INSERT INTO tc_comp VALUES (None, 3, 'z')")
+    # UNIQUE (SQL semantics): NULL tuples are exempt — composite UNIQUE
+    engine.execute(
+        "CREATE TABLE tc_uq (a INT, b INT, CONSTRAINT u1 UNIQUE (a, b))")
+    engine.execute("INSERT INTO tc_uq VALUES (1, None), (1, None)")
+    assert engine.execute("SELECT * FROM tc_uq").count() == 2
+    engine.execute("DROP TABLE tc_comp")
+    engine.execute("DROP TABLE tc_uq")
+
+
+def test_fk_on_update_cascade_and_restrict(engine):
+    engine.execute("CREATE TABLE tcu_par (id INT PRIMARY KEY)")
+    engine.execute(
+        "CREATE TABLE tcu_casc (cid INT, pid INT, FOREIGN KEY (pid) "
+        "REFERENCES tcu_par(id) ON DELETE CASCADE ON UPDATE CASCADE)")
+    engine.execute(
+        "CREATE TABLE tcu_restr (cid INT, pid INT REFERENCES tcu_par(id) "
+        "ON UPDATE RESTRICT)")
+    engine.execute("INSERT INTO tcu_par VALUES (1), (2), (3)")
+    engine.execute("INSERT INTO tcu_casc VALUES (10, 1), (11, 2), (12, 3)")
+    engine.execute("INSERT INTO tcu_restr VALUES (20, 3)")
+    engine.execute("UPDATE tcu_par SET id = 100 WHERE id = 1")
+    got = {(r["cid"], r["pid"])
+           for r in engine.execute("SELECT * FROM tcu_casc").collect()}
+    assert got == {(10, 100), (11, 2), (12, 3)}
+    with pytest.raises(ValueError, match="foreign key restrict"):
+        engine.execute("UPDATE tcu_par SET id = 300 WHERE id = 3")
+    # RESTRICT failure is atomic: the cascading child saw no partial write
+    got2 = {(r["cid"], r["pid"])
+            for r in engine.execute("SELECT * FROM tcu_casc").collect()}
+    assert got2 == got
+    for t in ("tcu_restr", "tcu_casc", "tcu_par"):
+        engine.execute(f"DROP TABLE {t}")
+
+
+def test_fk_on_update_set_null(engine):
+    engine.execute("CREATE TABLE tsn_par (id INT PRIMARY KEY)")
+    engine.execute(
+        "CREATE TABLE tsn_ch (cid INT, pid INT, FOREIGN KEY (pid) "
+        "REFERENCES tsn_par(id) ON UPDATE SET NULL)")
+    engine.execute("INSERT INTO tsn_par VALUES (1), (2)")
+    engine.execute("INSERT INTO tsn_ch VALUES (10, 1), (11, 2)")
+    engine.execute("UPDATE tsn_par SET id = 5 WHERE id = 1")
+    got = {(r["cid"], r["pid"])
+           for r in engine.execute("SELECT * FROM tsn_ch").collect()}
+    assert got == {(10, None), (11, 2)}
+    engine.execute("DROP TABLE tsn_ch")
+    engine.execute("DROP TABLE tsn_par")
+
+
+def test_fk_on_delete_set_default(engine):
+    engine.execute("CREATE TABLE tsd_par (id INT PRIMARY KEY)")
+    engine.execute(
+        "CREATE TABLE tsd_ch (cid INT, pid INT DEFAULT 0 "
+        "REFERENCES tsd_par(id) ON DELETE SET DEFAULT)")
+    engine.execute("INSERT INTO tsd_par VALUES (0), (5)")
+    engine.execute("INSERT INTO tsd_ch VALUES (1, 5)")
+    engine.execute("DELETE FROM tsd_par WHERE id = 5")
+    assert [(r["cid"], r["pid"])
+            for r in engine.execute("SELECT * FROM tsd_ch").collect()] == [(1, 0)]
+    # a default that does not exist in the surviving parent must raise
+    engine.execute("CREATE TABLE tsd_par2 (id INT PRIMARY KEY)")
+    engine.execute(
+        "CREATE TABLE tsd_ch2 (cid INT, pid INT DEFAULT 99 "
+        "REFERENCES tsd_par2(id) ON DELETE SET DEFAULT)")
+    engine.execute("INSERT INTO tsd_par2 VALUES (5)")
+    engine.execute("INSERT INTO tsd_ch2 VALUES (1, 5)")
+    with pytest.raises(ValueError, match="SET DEFAULT"):
+        engine.execute("DELETE FROM tsd_par2 WHERE id = 5")
+    for t in ("tsd_ch2", "tsd_par2", "tsd_ch", "tsd_par"):
+        engine.execute(f"DROP TABLE {t}")
+
+
+def test_fk_on_update_noop_when_keys_unchanged(engine):
+    # assigning a referenced column to ITSELF changes nothing — no action
+    # fires even under RESTRICT with referencing children present
+    engine.execute("CREATE TABLE tnu_par (id INT PRIMARY KEY, v INT)")
+    engine.execute(
+        "CREATE TABLE tnu_ch (cid INT, pid INT REFERENCES tnu_par(id) "
+        "ON UPDATE RESTRICT)")
+    engine.execute("INSERT INTO tnu_par VALUES (1, 10)")
+    engine.execute("INSERT INTO tnu_ch VALUES (9, 1)")
+    engine.execute("UPDATE tnu_par SET id = id, v = v + 1 WHERE id = 1")
+    assert engine.execute("SELECT v FROM tnu_par").collect()[0]["v"] == 11
+    engine.execute("DROP TABLE tnu_ch")
+    engine.execute("DROP TABLE tnu_par")
