@@ -824,6 +824,68 @@ class NeumannSparkEngine:
             raise ValueError(f"expected {expected}")
         return m
 
+    def _check_graph_write_constraints(self, kind: str, new: DataFrame) -> None:
+        """Write-time graph constraint validation (`graph_engine/src/lib.rs:
+        3210-3240` — create_node/create_edge run validate_node_constraints
+        on EVERY write, returning ConstraintViolation; checking only at
+        CONSTRAINT CREATE would let later writes silently violate).
+
+        Scale shape: the write batch is small, so within-batch duplicates
+        are one groupBy over the batch and store clashes one semi-join of
+        the broadcast batch keys against the overlay frame — the stored
+        graph never shuffles."""
+        target = "NODE" if kind == "node" else "EDGE"
+        store = self._nodes if kind == "node" else self._edges
+        scope_col = "label" if kind == "node" else "edge_type"
+        for name, (t, label, prop, ctype) in self._constraints.items():
+            if t != target:
+                continue
+            batch, scoped = new, store
+            if label:
+                batch = batch.filter(F.col(scope_col) == label)
+                scoped = scoped.filter(F.col(scope_col) == label)
+            if ctype == "unique":
+                vals = batch.filter(F.col(prop).isNotNull())
+                dup = (
+                    vals.groupBy(prop).count().filter(F.col("count") > 1).count()
+                )
+                clash = scoped.join(
+                    F.broadcast(vals.select(prop).distinct()), prop, "semi"
+                ).count()
+                if dup or clash:
+                    raise ValueError(
+                        f"constraint {name!r} violated: duplicate value for "
+                        f"property {prop!r} on {kind} write")
+            elif ctype == "exists":
+                nnull = batch.filter(F.col(prop).isNull()).count()
+                if nnull:
+                    raise ValueError(
+                        f"constraint {name!r} violated: property {prop!r} "
+                        f"missing on {nnull} {kind} row(s)")
+            elif ctype.startswith("type:"):
+                want = ctype.split(":", 1)[1]
+                spark_t = self._lower_type(want)
+                bad = batch.filter(
+                    F.col(prop).isNotNull()
+                    & F.expr(f"try_cast({prop} AS {spark_t})").isNull()
+                ).count()
+                if bad:
+                    raise ValueError(
+                        f"constraint {name!r} violated: {bad} value(s) of "
+                        f"{prop!r} not castable to {want}")
+
+    def _add_nodes(self, new: DataFrame) -> None:
+        """All node-creating verbs funnel here: constraints first, then the
+        overlay append."""
+        self._check_graph_write_constraints("node", new)
+        self._nodes = self._nodes.unionAll(new)
+
+    def _add_edges(self, new: DataFrame) -> None:
+        """All edge-creating verbs funnel here: constraints first, then the
+        overlay append."""
+        self._check_graph_write_constraints("edge", new)
+        self._edges = self._edges.unionAll(new)
+
     def _exec_node(self, cmd: str) -> DataFrame:
         """NODE CREATE label {props} | GET id | DELETE id |
         LIST [label] [LIMIT n] [OFFSET m] (`neumann_parser` NodeOp), plus
@@ -842,7 +904,7 @@ class NeumannSparkEngine:
             props = self._parse_props(props_body)
             nid = int(props.get("id", self._next_node_id()))
             new = self.spark.createDataFrame([(nid, label)], "id bigint, label string")
-            self._nodes = self._nodes.unionAll(new)
+            self._add_nodes(new)
             self._checkpoint_overlays()
             return new
         if sub == "GET":
@@ -877,7 +939,7 @@ class NeumannSparkEngine:
                           "NODE id [label]")
         nid, label = int(m.group(1)), m.group(2) or "node"
         new = self.spark.createDataFrame([(nid, label)], "id bigint, label string")
-        self._nodes = self._nodes.unionAll(new)
+        self._add_nodes(new)
         return new
 
     def _next_node_id(self) -> int:
@@ -905,7 +967,7 @@ class NeumannSparkEngine:
             new = self.spark.createDataFrame(
                 [(src, dst, etype, w)],
                 "src bigint, dst bigint, edge_type string, weight double")
-            self._edges = self._edges.unionAll(new)
+            self._add_edges(new)
             self._checkpoint_overlays()
             return new
         if sub == "DELETE":
@@ -941,7 +1003,7 @@ class NeumannSparkEngine:
         new = self.spark.createDataFrame(
             [(src, dst, etype, w)], "src bigint, dst bigint, edge_type string, weight double"
         )
-        self._edges = self._edges.unionAll(new)
+        self._add_edges(new)
         return new
 
     def _exec_neighbors(self, cmd: str) -> DataFrame:
@@ -1546,7 +1608,7 @@ class NeumannSparkEngine:
                 [(src, dst, etype or "edge", w)],
                 "src bigint, dst bigint, edge_type string, weight double",
             )
-            self._edges = self._edges.unionAll(new)
+            self._add_edges(new)
             self._checkpoint_overlays()
             return new
         nm = re.match(rf"CREATE\s*{self._NODE_PAT}\s*$", cmd, re.I | re.S)
@@ -1560,7 +1622,7 @@ class NeumannSparkEngine:
         new = self.spark.createDataFrame(
             [(nid, label or "node")], "id bigint, label string"
         )
-        self._nodes = self._nodes.unionAll(new)
+        self._add_nodes(new)
         self._checkpoint_overlays()
         return new
 
@@ -1587,7 +1649,7 @@ class NeumannSparkEngine:
         new = self.spark.createDataFrame(
             [(nid, label or "node")], "id bigint, label string"
         )
-        self._nodes = self._nodes.unionAll(new)
+        self._add_nodes(new)
         self._checkpoint_overlays()
         return new.select("id", "label", F.lit("created").alias("status"))
 
@@ -2028,7 +2090,7 @@ class NeumannSparkEngine:
             new = self.spark.createDataFrame(
                 [(self._entity_id(a), self._entity_id(b), etype, 1.0)],
                 "src bigint, dst bigint, edge_type string, weight double")
-            self._edges = self._edges.unionAll(new)
+            self._add_edges(new)
             self._checkpoint_overlays()
             return new
         if sub == "BATCH":
@@ -2235,14 +2297,14 @@ class NeumannSparkEngine:
                 rows = [(int(d.get("id", base + i)), str(d.get("label", "node")))
                         for i, d in enumerate(defs)]
                 new = self.spark.createDataFrame(rows, "id bigint, label string")
-                self._nodes = self._nodes.unionAll(new)
+                self._add_nodes(new)
             else:
                 rows = [(int(d["from"]), int(d["to"]),
                          str(d.get("type", "edge")),
                          float(d.get("weight", 1.0))) for d in defs]
                 new = self.spark.createDataFrame(
                     rows, "src bigint, dst bigint, edge_type string, weight double")
-                self._edges = self._edges.unionAll(new)
+                self._add_edges(new)
             self._checkpoint_overlays()
             return self.spark.createDataFrame([(len(rows),)], "created bigint")
         if verb == "DELETE":

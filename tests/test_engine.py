@@ -936,3 +936,28 @@ def test_fk_on_update_noop_when_keys_unchanged(engine):
     assert engine.execute("SELECT v FROM tnu_par").collect()[0]["v"] == 11
     engine.execute("DROP TABLE tnu_ch")
     engine.execute("DROP TABLE tnu_par")
+
+
+def test_graph_constraint_enforced_on_write(engine):
+    # write-time validation (`graph_engine/src/lib.rs:3210-3240`:
+    # create_node validates constraints on EVERY write, not just at
+    # CONSTRAINT CREATE)
+    engine.execute("NODE 9100001 cstrlab")
+    engine.execute("CONSTRAINT CREATE wc_uniq ON NODE cstrlab PROPERTY id UNIQUE")
+    with pytest.raises(ValueError, match="wc_uniq"):
+        engine.execute("NODE 9100001 cstrlab")  # duplicate id, same label
+    engine.execute("NODE 9100002 cstrlab")      # fresh id passes
+    engine.execute("NODE 9100001 otherlab")     # label-scoped: other label ok
+    # edge-side: unique src among type wc_t
+    engine.execute("EDGE 9100001 9100002 wc_t")
+    engine.execute("CONSTRAINT CREATE wc_esrc ON EDGE wc_t PROPERTY src UNIQUE")
+    with pytest.raises(ValueError, match="wc_esrc"):
+        engine.execute("EDGE 9100001 9100001 wc_t")
+    engine.execute("EDGE 9100002 9100001 wc_t")  # different src passes
+    # restore shared-fixture state
+    engine.execute("CONSTRAINT DROP wc_uniq")
+    engine.execute("CONSTRAINT DROP wc_esrc")
+    engine.execute("EDGE DELETE 9100001 -> 9100002")
+    engine.execute("EDGE DELETE 9100002 -> 9100001")
+    for nid in (9100001, 9100002):
+        engine.execute(f"NODE DELETE {nid}")
