@@ -196,16 +196,19 @@ def main() -> None:
         nodes_df(spark, ml_dir).count()
         edges_df(spark, ml_dir).count()
         keep_ids = _persistent_ids()
+        # 2 runs, keep the second (steady-state): the multilayout series is
+        # comparative evidence, not the gate — bound its wall-clock so the
+        # whole bench stays inside the per-round budget
         for name in HEADLINE:
             samples = []
-            for _ in range(RUNS):
+            for _ in range(2):
                 t0 = time.time()
                 queries[name](spark, ml_dir).write.format("noop").mode(
                     "overwrite"
                 ).save()
                 samples.append(round(time.time() - t0, 3))
                 _release_query_state(keep_ids)
-            multilayout[name] = sorted(samples)[RUNS // 2]
+            multilayout[name] = samples[-1]
     except Exception as e:  # noqa: BLE001 — multilayout is evidence, not the gate
         multilayout = {"_error": repr(e)[:200]}
 

@@ -140,3 +140,59 @@ def test_fk_cascade_and_set_null_properties(spark, parents, pairs, doomed):
         eng.execute("DROP TABLE cc")
         eng.execute("DROP TABLE cn")
         eng.execute("DROP TABLE pp")
+
+
+_uq_batches = st.lists(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),                     # id
+            st.one_of(st.none(), st.integers(min_value=0, max_value=4)),  # v
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_uq_batches)
+def test_pk_unique_batch_properties(spark, batches):
+    """For ANY insert-batch sequence: a batch is accepted iff it introduces
+    no PRIMARY KEY duplicate (within itself or vs stored rows); a rejected
+    batch leaves the table byte-identical (atomicity); the final table is
+    exactly the union of accepted batches. UNIQUE on a nullable column
+    exempts NULLs (SQL semantics)."""
+    from neumann_spark.engine import NeumannSparkEngine
+    from tests.conftest import SF_DIR
+
+    eng = NeumannSparkEngine(spark, SF_DIR)
+    eng.execute("CREATE TABLE uq_t (id INT PRIMARY KEY, v INT UNIQUE)")
+    try:
+        stored: dict[int, object] = {}
+        for batch in batches:
+            ids = [i for i, _ in batch]
+            vs = [v for _, v in batch if v is not None]
+            stored_vs = [v for v in stored.values() if v is not None]
+            ok = (
+                len(set(ids)) == len(ids)
+                and not (set(ids) & set(stored))
+                and len(set(vs)) == len(vs)
+                and not (set(vs) & set(stored_vs))
+            )
+            vals = ", ".join(
+                f"({i}, {'None' if v is None else v})" for i, v in batch)
+            if ok:
+                eng.execute(f"INSERT INTO uq_t VALUES {vals}")
+                stored.update(dict(batch))
+            else:
+                import pytest as _pt
+
+                with _pt.raises(ValueError):
+                    eng.execute(f"INSERT INTO uq_t VALUES {vals}")
+            got = {r["id"]: r["v"]
+                   for r in eng.execute("SELECT * FROM uq_t").collect()}
+            assert got == stored
+    finally:
+        eng.execute("DROP TABLE uq_t")
