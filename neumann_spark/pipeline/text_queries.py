@@ -211,3 +211,66 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((dup > 0.5) | (top > 0.1)).cast("int").alias("flagged"),
         )
     )
+
+
+@register(
+    "text_gopher_quality_rules",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id,
+             len(str_split(text, ' ')) AS n_words,
+             CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE)
+               / len(str_split(text, ' ')) AS mwl,
+             len(list_filter(str_split(text, ' '), w -> w IN ({_SW_LIST}))) AS sw,
+             CAST(len(list_filter(str_split(text, ' '),
+                                  w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+               / len(str_split(text, ' ')) AS alpha_frac
+      FROM documents
+    )
+    SELECT doc_id,
+           n_words,
+           ROUND(mwl, 6) AS mean_word_len,
+           CAST(n_words BETWEEN 20 AND 80 AS INT) AS r_word_count,
+           CAST(mwl >= 3.0 AND mwl <= 4.5 AS INT) AS r_mean_word_len,
+           CAST(sw >= 2 AS INT) AS r_stopwords,
+           CAST(alpha_frac >= 0.8 AS INT) AS r_alpha_words,
+           CAST(n_words BETWEEN 20 AND 80
+                AND mwl >= 3.0 AND mwl <= 4.5
+                AND sw >= 2
+                AND alpha_frac >= 0.8 AS INT) AS passes
+    FROM f
+    """,
+)
+def text_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, published
+    rule set, thresholds adapted to the fixture vocabulary): word-count
+    bounds, mean-word-length band, minimum stop-word hits, and
+    alphabetic-word fraction — each emitted as a flag plus the composite
+    pass bit, the standard rule-based pre-filter stage of an LLM
+    training-data pipeline. All four rules are JVM expressions over ONE
+    scan of `documents`; at 100 TB this is a map-only stage with zero
+    shuffles (the filter composes with downstream dedup/sampling)."""
+    d = load(spark, sf_dir, "documents")
+    w = words(F.col("text"))
+    n_words = F.size(w)
+    mwl = (
+        F.length(F.regexp_replace(F.col("text"), " ", "")).cast("double") / n_words
+    )
+    sw = stopword_count(F.col("text"))
+    alpha_frac = (
+        F.size(F.filter(w, lambda x: x.rlike("[a-z]"))).cast("double") / n_words
+    )
+    r_wc = n_words.between(20, 80)
+    r_mwl = (mwl >= 3.0) & (mwl <= 4.5)
+    r_sw = sw >= 2
+    r_alpha = alpha_frac >= 0.8
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(mwl, 6).alias("mean_word_len"),
+        r_wc.cast("int").alias("r_word_count"),
+        r_mwl.cast("int").alias("r_mean_word_len"),
+        r_sw.cast("int").alias("r_stopwords"),
+        r_alpha.cast("int").alias("r_alpha_words"),
+        (r_wc & r_mwl & r_sw & r_alpha).cast("int").alias("passes"),
+    )
