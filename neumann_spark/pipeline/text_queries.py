@@ -274,3 +274,54 @@ def text_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         r_alpha.cast("int").alias("r_alpha_words"),
         (r_wc & r_mwl & r_sw & r_alpha).cast("int").alias("passes"),
     )
+
+
+@register(
+    "text_unigram_logprob",
+    oracle="""
+    WITH tok AS MATERIALIZED (
+      SELECT doc_id, unnest(str_split(text, ' ')) AS w FROM documents
+    ),
+    freq AS MATERIALIZED (
+      SELECT w, COUNT(*) AS cnt FROM tok GROUP BY w
+    ),
+    tot AS MATERIALIZED (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM tok
+    ),
+    nll AS MATERIALIZED (
+      SELECT doc_id, ROUND(-ln(cnt / (SELECT n FROM tot)), 6) AS nll
+      FROM tok JOIN freq USING (w)
+    )
+    SELECT doc_id,
+           ROUND(CAST(SUM(CAST(nll AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(nll), 6) AS mean_nll,
+           COUNT(*) AS n_tokens
+    FROM nll GROUP BY doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring (the CCNet-style LM quality signal,
+    reduced to order-0): corpus word frequencies -> per-token
+    -ln p(w) -> per-document mean negative log-likelihood. High mean_nll
+    = rare-token-heavy document (candidate junk), low = common-token soup.
+
+    Scale shape: ONE wordcount shuffle builds the vocabulary, which is
+    tiny (vocab-sized, not corpus-sized) and broadcast back onto the
+    exploded token stream — scoring is map-side; the only other shuffle
+    is the per-doc aggregate. Per-token nll is rounded to the 1e-6 grid
+    and decimal-summed (sqlutil strategy) so Spark's partition-parallel
+    sum is bit-identical to the oracle's."""
+    from neumann_spark.sqlutil import davg
+
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(words(F.col("text"))).alias("w"))
+    freq = tok.groupBy("w").agg(F.count("*").alias("cnt"))
+    total = tok.count()
+    scored = tok.join(F.broadcast(freq), "w").select(
+        "doc_id",
+        F.round(-F.log(F.col("cnt") / F.lit(float(total))), 6).alias("nll"),
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(davg("nll", 6), 6).alias("mean_nll"),
+        F.count("*").alias("n_tokens"),
+    )
