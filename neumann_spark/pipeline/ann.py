@@ -1005,29 +1005,29 @@ def _ivfpq_rescore_sql(nprobe: int = ANN_RESCORE_NPROBE,
     return "".join(parts)
 
 
-@register("ann_ivfpq_rescore", oracle=_ivfpq_rescore_sql())
-def ann_ivfpq_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Production two-stage ANN: IVF-prune to the nprobe=6 nearest lists,
-    ADC-rank ONLY those lists' PQ codes, keep a 400-vector shortlist, then
-    exact-cosine rescore the shortlist and return the top 10. Tuned on
-    tools/ann_recall.py to recall@10 >= 0.8 at <= 0.3 full-vector scan
-    fraction (measured 0.83 @ 0.20); the reference's analogous knob is the
-    HNSW `high_recall` preset (`tensor_store/src/hnsw.rs:1434-1533`,
-    searched at `vector_engine/src/lib.rs:2378-2560`). Both indexes come
-    from the session caches; the probe filter and the shortlist are
-    broadcast joins — the float vectors are read only for the shortlist."""
+def _ivfpq_rescore_search(
+    emb: DataFrame, assign: DataFrame, centroids: list,
+    codes: DataFrame, codebooks: list,
+) -> DataFrame:
+    """The two-stage search core over explicit index structures, shared by
+    the session-cache query and the persisted-index round-trip: IVF-probe
+    the nprobe nearest lists, ADC-rank only their PQ codes, shortlist,
+    exact-cosine rescore. `assign` needs only (vec_id, cluster)."""
     from neumann_spark.functions.vector import cosine_expr
 
-    state, centroids = ivf_index(spark, sf_dir)
-    codes, codebooks = pq_index(spark, sf_dir)
-    emb = load(spark, sf_dir, "embeddings")
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    ]
     probe_cells = [
-        F.struct(_sq_dist_expr(F.col("qv"), vals).alias("d"), F.lit(int(cid)).alias("cluster"))
+        F.struct(
+            _sq_dist_expr(F.lit(qv).cast("array<double>"), vals).alias("d"),
+            F.lit(int(cid)).alias("cluster"),
+        )
         for cid, vals in centroids
     ]
     probes = (
-        state.filter(F.col("vec_id") == 0)
-        .select(F.col("v").alias("qv"))
+        emb.sparkSession.range(1)
         .select(
             F.explode(
                 F.slice(F.array_sort(F.array(*probe_cells)), 1, ANN_RESCORE_NPROBE)
@@ -1035,17 +1035,13 @@ def ann_ivfpq_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("p.cluster").alias("cluster"))
     )
-    qv = [
-        float(x)
-        for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    ]
     total = None
     for s in range(PQ_S):
         qs = qv[s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
         term = _adc_term(qs, codebooks[s], F.col(f"code_{s}"))
         total = term if total is None else total + term
     shortlist = (
-        state.select("vec_id", "cluster")
+        assign.select("vec_id", "cluster")
         .filter(F.col("vec_id") != 0)
         .join(F.broadcast(probes), "cluster")
         .join(codes, "vec_id")
@@ -1066,6 +1062,98 @@ def ann_ivfpq_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), F.col("vec_id"))
         .limit(PQ_TOPK)
     )
+
+
+@register("ann_ivfpq_rescore", oracle=_ivfpq_rescore_sql())
+def ann_ivfpq_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production two-stage ANN: IVF-prune to the nprobe=6 nearest lists,
+    ADC-rank ONLY those lists' PQ codes, keep a 400-vector shortlist, then
+    exact-cosine rescore the shortlist and return the top 10. Tuned on
+    tools/ann_recall.py to recall@10 >= 0.8 at <= 0.3 full-vector scan
+    fraction (measured 0.83 @ 0.20); the reference's analogous knob is the
+    HNSW `high_recall` preset (`tensor_store/src/hnsw.rs:1434-1533`,
+    searched at `vector_engine/src/lib.rs:2378-2560`). Both indexes come
+    from the session caches; the probe filter and the shortlist are
+    broadcast joins — the float vectors are read only for the shortlist."""
+    state, centroids = ivf_index(spark, sf_dir)
+    codes, codebooks = pq_index(spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings")
+    return _ivfpq_rescore_search(emb, state, centroids, codes, codebooks)
+
+
+# --- index persistence (`save_index`/`load_index`,
+#     `vector_engine/src/lib.rs:3794-3980`) --------------------------------
+
+
+def save_ann_index(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Persist the session IVF + PQ indexes as parquet — the Spark analog
+    of the reference's index snapshot files: a 100 TB deployment builds
+    once and reuses across jobs instead of re-clustering per session.
+    Assignments are written cluster-partitioned so a probed search prunes
+    unprobed list files at the source (partition pruning, the same layout
+    `ann_ivf_cluster_layout` asserts); centroids/codebooks are k x dim
+    tables (tiny)."""
+    state, centroids = ivf_index(spark, sf_dir)
+    codes, codebooks = pq_index(spark, sf_dir)
+    (
+        state.select("vec_id", "cluster")
+        .write.mode("overwrite").partitionBy("cluster")
+        .parquet(f"{path}/ivf_assign")
+    )
+    spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in centroids],
+        "cluster int, centroid array<double>",
+    ).write.mode("overwrite").parquet(f"{path}/ivf_centroids")
+    codes.write.mode("overwrite").parquet(f"{path}/pq_codes")
+    spark.createDataFrame(
+        [
+            (s, int(code), [float(x) for x in vals])
+            for s, cb in enumerate(codebooks)
+            for code, vals in cb
+        ],
+        "s int, code int, centroid array<double>",
+    ).write.mode("overwrite").parquet(f"{path}/pq_codebooks")
+
+
+def load_ann_index(spark: SparkSession, path: str):
+    """Load a persisted index: returns (assign, centroids, codes,
+    codebooks) in the exact shapes the search core takes. The k-row
+    centroid/codebook collects are the same k x dim driver-side aggregates
+    the builders produce (MLlib-equivalent); assignments and codes stay
+    distributed."""
+    assign = spark.read.parquet(f"{path}/ivf_assign")
+    centroids = sorted(
+        (int(r["cluster"]), [float(x) for x in r["centroid"]])
+        for r in spark.read.parquet(f"{path}/ivf_centroids").collect()
+    )
+    codes = spark.read.parquet(f"{path}/pq_codes")
+    cb_rows = spark.read.parquet(f"{path}/pq_codebooks").collect()
+    codebooks = [
+        sorted(
+            (int(r["code"]), [float(x) for x in r["centroid"]])
+            for r in cb_rows
+            if r["s"] == s
+        )
+        for s in sorted({int(r["s"]) for r in cb_rows})
+    ]
+    return assign, centroids, codes, codebooks
+
+
+@register("ann_index_persist_roundtrip", oracle=_ivfpq_rescore_sql())
+def ann_index_persist_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index persistence round-trip (`save_index`/`load_index`,
+    `vector_engine/src/lib.rs:3794,3827`): save the session IVF+PQ indexes
+    to parquet, load them back, and run the SAME two-stage search through
+    the loaded structures — checked against the identical oracle as
+    `ann_ivfpq_rescore`, so a lossy save/load (dropped clusters, reordered
+    codebooks, truncated floats) hash-mismatches."""
+    import tempfile
+
+    path = f"{tempfile.gettempdir()}/neumann_ann_index/{sf_dir.strip('/').replace('/', '_')}"
+    save_ann_index(spark, sf_dir, path)
+    assign, centroids, codes, codebooks = load_ann_index(spark, path)
+    emb = load(spark, sf_dir, "embeddings")
+    return _ivfpq_rescore_search(emb, assign, centroids, codes, codebooks)
 
 
 @register("ann_pq_rescore", oracle=_pq_rescore_sql())
