@@ -1019,22 +1019,24 @@ def _ivfpq_rescore_search(
         float(x)
         for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
     ]
-    probe_cells = [
-        F.struct(
-            _sq_dist_expr(F.lit(qv).cast("array<double>"), vals).alias("d"),
-            F.lit(int(cid)).alias("cluster"),
-        )
-        for cid, vals in centroids
+    # probe selection runs driver-side over the k-row centroid list (the
+    # same place the builder keeps it): a sequential Python sum is
+    # bit-identical to the JVM fold of `_sq_dist_expr`, and the result is
+    # a STATIC IN-list filter — on a cluster-partitioned index layout
+    # (save_ann_index) this prunes unprobed list files at the source,
+    # where a joined probes frame would read everything
+    def _d2(vals: list) -> float:
+        acc = 0.0
+        for x, c in zip(qv, vals):
+            acc += (x - c) * (x - c)
+        return round(acc, 6)
+
+    probe_ids = [
+        cid
+        for _, cid in sorted((_d2(vals), int(cid)) for cid, vals in centroids)[
+            :ANN_RESCORE_NPROBE
+        ]
     ]
-    probes = (
-        emb.sparkSession.range(1)
-        .select(
-            F.explode(
-                F.slice(F.array_sort(F.array(*probe_cells)), 1, ANN_RESCORE_NPROBE)
-            ).alias("p")
-        )
-        .select(F.col("p.cluster").alias("cluster"))
-    )
     total = None
     for s in range(PQ_S):
         qs = qv[s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
@@ -1042,8 +1044,7 @@ def _ivfpq_rescore_search(
         total = term if total is None else total + term
     shortlist = (
         assign.select("vec_id", "cluster")
-        .filter(F.col("vec_id") != 0)
-        .join(F.broadcast(probes), "cluster")
+        .filter(F.col("cluster").isin(probe_ids) & (F.col("vec_id") != 0))
         .join(codes, "vec_id")
         .select("vec_id", F.round(total, 6).alias("pq_dist"))
         .orderBy("pq_dist", "vec_id")

@@ -160,3 +160,33 @@ def test_distribution_windows_single_shuffle(spark):
     # all three distribution functions share one window shuffle+sort
     assert plan.count(") Exchange") == 1 and "hashpartitioning" in plan
     assert ") Window" in plan
+
+
+def test_persisted_index_search_prunes_partitions(spark, tmp_path):
+    """A search through the persisted index must read ONLY the probed
+    cluster partitions: probe selection is a driver-side argsort over the
+    k-row centroid list pushed as a static IN-list, so the scan carries
+    PartitionFilters over the cluster-partitioned layout (at 100 TB this
+    skips (k - nprobe)/k of the index files at the source)."""
+    from neumann_spark.catalog import load
+    from neumann_spark.pipeline.ann import (
+        ANN_RESCORE_NPROBE,
+        _ivfpq_rescore_search,
+        load_ann_index,
+        save_ann_index,
+    )
+
+    path = str(tmp_path / "annidx")
+    save_ann_index(spark, SF_DIR, path)
+    assign, centroids, codes, codebooks = load_ann_index(spark, path)
+    emb = load(spark, SF_DIR, "embeddings")
+    plan = _plan(
+        _ivfpq_rescore_search(emb, assign, centroids, codes, codebooks))
+    # formatted mode: the scan's detail block carries its own
+    # PartitionFilters line
+    scan = next(
+        ln for ln in plan.splitlines()
+        if "PartitionFilters" in ln and "cluster" in ln)
+    assert " IN (" in scan
+    n_in = scan.split(" IN (")[1].split(")")[0].count(",") + 1
+    assert n_in == ANN_RESCORE_NPROBE
