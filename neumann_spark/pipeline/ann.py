@@ -1091,9 +1091,10 @@ def save_ann_index(spark: SparkSession, sf_dir: str, path: str) -> None:
     of the reference's index snapshot files: a 100 TB deployment builds
     once and reuses across jobs instead of re-clustering per session.
     Assignments are written cluster-partitioned so a probed search prunes
-    unprobed list files at the source (partition pruning, the same layout
-    `ann_ivf_cluster_layout` asserts); centroids/codebooks are k x dim
-    tables (tiny)."""
+    unprobed list files at the source (partition pruning, asserted by
+    tests/test_bucketing.py::test_ivf_cluster_partition_pruning and
+    tests/test_plans.py::test_persisted_index_search_prunes_partitions);
+    centroids/codebooks are k x dim tables (tiny)."""
     state, centroids = ivf_index(spark, sf_dir)
     codes, codebooks = pq_index(spark, sf_dir)
     (
