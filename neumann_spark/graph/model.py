@@ -80,10 +80,28 @@ uedges AS MATERIALIZED (
 _GRAPH_CACHE: dict[tuple[int, str, str], DataFrame] = {}
 
 
+GRAPH_ROW_BYTES = 48          # id/src/dst longs + short type string + weight
+GRAPH_PARTITION_BYTES = 64 << 20  # the same ~64 MB/partition a real job
+                                  # targets via spark.sql.files.maxPartitionBytes
+
+
 def _cached(spark: SparkSession, sf_dir: str, kind: str, build) -> DataFrame:
     key = (id(spark), sf_dir, kind)
     if key not in _GRAPH_CACHE:
-        _GRAPH_CACHE[key] = build().localCheckpoint(eager=True)
+        df = build()
+        # Size-aware layout before pinning: the derivation otherwise
+        # inherits the INPUT FILE count (a 4-table union over a 32-file
+        # layout yields 100+ partitions holding a few hundred rows each),
+        # and every stage of every iterative algorithm then launches one
+        # task per tiny partition. Right-size to ~64 MB of rows per
+        # partition from the exact row count: small graphs collapse to a
+        # handful of partitions, a 100 TB edge table keeps thousands —
+        # the partition count tracks DATA, not file layout. One shuffle,
+        # once per session.
+        n = df.count()
+        parts = max(1, (n * GRAPH_ROW_BYTES + GRAPH_PARTITION_BYTES - 1)
+                    // GRAPH_PARTITION_BYTES)
+        _GRAPH_CACHE[key] = df.repartition(parts).localCheckpoint(eager=True)
     return _GRAPH_CACHE[key]
 
 
