@@ -584,27 +584,39 @@ class NeumannSparkEngine:
                     f"{missing} row(s) reference missing "
                     f"{fk['ref_table']}({', '.join(fk['ref_columns'])})")
 
-    def _check_table_constraints(self, name: str, new: DataFrame) -> None:
-        """PRIMARY KEY / UNIQUE / NOT NULL validation for an insert batch
+    def _check_table_constraints(
+        self, name: str, new: DataFrame, existing: Optional[DataFrame] = None
+    ) -> None:
+        """PRIMARY KEY / UNIQUE / NOT NULL validation for a write batch
         (`relational_engine/src/lib.rs:5002` — insert returns
-        PrimaryKeyViolation/UniqueViolation; `:252-258` NotNull).
+        PrimaryKeyViolation/UniqueViolation; `:252-258` NotNull). INSERT
+        passes the new rows (stored side = the whole table); UPDATE passes
+        the new VERSIONS of the matched rows with `existing` = the
+        untouched rows, so in-place rewrites obey the same invariants.
 
-        Scale shape: NOT NULL is a map-only filter over the batch; each
-        uniqueness check is one groupBy over the batch plus one semi-join of
-        the (broadcast) batch keys against the stored table — the batch is
-        the small side, so the stored table never shuffles. UNIQUE follows
-        SQL semantics (NULL tuples exempt); PRIMARY KEY columns are also
-        registered NOT NULL at CREATE time."""
+        Scale shape: ALL NOT NULL columns check in one aggregate over the
+        batch; each uniqueness check is one groupBy over the batch plus one
+        semi-join of the (broadcast) batch keys against the stored side —
+        the batch is the small side, so the stored table never shuffles.
+        UNIQUE follows SQL semantics (NULL tuples exempt); PRIMARY KEY
+        columns are also registered NOT NULL at CREATE time."""
         tc = self._table_constraints.get(name)
         if not tc:
             return
-        for col in tc["not_null"]:
-            n = new.filter(F.col(col).isNull()).count()
-            if n:
-                raise ValueError(
-                    f"not-null violation: column {col!r} of {name!r} "
-                    f"({n} row(s))")
-        existing = self._tables[name]
+        if tc["not_null"]:
+            nulls = new.agg(
+                *[
+                    F.sum(F.col(c).isNull().cast("int")).alias(c)
+                    for c in tc["not_null"]
+                ]
+            ).collect()[0]
+            for col in tc["not_null"]:
+                if nulls[col]:
+                    raise ValueError(
+                        f"not-null violation: column {col!r} of {name!r} "
+                        f"({nulls[col]} row(s))")
+        if existing is None:
+            existing = self._tables[name]
         for u in tc["uniques"]:
             ucols = u["columns"]
             probe = new
@@ -824,18 +836,24 @@ class NeumannSparkEngine:
             raise ValueError(f"expected {expected}")
         return m
 
-    def _check_graph_write_constraints(self, kind: str, new: DataFrame) -> None:
+    def _check_graph_write_constraints(
+        self, kind: str, new: DataFrame, store: Optional[DataFrame] = None
+    ) -> None:
         """Write-time graph constraint validation (`graph_engine/src/lib.rs:
         3210-3240` — create_node/create_edge run validate_node_constraints
         on EVERY write, returning ConstraintViolation; checking only at
         CONSTRAINT CREATE would let later writes silently violate).
+        Creates validate against the whole overlay; in-place updates pass
+        `store` = the overlay MINUS the rewritten rows, so a row's new
+        version doesn't clash with its own old version.
 
         Scale shape: the write batch is small, so within-batch duplicates
         are one groupBy over the batch and store clashes one semi-join of
         the broadcast batch keys against the overlay frame — the stored
         graph never shuffles."""
         target = "NODE" if kind == "node" else "EDGE"
-        store = self._nodes if kind == "node" else self._edges
+        if store is None:
+            store = self._nodes if kind == "node" else self._edges
         scope_col = "label" if kind == "node" else "edge_type"
         for name, (t, label, prop, ctype) in self._constraints.items():
             if t != target:
@@ -1402,8 +1420,17 @@ class NeumannSparkEngine:
             self._embeddings = self._embeddings.localCheckpoint(eager=False)
 
     def update_node(self, node_id: int, label: str) -> None:
-        """Replace a node's primary label (`update_node`, lib.rs:3551)."""
+        """Replace a node's primary label (`update_node`, lib.rs:3551).
+        The new version validates against the store minus the node itself
+        (`validate_node_constraints` with exclude_id, lib.rs:3549)."""
         self._cache_clear()
+        # new versions = the ACTUAL matched rows relabeled (a shared id
+        # across labels yields several), so a within-batch duplicate is
+        # caught even though the store side excludes the rewritten rows
+        new = self._nodes.filter(F.col("id") == node_id).withColumn(
+            "label", F.lit(label))
+        self._check_graph_write_constraints(
+            "node", new, store=self._nodes.filter(F.col("id") != node_id))
         self._nodes = self._nodes.withColumn(
             "label",
             F.when(F.col("id") == node_id, F.lit(label)).otherwise(F.col("label")),
@@ -1460,7 +1487,9 @@ class NeumannSparkEngine:
         edge_type: Optional[str] = None,
         weight: Optional[float] = None,
     ) -> None:
-        """Update an edge's type/weight (`update_edge`, lib.rs:6417)."""
+        """Update an edge's type/weight (`update_edge`, lib.rs:6417). The
+        rewritten versions validate against the store minus the rewritten
+        rows (constraint parity with create_edge, lib.rs:3282)."""
         self._cache_clear()
         hit = (F.col("src") == src) & (F.col("dst") == dst)
         if edge_type is not None and weight is None:
@@ -1474,6 +1503,8 @@ class NeumannSparkEngine:
             e = e.withColumn(
                 "edge_type", F.when(hit, F.lit(edge_type)).otherwise(F.col("edge_type"))
             )
+        self._check_graph_write_constraints(
+            "edge", e.filter(hit), store=self._edges.filter(~hit))
         self._edges = e
         self._checkpoint_overlays()
 
@@ -1834,6 +1865,20 @@ class NeumannSparkEngine:
         cond = F.expr(where) if where else F.lit(True)
         before = df.count()
         new = update_where(df, cond, assignments)
+        # the update path enforces the same invariants as insert: the NEW
+        # versions of the matched rows are the "write batch" and the
+        # untouched rows are the stored side, so UPDATE t SET id = <dup>
+        # raises exactly like the equivalent INSERT would, and an updated
+        # FK column must still reference an existing parent
+        updated = df.filter(cond).select(
+            *[assignments.get(c, F.col(c)).alias(c) for c in df.columns]
+        )
+        untouched = df.filter(~cond.eqNullSafe(F.lit(True)))
+        self._check_table_constraints(name, updated, existing=untouched)
+        if set(assignments) & {
+            c for fk in self._fks.get(name, ()) for c in fk["columns"]
+        }:
+            self._check_fk_inserts(name, updated)
         # ON UPDATE referential actions fire when the update rewrites key
         # columns that children reference; staged like the delete path so a
         # RESTRICT aborts the whole statement atomically
@@ -1922,6 +1967,13 @@ class NeumannSparkEngine:
                             f"ambiguous ON UPDATE CASCADE: an old key of "
                             f"{name!r} maps to multiple new keys "
                             f"(constraint {fk['name']!r})")
+                else:
+                    # SET NULL / SET DEFAULT only need old-key MEMBERSHIP:
+                    # project away the new columns before the join, or an
+                    # old key mapping to several new keys would duplicate
+                    # every matching child row
+                    changed = changed.select(
+                        *[f"_o{i}" for i in range(len(rcs))]).distinct()
                 marked = child_df.join(
                     F.broadcast(changed.withColumn("_fk_hit", F.lit(True))),
                     join_cond, "left")
@@ -2030,6 +2082,10 @@ class NeumannSparkEngine:
             .unionAll(row))
         nid = self._entity_id(key)
         node = self.spark.createDataFrame([(nid, label)], "id bigint, label string")
+        # upsert = replace: validate against the store minus this entity's
+        # node half, like update_node (constraint parity, lib.rs:3549)
+        self._check_graph_write_constraints(
+            "node", node, store=self._nodes.filter(F.col("id") != nid))
         self._nodes = (
             self._nodes.filter(F.col("id") != nid).unionAll(node))
         if embedding is not None:

@@ -2219,13 +2219,30 @@ def bcc_distributed(
         .select(F.col("x").alias("src"), F.col("y").alias("dst"))
         .distinct()
     )
-    # aux chains are as long as fundamental-cycle paths (up to ~2*max_depth
-    # edges), so the label propagation needs a matching round budget — the
-    # graph-diameter bound does NOT bound the aux-graph diameter
+    # The aux-graph diameter is NOT bounded by the graph diameter: BCCs
+    # merged across many cycles sharing tree edges chain arbitrarily (a
+    # wheel graph has diameter 2 but an aux cycle as long as its rim).
+    # The component count of covered tree edges is a true bound, and
+    # connected_components early-exits at the fixpoint, so the generous
+    # budget costs nothing on benign graphs. A post-hoc edge check then
+    # makes non-convergence loud instead of silently splitting a BCC
+    # (which would fabricate articulation points).
+    n_cov = covered.count()
     lbl = connected_components(
         covered.select(F.col("child").alias("id")), aux_ue,
-        rounds=2 * max_depth + 4,
+        rounds=max(2 * max_depth + 4, n_cov + 1),
     )
+    aux_viol = (
+        aux_ue.join(lbl.select(F.col("id").alias("src"),
+                               F.col("comp").alias("cs")), "src")
+        .join(lbl.select(F.col("id").alias("dst"),
+                         F.col("comp").alias("cd")), "dst")
+        .filter(F.col("cs") != F.col("cd"))
+    )
+    if not aux_viol.isEmpty():
+        raise ValueError(
+            "aux-graph labeling did not converge — BCC labels would be "
+            "split; raise the round budget")
     labels = (
         forest.select("child")
         .join(
@@ -2244,9 +2261,15 @@ def bcc_distributed(
             F.greatest("child", "parent").alias("dst"),
         )
     )
-    incident = labels.join(forest, "child").select(
-        F.col("parent").alias("id"), "bcc"
-    ).unionAll(labels.join(forest, "child").select(F.col("child").alias("id"), "bcc"))
+    # one labels x forest join, both endpoints exploded from it (not two
+    # identical joins unioned)
+    incident = (
+        labels.join(forest, "child")
+        .select(
+            F.explode(F.array(F.col("parent"), F.col("child"))).alias("id"),
+            "bcc",
+        )
+    )
     articulation = (
         incident.groupBy("id")
         .agg(F.countDistinct("bcc").alias("n_bcc"))

@@ -1149,13 +1149,22 @@ def ann_index_persist_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the loaded structures — checked against the identical oracle as
     `ann_ivfpq_rescore`, so a lossy save/load (dropped clusters, reordered
     codebooks, truncated floats) hash-mismatches."""
+    import shutil
     import tempfile
 
-    path = f"{tempfile.gettempdir()}/neumann_ann_index/{sf_dir.strip('/').replace('/', '_')}"
-    save_ann_index(spark, sf_dir, path)
-    assign, centroids, codes, codebooks = load_ann_index(spark, path)
-    emb = load(spark, sf_dir, "embeddings")
-    return _ivfpq_rescore_search(emb, assign, centroids, codes, codebooks)
+    # per-run private dir: a fixed shared path would let two concurrent
+    # runs (selfcheck + bench on the same fixtures) overwrite each other's
+    # parquet mid-read
+    path = tempfile.mkdtemp(prefix="neumann_ann_index_")
+    try:
+        save_ann_index(spark, sf_dir, path)
+        assign, centroids, codes, codebooks = load_ann_index(spark, path)
+        emb = load(spark, sf_dir, "embeddings")
+        out = _ivfpq_rescore_search(emb, assign, centroids, codes, codebooks)
+        # materialize before the temp dir can be removed
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
 
 
 @register("ann_pq_rescore", oracle=_pq_rescore_sql())

@@ -961,3 +961,62 @@ def test_graph_constraint_enforced_on_write(engine):
     engine.execute("EDGE DELETE 9100002 -> 9100001")
     for nid in (9100001, 9100002):
         engine.execute(f"NODE DELETE {nid}")
+
+
+def test_update_enforces_table_constraints(engine):
+    # UPDATE obeys the same invariants as INSERT (review finding: the
+    # update path must not bypass PK/NOT NULL/FK validation)
+    engine.execute("CREATE TABLE upc_t (id INT PRIMARY KEY, v INT NOT NULL)")
+    engine.execute("INSERT INTO upc_t VALUES (1, 10), (2, 20)")
+    with pytest.raises(ValueError, match="primary key violation"):
+        engine.execute("UPDATE upc_t SET id = 1 WHERE id = 2")
+    with pytest.raises(ValueError, match="not-null violation"):
+        engine.execute("UPDATE upc_t SET v = NULL WHERE id = 1")
+    # a failed update leaves the table untouched
+    got = {(r["id"], r["v"])
+           for r in engine.execute("SELECT * FROM upc_t").collect()}
+    assert got == {(1, 10), (2, 20)}
+    # self-assignment of the PK is NOT a violation (row replaces itself)
+    engine.execute("UPDATE upc_t SET id = id, v = v + 1 WHERE id = 1")
+    # updated FK columns must still reference an existing parent
+    engine.execute("CREATE TABLE upc_ch (cid INT, pid INT REFERENCES upc_t(id))")
+    engine.execute("INSERT INTO upc_ch VALUES (7, 1)")
+    with pytest.raises(ValueError, match="foreign key violation"):
+        engine.execute("UPDATE upc_ch SET pid = 999 WHERE cid = 7")
+    engine.execute("DROP TABLE upc_ch")
+    engine.execute("DROP TABLE upc_t")
+
+
+def test_fk_on_update_set_null_no_duplication(engine):
+    # one old key mapping to several new keys must not duplicate child
+    # rows under SET NULL (membership join, not pair join)
+    engine.execute("CREATE TABLE dupk_par (id INT, x INT)")
+    engine.execute(
+        "CREATE TABLE dupk_ch (cid INT, pid INT, FOREIGN KEY (pid) "
+        "REFERENCES dupk_par(id) ON UPDATE SET NULL)")
+    engine.execute("INSERT INTO dupk_par VALUES (1, 10), (1, 20)")
+    engine.execute("INSERT INTO dupk_ch VALUES (5, 1)")
+    engine.execute("UPDATE dupk_par SET id = x WHERE id = 1")
+    rows = [(r["cid"], r["pid"])
+            for r in engine.execute("SELECT * FROM dupk_ch").collect()]
+    assert rows == [(5, None)]
+    engine.execute("DROP TABLE dupk_ch")
+    engine.execute("DROP TABLE dupk_par")
+
+
+def test_graph_constraint_enforced_on_update_paths(engine):
+    # update_node / ENTITY upsert validate like NODE CREATE (review
+    # finding: in-place rewrites must not bypass write-time validation)
+    engine.execute("NODE 9200001 uplab_a")
+    engine.execute("NODE 9200002 uplab_b")
+    engine.execute("CONSTRAINT CREATE up_uniq ON NODE uplab_a PROPERTY id UNIQUE")
+    # relabeling 9200002 into uplab_a is fine (unique ids within label)
+    engine.update_node(9200002, "uplab_a")
+    # but relabeling cannot duplicate: create a second node with the same
+    # id under another label, then try to move it into the constrained one
+    engine.execute("NODE 9200001 uplab_c")
+    with pytest.raises(ValueError, match="up_uniq"):
+        engine.update_node(9200001, "uplab_a")
+    engine.execute("CONSTRAINT DROP up_uniq")
+    for nid in (9200001, 9200002):
+        engine.execute(f"NODE DELETE {nid}")
