@@ -491,3 +491,21 @@ def test_core_decomposition_matches_exact_peeling(spark):
     assert got_connected == exact
     # degeneracy = max core (`kcore.rs:183`)
     assert max(got.values()) == max(exact.values())
+
+
+def test_bcc_distributed_wheel_graph(spark):
+    """Wheel graph (hub + rim cycle of 100): one biconnected component, no
+    bridges, no articulation points. The adversarial case for the aux-graph
+    round budget — graph diameter is 2 but the rim's fundamental cycles
+    chain into an aux path ~100 long, far beyond any diameter-derived
+    bound; the component-size budget (plus the loud non-convergence check)
+    must label it as ONE component rather than silently splitting it and
+    fabricating the hub as an articulation point."""
+    from neumann_spark.graph.algorithms import bcc_distributed
+
+    n = 100
+    rim = [(i, i % n + 1) for i in range(1, n + 1)]
+    spokes = [(0, i) for i in range(1, n + 1)]
+    _, bridges, art = bcc_distributed(_bcc_df(spark, rim + spokes))
+    assert bridges.isEmpty()
+    assert art.isEmpty()
