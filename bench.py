@@ -240,10 +240,10 @@ def main() -> None:
                 ),
                 "multilayout_note": (
                     "scan-bound queries speed up ~2-3x (parallel scans); "
-                    "iterative graph queries slow down at fixture scale "
-                    "because each of their ~dozens of rounds now launches "
-                    "32 tasks over ~2k rows - pure task-launch overhead "
-                    "that vanishes when partitions hold real data"
+                    "derived graph frames are right-sized by data volume "
+                    "(graph/model.py), so iterative graph queries run "
+                    "near layout-parity instead of paying a per-round "
+                    "task storm from the 32-file input layout"
                 ),
                 # every fixture table is ONE parquet row group, so scan
                 # stages are single-task by file format (byte-range splits
