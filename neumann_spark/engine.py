@@ -558,8 +558,10 @@ class NeumannSparkEngine:
     def _check_fk_inserts(self, name: str, new: DataFrame) -> None:
         """Insert-side FK validation: every non-NULL FK tuple must exist in
         the referenced table (NULLs pass, as in `validate_fk_reference`).
-        One broadcast anti-join per constraint — at scale the referenced
-        keys are a broadcast dim, so validation adds no shuffle."""
+        The BATCH keys are the broadcast side — the referenced table can be
+        arbitrarily large, so it is probed with a semi-join (never
+        broadcast, never shuffled) and the found-key count compares against
+        the batch's distinct keys."""
         for fk in self._fks.get(name, ()):
             ref = self._session_table(fk["ref_table"])
             if fk["ref_table"] == name:
@@ -569,19 +571,20 @@ class NeumannSparkEngine:
             probe = new
             for c in fk["columns"]:
                 probe = probe.filter(F.col(c).isNotNull())
-            ref_keys = ref.select(
+            probe_keys = probe.select(*fk["columns"]).distinct()
+            n_keys = probe_keys.count()
+            if not n_keys:
+                continue
+            found = ref.select(
                 *[F.col(rc).alias(c)
                   for c, rc in zip(fk["columns"], fk["ref_columns"])]
-            ).distinct()
-            missing = (
-                probe.select(*fk["columns"])
-                .join(F.broadcast(ref_keys), fk["columns"], "left_anti")
-                .count()
-            )
-            if missing:
+            ).join(F.broadcast(probe_keys), fk["columns"], "semi").select(
+                *fk["columns"]
+            ).distinct().count()
+            if found < n_keys:
                 raise ValueError(
                     f"foreign key violation: constraint {fk['name']!r} — "
-                    f"{missing} row(s) reference missing "
+                    f"{n_keys - found} key(s) reference missing "
                     f"{fk['ref_table']}({', '.join(fk['ref_columns'])})")
 
     def _check_table_constraints(
