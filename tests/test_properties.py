@@ -196,3 +196,54 @@ def test_pk_unique_batch_properties(spark, batches):
             assert got == stored
     finally:
         eng.execute("DROP TABLE uq_t")
+
+
+_VERB_HEADS = [
+    "SELECT", "CREATE", "INSERT", "DROP", "ALTER", "SHOW", "NODE", "EDGE",
+    "NEIGHBORS", "PATH", "EMBED", "SIMILAR", "FIND", "MATCH", "UPDATE",
+    "DELETE", "COUNT", "ENTITY", "GRAPH", "CONSTRAINT", "BATCH", "AGGREGATE",
+    "MERGE", "LIST", "PAGERANK", "LOUVAIN",
+]
+
+_fuzz_cmd = st.one_of(
+    # arbitrary junk
+    st.text(min_size=1, max_size=60),
+    # verb head + junk tail (the shape most likely to reach deep parsing)
+    st.tuples(
+        st.sampled_from(_VERB_HEADS),
+        st.text(
+            alphabet=st.characters(
+                whitelist_categories=("Lu", "Ll", "Nd", "Po", "Ps", "Pe", "Sm"),
+                whitelist_characters=" '\"(),=->:{}[]",
+            ),
+            max_size=50,
+        ),
+    ).map(lambda t: f"{t[0]} {t[1]}"),
+)
+
+
+@settings(max_examples=60, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_fuzz_cmd)
+def test_engine_parser_fuzz_raises_typed_errors(spark, cmd):
+    """Parser fuzzing (the reference runs 22 cargo-fuzz targets over its
+    parsers — SURVEY.md §5): for ANY input, execute() either succeeds or
+    raises a typed, intentional error (ValueError/KeyError, or Spark's
+    own analysis errors for SQL passthrough) — never an AttributeError /
+    IndexError / TypeError escaping from a half-matched regex."""
+    from py4j.protocol import Py4JError
+
+    from neumann_spark.engine import NeumannSparkEngine
+    from tests.conftest import SF_DIR
+
+    eng = NeumannSparkEngine(spark, SF_DIR)
+    try:
+        eng.execute(cmd)
+    except (ValueError, KeyError, Py4JError) as e:
+        # typed rejection (facade) or Spark analysis error (SQL passthrough)
+        assert e is not None
+    except Exception as e:  # noqa: BLE001
+        # Spark's AnalysisException/ParseException subclasses are fine;
+        # anything else is a parser crash
+        mod = type(e).__module__
+        assert mod.startswith("pyspark"), (
+            f"parser crash on {cmd!r}: {type(e).__name__}: {e}")
