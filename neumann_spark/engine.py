@@ -38,7 +38,8 @@ class NeumannSparkEngine:
 
     CACHEABLE = ("SELECT", "SIMILAR", "NEIGHBORS", "PATH", "FIND")
     WRITES = ("CREATE", "INSERT", "DROP", "NODE", "EDGE", "EMBED", "UPDATE",
-              "DELETE", "MERGE", "ALTER", "ENTITY", "BATCH", "CONSTRAINT")
+              "DELETE", "MERGE", "ALTER", "ENTITY", "BATCH", "CONSTRAINT",
+              "LOAD")  # LOAD replaces the whole session state
     # verbs in WRITES whose read-only subcommands must NOT invalidate
     # (`query_router/src/lib.rs:1931-1961` keys invalidation on mutation,
     # not on verb family: NODE GET is a lookup, NODE CREATE is a write)
@@ -169,6 +170,10 @@ class NeumannSparkEngine:
             out = self._exec_batch(cmd)
         elif head == "AGGREGATE":
             out = self._exec_aggregate(cmd)
+        elif head == "SAVE":
+            out = self._exec_save(cmd)
+        elif head == "LOAD":
+            out = self._exec_load(cmd)
         elif head == "LIST" and re.match(r"LIST\s+TABLES", cmd, re.I):
             out = self._exec_show("SHOW TABLES")
         elif head in ("PAGERANK", "LOUVAIN", "BETWEENNESS", "CLOSENESS",
@@ -2414,3 +2419,146 @@ class NeumannSparkEngine:
             df = df.filter(where)
         agg = self._AGG_FNS[fn.upper()](prop).alias(f"{fn.lower()}_{prop}")
         return df.agg(agg)
+
+    # -- SAVE / LOAD snapshots (`neumann_shell/src/lib.rs:391,425,461` —
+    #    handle_save / handle_save_compressed / handle_load over
+    #    `tensor_store` save_snapshot/load_snapshot) ----------------------
+
+    # every mutable session store that a snapshot must carry; schemas are
+    # recorded in the manifest so empty overlays round-trip losslessly
+    # (an empty parquet directory cannot self-describe its schema)
+    _SNAPSHOT_STORES = (
+        ("_nodes", "nodes"),
+        ("_edges", "edges"),
+        ("_embeddings", "embeddings"),
+        ("_extra_labels", "extra_labels"),
+        ("_emb_meta", "emb_meta"),
+        ("_emb_coll", "emb_coll"),
+        ("_entity_props", "entity_props"),
+    )
+    _SNAPSHOT_MANIFEST = "neumann_snapshot.json"
+
+    @staticmethod
+    def _snapshot_path(raw: str, verb: str) -> str:
+        """Path operand, optionally single- or double-quoted — the shell
+        accepts all three spellings (`extract_path`, lib.rs:585-614)."""
+        p = raw.strip()
+        if len(p) >= 2 and p[0] == p[-1] and p[0] in "'\"":
+            p = p[1:-1]
+        if not p:
+            raise ValueError(f"Usage: {verb} 'path/to/dir' or {verb} path/to/dir")
+        return p
+
+    def _exec_save(self, cmd: str) -> DataFrame:
+        """`SAVE [COMPRESSED] '<dir>'` — persist the full session state as
+        a parquet snapshot directory + JSON manifest. The reference writes
+        one binary tensor-store image (`save_snapshot`); the Spark-first
+        snapshot is a parquet directory per store — written distributed
+        (every executor writes its partitions), readable by ANY parquet
+        reader, and at 100 TB the write parallelizes instead of funnelling
+        through one serializer. COMPRESSED selects zstd (the analog of
+        `tensor_compress::CompressionConfig::balanced`) over snappy.
+        The manifest (constraint/FK/index metadata + store schemas) is
+        driver-side JSON — bytes-tiny by construction."""
+        import json as _json
+        import os as _os
+
+        m = self._require(
+            re.match(r"SAVE(\s+COMPRESSED)?\s+(.+?)\s*$", cmd, re.I | re.S),
+            "SAVE [COMPRESSED] 'path/to/dir'")
+        compressed, raw = m.groups()
+        path = self._snapshot_path(raw, "SAVE")
+        codec = "zstd" if compressed else "snappy"
+
+        stores: dict[str, str] = {}  # subdir -> schema json
+        writes: list[tuple[DataFrame, str]] = []
+        for attr, sub in self._SNAPSHOT_STORES:
+            df = getattr(self, attr)
+            stores[sub] = df.schema.json()
+            writes.append((df, sub))
+        tables: dict[str, str] = {}
+        for name, df in self._tables.items():
+            tables[name] = df.schema.json()
+            writes.append((df, f"tables/{name}"))
+        for df, sub in writes:
+            (df.write.mode("overwrite").option("compression", codec)
+             .parquet(_os.path.join(path, sub)))
+
+        manifest = {
+            "format": "neumann_spark_snapshot/1",
+            "compressed": bool(compressed),
+            "stores": stores,
+            "tables": tables,
+            "fks": self._fks,
+            "table_constraints": self._table_constraints,
+            "graph_constraints": {
+                k: list(v) for k, v in self._constraints.items()
+            },
+            "graph_indexes": self._graph_indexes,
+        }
+        with open(_os.path.join(path, self._SNAPSHOT_MANIFEST), "w") as fh:
+            _json.dump(manifest, fh)
+        return self.spark.createDataFrame(
+            [(path, len(writes), bool(compressed))],
+            "path string, stores bigint, compressed boolean",
+        )
+
+    def _exec_load(self, cmd: str) -> DataFrame:
+        """`LOAD '<dir>' [RECOVER]` — replace the entire session state with
+        a snapshot, mirroring `handle_load`'s whole-router swap
+        (`*self.router.write() = QueryRouter::with_shared_store(store)`).
+        The RECOVER keyword is accepted for dialect parity but is a no-op:
+        it selects the reference's WAL-replay mode, and WAL/transactions
+        are documented non-goals (SURVEY.md §2.12) — a parquet snapshot
+        has no log to replay."""
+        import json as _json
+        import os as _os
+
+        from pyspark.sql.types import StructType
+
+        m = self._require(
+            re.match(r"LOAD\s+(.+?)(\s+RECOVER)?\s*$", cmd, re.I | re.S),
+            "LOAD 'path/to/dir' [RECOVER]")
+        raw, _recover = m.groups()
+        path = self._snapshot_path(raw, "LOAD")
+        mpath = _os.path.join(path, self._SNAPSHOT_MANIFEST)
+        if not _os.path.exists(mpath):
+            raise ValueError(f"Failed to load: no snapshot at {path!r}")
+        with open(mpath) as fh:
+            manifest = _json.load(fh)
+        if manifest.get("format") != "neumann_spark_snapshot/1":
+            raise ValueError(
+                f"Failed to load: unrecognized snapshot format in {path!r}")
+
+        def _read(sub: str, schema_json: str) -> DataFrame:
+            schema = StructType.fromJson(_json.loads(schema_json))
+            return self.spark.read.schema(schema).parquet(
+                _os.path.join(path, sub))
+
+        for attr, sub in self._SNAPSHOT_STORES:
+            setattr(self, attr, _read(sub, manifest["stores"][sub]))
+        stale = set(self._tables) - set(manifest["tables"])
+        self._tables = {}
+        for name, schema_json in manifest["tables"].items():
+            df = _read(f"tables/{name}", schema_json)
+            self._tables[name] = df
+            df.createOrReplaceTempView(name)
+        # session tables absent from the snapshot: drop their temp views,
+        # and un-shadow any fixture table of the same name
+        for name in stale:
+            self.spark.catalog.dropTempView(name)
+            if name in TABLES:
+                load(self.spark, self.sf_dir, name).createOrReplaceTempView(name)
+        self._fks = manifest["fks"]
+        self._table_constraints = manifest["table_constraints"]
+        self._constraints = {
+            k: tuple(v) for k, v in manifest["graph_constraints"].items()
+        }
+        self._graph_indexes = manifest["graph_indexes"]
+        self._cursors = {}  # cursors snapshot router-local state, like the
+        # reference's (query_router/src/cursor.rs dies with the old router)
+        self._mutations += 1
+        return self.spark.createDataFrame(
+            [(path, len(manifest["tables"]) + len(self._SNAPSHOT_STORES))],
+            "path string, stores bigint",
+        )

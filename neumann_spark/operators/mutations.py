@@ -312,3 +312,39 @@ def dml_constraint_enforcement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = eng._tables["cstr_def"].agg(F.max("grp").alias("default_grp"))
     return p.crossJoin(c).crossJoin(d)
+
+
+@register(
+    "snapshot_roundtrip",
+    oracle="""
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), 'x'), (CAST(2 AS BIGINT), 'y')
+    ) t(id, tag)
+    """,
+)
+def snapshot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAVE / LOAD snapshot round-trip (`neumann_shell/src/lib.rs:391,461`
+    handle_save/handle_load over `tensor_store` save_snapshot): one engine
+    writes a table and SAVEs the session as a parquet-directory snapshot;
+    a FRESH engine LOADs it and serves the table. Post-save mutations are
+    discarded by the load, pinning the whole-state-swap semantics. The
+    result is eagerly materialized so the scratch directory can be
+    deleted before return."""
+    import shutil
+    import tempfile
+
+    from neumann_spark.engine import NeumannSparkEngine
+
+    eng = NeumannSparkEngine(spark, sf_dir)
+    eng.execute("CREATE TABLE snapq_t (id INT, tag TEXT)")
+    eng.execute("INSERT INTO snapq_t VALUES (1, 'x'), (2, 'y')")
+    d = tempfile.mkdtemp(prefix="neumann_snapshot_")
+    try:
+        eng.execute(f"SAVE '{d}'")
+        eng.execute("INSERT INTO snapq_t VALUES (3, 'z')")  # must not survive
+        other = NeumannSparkEngine(spark, sf_dir)
+        other.execute(f"LOAD '{d}'")
+        out = other.execute("SELECT id, tag FROM snapq_t ORDER BY id")
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -1094,3 +1094,116 @@ def test_knowledge_base_sample_script_verbatim(spark):
             "INSERT INTO people VALUES (1, 'Alice Chen', 'Staff Engineer', "
             "'Platform', '2020-03-15', 5)")
     eng.execute("DROP TABLE people")
+
+
+# -- SAVE / LOAD snapshots (`neumann_shell/src/lib.rs:391,425,461`) --------
+
+
+def test_save_load_roundtrip(spark, tmp_path):
+    """Mutations made after SAVE are rolled back by LOAD — the reference's
+    whole-router swap (`handle_load`)."""
+    from neumann_spark.engine import NeumannSparkEngine
+
+    eng = NeumannSparkEngine(spark, SF_DIR)
+    eng.execute("CREATE TABLE snap_u (id INT, name TEXT)")
+    eng.execute("INSERT INTO snap_u VALUES (1, 'a'), (2, 'b')")
+    eng.execute("NODE 9100001 snaplab")
+    eng.execute("EMBED 'snap:1' " + ", ".join(["0.1"] * 64))
+    d = str(tmp_path / "snap")
+    res = eng.execute(f"SAVE '{d}'").collect()[0]
+    assert res["path"] == d and not res["compressed"]
+
+    # post-save mutations that LOAD must undo
+    eng.execute("INSERT INTO snap_u VALUES (3, 'c')")
+    eng.execute("NODE DELETE 9100001")
+    assert eng.execute("SELECT COUNT(*) AS n FROM snap_u").collect()[0]["n"] == 3
+
+    eng.execute(f"LOAD '{d}'")
+    assert eng.execute("SELECT COUNT(*) AS n FROM snap_u").collect()[0]["n"] == 2
+    assert eng.execute("NODE GET 9100001").collect()[0]["label"] == "snaplab"
+    got = eng.execute("EMBED GET 'snap:1'").collect()
+    assert len(got) == 1
+    eng.execute("DROP TABLE snap_u")
+
+
+def test_load_into_fresh_engine(spark, tmp_path):
+    """A snapshot restores into a DIFFERENT engine instance (the shell's
+    load-at-startup path), including constraint metadata."""
+    from neumann_spark.engine import NeumannSparkEngine
+
+    a = NeumannSparkEngine(spark, SF_DIR)
+    a.execute("CREATE TABLE snap_fk_p (id INT PRIMARY KEY)")
+    a.execute(
+        "CREATE TABLE snap_fk_c (cid INT, pid INT "
+        "REFERENCES snap_fk_p(id) ON DELETE CASCADE)"
+    )
+    a.execute("INSERT INTO snap_fk_p VALUES (1), (2)")
+    a.execute("INSERT INTO snap_fk_c VALUES (10, 1), (11, 2)")
+    d = str(tmp_path / "snap2")
+    a.execute(f"SAVE COMPRESSED '{d}'")
+
+    b = NeumannSparkEngine(spark, SF_DIR)
+    b.execute(f"LOAD '{d}'")
+    # FK metadata survived: the cascade still fires in the new engine
+    b.execute("DELETE FROM snap_fk_p WHERE id = 1")
+    rows = b.execute("SELECT cid FROM snap_fk_c ORDER BY cid").collect()
+    assert [r["cid"] for r in rows] == [11]
+    # PK survived too
+    with pytest.raises(ValueError, match="primary key"):
+        b.execute("INSERT INTO snap_fk_p VALUES (2)")
+    b.execute("DROP TABLE snap_fk_c")
+    b.execute("DROP TABLE snap_fk_p")
+
+
+def test_save_compressed_writes_zstd(spark, tmp_path):
+    """SAVE COMPRESSED selects zstd parquet codec (the analog of
+    `save_snapshot_compressed` + `CompressionConfig::balanced`)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from neumann_spark.engine import NeumannSparkEngine
+
+    eng = NeumannSparkEngine(spark, SF_DIR)
+    eng.execute("CREATE TABLE snap_z (id INT)")
+    eng.execute("INSERT INTO snap_z VALUES (1)")
+    d = str(tmp_path / "snapz")
+    res = eng.execute(f"SAVE COMPRESSED '{d}'").collect()[0]
+    assert res["compressed"]
+    part = glob.glob(f"{d}/tables/snap_z/part-*.parquet")[0]
+    meta = pq.ParquetFile(part).metadata
+    assert meta.row_group(0).column(0).compression == "ZSTD"
+    eng.execute("DROP TABLE snap_z")
+
+
+def test_load_missing_and_usage_errors(spark, tmp_path):
+    from neumann_spark.engine import NeumannSparkEngine
+
+    eng = NeumannSparkEngine(spark, SF_DIR)
+    with pytest.raises(ValueError, match="no snapshot"):
+        eng.execute(f"LOAD '{tmp_path}/nope'")
+    with pytest.raises(ValueError, match="Usage: SAVE"):
+        eng.execute("SAVE ''")
+    # RECOVER accepted for dialect parity (WAL replay is a documented
+    # non-goal; shell_commands_extended.rs exercises LOAD path RECOVER)
+    eng.execute("CREATE TABLE snap_r (id INT)")
+    d = str(tmp_path / "snapr")
+    eng.execute(f"SAVE '{d}'")
+    eng.execute(f"LOAD '{d}' RECOVER")
+    assert eng.execute("SELECT COUNT(*) AS n FROM snap_r").collect()[0]["n"] == 0
+    eng.execute("DROP TABLE snap_r")
+
+
+def test_load_unshadows_fixture_table(spark, tmp_path):
+    """A session table shadowing a fixture name disappears on LOAD of a
+    snapshot that predates it — the fixture view must come back."""
+    from neumann_spark.engine import NeumannSparkEngine
+
+    eng = NeumannSparkEngine(spark, SF_DIR)
+    d = str(tmp_path / "snap3")
+    eng.execute(f"SAVE '{d}'")  # snapshot with no session tables
+    eng.execute("CREATE TABLE region (id INT)")  # shadows the fixture
+    assert eng.execute("SELECT COUNT(*) AS n FROM region").collect()[0]["n"] == 0
+    eng.execute(f"LOAD '{d}'")
+    n = eng.execute("SELECT COUNT(*) AS n FROM region").collect()[0]["n"]
+    assert n == 5  # fixture region is back
