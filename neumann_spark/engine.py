@@ -39,7 +39,7 @@ class NeumannSparkEngine:
     CACHEABLE = ("SELECT", "SIMILAR", "NEIGHBORS", "PATH", "FIND")
     WRITES = ("CREATE", "INSERT", "DROP", "NODE", "EDGE", "EMBED", "UPDATE",
               "DELETE", "MERGE", "ALTER", "ENTITY", "BATCH", "CONSTRAINT",
-              "LOAD")  # LOAD replaces the whole session state
+              "LOAD", "ROLLBACK")  # LOAD/ROLLBACK replace the session state
     # verbs in WRITES whose read-only subcommands must NOT invalidate
     # (`query_router/src/lib.rs:1931-1961` keys invalidation on mutation,
     # not on verb family: NODE GET is a lookup, NODE CREATE is a write)
@@ -174,6 +174,12 @@ class NeumannSparkEngine:
             out = self._exec_save(cmd)
         elif head == "LOAD":
             out = self._exec_load(cmd)
+        elif head == "CHECKPOINT":
+            out = self._exec_checkpoint(cmd)
+        elif head == "ROLLBACK":
+            out = self._exec_rollback(cmd)
+        elif head == "CHECKPOINTS":
+            out = self._exec_checkpoints(cmd)
         elif head == "LIST" and re.match(r"LIST\s+TABLES", cmd, re.I):
             out = self._exec_show("SHOW TABLES")
         elif head in ("PAGERANK", "LOUVAIN", "BETWEENNESS", "CLOSENESS",
@@ -2468,8 +2474,18 @@ class NeumannSparkEngine:
             "SAVE [COMPRESSED] 'path/to/dir'")
         compressed, raw = m.groups()
         path = self._snapshot_path(raw, "SAVE")
-        codec = "zstd" if compressed else "snappy"
+        n = self._save_snapshot(path, compressed=bool(compressed))
+        return self.spark.createDataFrame(
+            [(path, n, bool(compressed))],
+            "path string, stores bigint, compressed boolean",
+        )
 
+    def _save_snapshot(self, path: str, compressed: bool = False) -> int:
+        """Write the session state to `path`; returns the store count."""
+        import json as _json
+        import os as _os
+
+        codec = "zstd" if compressed else "snappy"
         stores: dict[str, str] = {}  # subdir -> schema json
         writes: list[tuple[DataFrame, str]] = []
         for attr, sub in self._SNAPSHOT_STORES:
@@ -2486,7 +2502,7 @@ class NeumannSparkEngine:
 
         manifest = {
             "format": "neumann_spark_snapshot/1",
-            "compressed": bool(compressed),
+            "compressed": compressed,
             "stores": stores,
             "tables": tables,
             "fks": self._fks,
@@ -2498,10 +2514,7 @@ class NeumannSparkEngine:
         }
         with open(_os.path.join(path, self._SNAPSHOT_MANIFEST), "w") as fh:
             _json.dump(manifest, fh)
-        return self.spark.createDataFrame(
-            [(path, len(writes), bool(compressed))],
-            "path string, stores bigint, compressed boolean",
-        )
+        return len(writes)
 
     def _exec_load(self, cmd: str) -> DataFrame:
         """`LOAD '<dir>' [RECOVER]` — replace the entire session state with
@@ -2511,16 +2524,22 @@ class NeumannSparkEngine:
         it selects the reference's WAL-replay mode, and WAL/transactions
         are documented non-goals (SURVEY.md §2.12) — a parquet snapshot
         has no log to replay."""
-        import json as _json
-        import os as _os
-
-        from pyspark.sql.types import StructType
-
         m = self._require(
             re.match(r"LOAD\s+(.+?)(\s+RECOVER)?\s*$", cmd, re.I | re.S),
             "LOAD 'path/to/dir' [RECOVER]")
         raw, _recover = m.groups()
         path = self._snapshot_path(raw, "LOAD")
+        n = self._load_snapshot(path)
+        return self.spark.createDataFrame(
+            [(path, n)], "path string, stores bigint")
+
+    def _load_snapshot(self, path: str) -> int:
+        """Whole-state swap from a snapshot dir; returns the store count."""
+        import json as _json
+        import os as _os
+
+        from pyspark.sql.types import StructType
+
         mpath = _os.path.join(path, self._SNAPSHOT_MANIFEST)
         if not _os.path.exists(mpath):
             raise ValueError(f"Failed to load: no snapshot at {path!r}")
@@ -2558,7 +2577,74 @@ class NeumannSparkEngine:
         self._cursors = {}  # cursors snapshot router-local state, like the
         # reference's (query_router/src/cursor.rs dies with the old router)
         self._mutations += 1
+        return len(manifest["tables"]) + len(self._SNAPSHOT_STORES)
+
+    # -- CHECKPOINT / ROLLBACK / CHECKPOINTS (`neumann_parser` ast.rs
+    #    CheckpointStmt/RollbackStmt/CheckpointsStmt; router
+    #    `query_router/src/lib.rs:2781-2850` exec_checkpoint/rollback over
+    #    `tensor_checkpoint`) ----------------------------------------------
+
+    def _checkpoint_root(self) -> str:
+        """Session-scoped checkpoint store, created lazily — the analog of
+        the reference's blob-backed checkpoint manager. Each checkpoint is
+        a full parquet snapshot under this root (at 100 TB these would be
+        incremental/ref-counted; a full copy keeps rollback O(swap) and is
+        the semantics the reference guarantees)."""
+        import tempfile
+
+        if not hasattr(self, "_cp_root"):
+            self._cp_root = tempfile.mkdtemp(prefix="neumann_checkpoints_")
+            self._cp_seq = 0
+            self._cp_log: "OrderedDict[str, int]" = OrderedDict()
+        return self._cp_root
+
+    def _exec_checkpoint(self, cmd: str) -> DataFrame:
+        """`CHECKPOINT ['name']` — snapshot the whole session state under a
+        checkpoint id (auto `cp_<n>` when unnamed, like the manager's
+        generated ids)."""
+        import os as _os
+
+        m = self._require(
+            re.match(r"CHECKPOINT(?:\s+(.+?))?\s*$", cmd, re.I | re.S),
+            "CHECKPOINT ['name']")
+        root = self._checkpoint_root()
+        self._cp_seq += 1
+        name = (self._snapshot_path(m.group(1), "CHECKPOINT")
+                if m.group(1) else f"cp_{self._cp_seq}")
+        if "/" in name:
+            raise ValueError(f"invalid checkpoint name {name!r}")
+        self._save_snapshot(_os.path.join(root, name))
+        self._cp_log[name] = self._cp_seq
+        self._cp_log.move_to_end(name)  # re-created name = most recent
         return self.spark.createDataFrame(
-            [(path, len(manifest["tables"]) + len(self._SNAPSHOT_STORES))],
-            "path string, stores bigint",
-        )
+            [(name, "created")], "checkpoint string, status string")
+
+    def _exec_rollback(self, cmd: str) -> DataFrame:
+        """`ROLLBACK [TO] 'name'` — whole-state swap back to a checkpoint
+        (`cp_guard.rollback(&target, store)`): the load path, aimed at the
+        managed dir. Later checkpoints survive (the reference keeps the
+        full history; rollback does not truncate it)."""
+        import os as _os
+
+        m = self._require(
+            re.match(r"ROLLBACK\s+(?:TO\s+)?(.+?)\s*$", cmd, re.I | re.S),
+            "ROLLBACK TO 'name'")
+        name = self._snapshot_path(m.group(1), "ROLLBACK")
+        if not hasattr(self, "_cp_log") or name not in self._cp_log:
+            raise ValueError(f"unknown checkpoint {name!r}")
+        self._load_snapshot(_os.path.join(self._cp_root, name))
+        return self.spark.createDataFrame(
+            [(name, "rolled_back")], "checkpoint string, status string")
+
+    def _exec_checkpoints(self, cmd: str) -> DataFrame:
+        """`CHECKPOINTS [LIMIT n]` — list checkpoints, most recent first."""
+        m = self._require(
+            re.match(r"CHECKPOINTS(?:\s+LIMIT\s+(\d+))?\s*$", cmd, re.I),
+            "CHECKPOINTS [LIMIT n]")
+        rows = []
+        if hasattr(self, "_cp_log"):
+            rows = [(n, s) for n, s in reversed(self._cp_log.items())]
+        if m.group(1):
+            rows = rows[: int(m.group(1))]
+        return self.spark.createDataFrame(
+            rows, "checkpoint string, seq bigint")

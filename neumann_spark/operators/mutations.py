@@ -348,3 +348,31 @@ def snapshot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@register(
+    "checkpoint_rollback",
+    oracle="""
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), CAST(10 AS BIGINT)), (CAST(2 AS BIGINT), CAST(20 AS BIGINT))
+    ) t(id, v)
+    """,
+)
+def checkpoint_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECKPOINT / ROLLBACK TO (`query_router/src/lib.rs:2781-2850`
+    exec_checkpoint/exec_rollback over `tensor_checkpoint`): checkpoint a
+    2-row table, corrupt it (UPDATE + INSERT), roll back, and return the
+    restored rows — the driver hash pins that rollback restores the exact
+    pre-checkpoint state, not merely a row count."""
+    from neumann_spark.engine import NeumannSparkEngine
+
+    eng = NeumannSparkEngine(spark, sf_dir)
+    eng.execute("CREATE TABLE cpq_t (id INT, v INT)")
+    eng.execute("INSERT INTO cpq_t VALUES (1, 10), (2, 20)")
+    eng.execute("CHECKPOINT 'clean'")
+    eng.execute("UPDATE cpq_t SET v = 999")
+    eng.execute("INSERT INTO cpq_t VALUES (3, 30)")
+    eng.execute("ROLLBACK TO 'clean'")
+    out = eng.execute("SELECT id, v FROM cpq_t ORDER BY id")
+    # materialize before the session-scoped checkpoint dir can vanish
+    return out.localCheckpoint(eager=True)

@@ -946,6 +946,14 @@ def _pq_rescore_sql() -> str:
 ANN_RESCORE_NPROBE = 6
 ANN_RESCORE_SHORTLIST = 400
 
+# high_recall preset (the reference ships HNSW search presets —
+# `tensor_store/src/hnsw.rs:1434-1533` `high_recall`/`high_speed`; the
+# balanced config above is the high_speed analog). Measured on
+# tools/ann_recall.py: recall@10 0.918 at 0.30 full-vector scan fraction
+# (vs 0.827 @ 0.20 for the balanced preset) on the near-uniform fixture.
+ANN_HIGH_RECALL_NPROBE = 7
+ANN_HIGH_RECALL_SHORTLIST = 600
+
 
 def _ivfpq_rescore_sql(nprobe: int = ANN_RESCORE_NPROBE,
                        shortlist: int = ANN_RESCORE_SHORTLIST) -> str:
@@ -1008,6 +1016,8 @@ def _ivfpq_rescore_sql(nprobe: int = ANN_RESCORE_NPROBE,
 def _ivfpq_rescore_search(
     emb: DataFrame, assign: DataFrame, centroids: list,
     codes: DataFrame, codebooks: list,
+    nprobe: int = ANN_RESCORE_NPROBE,
+    shortlist_n: int = ANN_RESCORE_SHORTLIST,
 ) -> DataFrame:
     """The two-stage search core over explicit index structures, shared by
     the session-cache query and the persisted-index round-trip: IVF-probe
@@ -1034,7 +1044,7 @@ def _ivfpq_rescore_search(
     probe_ids = [
         cid
         for _, cid in sorted((_d2(vals), int(cid)) for cid, vals in centroids)[
-            :ANN_RESCORE_NPROBE
+            :nprobe
         ]
     ]
     total = None
@@ -1048,7 +1058,7 @@ def _ivfpq_rescore_search(
         .join(codes, "vec_id")
         .select("vec_id", F.round(total, 6).alias("pq_dist"))
         .orderBy("pq_dist", "vec_id")
-        .limit(ANN_RESCORE_SHORTLIST)
+        .limit(shortlist_n)
         .select("vec_id")
     )
     q = F.lit(qv).cast("array<double>")
@@ -1080,6 +1090,29 @@ def ann_ivfpq_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes, codebooks = pq_index(spark, sf_dir)
     emb = load(spark, sf_dir, "embeddings")
     return _ivfpq_rescore_search(emb, state, centroids, codes, codebooks)
+
+
+@register(
+    "ann_ivfpq_rescore_high_recall",
+    oracle=_ivfpq_rescore_sql(
+        nprobe=ANN_HIGH_RECALL_NPROBE, shortlist=ANN_HIGH_RECALL_SHORTLIST
+    ),
+)
+def ann_ivfpq_rescore_high_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `high_recall` search preset (`tensor_store/src/hnsw.rs:1434-1533`
+    ships named HNSW presets; `ann_ivfpq_rescore` is the high_speed/balanced
+    analog): same two-stage IVF-PQ + exact-rescore plan, wider knobs —
+    nprobe=7 of 8 lists, 600-vector shortlist. Measured recall@10 0.918 at
+    0.30 full-vector scan fraction (tools/ann_recall.py), matching the
+    reference's ~0.9+ high-recall headline with the scan budget stated
+    explicitly."""
+    state, centroids = ivf_index(spark, sf_dir)
+    codes, codebooks = pq_index(spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings")
+    return _ivfpq_rescore_search(
+        emb, state, centroids, codes, codebooks,
+        nprobe=ANN_HIGH_RECALL_NPROBE, shortlist_n=ANN_HIGH_RECALL_SHORTLIST,
+    )
 
 
 # --- index persistence (`save_index`/`load_index`,

@@ -1207,3 +1207,41 @@ def test_load_unshadows_fixture_table(spark, tmp_path):
     eng.execute(f"LOAD '{d}'")
     n = eng.execute("SELECT COUNT(*) AS n FROM region").collect()[0]["n"]
     assert n == 5  # fixture region is back
+
+
+def test_checkpoint_rollback_cycle(spark):
+    """CHECKPOINT / ROLLBACK TO / CHECKPOINTS (`query_router/src/lib.rs:
+    2781-2850` over `tensor_checkpoint`): rollback whole-state-swaps back;
+    later checkpoints survive a rollback."""
+    from neumann_spark.engine import NeumannSparkEngine
+
+    eng = NeumannSparkEngine(spark, SF_DIR)
+    eng.execute("CREATE TABLE cp_t (id INT)")
+    eng.execute("INSERT INTO cp_t VALUES (1)")
+    r = eng.execute("CHECKPOINT 'before'").collect()[0]
+    assert r["checkpoint"] == "before"
+    eng.execute("INSERT INTO cp_t VALUES (2), (3)")
+    eng.execute("CHECKPOINT")  # auto-named cp_2
+    assert eng.execute("SELECT COUNT(*) AS n FROM cp_t").collect()[0]["n"] == 3
+
+    eng.execute("ROLLBACK TO 'before'")
+    assert eng.execute("SELECT COUNT(*) AS n FROM cp_t").collect()[0]["n"] == 1
+
+    names = [row["checkpoint"]
+             for row in eng.execute("CHECKPOINTS").collect()]
+    assert names == ["cp_2", "before"]  # most recent first, both retained
+    # roll forward again: the post-rollback state can reach cp_2
+    eng.execute("ROLLBACK 'cp_2'")  # TO is optional
+    assert eng.execute("SELECT COUNT(*) AS n FROM cp_t").collect()[0]["n"] == 3
+    only = eng.execute("CHECKPOINTS LIMIT 1").collect()
+    assert [row["checkpoint"] for row in only] == ["cp_2"]
+    eng.execute("DROP TABLE cp_t")
+
+
+def test_rollback_unknown_checkpoint(spark):
+    from neumann_spark.engine import NeumannSparkEngine
+
+    eng = NeumannSparkEngine(spark, SF_DIR)
+    with pytest.raises(ValueError, match="unknown checkpoint"):
+        eng.execute("ROLLBACK TO 'nope'")
+    assert eng.execute("CHECKPOINTS").count() == 0

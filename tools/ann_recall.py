@@ -47,6 +47,8 @@ def main() -> None:
 
     from neumann_spark.catalog import load
     from neumann_spark.pipeline.ann import (
+        ANN_HIGH_RECALL_NPROBE,
+        ANN_HIGH_RECALL_SHORTLIST,
         ANN_RESCORE_NPROBE,
         ANN_RESCORE_SHORTLIST,
         IVF_NPROBE,
@@ -115,13 +117,15 @@ def main() -> None:
 
     hits: dict[str, list[float]] = {m: [] for m in (
         "lsh_bucket", "lsh_multiprobe", "ivf_nprobe2", "binary_hamming",
-        "pq_adc", "sq_dequant", "ivfpq_adc", "pq_rescore", "ivfpq_rescore")}
+        "pq_adc", "sq_dequant", "ivfpq_adc", "pq_rescore", "ivfpq_rescore",
+        "ivfpq_rescore_high_recall")}
     scanned: dict[str, list[float]] = {m: [] for m in hits}
     # fraction of rows whose COMPRESSED representation (codes/signatures)
     # is read — for two-stage methods `scanned` counts only full-precision
     # vector reads, so this is the other half of the byte accounting
     code_scanned: dict[str, list[float]] = {m: [] for m in (
-        "binary_hamming", "pq_adc", "ivfpq_adc", "pq_rescore", "ivfpq_rescore")}
+        "binary_hamming", "pq_adc", "ivfpq_adc", "pq_rescore", "ivfpq_rescore",
+        "ivfpq_rescore_high_recall")}
 
     for qi in rng_idx:
         q = vecs[qi]
@@ -220,15 +224,20 @@ def main() -> None:
         # only those lists' codes, exact-rescore the shortlist. Scan fraction
         # = full-precision vectors read (shortlist); stage 1 reads only PQ
         # codes (64x compressed) for the probed nprobe/k of the corpus.
-        rprobe = cent_ids[np.lexsort((cent_ids, cd))[:ANN_RESCORE_NPROBE]]
-        cand = np.where(np.isin(clusters, rprobe))[0]
-        cand = cand[cand != qi]
-        order = cand[np.lexsort((vec_ids[cand], adc[cand]))]
-        short = order[:ANN_RESCORE_SHORTLIST]
-        top = short[np.argsort(-cos[short], kind="stable")][:TOPK]
-        hits["ivfpq_rescore"].append(len(set(top.tolist()) & gt_cos) / TOPK)
-        scanned["ivfpq_rescore"].append(len(short) / n)
-        code_scanned["ivfpq_rescore"].append(len(cand) / n)
+        for mname, r_nprobe, r_short in (
+            ("ivfpq_rescore", ANN_RESCORE_NPROBE, ANN_RESCORE_SHORTLIST),
+            ("ivfpq_rescore_high_recall",
+             ANN_HIGH_RECALL_NPROBE, ANN_HIGH_RECALL_SHORTLIST),
+        ):
+            rprobe = cent_ids[np.lexsort((cent_ids, cd))[:r_nprobe]]
+            cand = np.where(np.isin(clusters, rprobe))[0]
+            cand = cand[cand != qi]
+            order = cand[np.lexsort((vec_ids[cand], adc[cand]))]
+            short = order[:r_short]
+            top = short[np.argsort(-cos[short], kind="stable")][:TOPK]
+            hits[mname].append(len(set(top.tolist()) & gt_cos) / TOPK)
+            scanned[mname].append(len(short) / n)
+            code_scanned[mname].append(len(cand) / n)
 
     out = {
         "metric": "ann_recall_at_10",
@@ -241,6 +250,7 @@ def main() -> None:
             "binary_hamming": "cosine", "pq_adc": "euclidean",
             "sq_dequant": "euclidean", "ivfpq_adc": "euclidean",
             "pq_rescore": "cosine", "ivfpq_rescore": "cosine",
+            "ivfpq_rescore_high_recall": "cosine",
         },
         "recall_at_10": {m: round(float(np.mean(h)), 3) for m, h in hits.items()},
         "avg_scan_fraction": {
