@@ -491,3 +491,94 @@ def dedup_hot_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_hot_grams"), F.max("df").alias("max_df"))
     )
+
+
+# --- SemDeDup: k-means-cluster-blocked semantic dedup ---------------------
+
+SEMDEDUP_TAU = 0.3  # within-cluster cosine above this = semantic duplicate
+
+
+def _semdedup_sql(tau: float = SEMDEDUP_TAU) -> str:
+    """Oracle: the unrolled Lloyd assignment CTEs (shared with the IVF
+    queries), within-cluster pairwise cosine above tau, greedy min-id
+    survivors, per-cluster stats."""
+    from neumann_spark.pipeline.ann import DIM, IVF_ITERS, _ivf_sql
+
+    ivf = _ivf_sql()
+    prefix = ivf[: ivf.rindex("\n    SELECT cluster, COUNT")]
+    return (
+        prefix
+        + f""", pairs AS MATERIALIZED (
+      SELECT aa.cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+             SUM(CAST(a.embedding[t.i] AS DOUBLE) * CAST(b.embedding[t.i] AS DOUBLE)) AS dot,
+             SQRT(SUM(CAST(a.embedding[t.i] AS DOUBLE) * CAST(a.embedding[t.i] AS DOUBLE))) AS na,
+             SQRT(SUM(CAST(b.embedding[t.i] AS DOUBLE) * CAST(b.embedding[t.i] AS DOUBLE))) AS nb
+      FROM embeddings a
+      JOIN a{IVF_ITERS} aa ON aa.vec_id = a.vec_id
+      JOIN a{IVF_ITERS} ab ON ab.cluster = aa.cluster
+      JOIN embeddings b ON b.vec_id = ab.vec_id AND a.vec_id < b.vec_id
+      CROSS JOIN generate_series(1, {DIM}) AS t(i)
+      GROUP BY aa.cluster, a.vec_id, b.vec_id
+      HAVING ROUND(dot / (na * nb), 6) > {tau}
+    ),
+    removed AS MATERIALIZED (
+      SELECT DISTINCT id_b FROM pairs
+    )
+    SELECT a.cluster,
+           COUNT(*) AS n_vectors,
+           CAST(COUNT(r.id_b) AS BIGINT) AS n_removed,
+           CAST(COUNT(*) - COUNT(r.id_b) AS BIGINT) AS n_kept
+    FROM a{IVF_ITERS} a LEFT JOIN removed r ON r.id_b = a.vec_id
+    GROUP BY a.cluster"""
+    )
+
+
+@register("dedup_semantic_semdedup", oracle=_semdedup_sql())
+def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication" — public method): embed,
+    k-means-cluster, and deduplicate WITHIN clusters only — pairwise cosine
+    runs per cluster, never across the corpus. A vector is removed iff a
+    smaller-id vector in its cluster exceeds the cosine threshold (the
+    paper's greedy one-per-epsilon-ball keep rule made deterministic by id
+    order). Returns per-cluster (n_vectors, n_removed, n_kept).
+
+    This makes `dedup_embedding_cosine`'s docstring promise concrete: the
+    block key IS the learned ANN cluster (same deterministic Lloyd build
+    the IVF queries share, so the index amortizes). Scale shape: cluster
+    id is the shuffle/partition key; per-cluster pair volume is bounded by
+    balanced cluster sizes (k scales with corpus), and the removal rule is
+    one pair join + one distinct + one left join — no iteration."""
+    from neumann_spark.pipeline.ann import ivf_index
+
+    state, _ = ivf_index(spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings")
+    assign = state.select("vec_id", "cluster")
+    a = (
+        emb.join(assign, "vec_id")
+        .select(F.col("vec_id").alias("id_a"), "cluster",
+                F.col("embedding").alias("va"))
+    )
+    b = (
+        emb.join(assign, "vec_id")
+        .select(F.col("vec_id").alias("id_b"),
+                F.col("cluster").alias("cluster_b"),
+                F.col("embedding").alias("vb"))
+    )
+    pairs = (
+        a.join(b, (F.col("cluster") == F.col("cluster_b"))
+               & (F.col("id_a") < F.col("id_b")))
+        .filter(F.round(cosine_expr(F.col("va"), F.col("vb")), 6)
+                > SEMDEDUP_TAU)
+        .select("cluster", "id_a", "id_b")
+    )
+    removed = pairs.select("id_b").distinct()
+    return (
+        assign.join(removed, assign.vec_id == removed.id_b, "left")
+        .groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.count("id_b").alias("n_removed"),
+            (F.count("*") - F.count("id_b")).alias("n_kept"),
+        )
+    )

@@ -157,3 +157,31 @@ def test_stratified_sample_exact_k(spark):
         by_src.setdefault(r.source, set()).add(r.doc_id)
     for src, ids in by_src.items():
         assert len(ids) == STRAT_K, src
+
+
+def test_semdedup_partitions_every_vector(spark):
+    """SemDeDup accounting: every embedding lands in exactly one cluster,
+    kept + removed = cluster size, and a removed vector always has a
+    smaller-id witness above the threshold in ITS OWN cluster."""
+    from neumann_spark.catalog import load
+    from neumann_spark.functions.vector import cosine_expr
+    from neumann_spark.pipeline.ann import ivf_index
+    from neumann_spark.pipeline.dedup import SEMDEDUP_TAU, dedup_semantic_semdedup
+
+    stats = dedup_semantic_semdedup(spark, SF_DIR).collect()
+    n_emb = load(spark, SF_DIR, "embeddings").count()
+    assert sum(r["n_vectors"] for r in stats) == n_emb
+    assert all(r["n_kept"] + r["n_removed"] == r["n_vectors"] for r in stats)
+    assert all(r["n_kept"] >= 1 for r in stats)  # one survivor per ball chain
+
+    # witness check on one cluster: recompute removals independently
+    state, _ = ivf_index(spark, SF_DIR)
+    emb = load(spark, SF_DIR, "embeddings").join(
+        state.select("vec_id", "cluster"), "vec_id")
+    one = emb.filter(F.col("cluster") == stats[0]["cluster"])
+    a = one.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+    b = one.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, F.col("ia") < F.col("ib")).filter(
+        F.round(cosine_expr(F.col("va"), F.col("vb")), 6) > SEMDEDUP_TAU)
+    n_removed = pairs.select("ib").distinct().count()
+    assert n_removed == stats[0]["n_removed"]
