@@ -2465,10 +2465,8 @@ class NeumannSparkEngine:
         through one serializer. COMPRESSED selects zstd (the analog of
         `tensor_compress::CompressionConfig::balanced`) over snappy.
         The manifest (constraint/FK/index metadata + store schemas) is
-        driver-side JSON — bytes-tiny by construction."""
-        import json as _json
-        import os as _os
-
+        tiny JSON, written through the Hadoop FileSystem API so snapshots
+        work on any Spark-reachable filesystem (hdfs://, s3a://, local)."""
         m = self._require(
             re.match(r"SAVE(\s+COMPRESSED)?\s+(.+?)\s*$", cmd, re.I | re.S),
             "SAVE [COMPRESSED] 'path/to/dir'")
@@ -2480,12 +2478,63 @@ class NeumannSparkEngine:
             "path string, stores bigint, compressed boolean",
         )
 
-    def _save_snapshot(self, path: str, compressed: bool = False) -> int:
-        """Write the session state to `path`; returns the store count."""
+    # -- manifest I/O through the JVM Hadoop FileSystem: a snapshot path
+    #    can live on any filesystem Spark itself can write parquet to
+
+    def _hadoop_fs(self, path_str: str):
+        jvm = self.spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(path_str)
+        return p.getFileSystem(self.spark._jsc.hadoopConfiguration()), p
+
+    def _manifest_write(self, mpath: str, manifest: dict) -> None:
         import json as _json
+
+        fs, p = self._hadoop_fs(mpath)
+        tmp = p.suffix(".tmp")
+        out = fs.create(tmp, True)
+        try:
+            out.write(bytearray(_json.dumps(manifest).encode("utf-8")))
+        finally:
+            out.close()
+        # near-atomic publish: readers see the old manifest (whose data dir
+        # is untouched) or the new one — never a half-written file. The
+        # delete+rename pair is the portable HDFS idiom; the gap only
+        # matters to a concurrent LOAD racing a SAVE of the same path.
+        fs.delete(p, False)
+        if not fs.rename(tmp, p):
+            raise ValueError(f"Failed to publish snapshot manifest {mpath!r}")
+
+    def _manifest_read(self, mpath: str) -> "Optional[dict]":
+        import json as _json
+
+        fs, p = self._hadoop_fs(mpath)
+        if not fs.exists(p):
+            return None
+        stream = fs.open(p)
+        try:
+            raw = self.spark._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8")
+        finally:
+            stream.close()
+        return _json.loads(raw)
+
+    def _save_snapshot(self, path: str, compressed: bool = False) -> int:
+        """Write the session state under `path`; returns the store count.
+
+        Every save writes into a FRESH `data-<nonce>` subdirectory and then
+        publishes it by rewriting the manifest — never overwriting files in
+        place. This is load-bearing, not cosmetic: after `LOAD '<p>'` (or
+        ROLLBACK) the session state is a set of lazy scans over the
+        snapshot's own files, so an in-place `SAVE '<p>'` would delete the
+        very part files its write stage is reading (confirmed failure +
+        on-disk corruption). Superseded data dirs are left for a vacuum
+        once no reader can reference them — the same reclaim contract as
+        any MVCC table format."""
         import os as _os
+        import uuid as _uuid
 
         codec = "zstd" if compressed else "snappy"
+        data_dir = f"data-{_uuid.uuid4().hex[:12]}"
         stores: dict[str, str] = {}  # subdir -> schema json
         writes: list[tuple[DataFrame, str]] = []
         for attr, sub in self._SNAPSHOT_STORES:
@@ -2498,11 +2547,12 @@ class NeumannSparkEngine:
             writes.append((df, f"tables/{name}"))
         for df, sub in writes:
             (df.write.mode("overwrite").option("compression", codec)
-             .parquet(_os.path.join(path, sub)))
+             .parquet(_os.path.join(path, data_dir, sub)))
 
         manifest = {
             "format": "neumann_spark_snapshot/1",
             "compressed": compressed,
+            "data_dir": data_dir,
             "stores": stores,
             "tables": tables,
             "fks": self._fks,
@@ -2512,8 +2562,8 @@ class NeumannSparkEngine:
             },
             "graph_indexes": self._graph_indexes,
         }
-        with open(_os.path.join(path, self._SNAPSHOT_MANIFEST), "w") as fh:
-            _json.dump(manifest, fh)
+        self._manifest_write(
+            _os.path.join(path, self._SNAPSHOT_MANIFEST), manifest)
         return len(writes)
 
     def _exec_load(self, cmd: str) -> DataFrame:
@@ -2541,18 +2591,18 @@ class NeumannSparkEngine:
         from pyspark.sql.types import StructType
 
         mpath = _os.path.join(path, self._SNAPSHOT_MANIFEST)
-        if not _os.path.exists(mpath):
+        manifest = self._manifest_read(mpath)
+        if manifest is None:
             raise ValueError(f"Failed to load: no snapshot at {path!r}")
-        with open(mpath) as fh:
-            manifest = _json.load(fh)
         if manifest.get("format") != "neumann_spark_snapshot/1":
             raise ValueError(
                 f"Failed to load: unrecognized snapshot format in {path!r}")
+        base = _os.path.join(path, manifest.get("data_dir", ""))
 
         def _read(sub: str, schema_json: str) -> DataFrame:
             schema = StructType.fromJson(_json.loads(schema_json))
             return self.spark.read.schema(schema).parquet(
-                _os.path.join(path, sub))
+                _os.path.join(base, sub))
 
         for attr, sub in self._SNAPSHOT_STORES:
             setattr(self, attr, _read(sub, manifest["stores"][sub]))
@@ -2611,7 +2661,10 @@ class NeumannSparkEngine:
         self._cp_seq += 1
         name = (self._snapshot_path(m.group(1), "CHECKPOINT")
                 if m.group(1) else f"cp_{self._cp_seq}")
-        if "/" in name:
+        # strict allow-list: a name is a single path component, never a
+        # traversal ('..' would write the snapshot into the shared parent
+        # dir; '.' into the root itself; '/'-separated names escape it)
+        if name in (".", "..") or not re.fullmatch(r"[\w.\-]+", name):
             raise ValueError(f"invalid checkpoint name {name!r}")
         self._save_snapshot(_os.path.join(root, name))
         self._cp_log[name] = self._cp_seq
@@ -2630,6 +2683,8 @@ class NeumannSparkEngine:
             re.match(r"ROLLBACK\s+(?:TO\s+)?(.+?)\s*$", cmd, re.I | re.S),
             "ROLLBACK TO 'name'")
         name = self._snapshot_path(m.group(1), "ROLLBACK")
+        if name.upper() == "TO":  # `ROLLBACK TO` with no operand backtracks
+            raise ValueError("expected ROLLBACK TO 'name'")
         if not hasattr(self, "_cp_log") or name not in self._cp_log:
             raise ValueError(f"unknown checkpoint {name!r}")
         self._load_snapshot(_os.path.join(self._cp_root, name))

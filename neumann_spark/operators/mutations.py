@@ -339,6 +339,7 @@ def snapshot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng.execute("CREATE TABLE snapq_t (id INT, tag TEXT)")
     eng.execute("INSERT INTO snapq_t VALUES (1, 'x'), (2, 'y')")
     d = tempfile.mkdtemp(prefix="neumann_snapshot_")
+    other = None
     try:
         eng.execute(f"SAVE '{d}'")
         eng.execute("INSERT INTO snapq_t VALUES (3, 'z')")  # must not survive
@@ -347,6 +348,11 @@ def snapshot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = other.execute("SELECT id, tag FROM snapq_t ORDER BY id")
         return out.localCheckpoint(eager=True)
     finally:
+        # temp views are session-global: leaving snapq_t registered over
+        # the deleted dir would break any later reader of that name
+        if other is not None:
+            other.execute("DROP TABLE snapq_t")
+        eng.execute("DROP TABLE snapq_t")
         shutil.rmtree(d, ignore_errors=True)
 
 
@@ -374,5 +380,8 @@ def checkpoint_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng.execute("INSERT INTO cpq_t VALUES (3, 30)")
     eng.execute("ROLLBACK TO 'clean'")
     out = eng.execute("SELECT id, v FROM cpq_t ORDER BY id")
-    # materialize before the session-scoped checkpoint dir can vanish
-    return out.localCheckpoint(eager=True)
+    # materialize before the session-scoped checkpoint dir can vanish,
+    # then drop the session-global temp view so no later reader sees it
+    out = out.localCheckpoint(eager=True)
+    eng.execute("DROP TABLE cpq_t")
+    return out

@@ -1170,9 +1170,13 @@ def test_save_compressed_writes_zstd(spark, tmp_path):
     d = str(tmp_path / "snapz")
     res = eng.execute(f"SAVE COMPRESSED '{d}'").collect()[0]
     assert res["compressed"]
-    part = glob.glob(f"{d}/tables/snap_z/part-*.parquet")[0]
-    meta = pq.ParquetFile(part).metadata
-    assert meta.row_group(0).column(0).compression == "ZSTD"
+    # multiple part files exist (one per partition) and empty partitions
+    # write zero-row-group files — check the one that holds the row
+    metas = [pq.ParquetFile(p).metadata
+             for p in glob.glob(f"{d}/data-*/tables/snap_z/part-*.parquet")]
+    rg = [m for m in metas if m.num_row_groups > 0]
+    assert rg, "no non-empty part file written"
+    assert rg[0].row_group(0).column(0).compression == "ZSTD"
     eng.execute("DROP TABLE snap_z")
 
 
@@ -1245,3 +1249,40 @@ def test_rollback_unknown_checkpoint(spark):
     with pytest.raises(ValueError, match="unknown checkpoint"):
         eng.execute("ROLLBACK TO 'nope'")
     assert eng.execute("CHECKPOINTS").count() == 0
+
+
+def test_recheckpoint_after_rollback_and_save_after_load(spark, tmp_path):
+    """Saving over a path the session state was LOADed from must not
+    destroy the files being read: every save writes a fresh data-<nonce>
+    dir and republishes the manifest (MVCC-style), so CHECKPOINT 'a' →
+    ROLLBACK 'a' → CHECKPOINT 'a' and SAVE → LOAD → SAVE-same-path both
+    work (this exact flow crashed and corrupted the snapshot before)."""
+    from neumann_spark.engine import NeumannSparkEngine
+
+    eng = NeumannSparkEngine(spark, SF_DIR)
+    eng.execute("CREATE TABLE resave_t (id INT)")
+    eng.execute("INSERT INTO resave_t VALUES (1)")
+    eng.execute("CHECKPOINT 'a'")
+    eng.execute("ROLLBACK TO 'a'")
+    eng.execute("CHECKPOINT 'a'")  # overwrite while state reads from 'a'
+    eng.execute("ROLLBACK TO 'a'")
+    assert eng.execute("SELECT COUNT(*) AS n FROM resave_t").collect()[0]["n"] == 1
+
+    d = str(tmp_path / "resave")
+    eng.execute(f"SAVE '{d}'")
+    eng.execute(f"LOAD '{d}'")
+    eng.execute(f"SAVE '{d}'")  # save over the loaded path
+    eng.execute(f"LOAD '{d}'")
+    assert eng.execute("SELECT COUNT(*) AS n FROM resave_t").collect()[0]["n"] == 1
+    eng.execute("DROP TABLE resave_t")
+
+
+def test_checkpoint_name_traversal_rejected(spark):
+    from neumann_spark.engine import NeumannSparkEngine
+
+    eng = NeumannSparkEngine(spark, SF_DIR)
+    for bad in ("'..'", "'.'", "'a/b'", "'a b'"):
+        with pytest.raises(ValueError, match="invalid checkpoint name"):
+            eng.execute(f"CHECKPOINT {bad}")
+    with pytest.raises(ValueError, match="expected ROLLBACK TO"):
+        eng.execute("ROLLBACK TO")

@@ -203,6 +203,10 @@ _VERB_HEADS = [
     "NEIGHBORS", "PATH", "EMBED", "SIMILAR", "FIND", "MATCH", "UPDATE",
     "DELETE", "COUNT", "ENTITY", "GRAPH", "CONSTRAINT", "BATCH", "AGGREGATE",
     "MERGE", "LIST", "PAGERANK", "LOUVAIN",
+    # snapshot verbs: LOAD/ROLLBACK/CHECKPOINTS only reject or read —
+    # SAVE and CHECKPOINT are excluded because a junk-but-valid operand
+    # would write a real multi-directory snapshot per fuzz example
+    "LOAD", "ROLLBACK", "CHECKPOINTS",
 ]
 
 _fuzz_cmd = st.one_of(
