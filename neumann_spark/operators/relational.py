@@ -601,3 +601,50 @@ def rel_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_returnflag", "exact_orders", "exact_parts", ok.alias("approx_ok"))
     )
+
+
+@register(
+    "rel_approx_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS exact_p90,
+           ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS exact_p99,
+           CAST(1 AS INT) AS approx_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def rel_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (Greenwald-Khanna sketch via
+    `percentile_approx`) — the 100 TB path next to `rel_percentiles`'
+    exact interpolation: exact per-group quantiles need the group's full
+    sorted values, while the GK sketch is a bounded-size mergeable state
+    (one map-side partial per partition, no sort). Sketch estimates aren't
+    oracle-reproducible across engines, so (the `rel_approx_distinct`
+    pattern) the registered output pins the EXACT quantiles plus
+    `approx_ok` = 1 iff each approx value sits within the value span of
+    the exact p50..p99 band edges widened by 10% — a hash-stable check
+    that still fails if the sketch degrades."""
+    li = load(spark, sf_dir, "lineitem")
+    qs = [0.5, 0.9, 0.99]
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile_approx(
+            "l_extendedprice", F.array(*[F.lit(q) for q in qs]), 10_000
+        ).alias("ap"),
+        *[
+            F.percentile("l_extendedprice", F.lit(q)).alias(f"ex{i}")
+            for i, q in enumerate(qs)
+        ],
+    )
+    span = F.col("ex2") - F.col("ex0")
+    ok = None
+    for i in range(len(qs)):
+        cond = F.abs(F.col("ap")[i] - F.col(f"ex{i}")) <= 0.10 * span
+        ok = cond if ok is None else (ok & cond)
+    return agg.select(
+        "l_returnflag",
+        F.round("ex0", 4).alias("exact_p50"),
+        F.round("ex1", 4).alias("exact_p90"),
+        F.round("ex2", 4).alias("exact_p99"),
+        ok.cast("int").alias("approx_ok"),
+    )

@@ -251,3 +251,59 @@ def test_engine_parser_fuzz_raises_typed_errors(spark, cmd):
         mod = type(e).__module__
         assert mod.startswith("pyspark"), (
             f"parser crash on {cmd!r}: {type(e).__name__}: {e}")
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-10**9, max_value=10**9),
+            st.one_of(
+                st.none(),
+                st.text(
+                    alphabet=st.characters(
+                        whitelist_categories=("Lu", "Ll", "Nd"),
+                        whitelist_characters=" _-",
+                    ),
+                    max_size=12,
+                ),
+            ),
+            st.one_of(
+                st.none(),
+                st.floats(allow_nan=False, allow_infinity=False, width=32),
+            ),
+        ),
+        max_size=12,
+    )
+)
+def test_snapshot_roundtrip_any_table(spark, rows):
+    """SAVE → LOAD into a fresh engine is lossless for ANY table content —
+    ints at bigint edges, NULLs in every column, empty tables, unicode-ish
+    strings — because schemas ride in the manifest and parquet round-trips
+    the values."""
+    import shutil
+    import tempfile
+
+    from neumann_spark.engine import NeumannSparkEngine
+    from tests.conftest import SF_DIR
+
+    a = NeumannSparkEngine(spark, SF_DIR)
+    df = spark.createDataFrame(
+        [(int(i), *r) for i, r in enumerate(rows)],
+        "rid int, k bigint, s string, v double",
+    )
+    a._tables["prop_snap_t"] = df
+    df.createOrReplaceTempView("prop_snap_t")
+    d = tempfile.mkdtemp(prefix="neumann_prop_snap_")
+    try:
+        a.execute(f"SAVE '{d}'")
+        b = NeumannSparkEngine(spark, SF_DIR)
+        b.execute(f"LOAD '{d}'")
+        got = b.execute(
+            "SELECT rid, k, s, v FROM prop_snap_t ORDER BY rid").collect()
+        want = sorted(df.collect(), key=lambda r: r["rid"])
+        assert [tuple(r) for r in got] == [tuple(r) for r in want]
+        assert b._tables["prop_snap_t"].schema == df.schema
+    finally:
+        a.execute("DROP TABLE prop_snap_t")
+        shutil.rmtree(d, ignore_errors=True)
