@@ -1,11 +1,13 @@
 """Multimodal columns — LLM-pipeline extension (BASELINE.json north star).
 
 Images/audio/video are opaque `binary` columns with typed metadata; decode /
-feature-extract run as Arrow-batched `mapInPandas` stages. The decode step
-itself is STUBBED (no image/audio libs in this container — clearly marked
-below); everything Spark-side is real and tested: schema, batch iteration,
-partition-preserving plumbing, and deterministic fake features so the
-pipeline is end-to-end verifiable.
+feature-extract run as Arrow-batched `mapInPandas` stages. Decode is REAL
+for WAV audio and BMP images (stdlib `wave` + `struct`/numpy — see
+`decode_wav`/`decode_bmp` below, exercised end-to-end by
+`multimodal_real_decode` against a closed-form oracle); formats that
+genuinely need PIL/ffmpeg (png/jpeg/mp4) keep a clearly-marked stub in
+`decode_media`. Everything Spark-side is real and tested: schema, batch
+iteration, partition-preserving plumbing.
 
 At 100 TB: binary payloads dominate I/O — the scan projects only (id, blob)
 for decode stages, metadata-only queries never touch the blob column
@@ -50,13 +52,18 @@ def media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def decode_media(payload: bytes, media_type: str) -> bytes:
-    """STUB: real deployments decode via PIL/ffmpeg/torchaudio here.
-    Those libs are not in this container, so decoding raises — callers must
-    use `extract_features` (deterministic fake) for tests."""
+def decode_media(payload: bytes, media_type: str):
+    """Dispatch decode: REAL for `audio/wav` and `image/bmp` (pure
+    stdlib/numpy parsers below); STUB for the PIL/ffmpeg-class formats
+    (png/jpeg/mp4) — those libs are not in this container, so decoding
+    them raises with a clear message."""
+    if media_type == "audio/wav":
+        return decode_wav(payload)
+    if media_type == "image/bmp":
+        return decode_bmp(payload)
     raise NotImplementedError(
-        "media decoding requires PIL/ffmpeg — not available in this image; "
-        "use extract_features() which consumes the raw bytes deterministically"
+        f"decoding {media_type!r} requires PIL/ffmpeg — not available in "
+        "this image; wav/bmp decode natively, other formats need those libs"
     )
 
 
@@ -126,3 +133,207 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("f0"), 6).alias("avg_f0"),
         )
     )
+
+
+# --- real containers: WAV + BMP encode/decode (stdlib + numpy only) -------
+#
+# The generic `decode_media` stub above documents the PIL/ffmpeg-class
+# formats. These two formats need no external libs, so for them the decode
+# path is REAL: the generator below emits byte-exact RIFF/WAVE and BMP
+# files, and `decode_wav`/`decode_bmp` parse ANY file of those formats
+# (stdlib `wave`, `struct`) — only video/mp4 keeps the stub, because an
+# mp4 decode genuinely requires ffmpeg.
+
+ENC_SCHEMA = "doc_id bigint, media binary, media_type string"
+DECODE_SCHEMA = (
+    "doc_id bigint, media_type string, dim_a bigint, dim_b bigint, mean_value double"
+)
+
+
+def _wav_shape(doc_id: int) -> tuple[int, int]:
+    """(n_samples, square-wave period) — deterministic per doc."""
+    return 200 + doc_id % 50, 2 + doc_id % 7
+
+
+def _bmp_shape(doc_id: int) -> tuple[int, int]:
+    """(width, height) — deterministic per doc."""
+    return 8 + doc_id % 5, 6 + doc_id % 4
+
+
+def encode_wav(doc_id: int) -> bytes:
+    """A real RIFF/WAVE file: mono, 8-bit unsigned PCM, 8 kHz, square wave
+    with per-doc period — written by the stdlib `wave` module."""
+    import io
+    import wave
+
+    n, p = _wav_shape(doc_id)
+    pcm = bytes(192 if (i // p) % 2 == 0 else 64 for i in range(n))
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(8000)
+        w.writeframes(pcm)
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, float]:
+    """Parse any RIFF/WAVE file -> (n_samples, sample_rate, mean amplitude
+    of the raw PCM bytes). Real decoding: header, fmt chunk, and frame
+    extraction all go through the stdlib parser."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        n = w.getnframes()
+        rate = w.getframerate()
+        frames = w.readframes(n)
+    samples = np.frombuffer(frames, dtype=np.uint8)
+    return n, rate, float(samples.mean()) if n else 0.0
+
+
+def encode_bmp(doc_id: int) -> bytes:
+    """A real 24-bit bottom-up BMP (BITMAPFILEHEADER + BITMAPINFOHEADER +
+    4-byte-padded pixel rows); pixel channels are a deterministic function
+    of (doc_id, x, y, channel)."""
+    import struct
+
+    w, h = _bmp_shape(doc_id)
+    row_size = (3 * w + 3) // 4 * 4
+    pixel_bytes = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up row order
+        row = bytearray()
+        for x in range(w):
+            for c in range(3):  # B, G, R
+                row.append((doc_id * 31 + x * 7 + y * 13 + c * 5) % 256)
+        row += b"\x00" * (row_size - len(row))
+        pixel_bytes += row
+    data_size = row_size * h
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + data_size, 0, 0, 14 + 40)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, data_size, 2835, 2835, 0, 0)
+    return header + info + bytes(pixel_bytes)
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, float]:
+    """Parse any uncompressed 24-bit BMP -> (width, height, mean pixel
+    value over the B/G/R bytes, row padding excluded)."""
+    import struct
+
+    import numpy as np
+
+    magic, _size, _r1, _r2, offset = struct.unpack_from("<2sIHHI", payload, 0)
+    if magic != b"BM":
+        raise ValueError("not a BMP payload")
+    hdr_size, w, h, _planes, bpp = struct.unpack_from("<IiiHH", payload, 14)
+    if bpp != 24:
+        raise ValueError(f"unsupported BMP bit depth {bpp}")
+    h_abs = abs(h)
+    row_size = (3 * w + 3) // 4 * 4
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=row_size * h_abs, offset=offset
+    ).reshape(h_abs, row_size)[:, : 3 * w]
+    return w, h_abs, float(rows.mean()) if rows.size else 0.0
+
+
+def encoded_media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real binary media column: every third doc becomes a BMP image, WAV
+    audio, or MP4 stub payload. Encoding runs distributed in Arrow batches
+    (mapInPandas), the same stage shape a re-encode/transcode pipeline
+    uses at 100 TB; only (doc_id) is read from the source."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "media": [], "media_type": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                kind = doc_id % 3
+                if kind == 0:
+                    blob, mt = encode_bmp(doc_id), "image/bmp"
+                elif kind == 1:
+                    blob, mt = encode_wav(doc_id), "audio/wav"
+                else:  # a real `ftyp` box signature; decode needs ffmpeg
+                    blob, mt = b"\x00\x00\x00\x18ftypisom", "video/mp4"
+                out["doc_id"].append(doc_id)
+                out["media"].append(blob)
+                out["media_type"].append(mt)
+            yield pd.DataFrame(out)
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return d.select("doc_id").mapInPandas(op, schema=ENC_SCHEMA)
+
+
+def _decode_oracle_sql() -> str:
+    """Closed-form oracle: the decoders invert the generators, so every
+    decoded feature is a pure function of doc_id — computable exactly in
+    SQL (per-sample/per-pixel averages via generate_series)."""
+    return """
+    WITH docs AS MATERIALIZED (
+      SELECT doc_id FROM documents WHERE doc_id % 5 = 0 AND doc_id % 3 < 2
+    ),
+    wav AS (
+      -- correlated generate_series is unsupported: join a fixed series to
+      -- the per-doc max and filter i below the doc's own sample count
+      SELECT d.doc_id, 'audio/wav' AS media_type,
+             CAST(200 + d.doc_id % 50 AS BIGINT) AS dim_a,
+             CAST(8000 AS BIGINT) AS dim_b,
+             ROUND(AVG(CASE WHEN (t.i // (2 + d.doc_id % 7)) % 2 = 0
+                            THEN 192.0 ELSE 64.0 END), 6) AS mean_value
+      FROM docs d
+      JOIN generate_series(0, 249) AS t(i) ON t.i < 200 + d.doc_id % 50
+      WHERE d.doc_id % 3 = 1
+      GROUP BY d.doc_id
+    ),
+    bmp AS (
+      SELECT d.doc_id, 'image/bmp' AS media_type,
+             CAST(8 + d.doc_id % 5 AS BIGINT) AS dim_a,
+             CAST(6 + d.doc_id % 4 AS BIGINT) AS dim_b,
+             ROUND(AVG(CAST((d.doc_id * 31 + x.i * 7 + y.i * 13 + c.i * 5)
+                            % 256 AS DOUBLE)), 6) AS mean_value
+      FROM docs d
+      JOIN generate_series(0, 11) AS x(i) ON x.i < 8 + d.doc_id % 5
+      JOIN generate_series(0, 8) AS y(i) ON y.i < 6 + d.doc_id % 4
+      CROSS JOIN generate_series(0, 2) AS c(i)
+      WHERE d.doc_id % 3 = 0
+      GROUP BY d.doc_id
+    )
+    SELECT * FROM wav UNION ALL SELECT * FROM bmp
+    """
+
+
+@register("multimodal_real_decode", oracle=_decode_oracle_sql())
+def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL media decode: build byte-exact WAV/BMP files in one
+    Arrow stage, parse them back with the actual format parsers (stdlib
+    `wave`, BMP struct headers, row padding and all) in another, and emit
+    typed features — (n_samples, sample_rate, mean amplitude) for audio,
+    (width, height, mean pixel) for images. The oracle recomputes every
+    feature in closed form from doc_id, so a decoder that misreads the
+    header, drops padding wrong, or truncates frames hash-mismatches.
+    video/mp4 rows are excluded here: mp4 decode genuinely needs ffmpeg
+    (`decode_media` documents that stub)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "media_type": [], "dim_a": [],
+                   "dim_b": [], "mean_value": []}
+            for doc_id, blob, mt in zip(
+                    pdf["doc_id"], pdf["media"], pdf["media_type"]):
+                if mt == "audio/wav":
+                    a, b, m = decode_wav(bytes(blob))
+                elif mt == "image/bmp":
+                    a, b, m = decode_bmp(bytes(blob))
+                else:
+                    continue
+                out["doc_id"].append(int(doc_id))
+                out["media_type"].append(mt)
+                out["dim_a"].append(a)
+                out["dim_b"].append(b)
+                out["mean_value"].append(round(m, 6))
+            yield pd.DataFrame(out)
+
+    enc = encoded_media_df(spark, sf_dir).filter(
+        F.col("media_type") != "video/mp4")
+    return enc.mapInPandas(op, schema=DECODE_SCHEMA)

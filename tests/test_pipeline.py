@@ -185,3 +185,78 @@ def test_semdedup_partitions_every_vector(spark):
         F.round(cosine_expr(F.col("va"), F.col("vb")), 6) > SEMDEDUP_TAU)
     n_removed = pairs.select("ib").distinct().count()
     assert n_removed == stats[0]["n_removed"]
+
+
+def test_media_codecs_roundtrip_and_dispatch():
+    """WAV/BMP encode->decode inverts exactly, and the parsers handle
+    files we did NOT generate (a top-down BMP with negative height, a
+    stereo 16-bit WAV from the stdlib writer)."""
+    import io
+    import struct
+    import wave
+
+    import pytest as _pt
+
+    from neumann_spark.pipeline.multimodal import (
+        _bmp_shape,
+        _wav_shape,
+        decode_bmp,
+        decode_media,
+        decode_wav,
+        encode_bmp,
+        encode_wav,
+    )
+
+    for d in (0, 7, 42, 1001):
+        n, p = _wav_shape(d)
+        assert decode_wav(encode_wav(d))[:2] == (n, 8000)
+        w, h = _bmp_shape(d)
+        assert decode_bmp(encode_bmp(d))[:2] == (w, h)
+        # dispatch: wav/bmp real, mp4 stubbed
+        assert decode_media(encode_wav(d), "audio/wav")[0] == n
+        assert decode_media(encode_bmp(d), "image/bmp")[0] == w
+    with _pt.raises(NotImplementedError, match="ffmpeg"):
+        decode_media(b"\x00\x00\x00\x18ftypisom", "video/mp4")
+
+    # foreign stereo 16-bit WAV (not our generator's shape)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(2)
+        wv.setsampwidth(2)
+        wv.setframerate(44100)
+        wv.writeframes(b"\x01\x02\x03\x04" * 10)
+    n, rate, _ = decode_wav(buf.getvalue())
+    assert (n, rate) == (10, 44100)
+
+    # foreign top-down BMP (negative height) with one padded 1-px row
+    wpx, hpx = 1, 2
+    row_size = 4  # 3 bytes pixel + 1 pad
+    pixels = bytes([10, 20, 30, 0]) + bytes([40, 50, 60, 0])
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(pixels), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, wpx, -hpx, 1, 24, 0,
+                       len(pixels), 0, 0, 0, 0)
+    w, h, mean = decode_bmp(header + info + pixels)
+    assert (w, h) == (1, 2)
+    assert abs(mean - (10 + 20 + 30 + 40 + 50 + 60) / 6) < 1e-9
+
+
+def test_multimodal_real_decode_sparkside(spark):
+    """The distributed decode stage: every non-mp4 encoded row decodes,
+    and per-row dims match the deterministic shapes."""
+    from neumann_spark.pipeline.multimodal import (
+        _bmp_shape,
+        _wav_shape,
+        encoded_media_df,
+        multimodal_real_decode,
+    )
+
+    enc_n = encoded_media_df(spark, SF_DIR).filter(
+        F.col("media_type") != "video/mp4").count()
+    rows = multimodal_real_decode(spark, SF_DIR).collect()
+    assert len(rows) == enc_n
+    for r in rows[:20]:
+        if r["media_type"] == "audio/wav":
+            assert r["dim_a"] == _wav_shape(r["doc_id"])[0]
+            assert r["dim_b"] == 8000
+        else:
+            assert (r["dim_a"], r["dim_b"]) == _bmp_shape(r["doc_id"])
