@@ -2,12 +2,12 @@
 
 Images/audio/video are opaque `binary` columns with typed metadata; decode /
 feature-extract run as Arrow-batched `mapInPandas` stages. Decode is REAL
-for WAV audio and BMP images (stdlib `wave` + `struct`/numpy — see
-`decode_wav`/`decode_bmp` below, exercised end-to-end by
-`multimodal_real_decode` against a closed-form oracle); formats that
-genuinely need PIL/ffmpeg (png/jpeg/mp4) keep a clearly-marked stub in
-`decode_media`. Everything Spark-side is real and tested: schema, batch
-iteration, partition-preserving plumbing.
+for WAV audio, BMP images, and PNG images (stdlib `wave`/`struct`/`zlib`
++ numpy — see `decode_wav`/`decode_bmp`/`decode_png` below, exercised
+end-to-end by `multimodal_real_decode` against a closed-form oracle);
+formats that genuinely need PIL/ffmpeg (jpeg/mp4) keep a clearly-marked
+stub in `decode_media`. Everything Spark-side is real and tested: schema,
+batch iteration, partition-preserving plumbing.
 
 At 100 TB: binary payloads dominate I/O — the scan projects only (id, blob)
 for decode stages, metadata-only queries never touch the blob column
@@ -53,17 +53,19 @@ def media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def decode_media(payload: bytes, media_type: str):
-    """Dispatch decode: REAL for `audio/wav` and `image/bmp` (pure
-    stdlib/numpy parsers below); STUB for the PIL/ffmpeg-class formats
-    (png/jpeg/mp4) — those libs are not in this container, so decoding
-    them raises with a clear message."""
+    """Dispatch decode: REAL for `audio/wav`, `image/bmp`, and `image/png`
+    (pure stdlib/numpy parsers below — zlib covers PNG inflate); STUB for
+    the PIL/ffmpeg-class formats (jpeg/mp4) — those libs are not in this
+    container, so decoding them raises with a clear message."""
     if media_type == "audio/wav":
         return decode_wav(payload)
     if media_type == "image/bmp":
         return decode_bmp(payload)
+    if media_type == "image/png":
+        return decode_png(payload)
     raise NotImplementedError(
         f"decoding {media_type!r} requires PIL/ffmpeg — not available in "
-        "this image; wav/bmp decode natively, other formats need those libs"
+        "this image; wav/bmp/png decode natively, jpeg/mp4 need those libs"
     )
 
 
@@ -249,11 +251,13 @@ def encoded_media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = {"doc_id": [], "media": [], "media_type": []}
             for doc_id in pdf["doc_id"]:
                 doc_id = int(doc_id)
-                kind = doc_id % 3
+                kind = doc_id % 4
                 if kind == 0:
                     blob, mt = encode_bmp(doc_id), "image/bmp"
                 elif kind == 1:
                     blob, mt = encode_wav(doc_id), "audio/wav"
+                elif kind == 2:
+                    blob, mt = encode_png(doc_id), "image/png"
                 else:  # a real `ftyp` box signature; decode needs ffmpeg
                     blob, mt = b"\x00\x00\x00\x18ftypisom", "video/mp4"
                 out["doc_id"].append(doc_id)
@@ -271,7 +275,7 @@ def _decode_oracle_sql() -> str:
     SQL (per-sample/per-pixel averages via generate_series)."""
     return """
     WITH docs AS MATERIALIZED (
-      SELECT doc_id FROM documents WHERE doc_id % 5 = 0 AND doc_id % 3 < 2
+      SELECT doc_id FROM documents WHERE doc_id % 5 = 0 AND doc_id % 4 < 3
     ),
     wav AS (
       -- correlated generate_series is unsupported: join a fixed series to
@@ -283,7 +287,7 @@ def _decode_oracle_sql() -> str:
                             THEN 192.0 ELSE 64.0 END), 6) AS mean_value
       FROM docs d
       JOIN generate_series(0, 249) AS t(i) ON t.i < 200 + d.doc_id % 50
-      WHERE d.doc_id % 3 = 1
+      WHERE d.doc_id % 4 = 1
       GROUP BY d.doc_id
     ),
     bmp AS (
@@ -296,10 +300,23 @@ def _decode_oracle_sql() -> str:
       JOIN generate_series(0, 11) AS x(i) ON x.i < 8 + d.doc_id % 5
       JOIN generate_series(0, 8) AS y(i) ON y.i < 6 + d.doc_id % 4
       CROSS JOIN generate_series(0, 2) AS c(i)
-      WHERE d.doc_id % 3 = 0
+      WHERE d.doc_id % 4 = 0
+      GROUP BY d.doc_id
+    ),
+    png AS (
+      SELECT d.doc_id, 'image/png' AS media_type,
+             CAST(5 + d.doc_id % 6 AS BIGINT) AS dim_a,
+             CAST(4 + d.doc_id % 5 AS BIGINT) AS dim_b,
+             ROUND(AVG(CAST((d.doc_id * 17 + x.i * 3 + y.i * 11 + c.i * 7)
+                            % 256 AS DOUBLE)), 6) AS mean_value
+      FROM docs d
+      JOIN generate_series(0, 10) AS x(i) ON x.i < 5 + d.doc_id % 6
+      JOIN generate_series(0, 8) AS y(i) ON y.i < 4 + d.doc_id % 5
+      CROSS JOIN generate_series(0, 2) AS c(i)
+      WHERE d.doc_id % 4 = 2
       GROUP BY d.doc_id
     )
-    SELECT * FROM wav UNION ALL SELECT * FROM bmp
+    SELECT * FROM wav UNION ALL SELECT * FROM bmp UNION ALL SELECT * FROM png
     """
 
 
@@ -325,6 +342,8 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     a, b, m = decode_wav(bytes(blob))
                 elif mt == "image/bmp":
                     a, b, m = decode_bmp(bytes(blob))
+                elif mt == "image/png":
+                    a, b, m = decode_png(bytes(blob))
                 else:
                     continue
                 out["doc_id"].append(int(doc_id))
@@ -337,3 +356,110 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     enc = encoded_media_df(spark, sf_dir).filter(
         F.col("media_type") != "video/mp4")
     return enc.mapInPandas(op, schema=DECODE_SCHEMA)
+
+
+# --- PNG: real encode/decode via stdlib zlib ------------------------------
+#
+# PNG's critical path needs only zlib (stdlib) plus the five per-row
+# filters — no PIL. The encoder writes filter-0 RGB rows; the decoder
+# reconstructs ALL five filter types (None/Sub/Up/Average/Paeth) for
+# 8-bit gray/RGB/RGBA, so it reads PNGs from other writers too.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_shape(doc_id: int) -> tuple[int, int]:
+    """(width, height) — deterministic per doc."""
+    return 5 + doc_id % 6, 4 + doc_id % 5
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+
+def encode_png(doc_id: int) -> bytes:
+    """A real PNG: signature, IHDR (8-bit RGB), one zlib IDAT of
+    filter-0 rows, IEND — byte-exact and readable by any PNG decoder."""
+    import struct
+    import zlib
+
+    w, h = _png_shape(doc_id)
+    raw = bytearray()
+    for y in range(h):
+        raw.append(0)  # filter type 0 (None)
+        for x in range(w):
+            for c in range(3):
+                raw.append((doc_id * 17 + x * 3 + y * 11 + c * 7) % 256)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png(payload: bytes) -> tuple[int, int, float]:
+    """Parse any 8-bit gray/RGB/RGBA non-interlaced PNG -> (width, height,
+    mean reconstructed sample value). Full filter reconstruction
+    (None/Sub/Up/Average/Paeth, the spec's five), chunk walking, and
+    zlib inflate — a real decoder, not a fixture-shaped one."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(payload):
+        (length,), ctype = struct.unpack_from(">I", payload, pos), payload[pos + 4: pos + 8]
+        data = payload[pos + 8: pos + 8 + length]
+        pos += 12 + length
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, ctype_id, _comp, _filt, interlace = ihdr
+    if depth != 8 or interlace != 0:
+        raise ValueError(f"unsupported PNG (depth={depth}, interlace={interlace})")
+    bpp = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype_id)
+    if bpp is None:
+        raise ValueError(f"unsupported PNG color type {ctype_id}")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * bpp
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8,
+            count=stride, offset=y * (stride + 1) + 1).astype(np.int32)
+        cur = np.zeros(stride, dtype=np.int32)
+        for i in range(stride):
+            a = cur[i - bpp] if i >= bpp else 0        # left
+            b = prev[i]                                 # up
+            cc = prev[i - bpp] if i >= bpp else 0       # up-left
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            elif f == 4:  # Paeth
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+            else:
+                raise ValueError(f"bad PNG filter type {f}")
+            cur[i] = (line[i] + pred) & 0xFF
+        out[y] = cur
+        prev = cur
+    return w, h, float(out.mean()) if out.size else 0.0

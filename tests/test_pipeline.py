@@ -228,6 +228,45 @@ def test_media_codecs_roundtrip_and_dispatch():
     n, rate, _ = decode_wav(buf.getvalue())
     assert (n, rate) == (10, 44100)
 
+    # foreign PNG exercising ALL five filter types: take known pixel rows,
+    # forward-filter them per the spec, and require decode to invert them
+    import zlib
+
+    from neumann_spark.pipeline.multimodal import _png_chunk, decode_png
+
+    wpx, bpp = 3, 3
+    pixel_rows = [bytes(range(9)), bytes(range(50, 59)),
+                  bytes(range(100, 109)), bytes(range(7, 16)),
+                  bytes(range(200, 209))]
+
+    def fwd(f, cur, prev):
+        out = bytearray([f])
+        for i, v in enumerate(cur):
+            a = cur[i - bpp] if i >= bpp else 0
+            b = prev[i] if prev else 0
+            c = (prev[i - bpp] if i >= bpp else 0) if prev else 0
+            if f == 0: pred = 0
+            elif f == 1: pred = a
+            elif f == 2: pred = b
+            elif f == 3: pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out.append((v - pred) & 0xFF)
+        return bytes(out)
+
+    raw = b"".join(
+        fwd(f, row, pixel_rows[j - 1] if j else None)
+        for j, (f, row) in enumerate(zip([0, 1, 2, 3, 4], pixel_rows)))
+    ihdr = struct.pack(">IIBBBBB", wpx, len(pixel_rows), 8, 2, 0, 0, 0)
+    foreign = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+               + _png_chunk(b"IDAT", zlib.compress(raw))
+               + _png_chunk(b"IEND", b""))
+    w, h, mean = decode_png(foreign)
+    exp = sum(sum(r) for r in pixel_rows) / (wpx * bpp * len(pixel_rows))
+    assert (w, h) == (wpx, len(pixel_rows)) and abs(mean - exp) < 1e-9
+
     # foreign top-down BMP (negative height) with one padded 1-px row
     wpx, hpx = 1, 2
     row_size = 4  # 3 bytes pixel + 1 pad
@@ -254,9 +293,15 @@ def test_multimodal_real_decode_sparkside(spark):
         F.col("media_type") != "video/mp4").count()
     rows = multimodal_real_decode(spark, SF_DIR).collect()
     assert len(rows) == enc_n
-    for r in rows[:20]:
+    assert {r["media_type"] for r in rows} == {
+        "audio/wav", "image/bmp", "image/png"}
+    from neumann_spark.pipeline.multimodal import _png_shape
+
+    for r in rows[:30]:
         if r["media_type"] == "audio/wav":
             assert r["dim_a"] == _wav_shape(r["doc_id"])[0]
             assert r["dim_b"] == 8000
-        else:
+        elif r["media_type"] == "image/bmp":
             assert (r["dim_a"], r["dim_b"]) == _bmp_shape(r["doc_id"])
+        else:
+            assert (r["dim_a"], r["dim_b"]) == _png_shape(r["doc_id"])
