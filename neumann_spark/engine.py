@@ -1307,9 +1307,7 @@ class NeumannSparkEngine:
                 out = out.filter(F.col(col) == F.lit(v))
             if where:
                 out = out.filter(re.sub(rf"\b{var}\.(\w+)", rf"{var}_\1", where))
-            cols = [c.strip() for c in ret.split(",")]
-            proj = [f"{c}_id" if c == var else c for c in cols]
-            out = out.select(*proj)
+            out = self._cypher_return(out, ret, {var})
             if order:
                 items = []
                 for part in order.split(","):
@@ -1320,7 +1318,7 @@ class NeumannSparkEngine:
                     items.append(F.col(col).desc() if desc else F.col(col).asc())
                 out = out.orderBy(*items)
             else:
-                out = out.orderBy(proj[0])
+                out = out.orderBy(out.columns[0])
             if skip:
                 out = out.offset(int(skip))
             if limit:
@@ -1372,12 +1370,61 @@ class NeumannSparkEngine:
             out = out.filter(F.col(f"{b}_label") == b_lbl)
         if where:
             out = out.filter(where)
-        cols = [c.strip() for c in ret.split(",")]
-        proj = [f"{c}_id" if c in (a, b) else c for c in cols]
-        out = out.select(*proj)
+        out = self._cypher_return(out, ret, {a, b})
         if limit:
             out = out.limit(int(limit))
         return out
+
+    _CYPHER_AGG_RE = re.compile(
+        r"COUNT\s*\(\s*(DISTINCT\s+)?(\*|[\w.]+)\s*\)(?:\s+AS\s+(\w+))?\s*$",
+        re.I)
+
+    def _cypher_return(self, out: DataFrame, ret: str, id_vars: set) -> DataFrame:
+        """Cypher RETURN item list (`neumann_parser/src/cypher.rs`
+        CypherReturn/CypherReturnItem — `COUNT(p) AS total` is the
+        documented aggregate form, plus the DISTINCT flag): bare pattern
+        variables resolve to their id column, `var.prop` to the prefixed
+        property column, each item takes an optional `AS alias`. When any
+        COUNT appears, the non-aggregated items become grouping keys —
+        Cypher's implicit grouping — or a global aggregate if none."""
+        body = ret.strip()
+        distinct = False
+        dm = re.match(r"DISTINCT\s+(.+)$", body, re.I | re.S)
+        if dm:
+            distinct, body = True, dm.group(1)
+
+        def resolve(name: str) -> str:
+            if name in id_vars:
+                return f"{name}_id"
+            if "." in name:
+                v, p = name.split(".", 1)
+                if v in id_vars:
+                    return f"{v}_id" if p == "id" else f"{v}_{p}"
+            return name
+
+        keys, aggs = [], []
+        for it in (c.strip() for c in body.split(",")):
+            am = self._CYPHER_AGG_RE.match(it)
+            if am:
+                dis, tgt, alias = am.groups()
+                if tgt == "*":
+                    col = (F.count_distinct(F.lit(1)) if dis
+                           else F.count(F.lit(1)))
+                else:
+                    col = (F.count_distinct if dis else F.count)(resolve(tgt))
+                aggs.append(col.alias(alias or "count"))
+                continue
+            pm = re.match(r"([\w.]+)(?:\s+AS\s+(\w+))?\s*$", it, re.I)
+            if not pm:
+                raise ValueError(f"unsupported RETURN item {it!r}")
+            name, alias = pm.groups()
+            col = F.col(resolve(name))
+            keys.append(col.alias(alias) if alias else col)
+        if aggs:
+            out = out.groupBy(*keys).agg(*aggs) if keys else out.agg(*aggs)
+        else:
+            out = out.select(*keys)
+        return out.distinct() if distinct else out
 
     def _exec_match_varlength(self, m) -> DataFrame:
         """Cypher variable-length pattern `(a)-[:T*min..max]->(b)`
@@ -1409,9 +1456,7 @@ class NeumannSparkEngine:
                 F.col("id").alias(f"{b}_id")
             )
             out = out.join(nb, f"{b}_id", "left_semi")
-        cols = [c.strip() for c in ret.split(",")]
-        proj = [f"{c}_id" if c in (a, b) else c for c in cols]
-        out = out.select(*proj)
+        out = self._cypher_return(out, ret, {a, b})
         if limit:
             out = out.limit(int(limit))
         return out

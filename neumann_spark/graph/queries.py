@@ -216,3 +216,30 @@ def cypher_node_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         "MATCH (s:supplier) WHERE s.id % 5 = 3 "
         "RETURN s, s_label ORDER BY s.id LIMIT 40"
     )
+
+
+@register(
+    "cypher_count_aggregate",
+    oracle=GRAPH_SQL_CTE
+    + """
+    SELECT e.dst AS n_id, COUNT(*) AS n_customers,
+           CAST(COUNT(DISTINCT e.src) AS BIGINT) AS distinct_customers
+    FROM edges e
+    WHERE e.edge_type = 'located_in' AND e.src < 1000000
+    GROUP BY e.dst
+    """,
+)
+def cypher_count_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cypher RETURN aggregation (`neumann_parser/src/cypher.rs:158`
+    `COUNT(p) AS total`, the documented aggregate return item): COUNT and
+    COUNT(DISTINCT) with Cypher's implicit grouping — non-aggregated
+    RETURN items become the grouping keys. Lowers to groupBy over the
+    pattern join; hash-checked against the derived-graph SQL."""
+    from neumann_spark.engine import NeumannSparkEngine
+
+    eng = NeumannSparkEngine(spark, sf_dir)
+    return eng.execute(
+        "MATCH (c:customer)-[:located_in]->(n:nation) "
+        "RETURN n, COUNT(c) AS n_customers, "
+        "COUNT(DISTINCT c) AS distinct_customers"
+    )

@@ -1286,3 +1286,30 @@ def test_checkpoint_name_traversal_rejected(spark):
             eng.execute(f"CHECKPOINT {bad}")
     with pytest.raises(ValueError, match="expected ROLLBACK TO"):
         eng.execute("ROLLBACK TO")
+
+
+def test_cypher_return_aggregates(engine):
+    """RETURN COUNT forms (`cypher.rs:158` `COUNT(p) AS total`): global
+    count, implicit grouping, COUNT(DISTINCT), RETURN DISTINCT, aliases."""
+    total = engine.execute(
+        "MATCH (s:supplier) RETURN COUNT(*) AS total").collect()
+    assert total[0]["total"] > 0
+    # implicit grouping: nation id key + per-key count
+    rows = engine.execute(
+        "MATCH (c:customer)-[:located_in]->(n:nation) "
+        "RETURN n, COUNT(c) AS n_customers").collect()
+    assert len(rows) == 25
+    assert sum(r["n_customers"] for r in rows) == engine.execute(
+        "MATCH (c:customer)-[:located_in]->(n:nation) RETURN COUNT(*) AS t"
+    ).collect()[0]["t"]
+    # COUNT(DISTINCT) and DISTINCT projection agree
+    nd = engine.execute(
+        "MATCH (c:customer)-[:located_in]->(n:nation) "
+        "RETURN COUNT(DISTINCT n) AS nations").collect()[0]["nations"]
+    assert nd == len(engine.execute(
+        "MATCH (c:customer)-[:located_in]->(n:nation) RETURN DISTINCT n"
+    ).collect()) == 25
+    # default alias and var.prop resolution still work
+    one = engine.execute(
+        "MATCH (s:supplier) RETURN COUNT(s)").collect()[0]
+    assert one["count"] == total[0]["total"]
