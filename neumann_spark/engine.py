@@ -1717,14 +1717,38 @@ class NeumannSparkEngine:
         return new
 
     def _exec_cypher_merge(self, cmd: str) -> DataFrame:
-        """Cypher MERGE (`cypher.rs:168`): bind the full pattern if it
-        exists, else create it — returns the node with a matched/created
-        status column."""
+        """Cypher MERGE (`cypher.rs:168`; CypherMergeStmt `on_create` /
+        `on_match` SET lists, `:196-207`): bind the full pattern if it
+        exists, else create it — then apply the branch's SET items.
+        Settable node properties are the overlay's columns (`label`;
+        free-form properties live on entities), matching `_NODE_PROPS`."""
         m = self._require(
-            re.match(rf"MERGE\s*{self._NODE_PAT}\s*$", cmd, re.I | re.S),
-            "MERGE (n:Label {id: ...})",
+            re.match(
+                rf"MERGE\s*{self._NODE_PAT}"
+                r"(?:\s+ON\s+CREATE\s+SET\s+(.+?))?"
+                r"(?:\s+ON\s+MATCH\s+SET\s+(.+?))?\s*$",
+                cmd, re.I | re.S),
+            "MERGE (n:Label {id: ...}) [ON CREATE SET n.p = v] "
+            "[ON MATCH SET n.p = v]",
         )
-        _, label, props = m.groups()
+        var, label, props, on_create, on_match = m.groups()
+
+        def parse_sets(clause: "Optional[str]") -> dict:
+            out: dict = {}
+            if not clause:
+                return out
+            for item in self._split_top_level(clause):
+                sm = self._require(
+                    re.match(rf"{var}\.(\w+)\s*=\s*(.+?)\s*$", item, re.S),
+                    f"SET item `{var}.prop = value`")
+                prop, val = sm.groups()
+                if prop not in self._NODE_PROPS or prop == "id":
+                    raise ValueError(
+                        f"unsupported SET property {prop!r} (settable: label)")
+                out[prop] = str(self._parse_default_literal(val.strip()))
+            return out
+
+        create_sets, match_sets = parse_sets(on_create), parse_sets(on_match)
         nid = int(self._parse_props(props)["id"])
         hit = self._nodes.filter(F.col("id") == nid)
         if label:
@@ -1732,12 +1756,16 @@ class NeumannSparkEngine:
         existing = hit.limit(1).collect()
         if existing:
             row = existing[0]
+            new_label = match_sets.get("label", row["label"])
+            if new_label != row["label"]:
+                self.update_node(nid, new_label)
             return self.spark.createDataFrame(
-                [(row["id"], row["label"], "matched")],
+                [(row["id"], new_label, "matched")],
                 "id bigint, label string, status string",
             )
         new = self.spark.createDataFrame(
-            [(nid, label or "node")], "id bigint, label string"
+            [(nid, create_sets.get("label", label or "node"))],
+            "id bigint, label string",
         )
         self._add_nodes(new)
         self._checkpoint_overlays()

@@ -1313,3 +1313,21 @@ def test_cypher_return_aggregates(engine):
     one = engine.execute(
         "MATCH (s:supplier) RETURN COUNT(s)").collect()[0]
     assert one["count"] == total[0]["total"]
+
+
+def test_merge_on_create_on_match_set(engine):
+    """MERGE ON CREATE SET / ON MATCH SET (`cypher.rs:196-207`
+    CypherMergeStmt set lists): the create branch takes the SET label,
+    the match branch rewrites it; the other branch's items are ignored."""
+    r = engine.execute(
+        "MERGE (p:temp {id: 9400001}) ON CREATE SET p.label = 'fresh' "
+        "ON MATCH SET p.label = 'seen'").collect()[0]
+    assert (r["status"], r["label"]) == ("created", "fresh")
+    r = engine.execute(
+        "MERGE (p {id: 9400001}) ON CREATE SET p.label = 'fresh' "
+        "ON MATCH SET p.label = 'seen'").collect()[0]
+    assert (r["status"], r["label"]) == ("matched", "seen")
+    assert engine.execute("NODE GET 9400001").collect()[0]["label"] == "seen"
+    with pytest.raises(ValueError, match="unsupported SET property"):
+        engine.execute("MERGE (p {id: 9400002}) ON CREATE SET p.id = 1")
+    engine.execute("NODE DELETE 9400001")  # restore module-scoped fixture

@@ -78,9 +78,13 @@ def test_simhash_similar_docs_close(spark):
 
 
 def test_multimodal_decode_stub_raises():
+    """jpeg/mp4 stay stubbed (PIL/ffmpeg-bound); png now decodes for real,
+    so a truncated payload is a parse error, not a missing-lib error."""
     from neumann_spark.pipeline.multimodal import decode_media
 
     with pytest.raises(NotImplementedError):
+        decode_media(b"\xff\xd8\xff", "image/jpeg")
+    with pytest.raises(ValueError, match="not a PNG"):
         decode_media(b"\x89PNG", "image/png")
 
 
