@@ -258,8 +258,8 @@ def encoded_media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
                     blob, mt = encode_wav(doc_id), "audio/wav"
                 elif kind == 2:
                     blob, mt = encode_png(doc_id), "image/png"
-                else:  # a real `ftyp` box signature; decode needs ffmpeg
-                    blob, mt = b"\x00\x00\x00\x18ftypisom", "video/mp4"
+                else:  # real ISO-BMFF shell; frame decode needs ffmpeg
+                    blob, mt = encode_mp4_shell(doc_id), "video/mp4"
                 out["doc_id"].append(doc_id)
                 out["media"].append(blob)
                 out["media_type"].append(mt)
@@ -275,7 +275,7 @@ def _decode_oracle_sql() -> str:
     SQL (per-sample/per-pixel averages via generate_series)."""
     return """
     WITH docs AS MATERIALIZED (
-      SELECT doc_id FROM documents WHERE doc_id % 5 = 0 AND doc_id % 4 < 3
+      SELECT doc_id FROM documents WHERE doc_id % 5 = 0
     ),
     wav AS (
       -- correlated generate_series is unsupported: join a fixed series to
@@ -315,22 +315,34 @@ def _decode_oracle_sql() -> str:
       CROSS JOIN generate_series(0, 2) AS c(i)
       WHERE d.doc_id % 4 = 2
       GROUP BY d.doc_id
+    ),
+    mp4 AS (
+      -- box-level metadata (mvhd timescale/duration); no sample decode
+      SELECT d.doc_id, 'video/mp4' AS media_type,
+             CAST(1000 AS BIGINT) AS dim_a,
+             CAST(1000 + d.doc_id % 500 AS BIGINT) AS dim_b,
+             CAST(0.0 AS DOUBLE) AS mean_value
+      FROM docs d WHERE d.doc_id % 4 = 3
     )
-    SELECT * FROM wav UNION ALL SELECT * FROM bmp UNION ALL SELECT * FROM png
+    SELECT * FROM wav UNION ALL SELECT * FROM bmp
+    UNION ALL SELECT * FROM png UNION ALL SELECT * FROM mp4
     """
 
 
 @register("multimodal_real_decode", oracle=_decode_oracle_sql())
 def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end REAL media decode: build byte-exact WAV/BMP files in one
-    Arrow stage, parse them back with the actual format parsers (stdlib
-    `wave`, BMP struct headers, row padding and all) in another, and emit
-    typed features — (n_samples, sample_rate, mean amplitude) for audio,
-    (width, height, mean pixel) for images. The oracle recomputes every
-    feature in closed form from doc_id, so a decoder that misreads the
-    header, drops padding wrong, or truncates frames hash-mismatches.
-    video/mp4 rows are excluded here: mp4 decode genuinely needs ffmpeg
-    (`decode_media` documents that stub)."""
+    """End-to-end REAL media decode: build byte-exact WAV/BMP/PNG files
+    and ISO-BMFF shells in one Arrow stage, parse them back with actual
+    format parsers (stdlib `wave`; BMP struct headers, row padding and
+    all; PNG chunk walk + zlib inflate + all five filters; MP4 box-tree
+    walk to mvhd) in another, and emit typed features — (n_samples,
+    sample_rate, mean amplitude) for audio, (width, height, mean pixel)
+    for images, (timescale, duration) for video metadata. The oracle
+    recomputes every feature in closed form from doc_id, so a decoder
+    that misreads a header, drops padding wrong, or truncates frames
+    hash-mismatches. mp4 SAMPLE decode genuinely needs ffmpeg
+    (`decode_media` documents that stub); the box-level metadata here is
+    the real media-inventory path."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -344,8 +356,8 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     a, b, m = decode_bmp(bytes(blob))
                 elif mt == "image/png":
                     a, b, m = decode_png(bytes(blob))
-                else:
-                    continue
+                else:  # mp4: box-level metadata only (no sample decode)
+                    (a, b), m = decode_mp4_metadata(bytes(blob)), 0.0
                 out["doc_id"].append(int(doc_id))
                 out["media_type"].append(mt)
                 out["dim_a"].append(a)
@@ -353,9 +365,8 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["mean_value"].append(round(m, 6))
             yield pd.DataFrame(out)
 
-    enc = encoded_media_df(spark, sf_dir).filter(
-        F.col("media_type") != "video/mp4")
-    return enc.mapInPandas(op, schema=DECODE_SCHEMA)
+    return encoded_media_df(spark, sf_dir).mapInPandas(
+        op, schema=DECODE_SCHEMA)
 
 
 # --- PNG: real encode/decode via stdlib zlib ------------------------------
@@ -463,3 +474,71 @@ def decode_png(payload: bytes) -> tuple[int, int, float]:
         out[y] = cur
         prev = cur
     return w, h, float(out.mean()) if out.size else 0.0
+
+
+# --- MP4: real box-level metadata parsing (frame decode stays stubbed) ----
+#
+# The ISO-BMFF container (box tree, mvhd timescale/duration) is plain
+# struct parsing — the media-inventory path every pipeline runs BEFORE
+# deciding what to transcode. Frame/sample decode genuinely needs ffmpeg
+# and keeps the `decode_media` stub.
+
+
+def _mp4_shape(doc_id: int) -> tuple[int, int]:
+    """(timescale, duration ticks) — deterministic per doc."""
+    return 1000, 1000 + doc_id % 500
+
+
+def encode_mp4_shell(doc_id: int) -> bytes:
+    """A structurally-real ISO-BMFF shell: `ftyp` + `moov`/`mvhd` boxes
+    with correct sizes and a version-0 movie header carrying the doc's
+    timescale/duration. No media samples (mdat) — this is the metadata
+    surface, not an encode."""
+    import struct
+
+    ts, dur = _mp4_shape(doc_id)
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    mvhd_payload = (
+        b"\x00\x00\x00\x00"            # version 0 + flags
+        + struct.pack(">II", 0, 0)      # creation/modification time
+        + struct.pack(">II", ts, dur)   # timescale, duration
+        + struct.pack(">I", 0x00010000)  # rate 1.0
+        + struct.pack(">H", 0x0100)     # volume 1.0
+        + b"\x00" * 10                  # reserved
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24                  # pre_defined
+        + struct.pack(">I", 2)          # next_track_id
+    )
+    return ftyp + box(b"moov", box(b"mvhd", mvhd_payload))
+
+
+def decode_mp4_metadata(payload: bytes) -> tuple[int, int]:
+    """Walk the ISO-BMFF box tree and return (timescale, duration) from
+    `moov`/`mvhd` — both version 0 (32-bit) and version 1 (64-bit) movie
+    headers parse."""
+    import struct
+
+    def walk(buf: bytes, start: int, end: int):
+        pos = start
+        while pos + 8 <= end:
+            (size,), btype = struct.unpack_from(">I", buf, pos), buf[pos + 4: pos + 8]
+            if size < 8:
+                raise ValueError("malformed MP4 box size")
+            if btype == b"moov":
+                yield from walk(buf, pos + 8, pos + size)
+            elif btype == b"mvhd":
+                yield pos + 8, pos + size
+            pos += size
+
+    for p, _q in walk(payload, 0, len(payload)):
+        version = payload[p]
+        if version == 1:
+            ts, dur = struct.unpack_from(">IQ", payload, p + 4 + 16)
+        else:
+            _c, _m, ts, dur = struct.unpack_from(">IIII", payload, p + 4)
+        return int(ts), int(dur)
+    raise ValueError("no mvhd box — not a movie file or metadata stripped")

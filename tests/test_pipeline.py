@@ -293,19 +293,20 @@ def test_multimodal_real_decode_sparkside(spark):
         multimodal_real_decode,
     )
 
-    enc_n = encoded_media_df(spark, SF_DIR).filter(
-        F.col("media_type") != "video/mp4").count()
+    enc_n = encoded_media_df(spark, SF_DIR).count()
     rows = multimodal_real_decode(spark, SF_DIR).collect()
     assert len(rows) == enc_n
     assert {r["media_type"] for r in rows} == {
-        "audio/wav", "image/bmp", "image/png"}
-    from neumann_spark.pipeline.multimodal import _png_shape
+        "audio/wav", "image/bmp", "image/png", "video/mp4"}
+    from neumann_spark.pipeline.multimodal import _mp4_shape, _png_shape
 
-    for r in rows[:30]:
+    for r in rows[:40]:
         if r["media_type"] == "audio/wav":
             assert r["dim_a"] == _wav_shape(r["doc_id"])[0]
             assert r["dim_b"] == 8000
         elif r["media_type"] == "image/bmp":
             assert (r["dim_a"], r["dim_b"]) == _bmp_shape(r["doc_id"])
-        else:
+        elif r["media_type"] == "image/png":
             assert (r["dim_a"], r["dim_b"]) == _png_shape(r["doc_id"])
+        else:
+            assert (r["dim_a"], r["dim_b"]) == _mp4_shape(r["doc_id"])
