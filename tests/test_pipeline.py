@@ -310,3 +310,34 @@ def test_multimodal_real_decode_sparkside(spark):
             assert (r["dim_a"], r["dim_b"]) == _png_shape(r["doc_id"])
         else:
             assert (r["dim_a"], r["dim_b"]) == _mp4_shape(r["doc_id"])
+
+
+def test_mp4_metadata_parse_v0_and_v1():
+    """ISO-BMFF metadata: our v0 shell round-trips, and a foreign
+    version-1 mvhd (64-bit times) from another writer parses too."""
+    import struct
+
+    import pytest as _pt
+
+    from neumann_spark.pipeline.multimodal import (
+        _mp4_shape,
+        decode_mp4_metadata,
+        encode_mp4_shell,
+    )
+
+    for d in (0, 3, 103, 4999):
+        assert decode_mp4_metadata(encode_mp4_shell(d)) == _mp4_shape(d)
+
+    def box(t, p):
+        return struct.pack(">I", 8 + len(p)) + t + p
+
+    mvhd1 = (b"\x01\x00\x00\x00" + struct.pack(">QQ", 0, 0)
+             + struct.pack(">I", 90000) + struct.pack(">Q", 123456)
+             + b"\x00" * 80)
+    blob = box(b"ftyp", b"isom") + box(b"moov", box(b"mvhd", mvhd1))
+    assert decode_mp4_metadata(blob) == (90000, 123456)
+
+    with _pt.raises(ValueError, match="no mvhd"):
+        decode_mp4_metadata(box(b"ftyp", b"isom"))
+    with _pt.raises(ValueError, match="malformed"):
+        decode_mp4_metadata(b"\x00\x00\x00\x01moov")
