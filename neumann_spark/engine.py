@@ -1408,11 +1408,16 @@ class NeumannSparkEngine:
             if am:
                 dis, tgt, alias = am.groups()
                 if tgt == "*":
-                    col = (F.count_distinct(F.lit(1)) if dis
-                           else F.count(F.lit(1)))
+                    if dis:  # COUNT(DISTINCT *) would silently return 1
+                        raise ValueError(
+                            "COUNT(DISTINCT *) is not supported — name a "
+                            "variable: COUNT(DISTINCT x)")
+                    col = F.count(F.lit(1))
                 else:
                     col = (F.count_distinct if dis else F.count)(resolve(tgt))
-                aggs.append(col.alias(alias or "count"))
+                if not alias:  # unique default aliases, never a duplicate
+                    alias = "count" if not aggs else f"count_{len(aggs) + 1}"
+                aggs.append(col.alias(alias))
                 continue
             pm = re.match(r"([\w.]+)(?:\s+AS\s+(\w+))?\s*$", it, re.I)
             if not pm:
@@ -1478,21 +1483,28 @@ class NeumannSparkEngine:
             self._edges = self._edges.localCheckpoint(eager=False)
             self._embeddings = self._embeddings.localCheckpoint(eager=False)
 
-    def update_node(self, node_id: int, label: str) -> None:
+    def update_node(
+        self, node_id: int, label: str, only_label: "Optional[str]" = None
+    ) -> None:
         """Replace a node's primary label (`update_node`, lib.rs:3551).
-        The new version validates against the store minus the node itself
-        (`validate_node_constraints` with exclude_id, lib.rs:3549)."""
+        The new version validates against the store minus the rewritten
+        rows (`validate_node_constraints` with exclude_id, lib.rs:3549).
+        `only_label` scopes the rewrite to the (id, label) row — MERGE's
+        match branch uses it so a shared id across labels doesn't clobber
+        the OTHER labels' rows."""
         self._cache_clear()
+        cond = F.col("id") == node_id
+        if only_label is not None:
+            cond = cond & (F.col("label") == only_label)
         # new versions = the ACTUAL matched rows relabeled (a shared id
         # across labels yields several), so a within-batch duplicate is
         # caught even though the store side excludes the rewritten rows
-        new = self._nodes.filter(F.col("id") == node_id).withColumn(
-            "label", F.lit(label))
+        new = self._nodes.filter(cond).withColumn("label", F.lit(label))
         self._check_graph_write_constraints(
-            "node", new, store=self._nodes.filter(F.col("id") != node_id))
+            "node", new, store=self._nodes.filter(~cond))
         self._nodes = self._nodes.withColumn(
             "label",
-            F.when(F.col("id") == node_id, F.lit(label)).otherwise(F.col("label")),
+            F.when(cond, F.lit(label)).otherwise(F.col("label")),
         )
         self._checkpoint_overlays()
 
@@ -1745,10 +1757,23 @@ class NeumannSparkEngine:
                 if prop not in self._NODE_PROPS or prop == "id":
                     raise ValueError(
                         f"unsupported SET property {prop!r} (settable: label)")
-                out[prop] = str(self._parse_default_literal(val.strip()))
+                parsed = self._parse_default_literal(val.strip())
+                if not isinstance(parsed, str):
+                    raise ValueError(
+                        f"SET {var}.{prop} requires a string literal, "
+                        f"got {parsed!r}")
+                out[prop] = parsed
             return out
 
         create_sets, match_sets = parse_sets(on_create), parse_sets(on_match)
+        if (label and create_sets.get("label")
+                and create_sets["label"] != label):
+            # a created node carrying a different label would never
+            # re-match its own MERGE pattern — the bind-or-create contract
+            # (idempotency) would silently break on the second run
+            raise ValueError(
+                f"ON CREATE SET label {create_sets['label']!r} conflicts "
+                f"with the MERGE pattern label {label!r}")
         nid = int(self._parse_props(props)["id"])
         hit = self._nodes.filter(F.col("id") == nid)
         if label:
@@ -1758,7 +1783,9 @@ class NeumannSparkEngine:
             row = existing[0]
             new_label = match_sets.get("label", row["label"])
             if new_label != row["label"]:
-                self.update_node(nid, new_label)
+                # scope the relabel to the matched (id, label) row — other
+                # labels sharing this id must survive untouched
+                self.update_node(nid, new_label, only_label=row["label"])
             return self.spark.createDataFrame(
                 [(row["id"], new_label, "matched")],
                 "id bigint, label string, status string",

@@ -241,10 +241,11 @@ def decode_bmp(payload: bytes) -> tuple[int, int, float]:
 
 
 def encoded_media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Real binary media column: every third doc becomes a BMP image, WAV
-    audio, or MP4 stub payload. Encoding runs distributed in Arrow batches
-    (mapInPandas), the same stage shape a re-encode/transcode pipeline
-    uses at 100 TB; only (doc_id) is read from the source."""
+    """Real binary media column: a four-way doc_id % 4 split over BMP
+    image / WAV audio / PNG image / MP4 metadata-shell payloads. Encoding
+    runs distributed in Arrow batches (mapInPandas), the same stage shape
+    a re-encode/transcode pipeline uses at 100 TB; only (doc_id) is read
+    from the source."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -525,13 +526,23 @@ def decode_mp4_metadata(payload: bytes) -> tuple[int, int]:
     def walk(buf: bytes, start: int, end: int):
         pos = start
         while pos + 8 <= end:
-            (size,), btype = struct.unpack_from(">I", buf, pos), buf[pos + 4: pos + 8]
-            if size < 8:
+            (size32,), btype = (struct.unpack_from(">I", buf, pos),
+                                buf[pos + 4: pos + 8])
+            if size32 == 1:  # 64-bit largesize (boxes > 4 GiB, e.g. mdat)
+                if pos + 16 > end:
+                    raise ValueError("truncated MP4 largesize box")
+                hdr = 16
+                size = struct.unpack_from(">Q", buf, pos + 8)[0]
+            elif size32 == 0:  # box extends to the end of the container
+                hdr, size = 8, end - pos
+            else:
+                hdr, size = 8, size32
+            if size < hdr or pos + size > end:
                 raise ValueError("malformed MP4 box size")
             if btype == b"moov":
-                yield from walk(buf, pos + 8, pos + size)
+                yield from walk(buf, pos + hdr, pos + size)
             elif btype == b"mvhd":
-                yield pos + 8, pos + size
+                yield pos + hdr, pos + size
             pos += size
 
     for p, _q in walk(payload, 0, len(payload)):

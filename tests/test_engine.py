@@ -1317,10 +1317,12 @@ def test_cypher_return_aggregates(engine):
 
 def test_merge_on_create_on_match_set(engine):
     """MERGE ON CREATE SET / ON MATCH SET (`cypher.rs:196-207`
-    CypherMergeStmt set lists): the create branch takes the SET label,
-    the match branch rewrites it; the other branch's items are ignored."""
+    CypherMergeStmt set lists): the create branch takes the SET label
+    (unlabeled pattern — a conflicting labeled pattern is rejected, see
+    test_merge_set_review_fixes), the match branch rewrites it; the other
+    branch's items are ignored."""
     r = engine.execute(
-        "MERGE (p:temp {id: 9400001}) ON CREATE SET p.label = 'fresh' "
+        "MERGE (p {id: 9400001}) ON CREATE SET p.label = 'fresh' "
         "ON MATCH SET p.label = 'seen'").collect()[0]
     assert (r["status"], r["label"]) == ("created", "fresh")
     r = engine.execute(
@@ -1331,3 +1333,41 @@ def test_merge_on_create_on_match_set(engine):
     with pytest.raises(ValueError, match="unsupported SET property"):
         engine.execute("MERGE (p {id: 9400002}) ON CREATE SET p.id = 1")
     engine.execute("NODE DELETE 9400001")  # restore module-scoped fixture
+
+
+def test_merge_set_review_fixes(engine):
+    """MERGE hardening: conflicting ON CREATE SET label is rejected (it
+    would break bind-or-create idempotency), unlabeled-pattern create+SET
+    IS idempotent, ON MATCH relabel touches only the matched (id,label)
+    row, and non-string SET literals are rejected."""
+    with pytest.raises(ValueError, match="conflicts"):
+        engine.execute(
+            "MERGE (p:temp {id: 9500001}) ON CREATE SET p.label = 'fresh'")
+    # unlabeled pattern: create+SET then re-run matches (idempotent)
+    r1 = engine.execute(
+        "MERGE (p {id: 9500001}) ON CREATE SET p.label = 'fresh'").collect()[0]
+    r2 = engine.execute(
+        "MERGE (p {id: 9500001}) ON CREATE SET p.label = 'fresh'").collect()[0]
+    assert (r1["status"], r2["status"]) == ("created", "matched")
+    assert len(engine.execute("NODE GET 9500001").collect()) == 1
+    with pytest.raises(ValueError, match="string literal"):
+        engine.execute("MERGE (p {id: 9500002}) ON CREATE SET p.label = NULL")
+    # shared id across labels: ON MATCH relabels ONLY the matched row
+    engine.execute("NODE CREATE otherlab id=9500001")
+    engine.execute(
+        "MERGE (p:fresh {id: 9500001}) ON MATCH SET p.label = 'seen'")
+    labels = sorted(
+        r["label"] for r in engine.execute("NODE GET 9500001").collect())
+    assert labels == ["otherlab", "seen"]
+    engine.execute("NODE DELETE 9500001")
+
+
+def test_cypher_count_review_fixes(engine):
+    """COUNT(DISTINCT *) rejects; multiple unaliased COUNTs get unique
+    default aliases."""
+    with pytest.raises(ValueError, match="COUNT\\(DISTINCT \\*\\)"):
+        engine.execute("MATCH (s:supplier) RETURN COUNT(DISTINCT *)")
+    cols = engine.execute(
+        "MATCH (c:customer)-[:located_in]->(n:nation) "
+        "RETURN n, COUNT(c), COUNT(DISTINCT c)").columns
+    assert cols == ["n_id", "count", "count_2"]

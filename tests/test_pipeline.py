@@ -340,4 +340,15 @@ def test_mp4_metadata_parse_v0_and_v1():
     with _pt.raises(ValueError, match="no mvhd"):
         decode_mp4_metadata(box(b"ftyp", b"isom"))
     with _pt.raises(ValueError, match="malformed"):
-        decode_mp4_metadata(b"\x00\x00\x00\x01moov")
+        decode_mp4_metadata(b"\x00\x00\x00\x02mooo")  # size 2 < header 8
+
+    # non-faststart layout: a size=1 (64-bit largesize) mdat BEFORE moov,
+    # and a size=0 (to-end-of-file) trailing box — both valid ISO-BMFF
+    mvhd0 = (b"\x00" * 4 + struct.pack(">II", 0, 0)
+             + struct.pack(">II", 600, 4242) + b"\x00" * 80)
+    big_mdat = (struct.pack(">I", 1) + b"mdat"
+                + struct.pack(">Q", 16 + 4) + b"\x00" * 4)
+    moov_payload = box(b"mvhd", mvhd0)
+    trailing_moov = struct.pack(">I", 0) + b"moov" + moov_payload
+    assert decode_mp4_metadata(
+        box(b"ftyp", b"isom") + big_mdat + trailing_moov) == (600, 4242)
