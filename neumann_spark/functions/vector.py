@@ -130,6 +130,28 @@ def cosine_scores_pandas(df: DataFrame, vec_col: str, query_vec: Sequence[float]
     return df.withColumn("score", _cos_batch(F.col(vec_col).cast("array<double>"), q))
 
 
+@F.pandas_udf(T.DoubleType())
+def cos_pair_batch(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow-batched ROWWISE cosine for pair frames (a_i vs b_i per row).
+
+    This exists for a plan-shape reason, not just speed: a higher-order
+    `aggregate`/`zip_with` cosine referenced by a pair-join's filter gets
+    pushed INTO the join condition, where it runs interpreted (no
+    whole-stage codegen) and re-derives both norms per candidate pair —
+    measured 10x+ slower than this path on the semantic-dedup pair join.
+    A Python UDF can never run inside a join condition, so scoring is
+    guaranteed to evaluate post-join, vectorized over Arrow batches."""
+    import numpy as np
+
+    if len(a) == 0:
+        return pd.Series([], dtype="float64")
+    ma = np.stack(a.to_numpy())
+    mb = np.stack(b.to_numpy())
+    dots = np.einsum("ij,ij->i", ma, mb)
+    norms = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+    return pd.Series(dots / norms)
+
+
 # --- oracle SQL building blocks ------------------------------------------
 
 # dot/norm via an explicit 1-based index join — element order is preserved,
