@@ -117,11 +117,38 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select("doc_id", "media_type", "n_bytes", "checksum")
 
 
-@register("multimodal_features")
+@register(
+    "multimodal_features",
+    oracle="""
+    WITH chars AS MATERIALIZED (
+      -- the media blobs are the docs' UTF-8 bytes and the corpus is pure
+      -- ASCII (checked), so ord(char) IS the byte the Python stage folds
+      SELECT d.doc_id, (t.i - 1) % 8 AS slot,
+             CAST(ord(substr(d.text, CAST(t.i AS INT), 1)) AS DOUBLE) AS b
+      FROM documents d
+      JOIN generate_series(1, 100000) AS t(i) ON t.i <= length(d.text)
+    ),
+    perdoc AS MATERIALIZED (
+      SELECT doc_id,
+             ROUND(SUM(CASE WHEN slot = 0 THEN b ELSE 0.0 END)
+                   / GREATEST(SUM(b), 1.0), 6) AS f0
+      FROM chars GROUP BY doc_id
+    )
+    SELECT CASE CAST(d.doc_id % 3 AS INT) WHEN 0 THEN 'image/png'
+                WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS media_type,
+           COUNT(*) AS n,
+           ROUND(AVG(COALESCE(p.f0, 0.0)), 6) AS avg_f0
+    FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id
+    GROUP BY 1
+    """,
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary → feature vectors via mapInPandas (deterministic fake decode).
-    Rows-only check (array<float> features; the plumbing is the product).
-    Returns per-type feature aggregates to keep output compact."""
+    """Binary → feature vectors via mapInPandas (deterministic byte-fold
+    features). Formerly the registry's only rows-only entry — the blobs
+    are the docs' UTF-8 bytes and the corpus is ASCII, so the byte
+    histogram is SQL-expressible and the Arrow stage now hash-checks
+    end-to-end. Returns per-type feature aggregates to keep output
+    compact."""
     feats = extract_features(media_df(spark, sf_dir))
     return (
         feats.select(
