@@ -153,13 +153,17 @@ def test_cypher_create_node_and_edge(engine):
 
 
 def test_cypher_merge_binds_then_creates(engine):
-    first = engine.execute("MERGE (n:gadget {id: 9100001})").collect()[0]
+    # self-sufficient: create the node this test matches (don't depend on
+    # another test's leftovers surviving selection filters)
+    engine.execute("NODE 9100060 gadget")
+    first = engine.execute("MERGE (n:gadget {id: 9100060})").collect()[0]
     assert first["status"] == "matched"
     second = engine.execute("MERGE (n:widget {id: 9100050})").collect()[0]
     assert second["status"] == "created"
     assert engine.execute("MERGE (n:widget {id: 9100050})").collect()[0][
         "status"
     ] == "matched"
+    engine.execute("NODE DELETE 9100060")
 
 
 def test_cypher_delete_requires_detach(engine):
@@ -1322,17 +1326,17 @@ def test_merge_on_create_on_match_set(engine):
     test_merge_set_review_fixes), the match branch rewrites it; the other
     branch's items are ignored."""
     r = engine.execute(
-        "MERGE (p {id: 9400001}) ON CREATE SET p.label = 'fresh' "
+        "MERGE (p {id: 9600001}) ON CREATE SET p.label = 'fresh' "
         "ON MATCH SET p.label = 'seen'").collect()[0]
     assert (r["status"], r["label"]) == ("created", "fresh")
     r = engine.execute(
-        "MERGE (p {id: 9400001}) ON CREATE SET p.label = 'fresh' "
+        "MERGE (p {id: 9600001}) ON CREATE SET p.label = 'fresh' "
         "ON MATCH SET p.label = 'seen'").collect()[0]
     assert (r["status"], r["label"]) == ("matched", "seen")
-    assert engine.execute("NODE GET 9400001").collect()[0]["label"] == "seen"
+    assert engine.execute("NODE GET 9600001").collect()[0]["label"] == "seen"
     with pytest.raises(ValueError, match="unsupported SET property"):
-        engine.execute("MERGE (p {id: 9400002}) ON CREATE SET p.id = 1")
-    engine.execute("NODE DELETE 9400001")  # restore module-scoped fixture
+        engine.execute("MERGE (p {id: 9600002}) ON CREATE SET p.id = 1")
+    engine.execute("NODE DELETE 9600001")  # restore module-scoped fixture
 
 
 def test_merge_set_review_fixes(engine):
