@@ -126,6 +126,10 @@ def main() -> None:
     code_scanned: dict[str, list[float]] = {m: [] for m in (
         "binary_hamming", "pq_adc", "ivfpq_adc", "pq_rescore", "ivfpq_rescore",
         "ivfpq_rescore_high_recall")}
+    SWEEP_NPROBE = (4, 5, 6, 7, 8)
+    SWEEP_SHORTLIST = (200, 400, 600)
+    sweep_hits: dict[tuple, list[float]] = {
+        (p, s): [] for p in SWEEP_NPROBE for s in SWEEP_SHORTLIST}
 
     for qi in rng_idx:
         q = vecs[qi]
@@ -239,6 +243,19 @@ def main() -> None:
             scanned[mname].append(len(short) / n)
             code_scanned[mname].append(len(cand) / n)
 
+        # full (nprobe, shortlist) tradeoff sweep for the two-stage search
+        # — the recall-vs-scan curve a deployment tunes against
+        for s_nprobe in SWEEP_NPROBE:
+            rprobe = cent_ids[np.lexsort((cent_ids, cd))[:s_nprobe]]
+            cand = np.where(np.isin(clusters, rprobe))[0]
+            cand = cand[cand != qi]
+            order = cand[np.lexsort((vec_ids[cand], adc[cand]))]
+            for s_short in SWEEP_SHORTLIST:
+                short = order[:s_short]
+                top = short[np.argsort(-cos[short], kind="stable")][:TOPK]
+                sweep_hits[(s_nprobe, s_short)].append(
+                    len(set(top.tolist()) & gt_cos) / TOPK)
+
     out = {
         "metric": "ann_recall_at_10",
         "sf_dir": sf_dir,
@@ -262,6 +279,17 @@ def main() -> None:
         "avg_code_scan_fraction": {
             m: round(float(np.mean(s)), 3) for m, s in code_scanned.items()
         },
+        # the tuning curve for the two-stage search: recall@10 by
+        # (nprobe, shortlist); scan fraction = shortlist / n_vectors
+        "ivfpq_rescore_sweep": [
+            {
+                "nprobe": p,
+                "shortlist": s,
+                "recall_at_10": round(float(np.mean(h)), 3),
+                "scan_fraction": round(s / n, 3),
+            }
+            for (p, s), h in sorted(sweep_hits.items())
+        ],
     }
     print(json.dumps(out))
     with open(os.path.join(os.path.dirname(os.path.dirname(
