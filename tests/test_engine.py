@@ -156,14 +156,17 @@ def test_cypher_merge_binds_then_creates(engine):
     # self-sufficient: create the node this test matches (don't depend on
     # another test's leftovers surviving selection filters)
     engine.execute("NODE 9100060 gadget")
-    first = engine.execute("MERGE (n:gadget {id: 9100060})").collect()[0]
-    assert first["status"] == "matched"
-    second = engine.execute("MERGE (n:widget {id: 9100050})").collect()[0]
-    assert second["status"] == "created"
-    assert engine.execute("MERGE (n:widget {id: 9100050})").collect()[0][
-        "status"
-    ] == "matched"
-    engine.execute("NODE DELETE 9100060")
+    try:
+        first = engine.execute("MERGE (n:gadget {id: 9100060})").collect()[0]
+        assert first["status"] == "matched"
+        second = engine.execute("MERGE (n:widget {id: 9100050})").collect()[0]
+        assert second["status"] == "created"
+        assert engine.execute("MERGE (n:widget {id: 9100050})").collect()[0][
+            "status"
+        ] == "matched"
+    finally:
+        engine.execute("NODE DELETE 9100060")
+        engine.execute("NODE DELETE 9100050")
 
 
 def test_cypher_delete_requires_detach(engine):

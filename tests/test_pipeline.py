@@ -352,3 +352,22 @@ def test_mp4_metadata_parse_v0_and_v1():
     trailing_moov = struct.pack(">I", 0) + b"moov" + moov_payload
     assert decode_mp4_metadata(
         box(b"ftyp", b"isom") + big_mdat + trailing_moov) == (600, 4242)
+
+
+def test_documents_ascii_assumption_for_byte_fold_oracle(spark):
+    """The multimodal_features oracle equates ord(char) with the UTF-8
+    byte and caps the per-doc fold at 100000 chars — both hold only while
+    the corpus is pure ASCII and shorter than the cap. If a regenerated
+    fixture breaks either, fail HERE with a pointed message instead of a
+    mysterious hash mismatch in selfcheck."""
+    from neumann_spark.catalog import load
+
+    d = load(spark, SF_DIR, "documents")
+    bad = d.filter(
+        (F.octet_length(F.encode("text", "UTF-8")) != F.length("text"))
+        | (F.length("text") > 100000)
+    ).count()
+    assert bad == 0, (
+        "documents corpus is no longer pure ASCII under 100000 chars — "
+        "rewrite the multimodal_features oracle's byte fold (ord(char) != "
+        "utf-8 byte for non-ASCII)")

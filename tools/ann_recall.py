@@ -130,6 +130,8 @@ def main() -> None:
     SWEEP_SHORTLIST = (200, 400, 600)
     sweep_hits: dict[tuple, list[float]] = {
         (p, s): [] for p in SWEEP_NPROBE for s in SWEEP_SHORTLIST}
+    sweep_scan: dict[tuple, list[float]] = {
+        (p, s): [] for p in SWEEP_NPROBE for s in SWEEP_SHORTLIST}
 
     for qi in rng_idx:
         q = vecs[qi]
@@ -255,6 +257,10 @@ def main() -> None:
                 top = short[np.argsort(-cos[short], kind="stable")][:TOPK]
                 sweep_hits[(s_nprobe, s_short)].append(
                     len(set(top.tolist()) & gt_cos) / TOPK)
+                # ACTUAL scanned fraction (probed clusters can hold fewer
+                # than the nominal shortlist), same accounting as the
+                # main rescore series
+                sweep_scan[(s_nprobe, s_short)].append(len(short) / n)
 
     out = {
         "metric": "ann_recall_at_10",
@@ -286,7 +292,7 @@ def main() -> None:
                 "nprobe": p,
                 "shortlist": s,
                 "recall_at_10": round(float(np.mean(h)), 3),
-                "scan_fraction": round(s / n, 3),
+                "scan_fraction": round(float(np.mean(sweep_scan[(p, s)])), 3),
             }
             for (p, s), h in sorted(sweep_hits.items())
         ],
