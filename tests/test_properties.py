@@ -307,3 +307,52 @@ def test_snapshot_roundtrip_any_table(spark, rows):
     finally:
         a.execute("DROP TABLE prop_snap_t")
         shutil.rmtree(d, ignore_errors=True)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.one_of(
+            st.tuples(st.just("insert"), st.integers(0, 99)),
+            st.tuples(st.just("checkpoint"), st.integers(0, 3)),
+            st.tuples(st.just("rollback"), st.integers(0, 3)),
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_checkpoint_rollback_model(spark, ops):
+    """Model-based: any interleaving of insert / named-checkpoint /
+    rollback must leave the table equal to a plain-Python model of the
+    same sequence (checkpoint = copy state, rollback = restore copy,
+    unknown rollback = error + state unchanged)."""
+    from neumann_spark.engine import NeumannSparkEngine
+    from tests.conftest import SF_DIR
+
+    eng = NeumannSparkEngine(spark, SF_DIR)
+    eng.execute("CREATE TABLE cpm_t (v INT)")
+    model: list[int] = []
+    saved: dict[str, list[int]] = {}
+    try:
+        for op, arg in ops:
+            if op == "insert":
+                eng.execute(f"INSERT INTO cpm_t VALUES ({arg})")
+                model.append(arg)
+            elif op == "checkpoint":
+                eng.execute(f"CHECKPOINT 'm{arg}'")
+                saved[f"m{arg}"] = list(model)
+            else:
+                name = f"m{arg}"
+                if name in saved:
+                    eng.execute(f"ROLLBACK TO '{name}'")
+                    model = list(saved[name])
+                else:
+                    import pytest as _pt
+
+                    with _pt.raises(ValueError, match="unknown checkpoint"):
+                        eng.execute(f"ROLLBACK TO '{name}'")
+        got = sorted(
+            r["v"] for r in eng.execute("SELECT v FROM cpm_t").collect())
+        assert got == sorted(model)
+    finally:
+        eng.execute("DROP TABLE cpm_t")
