@@ -460,7 +460,12 @@ class NeumannSparkEngine:
     def _parse_default_literal(tok: str):
         """A DEFAULT literal: quoted string, number, boolean, or NULL."""
         if tok[0] in "'\"":
-            return ast.literal_eval(tok)
+            try:
+                return ast.literal_eval(tok)
+            except (ValueError, SyntaxError) as e:
+                # typed error contract: a malformed quoted literal must not
+                # leak ast's SyntaxError through execute()
+                raise ValueError(f"malformed string literal: {tok!r}") from e
         up = tok.upper()
         if up == "NULL":
             return None
@@ -650,6 +655,20 @@ class NeumannSparkEngine:
 
     MAX_FK_CASCADE_DEPTH = 32
 
+    def _validate_staged_child(self, child: str, new_df: DataFrame) -> None:
+        """A referential-action rewrite must leave the child satisfying its
+        OWN declared constraints — SET NULL writing into a NOT NULL column,
+        or SET DEFAULT collapsing several rows onto one UNIQUE key, was
+        silently committed before. Validates the whole staged frame (batch
+        = table, stored side = empty): strictly stronger than checking the
+        rewritten subset, and the raise aborts the statement atomically
+        (staged state is discarded). At 100 TB, restrict the probe to the
+        rewritten subset joined against the untouched rows."""
+        if not self._table_constraints.get(child):
+            return
+        empty = self.spark.createDataFrame([], new_df.schema)
+        self._check_table_constraints(child, new_df, existing=empty)
+
     def _apply_fk_on_delete(
         self, name: str, deleted: DataFrame, staged: dict[str, DataFrame]
     ) -> None:
@@ -729,6 +748,7 @@ class NeumannSparkEngine:
                         if action == "SET_DEFAULT":
                             self._check_default_tuple_fk(
                                 child, fk, repl, current(fk["ref_table"]))
+                        self._validate_staged_child(child, staged[child])
 
     @staticmethod
     def _parse_values(body: str) -> list[tuple]:
@@ -761,6 +781,11 @@ class NeumannSparkEngine:
         self._fks.pop(name, None)
         self._table_constraints.pop(name, None)
         self.spark.catalog.dropTempView(name)
+        if name in TABLES:
+            # the dropped session table shadowed a fixture: re-register the
+            # fixture view (same un-shadow the LOAD path performs) instead
+            # of leaving the name session-globally unresolvable
+            load(self.spark, self.sf_dir, name).createOrReplaceTempView(name)
         return self.spark.createDataFrame([(name, "dropped")], "table string, status string")
 
     def _exec_alter(self, cmd: str) -> DataFrame:
@@ -1734,16 +1759,26 @@ class NeumannSparkEngine:
         exists, else create it — then apply the branch's SET items.
         Settable node properties are the overlay's columns (`label`;
         free-form properties live on entities), matching `_NODE_PROPS`."""
+        # either clause order parses (Cypher allows ON MATCH first)
         m = self._require(
             re.match(
                 rf"MERGE\s*{self._NODE_PAT}"
-                r"(?:\s+ON\s+CREATE\s+SET\s+(.+?))?"
-                r"(?:\s+ON\s+MATCH\s+SET\s+(.+?))?\s*$",
+                r"(?:\s+ON\s+(CREATE|MATCH)\s+SET\s+"
+                r"((?:(?!\s+ON\s+(?:CREATE|MATCH)\s+SET\s).)+))?"
+                r"(?:\s+ON\s+(CREATE|MATCH)\s+SET\s+(.+?))?\s*$",
                 cmd, re.I | re.S),
             "MERGE (n:Label {id: ...}) [ON CREATE SET n.p = v] "
             "[ON MATCH SET n.p = v]",
         )
-        var, label, props, on_create, on_match = m.groups()
+        var, label, props, kind1, set1, kind2, set2 = m.groups()
+        clauses: dict[str, str] = {}
+        for kind, body in ((kind1, set1), (kind2, set2)):
+            if kind:
+                key = kind.upper()
+                if key in clauses:
+                    raise ValueError(f"duplicate ON {key} SET clause")
+                clauses[key] = body
+        on_create, on_match = clauses.get("CREATE"), clauses.get("MATCH")
 
         def parse_sets(clause: "Optional[str]") -> dict:
             out: dict = {}
@@ -2111,6 +2146,7 @@ class NeumannSparkEngine:
                     *[sets.get(c, child_df[c]) for c in child_df.columns])
                 if action == "SET_DEFAULT":
                     self._check_default_tuple_fk(child, fk, repl, parent_after)
+                self._validate_staged_child(child, staged[child])
 
     def _check_default_tuple_fk(
         self, child: str, fk: dict, repl: dict, parent: DataFrame
@@ -2153,8 +2189,16 @@ class NeumannSparkEngine:
         # pin the doomed rows BEFORE any mutation: referential actions key
         # off this snapshot, and the survivor set is computed from the
         # pristine table — never by re-filtering cond after a cascade may
-        # have rewritten the very columns cond reads (SET_NULL)
-        doomed = df.filter(cond).localCheckpoint(eager=True)
+        # have rewritten the very columns cond reads (SET_NULL). The eager
+        # materialization is load-bearing only when a cascade will consume
+        # the snapshot — tables nothing references skip it (one less job
+        # on the common delete path)
+        referenced = any(
+            fk["ref_table"] == name
+            for fks in self._fks.values() for fk in fks)
+        doomed = df.filter(cond)
+        if referenced:
+            doomed = doomed.localCheckpoint(eager=True)
         n = doomed.count()
         staged: dict[str, DataFrame] = {name: delete_where(df, cond)}
         if n:
@@ -2596,13 +2640,25 @@ class NeumannSparkEngine:
             out.write(bytearray(_json.dumps(manifest).encode("utf-8")))
         finally:
             out.close()
-        # near-atomic publish: readers see the old manifest (whose data dir
-        # is untouched) or the new one — never a half-written file. The
-        # delete+rename pair is the portable HDFS idiom; the gap only
-        # matters to a concurrent LOAD racing a SAVE of the same path.
-        fs.delete(p, False)
-        if not fs.rename(tmp, p):
-            raise ValueError(f"Failed to publish snapshot manifest {mpath!r}")
+        # atomic publish: FileContext.rename(OVERWRITE) replaces the old
+        # manifest in one FS operation where the filesystem supports it
+        # (HDFS, local), so a crash mid-publish leaves EITHER the old
+        # manifest (its data dir untouched) or the new one — never a
+        # window with no manifest at all. Fallback for filesystems without
+        # FileContext semantics: delete+rename (small non-atomic gap).
+        jvm = self.spark._jvm
+        try:
+            fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+                p.toUri(), self.spark._jsc.hadoopConfiguration())
+            klass = getattr(jvm.org.apache.hadoop.fs, "Options$Rename")
+            opts = self.spark.sparkContext._gateway.new_array(klass, 1)
+            opts[0] = klass.OVERWRITE  # varargs need a typed Java array
+            fc.rename(tmp, p, opts)
+        except Exception:
+            fs.delete(p, False)
+            if not fs.rename(tmp, p):
+                raise ValueError(
+                    f"Failed to publish snapshot manifest {mpath!r}")
 
     def _manifest_read(self, mpath: str) -> "Optional[dict]":
         import json as _json
@@ -2740,10 +2796,17 @@ class NeumannSparkEngine:
         a full parquet snapshot under this root (at 100 TB these would be
         incremental/ref-counted; a full copy keeps rollback O(swap) and is
         the semantics the reference guarantees)."""
+        import atexit
+        import shutil
         import tempfile
 
         if not hasattr(self, "_cp_root"):
             self._cp_root = tempfile.mkdtemp(prefix="neumann_checkpoints_")
+            # checkpoints are session-scoped (like the reference's
+            # in-process checkpoint manager): reclaim the whole root at
+            # interpreter exit so repeated sessions don't fill the disk;
+            # superseded data-<nonce> dirs inside it go with it
+            atexit.register(shutil.rmtree, self._cp_root, ignore_errors=True)
             self._cp_seq = 0
             self._cp_log: "OrderedDict[str, int]" = OrderedDict()
         return self._cp_root

@@ -149,7 +149,14 @@ def cos_pair_batch(a: pd.Series, b: pd.Series) -> pd.Series:
     mb = np.stack(b.to_numpy())
     dots = np.einsum("ij,ij->i", ma, mb)
     norms = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
-    return pd.Series(dots / norms)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out = dots / norms
+    # SQL semantics: 0/0 is NULL, not NaN (a NaN would poison downstream
+    # aggregates where the expression form yielded NULL) — the nullable
+    # Float64 dtype carries true nulls through Arrow
+    s = pd.Series(out, dtype="Float64")
+    s[~np.isfinite(out)] = pd.NA
+    return s
 
 
 # --- oracle SQL building blocks ------------------------------------------

@@ -24,11 +24,23 @@ from neumann_spark.sqlutil import dsum, sql_dsum
 
 def update_where(df: DataFrame, cond, assignments: dict) -> DataFrame:
     """UPDATE tbl SET col=expr WHERE cond (`relational_engine/src/lib.rs:3842`)
-    as an immutable projection: rows matching `cond` get the new values."""
-    out = df
-    for col, expr in assignments.items():
-        out = out.withColumn(col, F.when(cond, expr).otherwise(F.col(col)))
-    return out
+    as an immutable projection: rows matching `cond` get the new values.
+
+    ONE select, not chained withColumn: SQL UPDATE is simultaneous
+    assignment — every SET expression AND the WHERE predicate evaluate
+    against the ORIGINAL row. Chaining withColumn made later assignments
+    (and cond itself) re-resolve against already-rewritten columns, so
+    `SET id = id + 100, v = 0 WHERE id IN (1, 3)` silently skipped the
+    second assignment and `SET a = a + 1, b = a` committed b = old_a + 1
+    while the engine validated b = old_a."""
+    unknown = set(assignments) - set(df.columns)
+    if unknown:
+        raise ValueError(f"UPDATE of unknown column(s): {sorted(unknown)}")
+    return df.select(*[
+        (F.when(cond, assignments[c]).otherwise(F.col(c)).alias(c)
+         if c in assignments else F.col(c))
+        for c in df.columns
+    ])
 
 
 def delete_where(df: DataFrame, cond) -> DataFrame:

@@ -1378,3 +1378,62 @@ def test_cypher_count_review_fixes(engine):
         "MATCH (c:customer)-[:located_in]->(n:nation) "
         "RETURN n, COUNT(c), COUNT(DISTINCT c)").columns
     assert cols == ["n_id", "count", "count_2"]
+
+
+def test_update_simultaneous_assignment(engine):
+    """SQL UPDATE is simultaneous: every SET expression AND the WHERE
+    predicate see the ORIGINAL row (the chained-withColumn form silently
+    skipped later assignments whose inputs the first one rewrote)."""
+    engine.execute("CREATE TABLE sim_t (id INT, a INT, b INT)")
+    engine.execute("INSERT INTO sim_t VALUES (1, 10, 0), (3, 30, 0), (5, 50, 0)")
+    # cond reads id; first SET rewrites id; second must still fire
+    engine.execute("UPDATE sim_t SET id = id + 100, b = 7 WHERE id IN (1, 3)")
+    rows = {r["id"]: (r["a"], r["b"])
+            for r in engine.execute("SELECT * FROM sim_t").collect()}
+    assert rows == {101: (10, 7), 103: (30, 7), 5: (50, 0)}
+    # swap: a = b, b = a must exchange, not copy
+    engine.execute("UPDATE sim_t SET a = b, b = a WHERE id = 5")
+    r = engine.execute("SELECT a, b FROM sim_t WHERE id = 5").collect()[0]
+    assert (r["a"], r["b"]) == (0, 50)
+    with pytest.raises(ValueError, match="unknown column"):
+        engine.execute("UPDATE sim_t SET nope = 1")
+    engine.execute("DROP TABLE sim_t")
+
+
+def test_fk_action_rewrite_validates_child_constraints(engine):
+    """A referential-action rewrite may not break the child's OWN
+    constraints: SET NULL into a NOT NULL column and SET DEFAULT onto a
+    UNIQUE key both abort the delete atomically."""
+    engine.execute("CREATE TABLE fkv_p (id INT)")
+    engine.execute(
+        "CREATE TABLE fkv_nn (cid INT, pid INT NOT NULL "
+        "REFERENCES fkv_p(id) ON DELETE SET NULL)")
+    engine.execute("INSERT INTO fkv_p VALUES (1), (2)")
+    engine.execute("INSERT INTO fkv_nn VALUES (10, 1)")
+    with pytest.raises(ValueError, match="not-null violation"):
+        engine.execute("DELETE FROM fkv_p WHERE id = 1")
+    # atomic: parent row survived the aborted cascade
+    assert engine.execute(
+        "SELECT COUNT(*) AS n FROM fkv_p").collect()[0]["n"] == 2
+    engine.execute("DROP TABLE fkv_nn")
+
+    engine.execute(
+        "CREATE TABLE fkv_uq (cid INT, pid INT UNIQUE DEFAULT 9 "
+        "REFERENCES fkv_p(id) ON DELETE SET DEFAULT)")
+    engine.execute("INSERT INTO fkv_p VALUES (9)")
+    engine.execute("INSERT INTO fkv_uq VALUES (20, 1), (21, 2)")
+    with pytest.raises(ValueError, match="unique violation"):
+        # both children collapse onto default pid=9 — UNIQUE must reject
+        engine.execute("DELETE FROM fkv_p WHERE id IN (1, 2)")
+    engine.execute("DROP TABLE fkv_uq")
+    engine.execute("DROP TABLE fkv_p")
+
+
+def test_drop_table_unshadows_fixture(engine):
+    """DROP TABLE of a session table shadowing a fixture restores the
+    fixture view (the LOAD path's un-shadow, now on the DROP path too)."""
+    engine.execute("CREATE TABLE nation (x INT)")
+    assert engine.execute("SELECT COUNT(*) AS n FROM nation").collect()[0]["n"] == 0
+    engine.execute("DROP TABLE nation")
+    n = engine.execute("SELECT COUNT(*) AS n FROM nation").collect()[0]["n"]
+    assert n == 25  # fixture nation is back
