@@ -2615,6 +2615,11 @@ class NeumannSparkEngine:
             re.match(r"SAVE(\s+COMPRESSED)?\s+(.+?)\s*$", cmd, re.I | re.S),
             "SAVE [COMPRESSED] 'path/to/dir'")
         compressed, raw = m.groups()
+        # `SAVE COMPRESSED` with no operand: the optional group backtracks
+        # and the keyword itself becomes the "path" — reject, don't write a
+        # snapshot into a directory literally named COMPRESSED
+        if not compressed and raw.strip().upper() == "COMPRESSED":
+            raise ValueError("Usage: SAVE [COMPRESSED] 'path/to/dir'")
         path = self._snapshot_path(raw, "SAVE")
         n = self._save_snapshot(path, compressed=bool(compressed))
         return self.spark.createDataFrame(
@@ -2655,10 +2660,32 @@ class NeumannSparkEngine:
             opts[0] = klass.OVERWRITE  # varargs need a typed Java array
             fc.rename(tmp, p, opts)
         except Exception:
-            fs.delete(p, False)
-            if not fs.rename(tmp, p):
+            self._publish_manifest_fallback(fs, tmp, p, mpath)
+
+    @staticmethod
+    def _publish_manifest_fallback(fs, tmp, p, mpath: str) -> None:
+        """Publish tmp -> p without FileContext rename-overwrite. The
+        previous manifest is moved ASIDE (not deleted) so a failed or
+        interrupted tmp->final rename leaves the prior snapshot loadable;
+        it is restored if the publish fails."""
+        bak = p.suffix(".bak")
+        had_old = fs.exists(p)
+        if had_old:
+            fs.delete(bak, False)
+            if not fs.rename(p, bak):
                 raise ValueError(
                     f"Failed to publish snapshot manifest {mpath!r}")
+        try:
+            ok = fs.rename(tmp, p)
+        except Exception:  # some FS impls throw instead of returning false
+            ok = False
+        if not ok:
+            if had_old:
+                fs.rename(bak, p)  # best-effort restore
+            raise ValueError(
+                f"Failed to publish snapshot manifest {mpath!r}")
+        if had_old:
+            fs.delete(bak, False)
 
     def _manifest_read(self, mpath: str) -> "Optional[dict]":
         import json as _json
@@ -2753,6 +2780,17 @@ class NeumannSparkEngine:
         if manifest.get("format") != "neumann_spark_snapshot/1":
             raise ValueError(
                 f"Failed to load: unrecognized snapshot format in {path!r}")
+        # validate the manifest shape BEFORE touching any session state: a
+        # corrupt/hand-edited manifest must surface as the typed ValueError
+        # contract, not a bare KeyError mid-swap with state half-replaced
+        required = ("stores", "tables", "fks", "table_constraints",
+                    "graph_constraints", "graph_indexes")
+        missing = [k for k in required if not isinstance(manifest.get(k), dict)]
+        missing += [f"stores/{sub}" for _, sub in self._SNAPSHOT_STORES
+                    if sub not in manifest.get("stores", {})]
+        if missing:
+            raise ValueError(
+                f"corrupt snapshot manifest {mpath!r}: missing {missing}")
         base = _os.path.join(path, manifest.get("data_dir", ""))
 
         def _read(sub: str, schema_json: str) -> DataFrame:
@@ -2821,14 +2859,20 @@ class NeumannSparkEngine:
             re.match(r"CHECKPOINT(?:\s+(.+?))?\s*$", cmd, re.I | re.S),
             "CHECKPOINT ['name']")
         root = self._checkpoint_root()
-        self._cp_seq += 1
-        name = (self._snapshot_path(m.group(1), "CHECKPOINT")
-                if m.group(1) else f"cp_{self._cp_seq}")
+        # validate an explicit name BEFORE burning a sequence number, so a
+        # rejected name ('..', 'a/b') doesn't make the next unnamed
+        # CHECKPOINT skip a cp_<n>
+        explicit = (self._snapshot_path(m.group(1), "CHECKPOINT")
+                    if m.group(1) else None)
         # strict allow-list: a name is a single path component, never a
         # traversal ('..' would write the snapshot into the shared parent
         # dir; '.' into the root itself; '/'-separated names escape it)
-        if name in (".", "..") or not re.fullmatch(r"[\w.\-]+", name):
-            raise ValueError(f"invalid checkpoint name {name!r}")
+        if explicit is not None and (
+                explicit in (".", "..")
+                or not re.fullmatch(r"[\w.\-]+", explicit)):
+            raise ValueError(f"invalid checkpoint name {explicit!r}")
+        self._cp_seq += 1
+        name = explicit if explicit is not None else f"cp_{self._cp_seq}"
         self._save_snapshot(_os.path.join(root, name))
         self._cp_log[name] = self._cp_seq
         self._cp_log.move_to_end(name)  # re-created name = most recent

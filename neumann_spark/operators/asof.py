@@ -34,14 +34,12 @@ def asof_join(
         F.col(left_key).alias("k"),
         F.col(left_time).alias("t"),
         F.lit(1).alias("is_left"),
-        F.monotonically_increasing_id().alias("row_id"),
         F.lit(None).cast("double").alias("pl"),
     )
     r_tag = right.select(
         F.col(right_key).alias("k"),
         F.col(right_time).alias("t"),
         F.lit(0).alias("is_left"),
-        F.lit(None).cast("long").alias("row_id"),
         F.col(payload).cast("double").alias("pl"),
     )
     both = l_tag.unionByName(r_tag)

@@ -1295,6 +1295,93 @@ def test_checkpoint_name_traversal_rejected(spark):
         eng.execute("ROLLBACK TO")
 
 
+def test_rejected_checkpoint_name_burns_no_seq(spark):
+    """A rejected explicit name must not consume an auto-name sequence
+    number — the next unnamed CHECKPOINT is still cp_1."""
+    from neumann_spark.engine import NeumannSparkEngine
+
+    eng = NeumannSparkEngine(spark, SF_DIR)
+    with pytest.raises(ValueError, match="invalid checkpoint name"):
+        eng.execute("CHECKPOINT 'a/b'")
+    row = eng.execute("CHECKPOINT").collect()[0]
+    assert row["checkpoint"] == "cp_1"
+
+
+def test_save_compressed_without_path_rejected(spark):
+    """`SAVE COMPRESSED` with no operand must raise, not write an
+    uncompressed snapshot to a dir literally named COMPRESSED."""
+    from neumann_spark.engine import NeumannSparkEngine
+
+    eng = NeumannSparkEngine(spark, SF_DIR)
+    for cmd in ("SAVE COMPRESSED", "SAVE compressed"):
+        with pytest.raises(ValueError, match="Usage: SAVE"):
+            eng.execute(cmd)
+    import os
+
+    assert not os.path.exists("COMPRESSED")
+
+
+def test_corrupt_manifest_raises_typed_error(spark, tmp_path):
+    """A hand-edited/corrupt manifest surfaces as ValueError (the typed
+    execute() error contract), not a bare KeyError mid-state-swap."""
+    import json
+    import os
+
+    from neumann_spark.engine import NeumannSparkEngine
+
+    eng = NeumannSparkEngine(spark, SF_DIR)
+    eng.execute("CREATE TABLE corr_t (id INT)")
+    eng.execute("INSERT INTO corr_t VALUES (1)")
+    d = str(tmp_path / "snap")
+    eng.execute(f"SAVE '{d}'")
+    mpath = os.path.join(d, "neumann_snapshot.json")
+    manifest = json.load(open(mpath))
+    del manifest["tables"]
+    manifest["stores"].popitem()
+    json.dump(manifest, open(mpath, "w"))
+    crc = os.path.join(d, ".neumann_snapshot.json.crc")
+    if os.path.exists(crc):  # hand-edit invalidates the Hadoop checksum
+        os.remove(crc)
+    with pytest.raises(ValueError, match="corrupt snapshot manifest"):
+        eng.execute(f"LOAD '{d}'")
+    # state untouched by the failed load
+    assert eng.execute("SELECT COUNT(*) AS n FROM corr_t").collect()[0]["n"] == 1
+    eng.execute("DROP TABLE corr_t")
+
+
+def test_manifest_fallback_preserves_old_on_failure(spark, tmp_path):
+    """The non-FileContext publish path keeps the previous manifest
+    loadable: success replaces it; a failing rename restores it."""
+    from neumann_spark.engine import NeumannSparkEngine
+
+    eng = NeumannSparkEngine(spark, SF_DIR)
+    mpath = str(tmp_path / "m" / "manifest.json")
+    fs, p = eng._hadoop_fs(mpath)
+    jvm = spark._jvm
+
+    def write(path, body):
+        out = fs.create(path, True)
+        out.write(bytearray(body.encode()))
+        out.close()
+
+    def read(path):
+        s = fs.open(path)
+        try:
+            return jvm.org.apache.commons.io.IOUtils.toString(s, "UTF-8")
+        finally:
+            s.close()
+
+    write(p, "OLD")
+    tmp = p.suffix(".tmp")
+    write(tmp, "NEW")
+    eng._publish_manifest_fallback(fs, tmp, p, mpath)
+    assert read(p) == "NEW" and not fs.exists(p.suffix(".bak"))
+    # failure case: tmp does not exist -> rename fails -> OLD restored
+    with pytest.raises(ValueError, match="Failed to publish"):
+        eng._publish_manifest_fallback(fs, tmp, p, mpath)
+    assert read(p) == "NEW"  # the pre-publish manifest was restored
+
+
 def test_cypher_return_aggregates(engine):
     """RETURN COUNT forms (`cypher.rs:158` `COUNT(p) AS total`): global
     count, implicit grouping, COUNT(DISTINCT), RETURN DISTINCT, aliases."""
