@@ -2,12 +2,13 @@
 
 Images/audio/video are opaque `binary` columns with typed metadata; decode /
 feature-extract run as Arrow-batched `mapInPandas` stages. Decode is REAL
-for WAV audio, BMP images, and PNG images (stdlib `wave`/`struct`/`zlib`
-+ numpy — see `decode_wav`/`decode_bmp`/`decode_png` below, exercised
-end-to-end by `multimodal_real_decode` against a closed-form oracle);
-formats that genuinely need PIL/ffmpeg (jpeg/mp4) keep a clearly-marked
-stub in `decode_media`. Everything Spark-side is real and tested: schema,
-batch iteration, partition-preserving plumbing.
+for WAV audio, BMP, PNG, and baseline JPEG images (stdlib `wave`/`struct`/
+`zlib` + numpy — see `decode_wav`/`decode_bmp`/`decode_png`/`decode_jpeg`
+below, exercised end-to-end by `multimodal_real_decode` against a
+closed-form oracle), plus real ISO-BMFF box-level metadata for MP4; only
+mp4 SAMPLE decode (genuinely ffmpeg-bound) stays out of scope. Everything
+Spark-side is real and tested: schema, batch iteration,
+partition-preserving plumbing.
 
 At 100 TB: binary payloads dominate I/O — the scan projects only (id, blob)
 for decode stages, metadata-only queries never touch the blob column
@@ -53,20 +54,25 @@ def media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def decode_media(payload: bytes, media_type: str):
-    """Dispatch decode: REAL for `audio/wav`, `image/bmp`, and `image/png`
-    (pure stdlib/numpy parsers below — zlib covers PNG inflate); STUB for
-    the PIL/ffmpeg-class formats (jpeg/mp4) — those libs are not in this
-    container, so decoding them raises with a clear message."""
+    """Dispatch decode: REAL for `audio/wav`, `image/bmp`, `image/png`,
+    and `image/jpeg` (pure stdlib/numpy parsers below — zlib covers PNG
+    inflate; the baseline-JPEG decoder below does Huffman + dequant + IDCT
+    itself). `video/mp4` returns real box-level container metadata
+    (timescale, duration, 0.0); SAMPLE decode for mp4 genuinely requires
+    ffmpeg, which is not in this container — the metadata surface is the
+    media-inventory path that precedes any transcode decision."""
     if media_type == "audio/wav":
         return decode_wav(payload)
     if media_type == "image/bmp":
         return decode_bmp(payload)
     if media_type == "image/png":
         return decode_png(payload)
-    raise NotImplementedError(
-        f"decoding {media_type!r} requires PIL/ffmpeg — not available in "
-        "this image; wav/bmp/png decode natively, jpeg/mp4 need those libs"
-    )
+    if media_type == "image/jpeg":
+        return decode_jpeg(payload)
+    if media_type == "video/mp4":
+        ts, dur = decode_mp4_metadata(payload)
+        return ts, dur, 0.0
+    raise ValueError(f"unknown media type {media_type!r}")
 
 
 def extract_features(df: DataFrame) -> DataFrame:
@@ -166,12 +172,11 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- real containers: WAV + BMP encode/decode (stdlib + numpy only) -------
 #
-# The generic `decode_media` stub above documents the PIL/ffmpeg-class
-# formats. These two formats need no external libs, so for them the decode
-# path is REAL: the generator below emits byte-exact RIFF/WAVE and BMP
-# files, and `decode_wav`/`decode_bmp` parse ANY file of those formats
-# (stdlib `wave`, `struct`) — only video/mp4 keeps the stub, because an
-# mp4 decode genuinely requires ffmpeg.
+# No external libs needed: the generator below emits byte-exact RIFF/WAVE
+# and BMP files, and `decode_wav`/`decode_bmp` parse ANY file of those
+# formats (stdlib `wave`, `struct`). PNG and baseline JPEG follow further
+# down; only mp4 SAMPLE decode (ffmpeg-bound) is out of scope — its
+# box-level metadata parses for real.
 
 ENC_SCHEMA = "doc_id bigint, media binary, media_type string"
 DECODE_SCHEMA = (
@@ -268,26 +273,28 @@ def decode_bmp(payload: bytes) -> tuple[int, int, float]:
 
 
 def encoded_media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Real binary media column: a four-way doc_id % 4 split over BMP
-    image / WAV audio / PNG image / MP4 metadata-shell payloads. Encoding
-    runs distributed in Arrow batches (mapInPandas), the same stage shape
-    a re-encode/transcode pipeline uses at 100 TB; only (doc_id) is read
-    from the source."""
+    """Real binary media column: a five-way (doc_id // 5) % 5 split over
+    BMP image / WAV audio / PNG image / MP4 metadata-shell / baseline
+    JPEG payloads. Encoding runs distributed in Arrow batches
+    (mapInPandas), the same stage shape a re-encode/transcode pipeline
+    uses at 100 TB; only (doc_id) is read from the source."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"doc_id": [], "media": [], "media_type": []}
             for doc_id in pdf["doc_id"]:
                 doc_id = int(doc_id)
-                kind = doc_id % 4
+                kind = doc_id // 5 % 5
                 if kind == 0:
                     blob, mt = encode_bmp(doc_id), "image/bmp"
                 elif kind == 1:
                     blob, mt = encode_wav(doc_id), "audio/wav"
                 elif kind == 2:
                     blob, mt = encode_png(doc_id), "image/png"
-                else:  # real ISO-BMFF shell; frame decode needs ffmpeg
+                elif kind == 3:  # real ISO-BMFF shell; sample decode needs ffmpeg
                     blob, mt = encode_mp4_shell(doc_id), "video/mp4"
+                else:
+                    blob, mt = encode_jpeg_doc(doc_id), "image/jpeg"
                 out["doc_id"].append(doc_id)
                 out["media"].append(blob)
                 out["media_type"].append(mt)
@@ -315,7 +322,7 @@ def _decode_oracle_sql() -> str:
                             THEN 192.0 ELSE 64.0 END), 6) AS mean_value
       FROM docs d
       JOIN generate_series(0, 249) AS t(i) ON t.i < 200 + d.doc_id % 50
-      WHERE d.doc_id % 4 = 1
+      WHERE (d.doc_id // 5) % 5 = 1
       GROUP BY d.doc_id
     ),
     bmp AS (
@@ -328,7 +335,7 @@ def _decode_oracle_sql() -> str:
       JOIN generate_series(0, 11) AS x(i) ON x.i < 8 + d.doc_id % 5
       JOIN generate_series(0, 8) AS y(i) ON y.i < 6 + d.doc_id % 4
       CROSS JOIN generate_series(0, 2) AS c(i)
-      WHERE d.doc_id % 4 = 0
+      WHERE (d.doc_id // 5) % 5 = 0
       GROUP BY d.doc_id
     ),
     png AS (
@@ -341,7 +348,7 @@ def _decode_oracle_sql() -> str:
       JOIN generate_series(0, 10) AS x(i) ON x.i < 5 + d.doc_id % 6
       JOIN generate_series(0, 8) AS y(i) ON y.i < 4 + d.doc_id % 5
       CROSS JOIN generate_series(0, 2) AS c(i)
-      WHERE d.doc_id % 4 = 2
+      WHERE (d.doc_id // 5) % 5 = 2
       GROUP BY d.doc_id
     ),
     mp4 AS (
@@ -350,27 +357,47 @@ def _decode_oracle_sql() -> str:
              CAST(1000 AS BIGINT) AS dim_a,
              CAST(1000 + d.doc_id % 500 AS BIGINT) AS dim_b,
              CAST(0.0 AS DOUBLE) AS mean_value
-      FROM docs d WHERE d.doc_id % 4 = 3
+      FROM docs d WHERE (d.doc_id // 5) % 5 = 3
+    ),
+    jpeg AS (
+      -- flat 8x8 blocks quantize to a lone DC coefficient, so the LOSSY
+      -- decode round-trip is closed-form per block:
+      -- recon = clip(2*round_half_away((g-128)/2) + 128); every block
+      -- contributes 64 equal pixels, so AVG over blocks = pixel mean
+      SELECT d.doc_id, 'image/jpeg' AS media_type,
+             CAST(8 * (1 + d.doc_id % 3) AS BIGINT) AS dim_a,
+             CAST(8 * (1 + d.doc_id % 2) AS BIGINT) AS dim_b,
+             ROUND(AVG(LEAST(255.0, GREATEST(0.0,
+               2 * ROUND(((d.doc_id * 29 + bx.i * 7 + by.i * 11) % 256
+                          - 128) / 2.0, 0) + 128))), 6) AS mean_value
+      FROM docs d
+      JOIN generate_series(0, 2) AS bx(i) ON bx.i < 1 + d.doc_id % 3
+      JOIN generate_series(0, 1) AS by(i) ON by.i < 1 + d.doc_id % 2
+      WHERE (d.doc_id // 5) % 5 = 4
+      GROUP BY d.doc_id
     )
     SELECT * FROM wav UNION ALL SELECT * FROM bmp
     UNION ALL SELECT * FROM png UNION ALL SELECT * FROM mp4
+    UNION ALL SELECT * FROM jpeg
     """
 
 
 @register("multimodal_real_decode", oracle=_decode_oracle_sql())
 def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end REAL media decode: build byte-exact WAV/BMP/PNG files
-    and ISO-BMFF shells in one Arrow stage, parse them back with actual
-    format parsers (stdlib `wave`; BMP struct headers, row padding and
-    all; PNG chunk walk + zlib inflate + all five filters; MP4 box-tree
-    walk to mvhd) in another, and emit typed features — (n_samples,
-    sample_rate, mean amplitude) for audio, (width, height, mean pixel)
-    for images, (timescale, duration) for video metadata. The oracle
-    recomputes every feature in closed form from doc_id, so a decoder
-    that misreads a header, drops padding wrong, or truncates frames
-    hash-mismatches. mp4 SAMPLE decode genuinely needs ffmpeg
-    (`decode_media` documents that stub); the box-level metadata here is
-    the real media-inventory path."""
+    """End-to-end REAL media decode: build byte-exact WAV/BMP/PNG/JPEG
+    files and ISO-BMFF shells in one Arrow stage, parse them back with
+    actual format parsers (stdlib `wave`; BMP struct headers, row padding
+    and all; PNG chunk walk + zlib inflate + all five filters; full
+    baseline-JPEG Huffman + dequant + IDCT; MP4 box-tree walk to mvhd) in
+    another, and emit typed features — (n_samples, sample_rate, mean
+    amplitude) for audio, (width, height, mean decoded pixel) for images,
+    (timescale, duration) for video metadata. The oracle recomputes every
+    feature in closed form from doc_id — including the LOSSY jpeg
+    round-trip, whose flat-block construction makes the quantization
+    error exactly computable — so a decoder that misreads a header,
+    drops padding wrong, or truncates frames hash-mismatches. mp4 SAMPLE
+    decode genuinely needs ffmpeg; the box-level metadata here is the
+    real media-inventory path."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -384,6 +411,8 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     a, b, m = decode_bmp(bytes(blob))
                 elif mt == "image/png":
                     a, b, m = decode_png(bytes(blob))
+                elif mt == "image/jpeg":
+                    a, b, m = decode_jpeg(bytes(blob))
                 else:  # mp4: box-level metadata only (no sample decode)
                     (a, b), m = decode_mp4_metadata(bytes(blob)), 0.0
                 out["doc_id"].append(int(doc_id))
@@ -580,3 +609,509 @@ def decode_mp4_metadata(payload: bytes) -> tuple[int, int]:
             _c, _m, ts, dur = struct.unpack_from(">IIII", payload, p + 4)
         return int(ts), int(dur)
     raise ValueError("no mvhd box — not a movie file or metadata stripped")
+
+
+# --- JPEG: real baseline encode/decode (numpy + struct, no PIL) -----------
+#
+# Written against the public JPEG spec (ITU-T T.81): baseline sequential
+# DCT, 8-bit samples. The ENCODER emits valid JFIF-less JPEG streams
+# (SOI/DQT/SOF0/DHT/SOS/EOI) for grayscale or YCbCr color (4:4:4 or
+# 4:2:0), with optional restart intervals; it declares its own canonical
+# Huffman tables in DHT, as any conformant stream may. The DECODER is
+# generic baseline: it builds Huffman tables from the file's DHT, handles
+# multi-table DQT (8- and 16-bit), arbitrary sampling factors (nearest
+# upsampling), single-component non-interleaved scans, byte stuffing, and
+# DRI/RSTn restarts — so it reads JPEGs from other writers, not just ours.
+# (Progressive/arithmetic modes raise ValueError with the reason.)
+
+_JPEG_ZZ = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+# ITU-T T.81 Annex K example quantization tables (the de-facto defaults)
+_JPEG_QLUM = (
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+)
+_JPEG_QCHROM = (
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+)
+
+# The encoder's Huffman tables: flat canonical codes (12 DC categories at
+# 4 bits; the 162 valid AC run/size symbols at 8 bits). Suboptimal vs the
+# Annex K statistics-tuned tables but fully conformant — DHT declares
+# them, and every decoder (including ours) must build from DHT anyway.
+_JPEG_DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_VALS = [0x00, 0xF0] + [
+    (run << 4) | size for run in range(16) for size in range(1, 11)
+]
+_JPEG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, len(_JPEG_AC_VALS), 0, 0, 0, 0, 0, 0, 0, 0]
+
+
+def _jpeg_dct_mat():
+    import numpy as np
+
+    n = np.arange(8)
+    T = 0.5 * np.cos((2 * n[None, :] + 1) * n[:, None] * np.pi / 16)
+    T[0, :] *= 1.0 / np.sqrt(2.0)
+    return T  # forward: T @ B @ T.T ; inverse: T.T @ C @ T
+
+
+def _huff_codes(bits, vals):
+    """Canonical Huffman assignment per T.81 Annex C: {symbol: (code, len)}."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    """MSB-first bit accumulator with 0xFF byte stuffing (T.81 F.1.2.3)."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.n -= 8
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)
+
+    def pad(self) -> None:  # pad final byte with 1-bits
+        if self.n:
+            self.put(0x7F, 8 - self.n)
+
+
+def _jpeg_category(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def _encode_block(bw, zz_coefs, pred, dc_codes, ac_codes):
+    """Entropy-code one zigzag-ordered quantized block; returns new DC pred."""
+    dc = int(zz_coefs[0])
+    diff = dc - pred
+    size = _jpeg_category(diff)
+    code, length = dc_codes[size]
+    bw.put(code, length)
+    if size:
+        bw.put(diff if diff > 0 else diff + (1 << size) - 1, size)
+    run = 0
+    last_nz = 0
+    for i in range(63, 0, -1):
+        if zz_coefs[i]:
+            last_nz = i
+            break
+    for i in range(1, last_nz + 1):
+        v = int(zz_coefs[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            bw.put(*ac_codes[0xF0])  # ZRL
+            run -= 16
+        size = _jpeg_category(v)
+        bw.put(*ac_codes[(run << 4) | size])
+        bw.put(v if v > 0 else v + (1 << size) - 1, size)
+        run = 0
+    if last_nz < 63:
+        bw.put(*ac_codes[0x00])  # EOB
+    return dc
+
+
+def encode_jpeg(pixels, subsample: bool = False,
+                restart_interval: int = 0) -> bytes:
+    """Encode a (h, w) grayscale or (h, w, 3) RGB uint8 array as baseline
+    sequential JPEG (grayscale: one component; color: JFIF YCbCr, 4:4:4
+    or — with `subsample` — 4:2:0 with averaged chroma)."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.float64)
+    gray = px.ndim == 2
+    h_img, w_img = px.shape[:2]
+    T = _jpeg_dct_mat()
+    dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    qlum = np.array(_JPEG_QLUM, dtype=np.float64)[np.argsort(_JPEG_ZZ)].reshape(8, 8)
+    qchrom = np.array(_JPEG_QCHROM, dtype=np.float64)[np.argsort(_JPEG_ZZ)].reshape(8, 8)
+
+    if gray:
+        planes = [px]
+        samp = [(1, 1)]
+        qsel = [0]
+    else:
+        r, g, b = px[..., 0], px[..., 1], px[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        if subsample:
+            # pad to even dims, then 2x2 box-average the chroma planes
+            def half(p):
+                pe = np.pad(p, ((0, p.shape[0] % 2), (0, p.shape[1] % 2)),
+                            mode="edge")
+                return (pe[0::2, 0::2] + pe[0::2, 1::2]
+                        + pe[1::2, 0::2] + pe[1::2, 1::2]) / 4.0
+
+            planes = [y, half(cb), half(cr)]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y, cb, cr]
+            samp = [(1, 1), (1, 1), (1, 1)]
+        qsel = [0, 1, 1]
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = -(-w_img // (8 * hmax))
+    mcus_y = -(-h_img // (8 * vmax))
+    padded = []
+    for p, (sh, sv) in zip(planes, samp):
+        want_w, want_h = mcus_x * 8 * sh, mcus_y * 8 * sv
+        p = np.pad(p, ((0, max(0, want_h - p.shape[0])),
+                       (0, max(0, want_w - p.shape[1]))), mode="edge")
+        padded.append(p[:want_h, :want_w])
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    for tid, tbl in ((0, _JPEG_QLUM), (1, _JPEG_QCHROM))[: 1 if gray else 2]:
+        out += struct.pack(">HHB", 0xFFDB, 67, tid) + bytes(tbl)
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">HHBHHB", 0xFFC0, 8 + 3 * ncomp, 8, h_img, w_img, ncomp)
+    for ci in range(ncomp):
+        sof += struct.pack(
+            "BBB", ci + 1, (samp[ci][0] << 4) | samp[ci][1], qsel[ci])
+    out += sof
+    for cls, bits, vals in ((0, _JPEG_DC_BITS, _JPEG_DC_VALS),
+                            (1, _JPEG_AC_BITS, _JPEG_AC_VALS)):
+        out += struct.pack(">HHB", 0xFFC4, 3 + 16 + len(vals), cls << 4)
+        out += bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += struct.pack(">HHH", 0xFFDD, 4, restart_interval)
+    sos = struct.pack(">HHB", 0xFFDA, 6 + 2 * ncomp, ncomp)
+    for ci in range(ncomp):
+        sos += struct.pack("BB", ci + 1, 0x00)  # DC table 0, AC table 0
+    sos += struct.pack("BBB", 0, 63, 0)
+    out += sos
+
+    bw = _BitWriter()
+    preds = [0] * ncomp
+    rst = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            mcu_i = my * mcus_x + mx
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                bw.pad()
+                out += bw.buf
+                out += struct.pack(">H", 0xFFD0 + (rst % 8))
+                rst += 1
+                bw = _BitWriter()
+                preds = [0] * ncomp
+            for ci in range(ncomp):
+                sh, sv = samp[ci]
+                q = qlum if qsel[ci] == 0 else qchrom
+                for by in range(sv):
+                    for bx in range(sh):
+                        y0 = (my * sv + by) * 8
+                        x0 = (mx * sh + bx) * 8
+                        block = padded[ci][y0:y0 + 8, x0:x0 + 8] - 128.0
+                        coef = T @ block @ T.T
+                        # half-away rounding with an epsilon: DCT fp error
+                        # (~1e-13) must not flip an exact .5 boundary down
+                        quant = np.sign(coef) * np.floor(
+                            np.abs(coef) / q + 0.5 + 1e-9)
+                        zz = quant.reshape(64)[list(_JPEG_ZZ)]
+                        preds[ci] = _encode_block(
+                            bw, zz, preds[ci], dc_codes, ac_codes)
+    bw.pad()
+    out += bw.buf + b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    """MSB-first reader over an unstuffed entropy segment."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated JPEG entropy data")
+        b = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _huff_decode(br, table):
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | br.read_bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg_pixels(payload: bytes):
+    """Generic baseline JPEG decoder -> uint8 array (h, w) for grayscale
+    or (h, w, 3) RGB for YCbCr streams. Parses DQT (8/16-bit), SOF0, DHT,
+    DRI; decodes interleaved and single-component scans; upsamples
+    subsampled components by replication; inverts the level shift and the
+    JFIF color transform. Progressive (SOF2) / arithmetic modes raise."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    qt: dict[int, "np.ndarray"] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart_interval = 0
+    pos = 2
+    scan = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = payload[pos + 1]
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4: pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0xF
+                i += 1
+                if pq:
+                    vals = struct.unpack_from(f">{64}H", body, i)
+                    i += 128
+                else:
+                    vals = list(body[i: i + 64])
+                    i += 64
+                tbl = np.zeros(64, dtype=np.float64)
+                tbl[list(_JPEG_ZZ)] = np.array(vals, dtype=np.float64)
+                qt[tq] = tbl.reshape(8, 8)
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                cls, tid = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1: i + 17])
+                nvals = sum(bits)
+                vals = list(body[i + 17: i + 17 + nvals])
+                codes = _huff_codes(bits, vals)
+                huff[(cls, tid)] = {(l, c): s for s, (c, l) in codes.items()}
+                i += 17 + nvals
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0 / extended sequential
+            prec, h_img, w_img, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise ValueError(f"unsupported JPEG precision {prec}")
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = struct.unpack_from("BBB", body, 6 + 3 * ci)
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            frame = (h_img, w_img, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "unsupported JPEG mode (progressive/arithmetic/lossless) — "
+                "only baseline sequential decodes here")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS — entropy data follows
+            ns = body[0]
+            scomps = []
+            for si in range(ns):
+                cs, tabs = body[1 + 2 * si], body[2 + 2 * si]
+                scomps.append({"cs": cs, "dc": tabs >> 4, "ac": tabs & 0xF})
+            scan = (scomps, pos)
+            break
+    if frame is None or scan is None:
+        raise ValueError("JPEG missing SOF/SOS")
+    h_img, w_img, comps = frame
+    scomps, data_start = scan
+
+    # split entropy data into restart segments, unstuffing 0xFF00
+    segments: list[bytes] = []
+    cur = bytearray()
+    i = data_start
+    while i < len(payload):
+        b = payload[i]
+        if b == 0xFF and i + 1 < len(payload):
+            nxt = payload[i + 1]
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                segments.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+            break  # EOI or next marker
+        cur.append(b)
+        i += 1
+    segments.append(bytes(cur))
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    single = len(scomps) == 1
+    by_id = {c["id"]: c for c in comps}
+    T = _jpeg_dct_mat()
+    if single:
+        c = by_id[scomps[0]["cs"]]
+        cw = -(-w_img * c["h"] // hmax)
+        ch = -(-h_img * c["v"] // vmax)
+        mcus_x, mcus_y = -(-cw // 8), -(-ch // 8)
+        layout = [(c, 1, 1)]
+    else:
+        mcus_x, mcus_y = -(-w_img // (8 * hmax)), -(-h_img // (8 * vmax))
+        layout = [(by_id[s["cs"]], by_id[s["cs"]]["h"], by_id[s["cs"]]["v"])
+                  for s in scomps]
+    planes = {}
+    for c, sh, sv in layout:
+        planes[c["id"]] = np.zeros((mcus_y * sv * 8, mcus_x * sh * 8),
+                                   dtype=np.float64)
+
+    seg_i = 0
+    br = _BitReader(segments[0])
+    preds = {s["cs"]: 0 for s in scomps}
+    for mcu_i in range(mcus_x * mcus_y):
+        if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+            seg_i += 1
+            if seg_i >= len(segments):
+                raise ValueError("missing JPEG restart segment")
+            br = _BitReader(segments[seg_i])
+            preds = {s["cs"]: 0 for s in scomps}
+        my, mx = divmod(mcu_i, mcus_x)
+        for s, (c, sh, sv) in zip(scomps, layout):
+            dct_tab = huff.get((0, s["dc"]))
+            act_tab = huff.get((1, s["ac"]))
+            if dct_tab is None or act_tab is None:
+                raise ValueError("JPEG scan references undefined DHT table")
+            q = qt.get(c["tq"])
+            if q is None:
+                raise ValueError("JPEG component references undefined DQT")
+            for byy in range(sv):
+                for bxx in range(sh):
+                    zz = np.zeros(64, dtype=np.float64)
+                    size = _huff_decode(br, dct_tab)
+                    diff = _extend(br.read_bits(size), size) if size else 0
+                    preds[s["cs"]] += diff
+                    zz[0] = preds[s["cs"]]
+                    k = 1
+                    while k < 64:
+                        rs = _huff_decode(br, act_tab)
+                        if rs == 0x00:  # EOB
+                            break
+                        if rs == 0xF0:  # ZRL
+                            k += 16
+                            continue
+                        k += rs >> 4
+                        if k > 63:
+                            raise ValueError("JPEG AC index out of range")
+                        sz = rs & 0xF
+                        zz[k] = _extend(br.read_bits(sz), sz)
+                        k += 1
+                    coef = np.zeros(64, dtype=np.float64)
+                    coef[list(_JPEG_ZZ)] = zz
+                    block = T.T @ (coef.reshape(8, 8) * q) @ T
+                    y0 = (my * sv + byy) * 8
+                    x0 = (mx * sh + bxx) * 8
+                    planes[c["id"]][y0:y0 + 8, x0:x0 + 8] = block + 128.0
+
+    outs = []
+    for c in (comps if not single else [layout[0][0]]):
+        p = planes.get(c["id"])
+        if p is None:  # component not covered by this scan
+            continue
+        if not single:
+            p = np.repeat(np.repeat(p, vmax // c["v"], axis=0),
+                          hmax // c["h"], axis=1)
+        outs.append(np.clip(np.round(p[:h_img, :w_img]), 0, 255))
+    if len(outs) == 1:
+        return outs[0].astype(np.uint8)
+    y, cb, cr = outs[0], outs[1] - 128.0, outs[2] - 128.0
+    rgb = np.stack([
+        y + 1.402 * cr,
+        y - 0.344136 * cb - 0.714136 * cr,
+        y + 1.772 * cb,
+    ], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def decode_jpeg(payload: bytes) -> tuple[int, int, float]:
+    """Parse any baseline JPEG -> (width, height, mean decoded sample)."""
+    px = decode_jpeg_pixels(payload)
+    h, w = px.shape[:2]
+    return w, h, float(px.mean()) if px.size else 0.0
+
+
+def _jpeg_shape(doc_id: int) -> tuple[int, int]:
+    """(width, height) in pixels — whole 8x8 blocks, deterministic."""
+    return 8 * (1 + doc_id % 3), 8 * (1 + doc_id % 2)
+
+
+def _jpeg_block_gray(doc_id: int, bx: int, by: int) -> int:
+    return (doc_id * 29 + bx * 7 + by * 11) % 256
+
+
+def encode_jpeg_doc(doc_id: int) -> bytes:
+    """A real baseline grayscale JPEG whose 8x8 blocks are each a constant
+    gray level — flat blocks quantize to a lone DC coefficient, which makes
+    the (lossy!) decode round-trip closed-form:
+    recon = clip(2 * round((g - 128) / 2) + 128), exactly what the SQL
+    oracle computes. The stream itself goes through the full encoder
+    (DCT, quantization, Huffman) and back through the full decoder."""
+    import numpy as np
+
+    w, h = _jpeg_shape(doc_id)
+    img = np.zeros((h, w), dtype=np.uint8)
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            img[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = \
+                _jpeg_block_gray(doc_id, bx, by)
+    return encode_jpeg(img)

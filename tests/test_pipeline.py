@@ -77,15 +77,17 @@ def test_simhash_similar_docs_close(spark):
     assert ham(vals[1], vals[2]) <= ham(vals[1], vals[3])
 
 
-def test_multimodal_decode_stub_raises():
-    """jpeg/mp4 stay stubbed (PIL/ffmpeg-bound); png now decodes for real,
-    so a truncated payload is a parse error, not a missing-lib error."""
+def test_multimodal_decode_errors_are_typed():
+    """Every format decodes for real now; malformed payloads and unknown
+    types surface as typed parse errors (no NotImplementedError left)."""
     from neumann_spark.pipeline.multimodal import decode_media
 
-    with pytest.raises(NotImplementedError):
-        decode_media(b"\xff\xd8\xff", "image/jpeg")
+    with pytest.raises(ValueError, match="JPEG"):
+        decode_media(b"\xff\xd8\xff\xd9", "image/jpeg")
     with pytest.raises(ValueError, match="not a PNG"):
         decode_media(b"\x89PNG", "image/png")
+    with pytest.raises(ValueError, match="unknown media type"):
+        decode_media(b"", "application/octet-stream")
 
 
 def test_multimodal_feature_plumbing(spark):
@@ -297,8 +299,9 @@ def test_multimodal_real_decode_sparkside(spark):
     rows = multimodal_real_decode(spark, SF_DIR).collect()
     assert len(rows) == enc_n
     assert {r["media_type"] for r in rows} == {
-        "audio/wav", "image/bmp", "image/png", "video/mp4"}
-    from neumann_spark.pipeline.multimodal import _mp4_shape, _png_shape
+        "audio/wav", "image/bmp", "image/png", "video/mp4", "image/jpeg"}
+    from neumann_spark.pipeline.multimodal import (
+        _jpeg_shape, _mp4_shape, _png_shape)
 
     for r in rows[:40]:
         if r["media_type"] == "audio/wav":
@@ -308,6 +311,8 @@ def test_multimodal_real_decode_sparkside(spark):
             assert (r["dim_a"], r["dim_b"]) == _bmp_shape(r["doc_id"])
         elif r["media_type"] == "image/png":
             assert (r["dim_a"], r["dim_b"]) == _png_shape(r["doc_id"])
+        elif r["media_type"] == "image/jpeg":
+            assert (r["dim_a"], r["dim_b"]) == _jpeg_shape(r["doc_id"])
         else:
             assert (r["dim_a"], r["dim_b"]) == _mp4_shape(r["doc_id"])
 
@@ -371,3 +376,90 @@ def test_documents_ascii_assumption_for_byte_fold_oracle(spark):
         "documents corpus is no longer pure ASCII under 100000 chars — "
         "rewrite the multimodal_features oracle's byte fold (ord(char) != "
         "utf-8 byte for non-ASCII)")
+
+
+def test_jpeg_flat_block_closed_form():
+    """The generator's flat-block grayscale JPEGs decode to EXACTLY the
+    closed-form lossy round-trip the SQL oracle computes:
+    recon = clip(2*round_half_away((g-128)/2) + 128)."""
+    import math
+
+    from neumann_spark.pipeline.multimodal import (
+        _jpeg_block_gray, _jpeg_shape, decode_jpeg, encode_jpeg_doc)
+
+    for doc_id in (0, 5, 20, 100, 995, 4660):
+        w, h, mean = decode_jpeg(encode_jpeg_doc(doc_id))
+        assert (w, h) == _jpeg_shape(doc_id)
+        vals = []
+        for by in range(h // 8):
+            for bx in range(w // 8):
+                g = _jpeg_block_gray(doc_id, bx, by)
+                x = (g - 128) / 2.0
+                q = math.floor(abs(x) + 0.5) * (1 if x >= 0 else -1)
+                vals.append(min(255, max(0, 2 * q + 128)))
+        assert abs(mean - sum(vals) / len(vals)) < 1e-9
+
+
+def test_jpeg_nonflat_matches_reference_reconstruction():
+    """Full AC-coefficient path (Huffman run/size, zigzag, dequant, IDCT):
+    decoding our encoder's stream reproduces an independently computed
+    quant->dequant->IDCT reference bit-for-bit on a random image."""
+    import numpy as np
+
+    from neumann_spark.pipeline.multimodal import (
+        _JPEG_QLUM, _JPEG_ZZ, _jpeg_dct_mat, decode_jpeg_pixels, encode_jpeg)
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (24, 16), dtype=np.uint8)
+    dec = decode_jpeg_pixels(encode_jpeg(img))
+    T = _jpeg_dct_mat()
+    q = np.array(_JPEG_QLUM, dtype=float)[np.argsort(_JPEG_ZZ)].reshape(8, 8)
+    ref = np.zeros_like(img, dtype=float)
+    for by in range(3):
+        for bx in range(2):
+            b = img[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8].astype(float) - 128
+            qq = np.sign(T @ b @ T.T) * np.floor(
+                np.abs(T @ b @ T.T) / q + 0.5 + 1e-9)
+            ref[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = np.clip(
+                np.round(T.T @ (qq * q) @ T + 128), 0, 255)
+    assert np.array_equal(dec, ref.astype(np.uint8))
+    # restart markers: same stream content, segmented — identical decode
+    dec_rst = decode_jpeg_pixels(encode_jpeg(img, restart_interval=2))
+    assert np.array_equal(dec_rst, ref.astype(np.uint8))
+
+
+def test_jpeg_color_and_subsampling_roundtrip():
+    """YCbCr 4:4:4 and 4:2:0 streams (multi-component MCUs, chroma
+    upsampling, color transform) decode close to the original on a smooth
+    gradient, and odd (non-multiple-of-8) dims pad/crop correctly."""
+    import numpy as np
+
+    from neumann_spark.pipeline.multimodal import (
+        decode_jpeg, decode_jpeg_pixels, encode_jpeg)
+
+    yy, xx = np.mgrid[0:32, 0:24]
+    rgb = np.stack([(xx * 3 + yy) % 200 + 20, (xx + yy * 2) % 180 + 40,
+                    (xx * 2 + yy * 2) % 160 + 50], axis=-1).astype(np.uint8)
+    for subsample, tol in ((False, 12), (True, 16)):
+        dec = decode_jpeg_pixels(encode_jpeg(rgb, subsample=subsample))
+        assert dec.shape == rgb.shape
+        assert np.abs(dec.astype(int) - rgb.astype(int)).max() <= tol
+
+    img2 = np.random.default_rng(3).integers(0, 256, (13, 11), dtype=np.uint8)
+    w, h, _ = decode_jpeg(encode_jpeg(img2))
+    assert (w, h) == (11, 13)
+
+
+def test_jpeg_rejects_nonbaseline():
+    """Progressive (SOF2) streams raise with the documented reason; junk
+    raises the not-a-JPEG error."""
+    from neumann_spark.pipeline.multimodal import decode_jpeg
+
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"\x00\x01\x02")
+    import struct
+
+    sof2 = (b"\xff\xd8" + struct.pack(">HH", 0xFFC2, 11)
+            + struct.pack(">BHHB", 8, 8, 8, 1) + b"\x01\x11\x00")
+    with pytest.raises(ValueError, match="progressive"):
+        decode_jpeg(sof2)
