@@ -85,6 +85,7 @@ _PRIORITY: list[str] = [
     # ANN production path
     "ann_ivfpq_rescore",
     "ann_ivfpq_rescore_high_recall",
+    "ann_ivfpq_rescore_low_scan",
     "ann_index_persist_roundtrip",
     "ann_pq_rescore",
     "ann_ivf_search",

@@ -49,15 +49,20 @@ def main() -> None:
     from neumann_spark.pipeline.ann import (
         ANN_HIGH_RECALL_NPROBE,
         ANN_HIGH_RECALL_SHORTLIST,
+        ANN_LOW_SCAN_NPROBE,
+        ANN_LOW_SCAN_SHORTLIST,
         ANN_RESCORE_NPROBE,
         ANN_RESCORE_SHORTLIST,
         IVF_NPROBE,
+        PQ_FINE_S,
+        PQ_FINE_SUBDIM,
         PQ_S,
         PQ_SHORTLIST,
         PQ_SUBDIM,
         _sig_exprs,
         ivf_index,
         lsh_bucket_expr,
+        pq_fine_index,
         pq_index,
     )
     from neumann_spark.session import get_spark
@@ -66,6 +71,7 @@ def main() -> None:
 
     state, centroids = ivf_index(spark, sf_dir)
     codes_df, codebooks = pq_index(spark, sf_dir)
+    fine_codes_df, fine_codebooks = pq_fine_index(spark, sf_dir)
     emb = load(spark, sf_dir, "embeddings")
     v = F.col("embedding").cast("array<double>")
     lo, hi = _sig_exprs(v)
@@ -79,6 +85,14 @@ def main() -> None:
         )
         .join(state.select("vec_id", "cluster"), "vec_id")
         .join(codes_df, "vec_id")
+        .join(
+            fine_codes_df.select(
+                "vec_id",
+                *[F.col(f"code_{s}").alias(f"fcode_{s}")
+                  for s in range(PQ_FINE_S)],
+            ),
+            "vec_id",
+        )
         .orderBy("vec_id")
         .toPandas()
     )
@@ -91,6 +105,9 @@ def main() -> None:
     codes = np.stack(
         [art[f"code_{s}"].to_numpy() for s in range(PQ_S)], axis=1
     )  # n x S
+    fine_codes = np.stack(
+        [art[f"fcode_{s}"].to_numpy() for s in range(PQ_FINE_S)], axis=1
+    )  # n x 16
     sigs = np.stack([art["sig_lo"].to_numpy(), art["sig_hi"].to_numpy()], axis=1)
 
     cent = np.array([c for _, c in centroids])  # k x 64
@@ -118,14 +135,14 @@ def main() -> None:
     hits: dict[str, list[float]] = {m: [] for m in (
         "lsh_bucket", "lsh_multiprobe", "ivf_nprobe2", "binary_hamming",
         "pq_adc", "sq_dequant", "ivfpq_adc", "pq_rescore", "ivfpq_rescore",
-        "ivfpq_rescore_high_recall")}
+        "ivfpq_rescore_high_recall", "ivfpq_rescore_low_scan")}
     scanned: dict[str, list[float]] = {m: [] for m in hits}
     # fraction of rows whose COMPRESSED representation (codes/signatures)
     # is read — for two-stage methods `scanned` counts only full-precision
     # vector reads, so this is the other half of the byte accounting
     code_scanned: dict[str, list[float]] = {m: [] for m in (
         "binary_hamming", "pq_adc", "ivfpq_adc", "pq_rescore", "ivfpq_rescore",
-        "ivfpq_rescore_high_recall")}
+        "ivfpq_rescore_high_recall", "ivfpq_rescore_low_scan")}
     SWEEP_NPROBE = (4, 5, 6, 7, 8)
     SWEEP_SHORTLIST = (200, 400, 600)
     sweep_hits: dict[tuple, list[float]] = {
@@ -198,6 +215,17 @@ def main() -> None:
                 lut[cid] = round(float(((qs - np.array(c)) ** 2).sum()), 6)
             adc += lut[codes[:, s]]
         adc = np.round(adc, 6)
+        # fine ADC (16 x 4-dim x 64-code table — the low_scan preset's
+        # shortlist ranker; same sparse code-id LUT discipline)
+        adc_f = np.zeros(n)
+        for s in range(PQ_FINE_S):
+            qs = q[s * PQ_FINE_SUBDIM : (s + 1) * PQ_FINE_SUBDIM]
+            lut = np.full(
+                max(cid for cid, _ in fine_codebooks[s]) + 1, np.inf)
+            for cid, c in fine_codebooks[s]:
+                lut[cid] = round(float(((qs - np.array(c)) ** 2).sum()), 6)
+            adc_f += lut[fine_codes[:, s]]
+        adc_f = np.round(adc_f, 6)
         top = tie_rank(adc, qi, TOPK)
         hits["pq_adc"].append(len(set(top.tolist()) & gt_l2) / TOPK)
         scanned["pq_adc"].append(1.0)
@@ -230,15 +258,17 @@ def main() -> None:
         # only those lists' codes, exact-rescore the shortlist. Scan fraction
         # = full-precision vectors read (shortlist); stage 1 reads only PQ
         # codes (64x compressed) for the probed nprobe/k of the corpus.
-        for mname, r_nprobe, r_short in (
-            ("ivfpq_rescore", ANN_RESCORE_NPROBE, ANN_RESCORE_SHORTLIST),
+        for mname, r_nprobe, r_short, r_adc in (
+            ("ivfpq_rescore", ANN_RESCORE_NPROBE, ANN_RESCORE_SHORTLIST, adc),
             ("ivfpq_rescore_high_recall",
-             ANN_HIGH_RECALL_NPROBE, ANN_HIGH_RECALL_SHORTLIST),
+             ANN_HIGH_RECALL_NPROBE, ANN_HIGH_RECALL_SHORTLIST, adc),
+            ("ivfpq_rescore_low_scan",
+             ANN_LOW_SCAN_NPROBE, ANN_LOW_SCAN_SHORTLIST, adc_f),
         ):
             rprobe = cent_ids[np.lexsort((cent_ids, cd))[:r_nprobe]]
             cand = np.where(np.isin(clusters, rprobe))[0]
             cand = cand[cand != qi]
-            order = cand[np.lexsort((vec_ids[cand], adc[cand]))]
+            order = cand[np.lexsort((vec_ids[cand], r_adc[cand]))]
             short = order[:r_short]
             top = short[np.argsort(-cos[short], kind="stable")][:TOPK]
             hits[mname].append(len(set(top.tolist()) & gt_cos) / TOPK)
@@ -274,6 +304,7 @@ def main() -> None:
             "sq_dequant": "euclidean", "ivfpq_adc": "euclidean",
             "pq_rescore": "cosine", "ivfpq_rescore": "cosine",
             "ivfpq_rescore_high_recall": "cosine",
+            "ivfpq_rescore_low_scan": "cosine",
         },
         "recall_at_10": {m: round(float(np.mean(h)), 3) for m, h in hits.items()},
         "avg_scan_fraction": {
