@@ -516,12 +516,13 @@ def _scc_input_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("graph_scc_tarjan", oracle=_SCC_ORACLE_SQL)
 def graph_scc_tarjan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Strongly connected components, Tarjan
-    (`graph_engine/src/algorithms/scc.rs:133`) on the directed graph plus
-    reverse 'purchases' edges (o_orderkey % 41) so non-trivial cycles exist.
-    Driver-side on the collected edge list (guarded), like the reference;
-    the distributed scale path is `scc_distributed` (forward-backward
-    coloring, differential-tested equal on the fixture). Oracle: full
+    """GUARDED SMALL-GRAPH FAST PATH for SCC — the canonical §2.9 form is
+    `graph_scc_distributed` (forward-backward coloring, joins+groupBy
+    only); use this Tarjan tier only under MAX_COLLECT_EDGES, mirroring
+    the reference's own single-node execution model
+    (`graph_engine/src/algorithms/scc.rs:133`). Runs on the directed graph
+    plus reverse 'purchases' edges (o_orderkey % 41) so non-trivial cycles
+    exist; differential-tested equal to the distributed form. Oracle: full
     transitive closure by recursive CTE, component = mutual-reachability
     class keyed by its min member (singleton classes excluded on both
     sides). Closure size is quadratic in the largest SCC — fine at oracle
@@ -793,11 +794,12 @@ def _mst_oracle_sql() -> str:
 
 @register("graph_mst_kruskal", oracle=GRAPH_SQL_CTE + _mst_oracle_sql())
 def graph_mst_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Minimum spanning forest, Kruskal with deterministic (weight, src, dst)
-    ordering (`graph_engine/src/algorithms/mst.rs:164`). Driver-side with
-    union-find on the collected edge list; the distributed scale path is
-    `mst_boruvka_distributed` (min-edge per component + contracted-label
-    merge, differential-tested equal to Kruskal). Oracle: cut-
+    """GUARDED SMALL-GRAPH FAST PATH for MST — the canonical §2.9 form is
+    `graph_mst_boruvka` (min-edge per component + contracted-label merge,
+    fully distributed); this Kruskal union-find tier runs only under
+    MAX_COLLECT_EDGES, mirroring the reference's single-node model
+    (`graph_engine/src/algorithms/mst.rs:164`). Deterministic
+    (weight, src, dst) ordering; differential-tested equal. Oracle: cut-
     property decomposition (see `_mst_oracle_sql`) — the independently-derived
     check the driver hashes against."""
     ue = (
@@ -1100,12 +1102,14 @@ _ASTAR_ORACLE = (
 
 @register("graph_astar_path", oracle=_ASTAR_ORACLE)
 def graph_astar_path(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A* weighted path (`graph_engine/src/algorithms/astar.rs:192`) from
-    customer#1 to customer#17, zero heuristic (the weighted fixture graph
-    has no admissible coordinate heuristic; euclidean/manhattan are
-    exercised on coordinate-weighted graphs in tests). Driver-side on the
-    collected subgraph per SURVEY.md §2.9; the distributed scale path is
-    `traversal.bounded_dijkstra` (frontier relaxation). Oracle: 12-hop
+    """GUARDED SMALL-GRAPH FAST PATH for weighted pathfinding — the
+    canonical §2.9 form is `graph_astar_distributed` (bounded-Dijkstra
+    frontier relaxation + distributed predecessor back-walk); this
+    driver-side A* (`graph_engine/src/algorithms/astar.rs:192`) runs only
+    under MAX_COLLECT_EDGES, where the priority-queue heuristic search
+    (zero here; euclidean/manhattan exercised on coordinate-weighted
+    graphs in tests) beats job-per-hop latency. customer#1 ->
+    customer#17. Oracle: 12-hop
     Bellman-Ford min-distances + the same canonical min-id predecessor walk,
     in recursive SQL."""
     ue = undirected_edges(edges_df(spark, sf_dir)).select("src", "dst", "weight")
@@ -1117,9 +1121,9 @@ def graph_astar_path(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("graph_astar_distributed", oracle=_ASTAR_ORACLE)
 def graph_astar_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The distributed scale path for `graph_astar_path`, registered as its
-    own driver-checked query (same source/goal, same Bellman-Ford +
-    canonical-predecessor oracle): min distances by `bounded_dijkstra`
+    """Weighted pathfinding — THE CANONICAL (PRIMARY) §2.9 FORM (same
+    source/goal and Bellman-Ford + canonical-predecessor oracle as the
+    guarded `graph_astar_path` fast path): min distances by `bounded_dijkstra`
     frontier relaxation (hop-order float sums match Bellman-Ford
     bit-for-bit), predecessors by one join (min src with
     dist[src] + w = dist[dst], exact float equality), and the back-walk
@@ -1717,9 +1721,12 @@ def _articulation_oracle_sql() -> str:
     + _articulation_oracle_sql(),
 )
 def graph_articulation_points(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Articulation points (`biconnected.rs:112`) via driver-side
-    Hopcroft-Tarjan on the guarded collected graph, reported for a fixed
-    candidate panel (customer#1, supplier#1, five nations, one region).
+    """GUARDED SMALL-GRAPH FAST PATH for articulation points — the
+    canonical §2.9 form is `graph_articulation_distributed` (spanning
+    forest + cycle coverage + aux-graph CC, joins+groupBy only); this
+    driver-side Hopcroft-Tarjan (`biconnected.rs:112`) runs only under
+    MAX_COLLECT_EDGES. Reported for a fixed candidate panel
+    (customer#1, supplier#1, five nations, one region).
     The oracle is *definitional*, not a re-run of the algorithm: for each
     candidate it checks neighbor mutual reachability in G \\ v by recursive
     SQL — a true differential test of the disc/low implementation. The full
@@ -1768,8 +1775,11 @@ def _bridges_oracle_sql() -> str:
     + _bridges_oracle_sql(),
 )
 def graph_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bridges (`biconnected.rs:127`) via the same Hopcroft-Tarjan pass,
-    reported for the five nation->region part_of candidate edges; oracle =
+    """GUARDED SMALL-GRAPH FAST PATH for bridges — the canonical §2.9
+    form is `graph_bridges_distributed` (BCC via spanning forest +
+    fundamental-cycle coverage); this driver-side Hopcroft-Tarjan pass
+    (`biconnected.rs:127`) runs only under MAX_COLLECT_EDGES. Reported
+    for the five nation->region part_of candidate edges; oracle =
     removal-definition reachability in recursive SQL (see
     `_bridges_oracle_sql`)."""
     ue = undirected_edges(edges_df(spark, sf_dir)).select("src", "dst")
@@ -2020,10 +2030,11 @@ def mst_boruvka_distributed(
 
 @register("graph_scc_distributed", oracle=_SCC_ORACLE_SQL)
 def graph_scc_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The forward-backward-coloring SCC scale path registered as its own
-    driver-checked query: same input and same transitive-closure oracle as
-    `graph_scc_tarjan`, but computed fully distributed (no edge-list
-    collect) — joins + groupBy only, one shuffle per coloring step.
+    """SCC — THE CANONICAL (PRIMARY) §2.9 FORM: forward-backward coloring,
+    fully distributed (no edge-list collect) — joins + groupBy only, one
+    shuffle per coloring step; `graph_scc_tarjan` is the guarded
+    small-graph fast path sharing the same input and transitive-closure
+    oracle.
     Singleton classes are dropped with a distributed size filter to match
     the oracle's non-trivial-component output."""
     dist = scc_distributed(_scc_input_edges(spark, sf_dir))
@@ -2033,12 +2044,12 @@ def graph_scc_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("graph_mst_boruvka", oracle=GRAPH_SQL_CTE + _mst_oracle_sql())
 def graph_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The Borůvka minimum-spanning-forest scale path registered as its own
-    driver-checked query: same cut-property oracle as `graph_mst_kruskal`
-    (the strict (weight, src, dst) total order makes the MSF unique, so
-    both algorithms must produce the identical edge set), computed fully
-    distributed — min-struct per component + contracted min-label merge,
-    no driver collect."""
+    """MST — THE CANONICAL (PRIMARY) §2.9 FORM: Borůvka minimum spanning
+    forest, fully distributed — min-struct per component + contracted
+    min-label merge, no driver collect. Same cut-property oracle as the
+    guarded `graph_mst_kruskal` fast path (the strict (weight, src, dst)
+    total order makes the MSF unique, so both must produce the identical
+    edge set)."""
     mst = mst_boruvka_distributed(undirected_edges(edges_df(spark, sf_dir)))
     return mst.select("src", "dst", F.round("weight", 2).alias("weight"))
 
@@ -2304,11 +2315,11 @@ def _bcc_index(spark: SparkSession, sf_dir: str):
     + _bridges_oracle_sql(),
 )
 def graph_bridges_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The distributed-bridges scale path registered as its own
-    driver-checked query: same candidate panel and same removal-definition
-    reachability oracle as `graph_bridges`, but the bridge set comes from
-    `bcc_distributed` (spanning forest + cycle coverage) — no edge-list
-    collect anywhere. Full-set equality vs the Hopcroft-Tarjan pass is
+    """Bridges — THE CANONICAL (PRIMARY) §2.9 FORM: the bridge set comes
+    from `bcc_distributed` (spanning forest + fundamental-cycle coverage)
+    — no edge-list collect anywhere; same candidate panel and
+    removal-definition reachability oracle as the guarded `graph_bridges`
+    fast path. Full-set equality vs the Hopcroft-Tarjan pass is
     asserted by the differential test in tests/test_graph.py."""
     _, bridges, _ = _bcc_index(spark, sf_dir)
     e = edges_df(spark, sf_dir)
@@ -2341,11 +2352,11 @@ def graph_bridges_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     + _articulation_oracle_sql(),
 )
 def graph_articulation_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The distributed articulation-points scale path: same candidate panel
-    and same neighbor-reachability-in-G\\v oracle as
-    `graph_articulation_points`, but the articulation set comes from
-    `bcc_distributed` (a vertex is articulation iff its incident tree
-    edges span >= 2 BCC labels) — joins + groupBy only. Full-set equality
+    """Articulation points — THE CANONICAL (PRIMARY) §2.9 FORM: the
+    articulation set comes from `bcc_distributed` (a vertex is
+    articulation iff its incident tree edges span >= 2 BCC labels); same
+    candidate panel and neighbor-reachability-in-G\\v oracle as the
+    guarded `graph_articulation_points` fast path — joins + groupBy only. Full-set equality
     vs Hopcroft-Tarjan asserted in tests/test_graph.py."""
     _, _, art = _bcc_index(spark, sf_dir)
     cand = spark.createDataFrame([(int(v),) for v in ART_CANDIDATES], "id bigint")
