@@ -1302,8 +1302,11 @@ class NeumannSparkEngine:
         optional labels/edge type, WHERE, RETURN, LIMIT. The pattern lowers
         to an edges⋈nodes⋈nodes join (motif finding)."""
         vm = re.match(
-            r"MATCH\s+\((\w+)(?::(\w+))?\)\s*-\s*\[:?(\w+)?\*(\d+)\.\.(\d+)\]\s*->"
-            r"\s*\((\w+)(?::(\w+))?\)\s+RETURN\s+(.+?)(?:\s+LIMIT\s+(\d+))?\s*$",
+            rf"MATCH\s+{self._NODE_PAT}\s*-\s*\[:?([\w|]+)?\*(\d+)\.\.(\d+)\]\s*->"
+            rf"\s*{self._NODE_PAT}"
+            r"(?:\s+WHERE\s+(.+?))?\s+RETURN\s+(.+?)"
+            r"(?:\s+ORDER\s+BY\s+(.+?))?(?:\s+SKIP\s+(\d+))?"
+            r"(?:\s+LIMIT\s+(\d+))?\s*$",
             cmd,
             re.I | re.S,
         )
@@ -1457,21 +1460,29 @@ class NeumannSparkEngine:
         return out.distinct() if distinct else out
 
     def _exec_match_varlength(self, m) -> DataFrame:
-        """Cypher variable-length pattern `(a)-[:T*min..max]->(b)`
-        (`neumann_parser/src/cypher.rs` var-length `*1..5`;
-        `find_variable_paths` `graph_engine/src/lib.rs:5405`): multi-source
-        BFS over type-filtered directed edges, hop range filtered, endpoint
-        labels applied."""
-        a, a_lbl, etype, lo, hi, b, b_lbl, ret, limit = m.groups()
+        """Cypher variable-length pattern
+        `(a[:L] [{props}])-[:T|U*min..max]->(b[:L] [{props}])` with WHERE /
+        RETURN / ORDER BY / SKIP / LIMIT (`neumann_parser/src/cypher.rs`
+        var-length `*1..5` + the full clause surface the fixed-length
+        matchers already carry; `find_variable_paths`
+        `graph_engine/src/lib.rs:5405`): multi-source BFS over
+        type-filtered directed edges, hop range filtered, endpoint labels
+        and property maps applied as source/destination filters, `hops` =
+        shortest reach distance. WHERE sees `a.id`/`a.label`/`b.id`/
+        `b.label`/`hops` (facade dialect incl. BETWEEN/CASE/IN)."""
+        (a, a_lbl, a_props, etype, lo, hi, b, b_lbl, b_props,
+         where, ret, order, skip, limit) = m.groups()
         lo, hi = int(lo), int(hi)
         if hi < lo or hi > 8:
             raise ValueError("variable-length bounds must satisfy min ≤ max ≤ 8")
         e = self._edges
         if etype:
-            e = e.filter(F.col("edge_type") == etype)
+            e = e.filter(F.col("edge_type").isin(etype.split("|")))
         srcs = self._nodes
         if a_lbl:
             srcs = srcs.filter(F.col("label") == a_lbl)
+        for k, v in self._parse_props(a_props).items():
+            srcs = srcs.filter(F.col("id" if k == "id" else k) == F.lit(v))
         sources = srcs.select(F.col("id").alias("source"), F.col("id").alias("node"))
         levels = bfs_levels(e, sources, hi)
         out = levels.filter(
@@ -1481,12 +1492,41 @@ class NeumannSparkEngine:
             F.col("node").alias(f"{b}_id"),
             F.col("dist").alias("hops"),
         )
+        # endpoint labels for WHERE/RETURN — inner joins on the (id, label)
+        # node rows, the same multi-label fan-out the fixed-length matcher
+        # has (fixture nodes are single-label, so row counts match)
+        na = srcs.select(F.col("id").alias(f"{a}_id"),
+                         F.col("label").alias(f"{a}_label"))
+        out = out.join(na, f"{a}_id")
+        nb = self._nodes
         if b_lbl:
-            nb = self._nodes.filter(F.col("label") == b_lbl).select(
-                F.col("id").alias(f"{b}_id")
-            )
-            out = out.join(nb, f"{b}_id", "left_semi")
+            nb = nb.filter(F.col("label") == b_lbl)
+        for k, v in self._parse_props(b_props).items():
+            nb = nb.filter(F.col("id" if k == "id" else k) == F.lit(v))
+        out = out.join(
+            nb.select(F.col("id").alias(f"{b}_id"),
+                      F.col("label").alias(f"{b}_label")),
+            f"{b}_id")
+        if where:
+            for var in (a, b):
+                where = re.sub(rf"\b{var}\.(\w+)", rf"{var}_\1", where)
+            out = out.filter(where)
         out = self._cypher_return(out, ret, {a, b})
+        if order:
+            items = []
+            for part in order.split(","):
+                toks = part.split()
+                col = toks[0]
+                if col in (a, b):
+                    col = f"{col}_id"
+                else:
+                    for var in (a, b):
+                        col = col.replace(f"{var}.", f"{var}_")
+                desc = len(toks) > 1 and toks[1].upper() == "DESC"
+                items.append(F.col(col).desc() if desc else F.col(col).asc())
+            out = out.orderBy(*items)
+        if skip:
+            out = out.offset(int(skip))
         if limit:
             out = out.limit(int(limit))
         return out

@@ -243,3 +243,31 @@ def cypher_count_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "RETURN n, COUNT(c) AS n_customers, "
         "COUNT(DISTINCT c) AS distinct_customers"
     )
+
+
+@register(
+    "cypher_varlength_filtered",
+    oracle=GRAPH_SQL_CTE
+    + """
+    SELECT l.src AS c_id, p.dst AS x_id, CAST(2 AS INT) AS hops
+    FROM edges l JOIN edges p ON l.dst = p.src
+    WHERE l.edge_type = 'located_in' AND p.edge_type = 'part_of'
+      AND l.src < 1000000 AND l.src % 100 = 7
+    """,
+)
+def cypher_varlength_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cypher variable-length pattern with WHERE and a property-map
+    endpoint filter (`neumann_parser/src/cypher.rs:15-210` allows
+    `MATCH (a)-[*1..5]->(b) WHERE ...`; `find_variable_paths`
+    `graph_engine/src/lib.rs:5405`): customers reaching a region within
+    two hops (customer -> nation -> region over the directed fixture
+    edges), destination constrained by `{label: 'region'}` rather than a
+    label tag, source thinned by the WHERE. The oracle states the only
+    2-hop derivation explicitly (located_in ∘ part_of)."""
+    from neumann_spark.engine import NeumannSparkEngine
+
+    eng = NeumannSparkEngine(spark, sf_dir)
+    return eng.execute(
+        "MATCH (c:customer)-[*1..2]->(x {label: 'region'}) "
+        "WHERE c.id % 100 = 7 RETURN c, x, hops"
+    )

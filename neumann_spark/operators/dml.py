@@ -97,3 +97,140 @@ def dml_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         o, (F.col("o_orderstatus") == "P") | (F.col("o_totalprice") < 2000.0)
     )
     return kept.groupBy("o_orderpriority").agg(F.count("*").alias("n"))
+
+
+# --- MERGE INTO over partitioned parquet ----------------------------------
+# The concrete form of the "a real deployment lands this as MERGE" note
+# above: an upsert against a partitioned parquet table that REWRITES ONLY
+# THE TOUCHED PARTITIONS (staged write + per-partition directory swap, the
+# `_save_snapshot` versioned-dir discipline applied per partition).
+# Delta/Iceberg jars are absent from this image; this is the same commit
+# shape those formats implement with a manifest instead of renames.
+
+
+def merge_into_partitioned(
+    spark: SparkSession,
+    target_dir: str,
+    source: DataFrame,
+    keys: list[str],
+    partition_col: str,
+) -> list:
+    """MERGE INTO target USING source ON keys — matched rows are replaced
+    by the source version, unmatched source rows are inserted. Returns the
+    list of touched partition values.
+
+    Scale shape: only partitions present in the source are read (static
+    partition-pruning IN-list — the scan never lists untouched partition
+    dirs), merged (source rows win via an anti-join on the key), staged to
+    a fresh `_stage_<nonce>` directory, and swapped in per-partition with
+    directory renames. Untouched partitions: zero bytes read, zero bytes
+    written, files byte-identical after commit (asserted in tests)."""
+    import os
+    import shutil
+    import uuid
+
+    touched = sorted(
+        r[0] for r in source.select(partition_col).distinct().collect()
+    )
+    target = spark.read.parquet(target_dir)
+    if set(target.columns) != set(source.columns):
+        raise ValueError(
+            f"MERGE schema mismatch: target {sorted(target.columns)} "
+            f"vs source {sorted(source.columns)}")
+    # partition-pruned read: only the touched partition directories
+    old = target.filter(F.col(partition_col).isin(touched))
+    survivors = old.join(
+        source.select(*keys).distinct(), keys, "left_anti")
+    merged = survivors.select(*source.columns).unionByName(source)
+
+    stage = os.path.join(target_dir, f"_stage_{uuid.uuid4().hex[:12]}")
+    (merged.repartition(partition_col)
+     .write.partitionBy(partition_col).parquet(stage))
+    try:
+        for v in touched:
+            part = f"{partition_col}={v}"
+            new_dir = os.path.join(stage, part)
+            final_dir = os.path.join(target_dir, part)
+            if not os.path.isdir(new_dir):
+                raise ValueError(f"staged partition missing: {part}")
+            trash = final_dir + ".old"
+            if os.path.isdir(final_dir):
+                os.rename(final_dir, trash)
+            os.rename(new_dir, final_dir)
+            shutil.rmtree(trash, ignore_errors=True)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    return touched
+
+
+@register(
+    "dml_merge_partitioned",
+    oracle="""
+    WITH target AS (
+      SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+    ),
+    source AS (
+      -- updates: 2-HIGH orders with key % 10 = 0 get price * 2
+      SELECT o_orderkey, o_orderpriority,
+             ROUND(o_totalprice * 2, 2) AS o_totalprice
+      FROM orders
+      WHERE o_orderpriority = '2-HIGH' AND o_orderkey % 10 = 0
+      UNION ALL
+      -- inserts: synthetic new keys into the 5-LOW partition
+      SELECT 900000000 + t.i, '5-LOW', CAST(100.0 AS DECIMAL(15,2))
+      FROM generate_series(1, 7) AS t(i)
+    ),
+    merged AS (
+      SELECT * FROM target t
+      WHERE NOT EXISTS (SELECT 1 FROM source s
+                        WHERE s.o_orderkey = t.o_orderkey)
+      UNION ALL SELECT * FROM source
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM merged GROUP BY o_orderpriority
+    """,
+)
+def dml_merge_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO over a parquet table partitioned by o_orderpriority:
+    build the target once in a private temp dir, merge a source of
+    updates (2-HIGH price doubles for key % 10 = 0) plus inserts (seven
+    new 5-LOW keys), then aggregate the post-merge table read back from
+    disk — so the hash verifies the COMMITTED state, not an in-memory
+    view. Only the 2-HIGH and 5-LOW partition directories are rewritten;
+    the other three are untouched on disk (unit-tested by mtime/bytes)."""
+    import shutil
+    import tempfile
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice")
+    tdir = tempfile.mkdtemp(prefix="neumann_merge_")
+    try:
+        o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(tdir)
+        updates = (
+            o.filter((F.col("o_orderpriority") == "2-HIGH")
+                     & (F.col("o_orderkey") % 10 == 0))
+            .withColumn("o_totalprice", F.round(F.col("o_totalprice") * 2, 2))
+        )
+        inserts = spark.range(1, 8).select(
+            (F.lit(900000000) + F.col("id")).alias("o_orderkey"),
+            F.lit("5-LOW").alias("o_orderpriority"),
+            F.lit(100.0).cast(o.schema["o_totalprice"].dataType)
+            .alias("o_totalprice"),
+        )
+        merge_into_partitioned(
+            spark, tdir, updates.unionByName(inserts),
+            keys=["o_orderkey"], partition_col="o_orderpriority")
+        out = (
+            spark.read.parquet(tdir)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double").alias("total"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)

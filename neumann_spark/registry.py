@@ -62,6 +62,7 @@ _PRIORITY: list[str] = [
     "cursor_pagination",
     "dml_fk_actions",
     "dml_constraint_enforcement",
+    "dml_merge_partitioned",
     "snapshot_roundtrip",
     "checkpoint_rollback",
     # unified cross-engine (the reference's signature feature)
@@ -73,6 +74,7 @@ _PRIORITY: list[str] = [
     "cypher_match_edges",
     "cypher_node_match",
     "cypher_count_aggregate",
+    "cypher_varlength_filtered",
     # dedup family (LLM-pipeline core)
     "dedup_exact",
     "dedup_ngram_jaccard",

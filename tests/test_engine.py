@@ -137,6 +137,40 @@ def test_cypher_varlength_bounds_validated(engine):
         engine.execute("MATCH (a)-[:supplies*3..99]->(b) RETURN a, b")
 
 
+def test_cypher_varlength_where_and_props(engine):
+    """Var-length WHERE + property-map endpoints (`cypher.rs:15-210`
+    allows `MATCH (a)-[*1..5]->(b) WHERE ...`): customers reach a region
+    in exactly 2 hops; WHERE thins sources; {label:} filters the
+    destination without a label tag."""
+    rows = engine.execute(
+        "MATCH (c:customer)-[*1..2]->(x {label: 'region'}) "
+        "WHERE c.id % 100 = 7 RETURN c, x, hops"
+    ).collect()
+    assert rows
+    assert all(r["hops"] == 2 for r in rows)
+    assert all(r["c_id"] % 100 == 7 for r in rows)
+    assert all(r["x_id"] >= 3000000 for r in rows)  # region id space
+    # WHERE can reference hops and b-side columns too
+    none = engine.execute(
+        "MATCH (c:customer)-[*1..2]->(x {label: 'region'}) "
+        "WHERE hops = 1 RETURN c, x, hops"
+    ).collect()
+    assert none == []  # regions are never 1 hop from a customer
+
+
+def test_cypher_varlength_order_skip_limit(engine):
+    """ORDER BY / SKIP / LIMIT on the var-length form, plus type
+    alternation `[:A|B*..]`."""
+    rows = engine.execute(
+        "MATCH (c:customer)-[:located_in|part_of*1..2]->(x {label: 'region'}) "
+        "WHERE c.id <= 20 RETURN c, x, hops ORDER BY c DESC, x SKIP 1 LIMIT 5"
+    ).collect()
+    assert len(rows) == 5
+    # each customer reaches exactly one region, so the ordered id stream
+    # is 20,19,... and SKIP 1 LIMIT 5 yields precisely 19..15
+    assert [r["c_id"] for r in rows] == [19, 18, 17, 16, 15]
+
+
 # -- Cypher write verbs (`query_router/src/cypher.rs:98,114,168`) ----------
 
 

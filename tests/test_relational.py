@@ -86,3 +86,50 @@ def test_events_loader_handles_both_ts_encodings(spark, tmp_path):
         assert dict(df.dtypes)["ts"] == "timestamp"
         out[sub] = [r["ts"] for r in df.orderBy("event_id").collect()]
     assert out["us"] == out["ns"]
+
+
+def test_merge_into_rewrites_only_touched_partitions(spark, tmp_path):
+    """MERGE INTO over partitioned parquet: matched rows replaced,
+    unmatched inserted, and the UNTOUCHED partition directories are
+    byte-identical after commit (the partition-pruned staged-rewrite
+    contract)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from neumann_spark.operators.dml import merge_into_partitioned
+
+    tdir = str(tmp_path / "merge_target")
+    rows = [(i, ["a", "b", "c"][i % 3], float(i)) for i in range(30)]
+    df = spark.createDataFrame(rows, "k bigint, p string, v double")
+    df.write.partitionBy("p").parquet(tdir)
+
+    def snapshot(part):
+        d = os.path.join(tdir, f"p={part}")
+        return {
+            f: (os.path.getmtime(os.path.join(d, f)),
+                os.path.getsize(os.path.join(d, f)))
+            for f in sorted(os.listdir(d)) if not f.startswith(("_", "."))
+        }
+
+    before_b, before_c = snapshot("b"), snapshot("c")
+    # source touches only partition 'a': update k=0,3 and insert k=100
+    source = spark.createDataFrame(
+        [(0, "a", 99.0), (3, "a", 77.0), (100, "a", 1.0)],
+        "k bigint, p string, v double")
+    touched = merge_into_partitioned(spark, tdir, source, ["k"], "p")
+    assert touched == ["a"]
+    assert snapshot("b") == before_b and snapshot("c") == before_c
+
+    back = spark.read.parquet(tdir)
+    got = {r["k"]: r["v"] for r in back.filter(F.col("p") == "a").collect()}
+    assert got[0] == 99.0 and got[3] == 77.0 and got[100] == 1.0
+    assert len(got) == 11  # 10 original k%3==0 rows + 1 insert
+    assert back.count() == 31
+
+    # schema mismatch is a typed error, state untouched
+    import pytest as _pt
+
+    bad = spark.createDataFrame([(1, "a")], "k bigint, p string")
+    with _pt.raises(ValueError, match="MERGE schema mismatch"):
+        merge_into_partitioned(spark, tdir, bad, ["k"], "p")
