@@ -1337,14 +1337,7 @@ class NeumannSparkEngine:
                 out = out.filter(re.sub(rf"\b{var}\.(\w+)", rf"{var}_\1", where))
             out = self._cypher_return(out, ret, {var})
             if order:
-                items = []
-                for part in order.split(","):
-                    toks = part.split()
-                    col = toks[0].replace(f"{var}.", f"{var}_")
-                    col = f"{var}_id" if col == var else col
-                    desc = len(toks) > 1 and toks[1].upper() == "DESC"
-                    items.append(F.col(col).desc() if desc else F.col(col).asc())
-                out = out.orderBy(*items)
+                out = self._cypher_orderby(out, order, {var})
             else:
                 out = out.orderBy(out.columns[0])
             if skip:
@@ -1402,6 +1395,25 @@ class NeumannSparkEngine:
         if limit:
             out = out.limit(int(limit))
         return out
+
+    @staticmethod
+    def _cypher_orderby(out: DataFrame, order: str, id_vars: set) -> DataFrame:
+        """Shared ORDER BY item parsing for the Cypher matchers: a bare
+        pattern variable sorts by its id column, `var.prop` by the
+        prefixed property column, anything else (e.g. `hops`) as-is;
+        optional ASC/DESC per item."""
+        items = []
+        for part in order.split(","):
+            toks = part.split()
+            col = toks[0]
+            if col in id_vars:
+                col = f"{col}_id"
+            else:
+                for var in id_vars:
+                    col = col.replace(f"{var}.", f"{var}_")
+            desc = len(toks) > 1 and toks[1].upper() == "DESC"
+            items.append(F.col(col).desc() if desc else F.col(col).asc())
+        return out.orderBy(*items)
 
     _CYPHER_AGG_RE = re.compile(
         r"COUNT\s*\(\s*(DISTINCT\s+)?(\*|[\w.]+)\s*\)(?:\s+AS\s+(\w+))?\s*$",
@@ -1482,7 +1494,7 @@ class NeumannSparkEngine:
         if a_lbl:
             srcs = srcs.filter(F.col("label") == a_lbl)
         for k, v in self._parse_props(a_props).items():
-            srcs = srcs.filter(F.col("id" if k == "id" else k) == F.lit(v))
+            srcs = srcs.filter(F.col(k) == F.lit(v))
         sources = srcs.select(F.col("id").alias("source"), F.col("id").alias("node"))
         levels = bfs_levels(e, sources, hi)
         out = levels.filter(
@@ -1502,7 +1514,7 @@ class NeumannSparkEngine:
         if b_lbl:
             nb = nb.filter(F.col("label") == b_lbl)
         for k, v in self._parse_props(b_props).items():
-            nb = nb.filter(F.col("id" if k == "id" else k) == F.lit(v))
+            nb = nb.filter(F.col(k) == F.lit(v))
         out = out.join(
             nb.select(F.col("id").alias(f"{b}_id"),
                       F.col("label").alias(f"{b}_label")),
@@ -1513,18 +1525,7 @@ class NeumannSparkEngine:
             out = out.filter(where)
         out = self._cypher_return(out, ret, {a, b})
         if order:
-            items = []
-            for part in order.split(","):
-                toks = part.split()
-                col = toks[0]
-                if col in (a, b):
-                    col = f"{col}_id"
-                else:
-                    for var in (a, b):
-                        col = col.replace(f"{var}.", f"{var}_")
-                desc = len(toks) > 1 and toks[1].upper() == "DESC"
-                items.append(F.col(col).desc() if desc else F.col(col).asc())
-            out = out.orderBy(*items)
+            out = self._cypher_orderby(out, order, {a, b})
         if skip:
             out = out.offset(int(skip))
         if limit:

@@ -14,6 +14,8 @@ non-goal for the batch engine (SURVEY.md §2.12).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -119,12 +121,24 @@ def merge_into_partitioned(
     by the source version, unmatched source rows are inserted. Returns the
     list of touched partition values.
 
+    CONTRACT: the partition column must be key-stable — a source row's
+    partition value must equal the partition its key already lives in (if
+    any). This is what makes partition-pruned merge sound: only the
+    source's partitions are read, so a key that "moved" partitions would
+    not be found and would end up duplicated. (Delta/Iceberg MERGE with
+    partition predicates carries the same requirement; enforcing it would
+    mean scanning every untouched partition, which defeats the pruning.)
+
     Scale shape: only partitions present in the source are read (static
     partition-pruning IN-list — the scan never lists untouched partition
     dirs), merged (source rows win via an anti-join on the key), staged to
     a fresh `_stage_<nonce>` directory, and swapped in per-partition with
-    directory renames. Untouched partitions: zero bytes read, zero bytes
-    written, files byte-identical after commit (asserted in tests)."""
+    directory renames. The swap is validate-all-then-commit with rollback:
+    every staged partition is checked BEFORE any rename, and a failure
+    mid-swap restores the already-swapped partitions, so the target is
+    never left half-merged or missing a partition. Untouched partitions:
+    zero bytes read, zero bytes written, files byte-identical after
+    commit (asserted in tests)."""
     import os
     import shutil
     import uuid
@@ -132,6 +146,15 @@ def merge_into_partitioned(
     touched = sorted(
         r[0] for r in source.select(partition_col).distinct().collect()
     )
+    # partition values must map 1:1 onto directory names: Spark
+    # percent-escapes special characters and encodes NULL as
+    # __HIVE_DEFAULT_PARTITION__, which the literal rename below would
+    # miss — reject rather than mis-swap
+    for v in touched:
+        if v is None or not re.fullmatch(r"[\w][\w.\- ]*", str(v)):
+            raise ValueError(
+                f"MERGE partition value {v!r} needs escaped/null directory "
+                "encoding — unsupported by the rename-based commit")
     target = spark.read.parquet(target_dir)
     if set(target.columns) != set(source.columns):
         raise ValueError(
@@ -147,17 +170,43 @@ def merge_into_partitioned(
     (merged.repartition(partition_col)
      .write.partitionBy(partition_col).parquet(stage))
     try:
+        # validate EVERY staged partition before touching the target, so
+        # a missing stage dir aborts with zero partitions swapped
+        plan = []
         for v in touched:
             part = f"{partition_col}={v}"
             new_dir = os.path.join(stage, part)
-            final_dir = os.path.join(target_dir, part)
             if not os.path.isdir(new_dir):
                 raise ValueError(f"staged partition missing: {part}")
-            trash = final_dir + ".old"
-            if os.path.isdir(final_dir):
-                os.rename(final_dir, trash)
-            os.rename(new_dir, final_dir)
-            shutil.rmtree(trash, ignore_errors=True)
+            plan.append((new_dir, os.path.join(target_dir, part)))
+        swapped = []  # (final_dir, trash_dir or None) in commit order
+        try:
+            for new_dir, final_dir in plan:
+                trash = final_dir + f".old_{uuid.uuid4().hex[:8]}"
+                if os.path.isdir(final_dir):
+                    os.rename(final_dir, trash)
+                else:
+                    trash = None
+                try:
+                    os.rename(new_dir, final_dir)
+                except BaseException:
+                    if trash is not None:
+                        os.rename(trash, final_dir)  # restore this one
+                    raise
+                swapped.append((final_dir, trash))
+        except BaseException:
+            # roll back the partitions already swapped: put the old
+            # directories back so the target is the pre-merge state
+            for final_dir, trash in reversed(swapped):
+                if trash is not None:
+                    shutil.rmtree(final_dir, ignore_errors=True)
+                    os.rename(trash, final_dir)
+                else:
+                    shutil.rmtree(final_dir, ignore_errors=True)
+            raise
+        for _, trash in swapped:
+            if trash is not None:
+                shutil.rmtree(trash, ignore_errors=True)
     finally:
         shutil.rmtree(stage, ignore_errors=True)
     return touched

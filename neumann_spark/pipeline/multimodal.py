@@ -914,6 +914,10 @@ def decode_jpeg_pixels(payload: bytes):
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
+        # T.81 B.1.1.2: a marker may be preceded by any number of 0xFF
+        # fill bytes — conformant encoders emit them; skip the run
+        while pos + 4 <= len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             pos += 2

@@ -218,11 +218,15 @@ def test_media_codecs_roundtrip_and_dispatch():
         assert decode_wav(encode_wav(d))[:2] == (n, 8000)
         w, h = _bmp_shape(d)
         assert decode_bmp(encode_bmp(d))[:2] == (w, h)
-        # dispatch: wav/bmp real, mp4 stubbed
+        # dispatch: wav/bmp real; mp4 routes to box-level metadata
         assert decode_media(encode_wav(d), "audio/wav")[0] == n
         assert decode_media(encode_bmp(d), "image/bmp")[0] == w
-    with _pt.raises(NotImplementedError, match="ffmpeg"):
-        decode_media(b"\x00\x00\x00\x18ftypisom", "video/mp4")
+    from neumann_spark.pipeline.multimodal import _mp4_shape, encode_mp4_shell
+
+    ts, dur = _mp4_shape(3)
+    assert decode_media(encode_mp4_shell(3), "video/mp4") == (ts, dur, 0.0)
+    with _pt.raises(ValueError, match="no mvhd"):
+        decode_media(b"\x00\x00\x00\x10ftypisomisom", "video/mp4")
 
     # foreign stereo 16-bit WAV (not our generator's shape)
     buf = io.BytesIO()
@@ -463,3 +467,19 @@ def test_jpeg_rejects_nonbaseline():
             + struct.pack(">BHHB", 8, 8, 8, 1) + b"\x01\x11\x00")
     with pytest.raises(ValueError, match="progressive"):
         decode_jpeg(sof2)
+
+
+def test_jpeg_fill_bytes_before_markers():
+    """T.81 B.1.1.2: markers may be preceded by 0xFF fill bytes — a
+    conformant foreign stream with fill padding must decode identically."""
+    import numpy as np
+
+    from neumann_spark.pipeline.multimodal import (
+        decode_jpeg_pixels, encode_jpeg)
+
+    img = np.random.default_rng(11).integers(0, 256, (16, 16), dtype=np.uint8)
+    blob = encode_jpeg(img)
+    # insert a run of fill bytes before the SOF0 marker
+    sof = blob.index(b"\xff\xc0")
+    padded = blob[:sof] + b"\xff\xff\xff" + blob[sof:]
+    assert np.array_equal(decode_jpeg_pixels(padded), decode_jpeg_pixels(blob))

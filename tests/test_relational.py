@@ -133,3 +133,62 @@ def test_merge_into_rewrites_only_touched_partitions(spark, tmp_path):
     bad = spark.createDataFrame([(1, "a")], "k bigint, p string")
     with _pt.raises(ValueError, match="MERGE schema mismatch"):
         merge_into_partitioned(spark, tdir, bad, ["k"], "p")
+
+
+def test_merge_into_rejects_unsafe_partition_values(spark, tmp_path):
+    """Partition values needing escaped/null directory encoding abort
+    BEFORE any state change (the rename commit would mis-map them)."""
+    import pytest as _pt
+
+    from neumann_spark.operators.dml import merge_into_partitioned
+
+    tdir = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "a", 1.0)], "k bigint, p string, v double"
+    ).write.partitionBy("p").parquet(tdir)
+    for bad in [None, "b:c", "x/y", ".hidden"]:
+        src = spark.createDataFrame(
+            [(2, bad, 2.0)], "k bigint, p string, v double")
+        with _pt.raises(ValueError, match="partition value"):
+            merge_into_partitioned(spark, tdir, src, ["k"], "p")
+    assert spark.read.parquet(tdir).count() == 1  # untouched
+
+
+def test_merge_into_rolls_back_on_midswap_failure(spark, tmp_path, monkeypatch):
+    """A rename failure mid-commit restores every already-swapped
+    partition: the target reads back as the exact pre-merge state."""
+    import os
+
+    import pytest as _pt
+
+    from neumann_spark.operators.dml import merge_into_partitioned
+
+    tdir = str(tmp_path / "t")
+    rows = [(i, "a" if i % 2 == 0 else "b", float(i)) for i in range(10)]
+    spark.createDataFrame(
+        rows, "k bigint, p string, v double"
+    ).write.partitionBy("p").parquet(tdir)
+    before = {(r["k"], r["p"], r["v"])
+              for r in spark.read.parquet(tdir).collect()}
+
+    src = spark.createDataFrame(
+        [(0, "a", 99.0), (1, "b", 88.0)], "k bigint, p string, v double")
+    real_rename = os.rename
+    calls = {"n": 0}
+
+    def failing_rename(a, b):
+        # commit renames touch the target dir; fail on the LAST one so
+        # partition 'a' is already fully swapped when 'b' aborts
+        if f"{os.sep}p=b" in str(b) and str(tdir) in str(b):
+            raise OSError("injected rename failure")
+        return real_rename(a, b)
+
+    monkeypatch.setattr(os, "rename", failing_rename)
+    with _pt.raises(OSError, match="injected"):
+        merge_into_partitioned(spark, tdir, src, ["k"], "p")
+    monkeypatch.undo()
+
+    after = {(r["k"], r["p"], r["v"])
+             for r in spark.read.parquet(tdir).collect()}
+    assert after == before  # full rollback, no partial merge, no .old dirs
+    assert not [d for d in os.listdir(tdir) if ".old" in d]

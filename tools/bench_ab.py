@@ -71,9 +71,11 @@ def main() -> int:
         return out
 
     hq, bq = best(head_runs), best(base_runs)
+    common = sorted(set(hq) & set(bq))  # HEADLINE can differ across refs —
+    # deltas AND totals compare only the shared query set
     deltas = {
         q: round((hq[q] - bq[q]) / bq[q] * 100, 1)
-        for q in sorted(set(hq) & set(bq))
+        for q in common
         if bq[q] > 0
     }
     result = {
@@ -84,8 +86,8 @@ def main() -> int:
         "head_queries_min": {q: round(t, 3) for q, t in sorted(hq.items())},
         "base_queries_min": {q: round(t, 3) for q, t in sorted(bq.items())},
         "delta_pct": deltas,
-        "head_total_min": round(sum(hq.values()), 2),
-        "base_total_min": round(sum(bq.values()), 2),
+        "head_total_min": round(sum(hq[q] for q in common), 2),
+        "base_total_min": round(sum(bq[q] for q in common), 2),
         "note": ("per-query MIN across interleaved runs; |delta| < ~15% is "
                  "machine noise on this box, not signal"),
     }
