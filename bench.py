@@ -142,11 +142,12 @@ def main() -> None:
         # the index RDDs from the per-query state release.
         nodes_df(spark, small_dir).count()
         edges_df(spark, small_dir).count()
-        from neumann_spark.pipeline.ann import ivf_index, pq_index
+        from neumann_spark.pipeline.ann import ivf_index, pq_fine_index, pq_index
 
         for d in (small_dir, sf_dir):
             ivf_index(spark, d)
             pq_index(spark, d)
+            pq_fine_index(spark, d)
         keep_ids = _persistent_ids()
         for name in (
             "q1_pricing_summary",
@@ -154,6 +155,7 @@ def main() -> None:
             "dedup_minhash_lsh",
             "dedup_semantic_semdedup",
             "ann_ivfpq_rescore",
+            "ann_ivfpq_rescore_low_scan",
             "graph_pagerank",
             "graph_connected_components",
             "graph_bfs_levels",

@@ -92,6 +92,14 @@ class NeumannSparkEngine:
         # GRAPH INDEX SHOW round-trips
         self._graph_indexes: dict[str, str] = {}
         self._mutations = 0
+        # WAL (`tensor_store/src/wal.rs`; durable open/recover
+        # `relational_engine/src/lib.rs:2148-2240`): armed by SAVE (fresh
+        # epoch) and by LOAD … RECOVER (continuing the epoch); every
+        # mutating facade command then journals to <snapshot>/wal.json so
+        # `LOAD '<dir>' RECOVER` = snapshot restore + command replay
+        self._wal_path: "Optional[str]" = None
+        self._wal_entries: list[str] = []
+        self._wal_replaying = False
         for t in TABLES:
             load(spark, sf_dir, t).createOrReplaceTempView(t)
 
@@ -112,7 +120,9 @@ class NeumannSparkEngine:
 
         if head == "MATCH" and re.search(r"\b(DETACH\s+)?DELETE\b", cmd, re.I):
             self._cache_clear()  # a write despite its MATCH head
-            return self._exec_cypher_delete(cmd)
+            out = self._exec_cypher_delete(cmd)
+            self._wal_append(cmd)
+            return out
 
         if head in ("SELECT", "WITH"):
             # the integration tests' bare `SELECT <table>` form
@@ -201,7 +211,51 @@ class NeumannSparkEngine:
 
         if head in self.CACHEABLE:
             self._cache_store(cmd, out)
+        if self._is_write(head, cmd):
+            self._wal_append(cmd, head=head)
         return out
+
+    # -- WAL (`tensor_store/src/wal.rs`) ----------------------------------
+
+    # snapshot-machinery heads never journal: SAVE starts the epoch, LOAD/
+    # ROLLBACK replace the state the log describes, CHECKPOINT is its own
+    # durability mechanism
+    _WAL_EXCLUDED = frozenset(
+        {"SAVE", "LOAD", "ROLLBACK", "CHECKPOINT", "CHECKPOINTS"})
+    _WAL_FILE = "wal.json"
+
+    def _wal_append(self, cmd: str, head: "Optional[str]" = None) -> None:
+        """Journal a mutating command to the armed snapshot's WAL. The log
+        is a JSON array rewritten through the atomic manifest writer on
+        every mutation — O(n) per append at session scale, but each write
+        is whole-file + rename, so a crash leaves either the previous or
+        the new log, never a torn one (Hadoop local/Checksum FS has no
+        append, which rules out a true appending log here)."""
+        if self._wal_path is None or self._wal_replaying:
+            return
+        if (head or cmd.split(None, 1)[0].upper()) in self._WAL_EXCLUDED:
+            return
+        self._wal_entries.append(cmd)
+        self._wal_write()
+
+    def _wal_write(self) -> None:
+        import os as _os
+
+        self._manifest_write(
+            _os.path.join(self._wal_path, self._WAL_FILE),
+            {"format": "neumann_spark_wal/1", "commands": self._wal_entries},
+        )
+
+    def _wal_read(self, path: str) -> list[str]:
+        import os as _os
+
+        log = self._manifest_read(_os.path.join(path, self._WAL_FILE))
+        if log is None:
+            return []
+        if (log.get("format") != "neumann_spark_wal/1"
+                or not isinstance(log.get("commands"), list)):
+            raise ValueError(f"corrupt WAL at {path!r}")
+        return [str(c) for c in log["commands"]]
 
     # -- query-result cache (`query_router/src/lib.rs:1931-1961`) ---------
 
@@ -2663,6 +2717,10 @@ class NeumannSparkEngine:
             raise ValueError("Usage: SAVE [COMPRESSED] 'path/to/dir'")
         path = self._snapshot_path(raw, "SAVE")
         n = self._save_snapshot(path, compressed=bool(compressed))
+        # arm a FRESH WAL epoch: the snapshot holds all state up to now,
+        # so recovery = this snapshot + commands journaled after it
+        self._wal_path, self._wal_entries = path, []
+        self._wal_write()
         return self.spark.createDataFrame(
             [(path, n, bool(compressed))],
             "path string, stores bigint, compressed boolean",
@@ -2794,18 +2852,43 @@ class NeumannSparkEngine:
         """`LOAD '<dir>' [RECOVER]` — replace the entire session state with
         a snapshot, mirroring `handle_load`'s whole-router swap
         (`*self.router.write() = QueryRouter::with_shared_store(store)`).
-        The RECOVER keyword is accepted for dialect parity but is a no-op:
-        it selects the reference's WAL-replay mode, and WAL/transactions
-        are documented non-goals (SURVEY.md §2.12) — a parquet snapshot
-        has no log to replay."""
+        RECOVER additionally replays the snapshot's WAL
+        (`tensor_store/src/wal.rs`; durable recover
+        `relational_engine/src/lib.rs:2148-2240`): every mutating command
+        journaled since that SAVE re-executes in order, restoring the
+        state as of the last mutation, not the last snapshot; the WAL
+        stays armed so later mutations extend the same epoch. A plain
+        LOAD restores the snapshot base state and DISARMS the log —
+        mutations after a non-recovering load are a fork, and appending
+        them to the old epoch would corrupt replay."""
         m = self._require(
             re.match(r"LOAD\s+(.+?)(\s+RECOVER)?\s*$", cmd, re.I | re.S),
             "LOAD 'path/to/dir' [RECOVER]")
-        raw, _recover = m.groups()
+        raw, recover = m.groups()
         path = self._snapshot_path(raw, "LOAD")
+        # read (and validate) the log BEFORE swapping any state, so a
+        # corrupt WAL aborts with the session untouched
+        entries = self._wal_read(path) if recover else []
         n = self._load_snapshot(path)
+        self._wal_path, self._wal_entries = None, []
+        if not recover:
+            return self.spark.createDataFrame(
+                [(path, n)], "path string, stores bigint")
+        self._wal_replaying = True
+        try:
+            for i, entry in enumerate(entries):
+                try:
+                    self.execute(entry)
+                except Exception as e:  # noqa: BLE001
+                    raise ValueError(
+                        f"WAL replay failed at entry {i} ({entry[:80]!r}): "
+                        f"{e}") from e
+        finally:
+            self._wal_replaying = False
+        self._wal_path, self._wal_entries = path, entries
         return self.spark.createDataFrame(
-            [(path, n)], "path string, stores bigint")
+            [(path, n, len(entries))],
+            "path string, stores bigint, replayed bigint")
 
     def _load_snapshot(self, path: str) -> int:
         """Whole-state swap from a snapshot dir; returns the store count."""
@@ -2936,6 +3019,9 @@ class NeumannSparkEngine:
         if not hasattr(self, "_cp_log") or name not in self._cp_log:
             raise ValueError(f"unknown checkpoint {name!r}")
         self._load_snapshot(_os.path.join(self._cp_root, name))
+        # the restored state no longer matches any armed snapshot+log
+        # epoch — disarm (same reasoning as a plain LOAD)
+        self._wal_path, self._wal_entries = None, []
         return self.spark.createDataFrame(
             [(name, "rolled_back")], "checkpoint string, status string")
 

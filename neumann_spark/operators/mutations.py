@@ -357,6 +357,49 @@ def snapshot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snapshot_wal_recover",
+    oracle="""
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), 'base'),
+      (CAST(2 AS BIGINT), 'walled'),
+      (CAST(3 AS BIGINT), 'walled')
+    ) t(id, tag)
+    """,
+)
+def snapshot_wal_recover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAL-replay recovery (`tensor_store/src/wal.rs`; durable
+    open/recover `relational_engine/src/lib.rs:2148-2240`): SAVE arms a
+    journal, post-save mutating commands append to it, and
+    `LOAD … RECOVER` in a FRESH engine restores snapshot + replay — the
+    driver hash pins that BOTH journaled inserts survive recovery while
+    a plain LOAD (snapshot_roundtrip) discards them."""
+    import shutil
+    import tempfile
+
+    from neumann_spark.engine import NeumannSparkEngine
+
+    eng = NeumannSparkEngine(spark, sf_dir)
+    eng.execute("CREATE TABLE walq_t (id INT, tag TEXT)")
+    eng.execute("INSERT INTO walq_t VALUES (1, 'base')")
+    d = tempfile.mkdtemp(prefix="neumann_wal_")
+    other = None
+    try:
+        eng.execute(f"SAVE '{d}'")
+        eng.execute("INSERT INTO walq_t VALUES (2, 'walled')")
+        eng.execute("INSERT INTO walq_t VALUES (3, 'walled')")
+        other = NeumannSparkEngine(spark, sf_dir)
+        res = other.execute(f"LOAD '{d}' RECOVER").collect()[0]
+        assert res["replayed"] == 2, res
+        out = other.execute("SELECT id, tag FROM walq_t ORDER BY id")
+        return out.localCheckpoint(eager=True)
+    finally:
+        if other is not None:
+            other.execute("DROP TABLE walq_t")
+        eng.execute("DROP TABLE walq_t")
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@register(
     "checkpoint_rollback",
     oracle="""
     SELECT * FROM (VALUES

@@ -64,6 +64,7 @@ _PRIORITY: list[str] = [
     "dml_constraint_enforcement",
     "dml_merge_partitioned",
     "snapshot_roundtrip",
+    "snapshot_wal_recover",
     "checkpoint_rollback",
     # unified cross-engine (the reference's signature feature)
     "unified_entity_stats",

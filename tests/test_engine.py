@@ -1383,6 +1383,89 @@ def test_corrupt_manifest_raises_typed_error(spark, tmp_path):
     eng.execute("DROP TABLE corr_t")
 
 
+def test_wal_recover_replays_post_save_mutations(spark, tmp_path):
+    """`LOAD … RECOVER` = snapshot + WAL replay: mutations journaled after
+    SAVE are restored; a plain LOAD yields only the snapshot base state."""
+    from neumann_spark.engine import NeumannSparkEngine
+
+    eng = NeumannSparkEngine(spark, SF_DIR)
+    eng.execute("CREATE TABLE wal_t (id INT, v TEXT)")
+    eng.execute("INSERT INTO wal_t VALUES (1, 'base')")
+    d = str(tmp_path / "snap")
+    eng.execute(f"SAVE '{d}'")
+    # journaled epoch: two mutations across stores
+    eng.execute("INSERT INTO wal_t VALUES (2, 'walled')")
+    eng.execute("NODE 9300001 wallab")
+
+    plain = eng.execute(f"LOAD '{d}'")
+    assert "replayed" not in plain.columns
+    assert eng.execute("SELECT COUNT(*) AS n FROM wal_t").collect()[0]["n"] == 1
+
+    res = eng.execute(f"LOAD '{d}' RECOVER").collect()[0]
+    assert res["replayed"] == 2
+    assert eng.execute("SELECT COUNT(*) AS n FROM wal_t").collect()[0]["n"] == 2
+    assert eng.execute("NODE GET 9300001").collect()[0]["label"] == "wallab"
+
+    # the epoch continues after recovery: new mutations extend the log
+    eng.execute("INSERT INTO wal_t VALUES (3, 'more')")
+    res = eng.execute(f"LOAD '{d}' RECOVER").collect()[0]
+    assert res["replayed"] == 3
+    assert eng.execute("SELECT COUNT(*) AS n FROM wal_t").collect()[0]["n"] == 3
+
+    # plain LOAD disarms: post-load mutations must NOT leak into the log
+    eng.execute(f"LOAD '{d}'")
+    eng.execute("INSERT INTO wal_t VALUES (9, 'fork')")
+    res = eng.execute(f"LOAD '{d}' RECOVER").collect()[0]
+    assert res["replayed"] == 3  # still the 3 journaled entries
+    eng.execute("DROP TABLE wal_t")
+
+
+def test_wal_new_save_starts_fresh_epoch(spark, tmp_path):
+    from neumann_spark.engine import NeumannSparkEngine
+
+    eng = NeumannSparkEngine(spark, SF_DIR)
+    eng.execute("CREATE TABLE wal_e (id INT)")
+    d1, d2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    eng.execute(f"SAVE '{d1}'")
+    eng.execute("INSERT INTO wal_e VALUES (1)")
+    eng.execute(f"SAVE '{d2}'")  # snapshot holds the row; log resets
+    eng.execute("INSERT INTO wal_e VALUES (2)")
+    res = eng.execute(f"LOAD '{d2}' RECOVER").collect()[0]
+    assert res["replayed"] == 1
+    assert eng.execute("SELECT COUNT(*) AS n FROM wal_e").collect()[0]["n"] == 2
+    res = eng.execute(f"LOAD '{d1}' RECOVER").collect()[0]
+    assert res["replayed"] == 1  # d1's own epoch: the first insert only
+    assert eng.execute("SELECT COUNT(*) AS n FROM wal_e").collect()[0]["n"] == 1
+    eng.execute("DROP TABLE wal_e")
+
+
+def test_wal_corrupt_log_typed_error(spark, tmp_path):
+    import json
+    import os
+
+    from neumann_spark.engine import NeumannSparkEngine
+
+    eng = NeumannSparkEngine(spark, SF_DIR)
+    d = str(tmp_path / "snap")
+    eng.execute(f"SAVE '{d}'")
+    wpath = os.path.join(d, "wal.json")
+    json.dump({"format": "neumann_spark_wal/1", "commands": "nope"},
+              open(wpath, "w"))
+    crc = os.path.join(d, ".wal.json.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    with pytest.raises(ValueError, match="corrupt WAL"):
+        eng.execute(f"LOAD '{d}' RECOVER")
+    # a failing replayed command surfaces as a typed replay error
+    json.dump({"format": "neumann_spark_wal/1",
+               "commands": ["INSERT INTO no_such_table VALUES (1)"]},
+              open(wpath, "w"))
+    if os.path.exists(crc):
+        os.remove(crc)
+    with pytest.raises(ValueError, match="WAL replay failed at entry 0"):
+        eng.execute(f"LOAD '{d}' RECOVER")
+
+
 def test_manifest_fallback_preserves_old_on_failure(spark, tmp_path):
     """The non-FileContext publish path keeps the previous manifest
     loadable: success replaces it; a failing rename restores it."""

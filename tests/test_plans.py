@@ -190,3 +190,25 @@ def test_persisted_index_search_prunes_partitions(spark, tmp_path):
     assert " IN (" in scan
     n_in = scan.split(" IN (")[1].split(")")[0].count(",") + 1
     assert n_in == ANN_RESCORE_NPROBE
+
+
+def test_merge_touched_partition_read_prunes(spark, tmp_path):
+    """MERGE INTO's read of the target must carry PartitionFilters over
+    the touched-partition IN-list — at scale the scan never lists or
+    reads untouched partition directories."""
+    from pyspark.sql import functions as F
+
+    tdir = str(tmp_path / "mt")
+    spark.createDataFrame(
+        [(i, ["a", "b", "c", "d"][i % 4], float(i)) for i in range(20)],
+        "k bigint, p string, v double",
+    ).write.partitionBy("p").parquet(tdir)
+    touched = ["a", "c"]
+    pruned = spark.read.parquet(tdir).filter(F.col("p").isin(touched))
+    plan = _plan(pruned)
+    scan = next(
+        ln for ln in plan.splitlines()
+        if "PartitionFilters" in ln and "p#" in ln)
+    assert " IN (" in scan
+    n_in = scan.split(" IN (")[1].split(")")[0].count(",") + 1
+    assert n_in == len(touched)
