@@ -1365,7 +1365,23 @@ class NeumannSparkEngine:
             re.I | re.S,
         )
         if vm:
-            return self._exec_match_varlength(vm)
+            return self._exec_match_varlength(vm.groups())
+        # incoming var-length `(a)<-[:T*lo..hi]-(b)` normalizes onto the
+        # outgoing matcher with the endpoint triples swapped (paths run
+        # b -> a); output columns keep the pattern's own variable names
+        ivm = re.match(
+            rf"MATCH\s+{self._NODE_PAT}\s*<-\s*\[:?([\w|]+)?\*(\d+)\.\.(\d+)\]\s*-"
+            rf"\s*{self._NODE_PAT}"
+            r"(?:\s+WHERE\s+(.+?))?\s+RETURN\s+(.+?)"
+            r"(?:\s+ORDER\s+BY\s+(.+?))?(?:\s+SKIP\s+(\d+))?"
+            r"(?:\s+LIMIT\s+(\d+))?\s*$",
+            cmd,
+            re.I | re.S,
+        )
+        if ivm:
+            g = list(ivm.groups())
+            g[0:3], g[6:9] = g[6:9], g[0:3]
+            return self._exec_match_varlength(tuple(g))
         nm = re.match(
             rf"MATCH\s*{self._NODE_PAT}"
             r"(?:\s+WHERE\s+(.+?))?\s+RETURN\s+(.+?)"
@@ -1525,7 +1541,7 @@ class NeumannSparkEngine:
             out = out.select(*keys)
         return out.distinct() if distinct else out
 
-    def _exec_match_varlength(self, m) -> DataFrame:
+    def _exec_match_varlength(self, groups) -> DataFrame:
         """Cypher variable-length pattern
         `(a[:L] [{props}])-[:T|U*min..max]->(b[:L] [{props}])` with WHERE /
         RETURN / ORDER BY / SKIP / LIMIT (`neumann_parser/src/cypher.rs`
@@ -1537,7 +1553,7 @@ class NeumannSparkEngine:
         shortest reach distance. WHERE sees `a.id`/`a.label`/`b.id`/
         `b.label`/`hops` (facade dialect incl. BETWEEN/CASE/IN)."""
         (a, a_lbl, a_props, etype, lo, hi, b, b_lbl, b_props,
-         where, ret, order, skip, limit) = m.groups()
+         where, ret, order, skip, limit) = groups
         lo, hi = int(lo), int(hi)
         if hi < lo or hi > 8:
             raise ValueError("variable-length bounds must satisfy min ≤ max ≤ 8")

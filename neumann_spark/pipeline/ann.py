@@ -1287,6 +1287,19 @@ def save_ann_index(spark: SparkSession, sf_dir: str, path: str) -> None:
         ],
         "s int, code int, centroid array<double>",
     ).write.mode("overwrite").parquet(f"{path}/pq_codebooks")
+    # the fine table serving the low_scan preset persists alongside, so a
+    # deployment can serve 0.9-recall@0.1-scan searches from the saved
+    # index without re-training either quantizer
+    fine_codes, fine_codebooks = pq_fine_index(spark, sf_dir)
+    fine_codes.write.mode("overwrite").parquet(f"{path}/pq_fine_codes")
+    spark.createDataFrame(
+        [
+            (s, int(code), [float(x) for x in vals])
+            for s, cb in enumerate(fine_codebooks)
+            for code, vals in cb
+        ],
+        "s int, code int, centroid array<double>",
+    ).write.mode("overwrite").parquet(f"{path}/pq_fine_codebooks")
 
 
 def load_ann_index(spark: SparkSession, path: str):
@@ -1311,6 +1324,23 @@ def load_ann_index(spark: SparkSession, path: str):
         for s in sorted({int(r["s"]) for r in cb_rows})
     ]
     return assign, centroids, codes, codebooks
+
+
+def load_ann_fine(spark: SparkSession, path: str):
+    """Load the persisted FINE PQ table (low_scan preset): returns
+    (codes, codebooks) in the shapes `_ivfpq_rescore_search` takes with
+    S=PQ_FINE_S, subdim=PQ_FINE_SUBDIM."""
+    codes = spark.read.parquet(f"{path}/pq_fine_codes")
+    cb_rows = spark.read.parquet(f"{path}/pq_fine_codebooks").collect()
+    codebooks = [
+        sorted(
+            (int(r["code"]), [float(x) for x in r["centroid"]])
+            for r in cb_rows
+            if r["s"] == s
+        )
+        for s in sorted({int(r["s"]) for r in cb_rows})
+    ]
+    return codes, codebooks
 
 
 @register("ann_index_persist_roundtrip", oracle=_ivfpq_rescore_sql())

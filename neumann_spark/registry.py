@@ -63,6 +63,7 @@ _PRIORITY: list[str] = [
     "dml_fk_actions",
     "dml_constraint_enforcement",
     "dml_merge_partitioned",
+    "stream_merge_upsert",
     "snapshot_roundtrip",
     "snapshot_wal_recover",
     "checkpoint_rollback",

@@ -445,3 +445,106 @@ def stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.max("n_events").alias("n_events"))
     )
+
+
+@register(
+    "stream_merge_upsert",
+    oracle="""
+    WITH seed AS (
+      SELECT user_id, event_type, COUNT(*) AS n, MAX(event_id) AS max_eid
+      FROM events WHERE event_id % 2 = 0 GROUP BY user_id, event_type
+    ),
+    inc AS (
+      SELECT user_id, event_type, COUNT(*) AS n, MAX(event_id) AS max_eid
+      FROM events
+      WHERE event_id % 2 = 1 AND event_type IN ('click', 'view')
+        AND user_id % 3 <> 0
+      GROUP BY user_id, event_type
+    )
+    SELECT COALESCE(s.user_id, i.user_id) AS user_id,
+           COALESCE(s.event_type, i.event_type) AS event_type,
+           COALESCE(s.n, 0) + COALESCE(i.n, 0) AS n,
+           GREATEST(COALESCE(s.max_eid, -1), COALESCE(i.max_eid, -1))
+             AS max_eid
+    FROM seed s
+    FULL JOIN inc i
+      ON s.user_id = i.user_id AND s.event_type = i.event_type
+    """,
+)
+def stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC upsert into a partitioned parquet table — the
+    foreachBatch + MERGE INTO pattern every production pipeline lands
+    (Structured Streaming guide's idempotent-sink recipe composed with
+    `operators/dml.merge_into_partitioned`): a batch job seeds per-key
+    state from the 'historical' half of events (event_id even), then a
+    readStream over the 'new' half (event_id odd, clicks/views of
+    user_id % 3 != 0 only) upserts ADDITIVE per-(user, event_type)
+    aggregates via foreachBatch. The accumulators (count, max event_id)
+    are associative and integer-exact, so the committed state is
+    identical for ANY micro-batch partitioning; only the click/view
+    partitions are ever rewritten — the other three partition
+    directories are untouched by the whole streaming run. The query
+    returns the final COMMITTED table read back from disk."""
+    import shutil
+    import tempfile
+
+    from neumann_spark.operators.dml import merge_into_partitioned
+
+    tdir = tempfile.mkdtemp(prefix="neumann_stream_merge_")
+    cpdir = tempfile.mkdtemp(prefix="neumann_stream_merge_cp_")
+    try:
+        ev = load(spark, sf_dir, "events")
+        (
+            ev.filter(F.col("event_id") % 2 == 0)
+            .groupBy("user_id", "event_type")
+            .agg(F.count("*").alias("n"), F.max("event_id").alias("max_eid"))
+            .write.mode("overwrite").partitionBy("event_type").parquet(tdir)
+        )
+
+        def upsert(batch_df, _batch_id):
+            inc = (
+                batch_df.groupBy("user_id", "event_type")
+                .agg(F.count("*").alias("bn"),
+                     F.max("event_id").alias("bmax"))
+            )
+            touched = [r[0] for r in inc.select("event_type").distinct().collect()]
+            if not touched:
+                return
+            tgt = spark.read.parquet(tdir).filter(
+                F.col("event_type").isin(touched))
+            src = (
+                inc.join(tgt, ["user_id", "event_type"], "left")
+                .select(
+                    "user_id", "event_type",
+                    (F.col("bn") + F.coalesce(F.col("n"), F.lit(0))).alias("n"),
+                    F.greatest(
+                        F.col("bmax"),
+                        F.coalesce(F.col("max_eid"), F.lit(-1)),
+                    ).alias("max_eid"),
+                )
+            )
+            merge_into_partitioned(
+                spark, tdir, src,
+                keys=["user_id", "event_type"], partition_col="event_type")
+
+        stream = _events_stream(spark, sf_dir).filter(
+            (F.col("event_id") % 2 == 1)
+            & F.col("event_type").isin(["click", "view"])
+            & (F.col("user_id") % 3 != 0)
+        )
+        q = (
+            stream.writeStream.foreachBatch(upsert)
+            .option("checkpointLocation", cpdir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+        out = spark.read.parquet(tdir).select(
+            "user_id", "event_type", "n", "max_eid")
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)
+        shutil.rmtree(cpdir, ignore_errors=True)

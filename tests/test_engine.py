@@ -171,6 +171,22 @@ def test_cypher_varlength_order_skip_limit(engine):
     assert [r["c_id"] for r in rows] == [19, 18, 17, 16, 15]
 
 
+def test_cypher_varlength_incoming_direction(engine):
+    """`(x)<-[*1..2]-(c)` normalizes onto the outgoing matcher with
+    endpoints swapped: same rows as the outgoing spelling, same column
+    names bound to the pattern's own variables."""
+    fwd = engine.execute(
+        "MATCH (c:customer)-[*1..2]->(x {label: 'region'}) "
+        "WHERE c.id <= 20 RETURN c, x, hops"
+    ).collect()
+    rev = engine.execute(
+        "MATCH (x {label: 'region'})<-[*1..2]-(c:customer) "
+        "WHERE c.id <= 20 RETURN c, x, hops"
+    ).collect()
+    key = lambda r: (r["c_id"], r["x_id"], r["hops"])
+    assert sorted(map(key, fwd)) == sorted(map(key, rev)) and fwd
+
+
 # -- Cypher write verbs (`query_router/src/cypher.rs:98,114,168`) ----------
 
 

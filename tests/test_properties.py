@@ -356,3 +356,53 @@ def test_checkpoint_rollback_model(spark, ops):
         assert got == sorted(model)
     finally:
         eng.execute("DROP TABLE cpm_t")
+
+
+_merge_target = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=20),  # key
+              st.sampled_from(["a", "b", "c"]),        # partition
+              st.integers(min_value=0, max_value=99)),
+    min_size=1, max_size=20, unique_by=lambda t: t[0],
+)
+_merge_source = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=25),
+              st.sampled_from(["a", "b", "c"]),
+              st.integers(min_value=100, max_value=199)),
+    min_size=0, max_size=10, unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_merge_target, _merge_source)
+def test_merge_into_matches_python_model(spark, tmp_path_factory, target, source):
+    """merge_into_partitioned must equal the dict model upsert for any
+    key/partition distribution, under the key-stability contract (a
+    source row reuses the partition its key already lives in)."""
+    from neumann_spark.operators.dml import merge_into_partitioned
+
+    tdir = str(tmp_path_factory.mktemp("merge_prop"))
+    spark.createDataFrame(
+        [(k, p, v) for k, p, v in target], "k bigint, p string, v bigint"
+    ).write.mode("overwrite").partitionBy("p").parquet(tdir)
+
+    # enforce the documented key-stability contract in the generator's
+    # output: a source key that exists in the target keeps its partition
+    part_of = {k: p for k, p, _ in target}
+    source = [(k, part_of.get(k, p), v) for k, p, v in source]
+
+    model = {k: (p, v) for k, p, v in target}
+    model.update({k: (p, v) for k, p, v in source})
+
+    if source:
+        merge_into_partitioned(
+            spark,
+            tdir,
+            spark.createDataFrame(source, "k bigint, p string, v bigint"),
+            keys=["k"],
+            partition_col="p",
+        )
+    got = {
+        r["k"]: (r["p"], r["v"])
+        for r in spark.read.parquet(tdir).collect()
+    }
+    assert got == model

@@ -117,3 +117,36 @@ def test_ivfpq_rescore_matches_exact_at_small_scale(spark):
     # scores are exact cosine (rescored), so they must be non-increasing
     scores = [r["score"] for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_persisted_fine_index_serves_low_scan(spark, tmp_path):
+    """The saved index carries the fine PQ table too: a low_scan search
+    through the LOADED structures returns exactly the session-index
+    result (save/load is lossless for both quantizers)."""
+    from neumann_spark.catalog import load
+    from neumann_spark.pipeline.ann import (
+        ANN_LOW_SCAN_NPROBE,
+        ANN_LOW_SCAN_SHORTLIST,
+        PQ_FINE_S,
+        PQ_FINE_SUBDIM,
+        _ivfpq_rescore_search,
+        ann_ivfpq_rescore_low_scan,
+        load_ann_fine,
+        load_ann_index,
+        save_ann_index,
+    )
+    from tests.conftest import SF_DIR
+
+    path = str(tmp_path / "annidx")
+    save_ann_index(spark, SF_DIR, path)
+    assign, centroids, _codes, _cbs = load_ann_index(spark, path)
+    fine_codes, fine_cbs = load_ann_fine(spark, path)
+    emb = load(spark, SF_DIR, "embeddings")
+    loaded = _ivfpq_rescore_search(
+        emb, assign, centroids, fine_codes, fine_cbs,
+        nprobe=ANN_LOW_SCAN_NPROBE, shortlist_n=ANN_LOW_SCAN_SHORTLIST,
+        S=PQ_FINE_S, subdim=PQ_FINE_SUBDIM,
+    ).collect()
+    session = ann_ivfpq_rescore_low_scan(spark, SF_DIR).collect()
+    key = lambda r: (r["vec_id"], r["score"])
+    assert sorted(map(key, loaded)) == sorted(map(key, session))
