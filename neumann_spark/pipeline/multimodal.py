@@ -251,9 +251,10 @@ def encode_bmp(doc_id: int) -> bytes:
     return header + info + bytes(pixel_bytes)
 
 
-def decode_bmp(payload: bytes) -> tuple[int, int, float]:
-    """Parse any uncompressed 24-bit BMP -> (width, height, mean pixel
-    value over the B/G/R bytes, row padding excluded)."""
+def decode_bmp_pixels(payload: bytes):
+    """Parse any uncompressed 24-bit BMP -> uint8 array (h, w, 3) in
+    B, G, R channel order, top-down row order (bottom-up files are
+    flipped; negative-height files are already top-down)."""
     import struct
 
     import numpy as np
@@ -269,7 +270,18 @@ def decode_bmp(payload: bytes) -> tuple[int, int, float]:
     rows = np.frombuffer(
         payload, dtype=np.uint8, count=row_size * h_abs, offset=offset
     ).reshape(h_abs, row_size)[:, : 3 * w]
-    return w, h_abs, float(rows.mean()) if rows.size else 0.0
+    px = rows.reshape(h_abs, w, 3)
+    if h > 0:  # bottom-up storage -> top-down pixel order
+        px = px[::-1]
+    return px
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, float]:
+    """Parse any uncompressed 24-bit BMP -> (width, height, mean pixel
+    value over the B/G/R bytes, row padding excluded)."""
+    px = decode_bmp_pixels(payload)
+    h, w = px.shape[:2]
+    return w, h, float(px.mean()) if px.size else 0.0
 
 
 def encoded_media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -468,9 +480,10 @@ def encode_png(doc_id: int) -> bytes:
             + _png_chunk(b"IEND", b""))
 
 
-def decode_png(payload: bytes) -> tuple[int, int, float]:
-    """Parse any 8-bit gray/RGB/RGBA non-interlaced PNG -> (width, height,
-    mean reconstructed sample value). Full filter reconstruction
+def decode_png_pixels(payload: bytes):
+    """Parse any 8-bit gray/RGB/RGBA non-interlaced PNG -> uint8 array
+    (h, w * samples_per_pixel): the reconstructed raw samples per row
+    (gray: 1/px, RGB: 3/px, RGBA: 4/px). Full filter reconstruction
     (None/Sub/Up/Average/Paeth, the spec's five), chunk walking, and
     zlib inflate — a real decoder, not a fixture-shaped one."""
     import struct
@@ -530,7 +543,18 @@ def decode_png(payload: bytes) -> tuple[int, int, float]:
             cur[i] = (line[i] + pred) & 0xFF
         out[y] = cur
         prev = cur
-    return w, h, float(out.mean()) if out.size else 0.0
+    return out
+
+
+def decode_png(payload: bytes) -> tuple[int, int, float]:
+    """Parse any 8-bit gray/RGB/RGBA non-interlaced PNG -> (width, height,
+    mean reconstructed sample value)."""
+    import struct
+
+    out = decode_png_pixels(payload)
+    w, _ = struct.unpack(">II", payload[16:24])
+    h = out.shape[0]
+    return int(w), h, float(out.mean()) if out.size else 0.0
 
 
 # --- MP4: real box-level metadata parsing (frame decode stays stubbed) ----
@@ -1119,3 +1143,149 @@ def encode_jpeg_doc(doc_id: int) -> bytes:
             img[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = \
                 _jpeg_block_gray(doc_id, bx, by)
     return encode_jpeg(img)
+
+
+# --- perceptual fingerprinting over DECODED pixels ------------------------
+# The multimodal analog of text fingerprinting (dedup family): a dHash
+# (difference hash) over the decoded image — 8x9 nearest-neighbor
+# downsample of integer luma, 64 horizontal-gradient sign bits. Near-dup
+# images collide within a few Hamming bits, so at 100 TB the hash is the
+# blocking/partition key for image dedup exactly like MinHash bands are
+# for text. Every input pixel comes through the REAL format decoders
+# above, so the oracle (which recomputes luma from the generator
+# formulas) differentially tests BMP row order, PNG filter
+# reconstruction, and the JPEG quantization round-trip in one query.
+
+DHASH_COLS, DHASH_ROWS = 9, 8
+
+
+def dhash_bits(luma) -> tuple[int, int]:
+    """64-bit dHash of an integer luma plane as two uint32 halves
+    (hi = rows 0-3, lo = rows 4-7; bit k of a half = y*8+x little-endian).
+    Integer luma keeps the > comparisons engine-exact."""
+    import numpy as np
+
+    h, w = luma.shape
+    xs = (np.arange(DHASH_COLS) * w) // DHASH_COLS
+    ys = (np.arange(DHASH_ROWS) * h) // DHASH_ROWS
+    g = luma[np.ix_(ys, xs)].astype(np.int64)
+    bits = g[:, :-1] > g[:, 1:]  # 8 x 8
+    hi = lo = 0
+    for y in range(DHASH_ROWS):
+        for x in range(8):
+            if bits[y, x]:
+                if y < 4:
+                    hi |= 1 << (y * 8 + x)
+                else:
+                    lo |= 1 << ((y - 4) * 8 + x)
+    return hi, lo
+
+
+def _image_luma(blob: bytes, media_type: str):
+    """Decode an image payload and return an integer luma plane: channel
+    sum for color (monotone in brightness, integer-exact), 3x the sample
+    for grayscale so all types share one scale."""
+    import numpy as np
+
+    if media_type == "image/bmp":
+        return decode_bmp_pixels(blob).astype(np.int64).sum(axis=2)
+    if media_type == "image/png":
+        arr = decode_png_pixels(blob).astype(np.int64)
+        return arr.reshape(arr.shape[0], -1, 3).sum(axis=2)
+    if media_type == "image/jpeg":
+        return 3 * decode_jpeg_pixels(blob).astype(np.int64)
+    raise ValueError(f"not an image type: {media_type!r}")
+
+
+def _dhash_oracle_sql() -> str:
+    """Recompute every dHash in closed form from the generator formulas —
+    integer luma, nearest-sample grid, LEAD() gradient bits, bit-shift
+    packing."""
+    return """
+    WITH docs AS MATERIALIZED (
+      SELECT doc_id FROM documents WHERE doc_id % 5 = 0
+    ),
+    grid AS MATERIALIZED (
+      SELECT d.doc_id, y.i AS gy, x.i AS gx
+      FROM docs d
+      CROSS JOIN generate_series(0, 8) AS x(i)
+      CROSS JOIN generate_series(0, 7) AS y(i)
+    ),
+    luma AS MATERIALIZED (
+      SELECT g.doc_id, 'image/bmp' AS media_type, g.gy, g.gx,
+             (g.doc_id*31 + ((g.gx*(8 + g.doc_id % 5))//9)*7
+                          + ((g.gy*(6 + g.doc_id % 4))//8)*13) % 256
+           + (g.doc_id*31 + ((g.gx*(8 + g.doc_id % 5))//9)*7
+                          + ((g.gy*(6 + g.doc_id % 4))//8)*13 + 5) % 256
+           + (g.doc_id*31 + ((g.gx*(8 + g.doc_id % 5))//9)*7
+                          + ((g.gy*(6 + g.doc_id % 4))//8)*13 + 10) % 256
+             AS luma
+      FROM grid g WHERE (g.doc_id // 5) % 5 = 0
+      UNION ALL
+      SELECT g.doc_id, 'image/png', g.gy, g.gx,
+             (g.doc_id*17 + ((g.gx*(5 + g.doc_id % 6))//9)*3
+                          + ((g.gy*(4 + g.doc_id % 5))//8)*11) % 256
+           + (g.doc_id*17 + ((g.gx*(5 + g.doc_id % 6))//9)*3
+                          + ((g.gy*(4 + g.doc_id % 5))//8)*11 + 7) % 256
+           + (g.doc_id*17 + ((g.gx*(5 + g.doc_id % 6))//9)*3
+                          + ((g.gy*(4 + g.doc_id % 5))//8)*11 + 14) % 256
+      FROM grid g WHERE (g.doc_id // 5) % 5 = 2
+      UNION ALL
+      -- jpeg: luma = 3 * the lossy flat-block reconstruction at the
+      -- sampled pixel's 8x8 block
+      SELECT g.doc_id, 'image/jpeg', g.gy, g.gx,
+             3 * CAST(LEAST(255.0, GREATEST(0.0,
+               2 * ROUND(((g.doc_id*29
+                  + (((g.gx*(8*(1 + g.doc_id % 3)))//9)//8)*7
+                  + (((g.gy*(8*(1 + g.doc_id % 2)))//8)//8)*11) % 256
+                  - 128) / 2.0, 0) + 128)) AS BIGINT)
+      FROM grid g WHERE (g.doc_id // 5) % 5 = 4
+    ),
+    bits AS MATERIALIZED (
+      SELECT doc_id, media_type, gy, gx,
+             CASE WHEN luma > LEAD(luma) OVER (
+                    PARTITION BY doc_id, media_type, gy ORDER BY gx)
+                  THEN 1 ELSE 0 END AS b
+      FROM luma
+    )
+    SELECT doc_id, media_type,
+           CAST(SUM(CASE WHEN gx < 8 AND gy < 4
+                    THEN b * (CAST(1 AS BIGINT) << (gy*8 + gx))
+                    ELSE 0 END) AS BIGINT) AS dhash_hi,
+           CAST(SUM(CASE WHEN gx < 8 AND gy >= 4
+                    THEN b * (CAST(1 AS BIGINT) << ((gy-4)*8 + gx))
+                    ELSE 0 END) AS BIGINT) AS dhash_lo
+    FROM bits GROUP BY doc_id, media_type
+    """
+
+
+@register("multimodal_image_dhash", oracle=_dhash_oracle_sql())
+def multimodal_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual dHash over DECODED images, distributed: encode the
+    media column, decode every BMP/PNG/JPEG through the real parsers,
+    and emit the 64-bit difference hash as two uint32 halves. The oracle
+    recomputes the hash from the generator formulas (including the JPEG
+    lossy round-trip), so a single wrong pixel anywhere in the decode
+    path — row flip, filter reconstruction, dequantization — flips
+    gradient bits and hash-mismatches. This is the image-dedup blocking
+    key: at scale, bucket by (dhash_hi, dhash_lo) or band the 64 bits
+    like MinHash for near-dup candidate pairs."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "media_type": [],
+                   "dhash_hi": [], "dhash_lo": []}
+            for doc_id, blob, mt in zip(
+                    pdf["doc_id"], pdf["media"], pdf["media_type"]):
+                if not mt.startswith("image/"):
+                    continue
+                hi, lo = dhash_bits(_image_luma(bytes(blob), mt))
+                out["doc_id"].append(int(doc_id))
+                out["media_type"].append(mt)
+                out["dhash_hi"].append(hi)
+                out["dhash_lo"].append(lo)
+            yield pd.DataFrame(out)
+
+    return encoded_media_df(spark, sf_dir).mapInPandas(
+        op, schema="doc_id bigint, media_type string, "
+                   "dhash_hi bigint, dhash_lo bigint")

@@ -104,6 +104,7 @@ _PRIORITY: list[str] = [
     "graph_core_decomposition",
     # multimodal + remaining superset rows
     "multimodal_real_decode",
+    "multimodal_image_dhash",
     "multimodal_features",
     "fulltext_bm25",
     "rel_cube",

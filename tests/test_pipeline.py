@@ -483,3 +483,46 @@ def test_jpeg_fill_bytes_before_markers():
     sof = blob.index(b"\xff\xc0")
     padded = blob[:sof] + b"\xff\xff\xff" + blob[sof:]
     assert np.array_equal(decode_jpeg_pixels(padded), decode_jpeg_pixels(blob))
+
+
+def test_dhash_near_dup_property():
+    """dHash locality: an image with one slightly brightened pixel stays
+    within a few Hamming bits of the original; an unrelated gradient is
+    far. This is what makes the hash a valid dedup blocking key."""
+    import numpy as np
+
+    from neumann_spark.pipeline.multimodal import dhash_bits
+
+    def ham(a, b):
+        return bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")
+
+    rng = np.random.default_rng(5)
+    base = rng.integers(0, 700, (32, 40)).astype(np.int64)
+    tweaked = base.copy()
+    tweaked[3, 5] += 4  # sub-quantization-step brightness nudge
+    flipped = base[::-1, ::-1].copy()
+    h0, h1, h2 = dhash_bits(base), dhash_bits(tweaked), dhash_bits(flipped)
+    assert ham(h0, h1) <= 4
+    assert ham(h0, h2) > 10
+
+
+def test_dhash_spark_matches_local(spark):
+    """The distributed stage reproduces the local hash for every decoded
+    image row (one Arrow round-trip, no silent dtype truncation)."""
+    from neumann_spark.pipeline.multimodal import (
+        _image_luma,
+        dhash_bits,
+        encode_bmp,
+        encode_jpeg_doc,
+        encode_png,
+        multimodal_image_dhash,
+    )
+
+    rows = multimodal_image_dhash(spark, SF_DIR).collect()
+    assert rows
+    enc = {"image/bmp": encode_bmp, "image/png": encode_png,
+           "image/jpeg": encode_jpeg_doc}
+    for r in rows[:15]:
+        blob = enc[r["media_type"]](r["doc_id"])
+        hi, lo = dhash_bits(_image_luma(blob, r["media_type"]))
+        assert (r["dhash_hi"], r["dhash_lo"]) == (hi, lo)
