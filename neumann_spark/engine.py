@@ -39,6 +39,7 @@ class NeumannSparkEngine:
     CACHEABLE = ("SELECT", "SIMILAR", "NEIGHBORS", "PATH", "FIND")
     WRITES = ("CREATE", "INSERT", "DROP", "NODE", "EDGE", "EMBED", "UPDATE",
               "DELETE", "MERGE", "ALTER", "ENTITY", "BATCH", "CONSTRAINT",
+              "GRAPH",  # only GRAPH INDEX CREATE/DROP mutate (see _is_write)
               "LOAD", "ROLLBACK")  # LOAD/ROLLBACK replace the session state
     # verbs in WRITES whose read-only subcommands must NOT invalidate
     # (`query_router/src/lib.rs:1931-1961` keys invalidation on mutation,
@@ -99,7 +100,9 @@ class NeumannSparkEngine:
         # `LOAD '<dir>' RECOVER` = snapshot restore + command replay
         self._wal_path: "Optional[str]" = None
         self._wal_entries: list[str] = []
+        self._wal_epoch = ""
         self._wal_replaying = False
+        self._last_manifest_data_dir = ""
         for t in TABLES:
             load(spark, sf_dir, t).createOrReplaceTempView(t)
 
@@ -243,7 +246,9 @@ class NeumannSparkEngine:
 
         self._manifest_write(
             _os.path.join(self._wal_path, self._WAL_FILE),
-            {"format": "neumann_spark_wal/1", "commands": self._wal_entries},
+            {"format": "neumann_spark_wal/1",
+             "epoch": getattr(self, "_wal_epoch", ""),
+             "commands": self._wal_entries},
         )
 
     def _wal_read(self, path: str) -> list[str]:
@@ -252,9 +257,20 @@ class NeumannSparkEngine:
         log = self._manifest_read(_os.path.join(path, self._WAL_FILE))
         if log is None:
             return []
-        if (log.get("format") != "neumann_spark_wal/1"
+        if (not isinstance(log, dict)
+                or log.get("format") != "neumann_spark_wal/1"
                 or not isinstance(log.get("commands"), list)):
             raise ValueError(f"corrupt WAL at {path!r}")
+        # epoch check: the log must belong to the CURRENT snapshot (its
+        # data_dir nonce). A mismatched epoch means a re-save published a
+        # newer snapshot before its WAL reset landed — the snapshot
+        # already contains those commands' effects, so the stale log
+        # replays as empty rather than double-applying.
+        manifest = self._manifest_read(
+            _os.path.join(path, self._SNAPSHOT_MANIFEST))
+        if (isinstance(manifest, dict)
+                and log.get("epoch") != manifest.get("data_dir")):
+            return []
         return [str(c) for c in log["commands"]]
 
     # -- query-result cache (`query_router/src/lib.rs:1931-1961`) ---------
@@ -265,6 +281,11 @@ class NeumannSparkEngine:
         if head in ("NODE", "EDGE", "EMBED", "ENTITY", "CONSTRAINT"):
             sub = (cmd.split(None, 2) + ["", ""])[1].upper()
             return sub not in self.READ_SUBS
+        if head == "GRAPH":
+            # algorithm verbs are reads; only the index registry mutates —
+            # it is part of the snapshot manifest, so it must invalidate
+            # and journal like any other snapshot-persisted state
+            return bool(re.match(r"GRAPH\s+INDEX\s+(CREATE|DROP)", cmd, re.I))
         return True
 
     def _cache_store(self, cmd: str, out: DataFrame) -> None:
@@ -2734,8 +2755,13 @@ class NeumannSparkEngine:
         path = self._snapshot_path(raw, "SAVE")
         n = self._save_snapshot(path, compressed=bool(compressed))
         # arm a FRESH WAL epoch: the snapshot holds all state up to now,
-        # so recovery = this snapshot + commands journaled after it
+        # so recovery = this snapshot + commands journaled after it. The
+        # epoch id is the snapshot's own data_dir nonce: a crash between
+        # manifest publish and this WAL reset leaves the NEW manifest next
+        # to the OLD epoch's log, and the epoch mismatch makes RECOVER
+        # treat that stale log as empty instead of double-applying it.
         self._wal_path, self._wal_entries = path, []
+        self._wal_epoch = self._last_manifest_data_dir
         self._wal_write()
         return self.spark.createDataFrame(
             [(path, n, bool(compressed))],
@@ -2833,6 +2859,7 @@ class NeumannSparkEngine:
 
         codec = "zstd" if compressed else "snappy"
         data_dir = f"data-{_uuid.uuid4().hex[:12]}"
+        self._last_manifest_data_dir = data_dir
         stores: dict[str, str] = {}  # subdir -> schema json
         writes: list[tuple[DataFrame, str]] = []
         for attr, sub in self._SNAPSHOT_STORES:
@@ -2896,12 +2923,18 @@ class NeumannSparkEngine:
                 try:
                     self.execute(entry)
                 except Exception as e:  # noqa: BLE001
+                    # restore the consistent snapshot base state rather
+                    # than leaving a half-replayed session behind
+                    self._wal_replaying = False
+                    self._load_snapshot(path)
                     raise ValueError(
-                        f"WAL replay failed at entry {i} ({entry[:80]!r}): "
+                        f"WAL replay failed at entry {i} ({entry[:80]!r}); "
+                        f"session restored to the snapshot base state: "
                         f"{e}") from e
         finally:
             self._wal_replaying = False
         self._wal_path, self._wal_entries = path, entries
+        self._wal_epoch = self._last_manifest_data_dir
         return self.spark.createDataFrame(
             [(path, n, len(entries))],
             "path string, stores bigint, replayed bigint")
@@ -2932,6 +2965,7 @@ class NeumannSparkEngine:
             raise ValueError(
                 f"corrupt snapshot manifest {mpath!r}: missing {missing}")
         base = _os.path.join(path, manifest.get("data_dir", ""))
+        self._last_manifest_data_dir = manifest.get("data_dir", "")
 
         def _read(sub: str, schema_json: str) -> DataFrame:
             schema = StructType.fromJson(_json.loads(schema_json))

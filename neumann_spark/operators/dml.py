@@ -110,6 +110,15 @@ def dml_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shape those formats implement with a manifest instead of renames.
 
 
+def _pruned_target_read(spark: SparkSession, target_dir: str,
+                        partition_col: str, touched: list) -> DataFrame:
+    """The MERGE target read: only the touched partition directories
+    (static IN-list -> PartitionFilters; plan-asserted in
+    tests/test_plans.py::test_merge_touched_partition_read_prunes)."""
+    return spark.read.parquet(target_dir).filter(
+        F.col(partition_col).isin(touched))
+
+
 def merge_into_partitioned(
     spark: SparkSession,
     target_dir: str,
@@ -155,13 +164,11 @@ def merge_into_partitioned(
             raise ValueError(
                 f"MERGE partition value {v!r} needs escaped/null directory "
                 "encoding — unsupported by the rename-based commit")
-    target = spark.read.parquet(target_dir)
-    if set(target.columns) != set(source.columns):
+    old = _pruned_target_read(spark, target_dir, partition_col, touched)
+    if set(old.columns) != set(source.columns):
         raise ValueError(
-            f"MERGE schema mismatch: target {sorted(target.columns)} "
+            f"MERGE schema mismatch: target {sorted(old.columns)} "
             f"vs source {sorted(source.columns)}")
-    # partition-pruned read: only the touched partition directories
-    old = target.filter(F.col(partition_col).isin(touched))
     survivors = old.join(
         source.select(*keys).distinct(), keys, "left_anti")
     merged = survivors.select(*source.columns).unionByName(source)

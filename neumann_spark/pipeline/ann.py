@@ -1258,6 +1258,29 @@ def ann_ivfpq_rescore_low_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     `vector_engine/src/lib.rs:3794-3980`) --------------------------------
 
 
+def _write_codebooks(spark: SparkSession, codebooks: list, path: str) -> None:
+    spark.createDataFrame(
+        [
+            (s, int(code), [float(x) for x in vals])
+            for s, cb in enumerate(codebooks)
+            for code, vals in cb
+        ],
+        "s int, code int, centroid array<double>",
+    ).write.mode("overwrite").parquet(path)
+
+
+def _read_codebooks(spark: SparkSession, path: str) -> list:
+    cb_rows = spark.read.parquet(path).collect()
+    return [
+        sorted(
+            (int(r["code"]), [float(x) for x in r["centroid"]])
+            for r in cb_rows
+            if r["s"] == s
+        )
+        for s in sorted({int(r["s"]) for r in cb_rows})
+    ]
+
+
 def save_ann_index(spark: SparkSession, sf_dir: str, path: str) -> None:
     """Persist the session IVF + PQ indexes as parquet — the Spark analog
     of the reference's index snapshot files: a 100 TB deployment builds
@@ -1279,27 +1302,13 @@ def save_ann_index(spark: SparkSession, sf_dir: str, path: str) -> None:
         "cluster int, centroid array<double>",
     ).write.mode("overwrite").parquet(f"{path}/ivf_centroids")
     codes.write.mode("overwrite").parquet(f"{path}/pq_codes")
-    spark.createDataFrame(
-        [
-            (s, int(code), [float(x) for x in vals])
-            for s, cb in enumerate(codebooks)
-            for code, vals in cb
-        ],
-        "s int, code int, centroid array<double>",
-    ).write.mode("overwrite").parquet(f"{path}/pq_codebooks")
+    _write_codebooks(spark, codebooks, f"{path}/pq_codebooks")
     # the fine table serving the low_scan preset persists alongside, so a
     # deployment can serve 0.9-recall@0.1-scan searches from the saved
     # index without re-training either quantizer
     fine_codes, fine_codebooks = pq_fine_index(spark, sf_dir)
     fine_codes.write.mode("overwrite").parquet(f"{path}/pq_fine_codes")
-    spark.createDataFrame(
-        [
-            (s, int(code), [float(x) for x in vals])
-            for s, cb in enumerate(fine_codebooks)
-            for code, vals in cb
-        ],
-        "s int, code int, centroid array<double>",
-    ).write.mode("overwrite").parquet(f"{path}/pq_fine_codebooks")
+    _write_codebooks(spark, fine_codebooks, f"{path}/pq_fine_codebooks")
 
 
 def load_ann_index(spark: SparkSession, path: str):
@@ -1314,16 +1323,7 @@ def load_ann_index(spark: SparkSession, path: str):
         for r in spark.read.parquet(f"{path}/ivf_centroids").collect()
     )
     codes = spark.read.parquet(f"{path}/pq_codes")
-    cb_rows = spark.read.parquet(f"{path}/pq_codebooks").collect()
-    codebooks = [
-        sorted(
-            (int(r["code"]), [float(x) for x in r["centroid"]])
-            for r in cb_rows
-            if r["s"] == s
-        )
-        for s in sorted({int(r["s"]) for r in cb_rows})
-    ]
-    return assign, centroids, codes, codebooks
+    return assign, centroids, codes, _read_codebooks(spark, f"{path}/pq_codebooks")
 
 
 def load_ann_fine(spark: SparkSession, path: str):
@@ -1331,16 +1331,7 @@ def load_ann_fine(spark: SparkSession, path: str):
     (codes, codebooks) in the shapes `_ivfpq_rescore_search` takes with
     S=PQ_FINE_S, subdim=PQ_FINE_SUBDIM."""
     codes = spark.read.parquet(f"{path}/pq_fine_codes")
-    cb_rows = spark.read.parquet(f"{path}/pq_fine_codebooks").collect()
-    codebooks = [
-        sorted(
-            (int(r["code"]), [float(x) for x in r["centroid"]])
-            for r in cb_rows
-            if r["s"] == s
-        )
-        for s in sorted({int(r["s"]) for r in cb_rows})
-    ]
-    return codes, codebooks
+    return codes, _read_codebooks(spark, f"{path}/pq_fine_codebooks")
 
 
 @register("ann_index_persist_roundtrip", oracle=_ivfpq_rescore_sql())

@@ -451,11 +451,11 @@ def stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_merge_upsert",
     oracle="""
     WITH seed AS (
-      SELECT user_id, event_type, COUNT(*) AS n, MAX(event_id) AS max_eid
+      SELECT user_id, event_type, COUNT(*) AS n
       FROM events WHERE event_id % 2 = 0 GROUP BY user_id, event_type
     ),
     inc AS (
-      SELECT user_id, event_type, COUNT(*) AS n, MAX(event_id) AS max_eid
+      SELECT user_id, event_type, COUNT(*) AS n, MAX(event_id) AS wm
       FROM events
       WHERE event_id % 2 = 1 AND event_type IN ('click', 'view')
         AND user_id % 3 <> 0
@@ -464,8 +464,7 @@ def stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COALESCE(s.user_id, i.user_id) AS user_id,
            COALESCE(s.event_type, i.event_type) AS event_type,
            COALESCE(s.n, 0) + COALESCE(i.n, 0) AS n,
-           GREATEST(COALESCE(s.max_eid, -1), COALESCE(i.max_eid, -1))
-             AS max_eid
+           COALESCE(i.wm, -1) AS stream_wm
     FROM seed s
     FULL JOIN inc i
       ON s.user_id = i.user_id AND s.event_type = i.event_type
@@ -479,9 +478,11 @@ def stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     state from the 'historical' half of events (event_id even), then a
     readStream over the 'new' half (event_id odd, clicks/views of
     user_id % 3 != 0 only) upserts ADDITIVE per-(user, event_type)
-    aggregates via foreachBatch. The accumulators (count, max event_id)
-    are associative and integer-exact, so the committed state is
-    identical for ANY micro-batch partitioning; only the click/view
+    aggregates via foreachBatch. The accumulators (count, per-key stream
+    high-water mark) are associative and integer-exact, so the committed
+    state is identical for ANY micro-batch partitioning — and the
+    watermark makes a re-delivered batch a row-level no-op
+    (at-least-once delivery, effectively-once state); only the click/view
     partitions are ever rewritten — the other three partition
     directories are untouched by the whole streaming run. The query
     returns the final COMMITTED table read back from disk."""
@@ -497,21 +498,42 @@ def stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             ev.filter(F.col("event_id") % 2 == 0)
             .groupBy("user_id", "event_type")
-            .agg(F.count("*").alias("n"), F.max("event_id").alias("max_eid"))
+            .agg(F.count("*").alias("n"))
+            # stream_wm = per-key high-water mark of PROCESSED STREAM
+            # events only (seeded -1): the seed's own event ids interleave
+            # with the stream's, so "max id ever seen" would wrongly
+            # filter legitimate stream events below it
+            .withColumn("stream_wm", F.lit(-1).cast("bigint"))
             .write.mode("overwrite").partitionBy("event_type").parquet(tdir)
         )
 
         def upsert(batch_df, _batch_id):
-            inc = (
-                batch_df.groupBy("user_id", "event_type")
-                .agg(F.count("*").alias("bn"),
-                     F.max("event_id").alias("bmax"))
-            )
-            touched = [r[0] for r in inc.select("event_type").distinct().collect()]
+            touched = [r[0] for r in
+                       batch_df.select("event_type").distinct().collect()]
             if not touched:
                 return
             tgt = spark.read.parquet(tdir).filter(
                 F.col("event_type").isin(touched))
+            # replay safety (foreachBatch is at-least-once): the committed
+            # per-key stream_wm is the high-water mark of stream events
+            # already merged — a re-delivered micro-batch only contributes
+            # events NEWER than it, so double delivery of the last batch
+            # adds zero rows. Idempotence keys on the data itself rather
+            # than on a batch-id marker that could land out-of-sync with
+            # the merge commit; it assumes per-key event-id-monotone batch
+            # order (append-only logs, and the availableNow file source
+            # here).
+            wm = tgt.select("user_id", "event_type",
+                            F.col("stream_wm").alias("wm"))
+            fresh = (
+                batch_df.join(wm, ["user_id", "event_type"], "left")
+                .filter(F.col("event_id") > F.coalesce(F.col("wm"), F.lit(-1)))
+            )
+            inc = (
+                fresh.groupBy("user_id", "event_type")
+                .agg(F.count("*").alias("bn"),
+                     F.max("event_id").alias("bmax"))
+            )
             src = (
                 inc.join(tgt, ["user_id", "event_type"], "left")
                 .select(
@@ -519,10 +541,12 @@ def stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("bn") + F.coalesce(F.col("n"), F.lit(0))).alias("n"),
                     F.greatest(
                         F.col("bmax"),
-                        F.coalesce(F.col("max_eid"), F.lit(-1)),
-                    ).alias("max_eid"),
+                        F.coalesce(F.col("stream_wm"), F.lit(-1)),
+                    ).alias("stream_wm"),
                 )
             )
+            if not src.head(1):
+                return  # fully replayed batch: nothing fresh to commit
             merge_into_partitioned(
                 spark, tdir, src,
                 keys=["user_id", "event_type"], partition_col="event_type")
@@ -543,7 +567,7 @@ def stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             q.stop()
         out = spark.read.parquet(tdir).select(
-            "user_id", "event_type", "n", "max_eid")
+            "user_id", "event_type", "n", "stream_wm")
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tdir, ignore_errors=True)

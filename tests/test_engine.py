@@ -1409,30 +1409,32 @@ def test_wal_recover_replays_post_save_mutations(spark, tmp_path):
     eng.execute("INSERT INTO wal_t VALUES (1, 'base')")
     d = str(tmp_path / "snap")
     eng.execute(f"SAVE '{d}'")
-    # journaled epoch: two mutations across stores
+    # journaled epoch: mutations across stores, incl. the index registry
     eng.execute("INSERT INTO wal_t VALUES (2, 'walled')")
     eng.execute("NODE 9300001 wallab")
+    eng.execute("GRAPH INDEX CREATE ON NODE PROPERTY label")
 
     plain = eng.execute(f"LOAD '{d}'")
     assert "replayed" not in plain.columns
     assert eng.execute("SELECT COUNT(*) AS n FROM wal_t").collect()[0]["n"] == 1
 
     res = eng.execute(f"LOAD '{d}' RECOVER").collect()[0]
-    assert res["replayed"] == 2
+    assert res["replayed"] == 3
     assert eng.execute("SELECT COUNT(*) AS n FROM wal_t").collect()[0]["n"] == 2
     assert eng.execute("NODE GET 9300001").collect()[0]["label"] == "wallab"
+    assert eng.execute("GRAPH INDEX SHOW ON NODE").collect()
 
     # the epoch continues after recovery: new mutations extend the log
     eng.execute("INSERT INTO wal_t VALUES (3, 'more')")
     res = eng.execute(f"LOAD '{d}' RECOVER").collect()[0]
-    assert res["replayed"] == 3
+    assert res["replayed"] == 4
     assert eng.execute("SELECT COUNT(*) AS n FROM wal_t").collect()[0]["n"] == 3
 
     # plain LOAD disarms: post-load mutations must NOT leak into the log
     eng.execute(f"LOAD '{d}'")
     eng.execute("INSERT INTO wal_t VALUES (9, 'fork')")
     res = eng.execute(f"LOAD '{d}' RECOVER").collect()[0]
-    assert res["replayed"] == 3  # still the 3 journaled entries
+    assert res["replayed"] == 4  # still the 4 journaled entries
     eng.execute("DROP TABLE wal_t")
 
 
@@ -1465,21 +1467,32 @@ def test_wal_corrupt_log_typed_error(spark, tmp_path):
     d = str(tmp_path / "snap")
     eng.execute(f"SAVE '{d}'")
     wpath = os.path.join(d, "wal.json")
-    json.dump({"format": "neumann_spark_wal/1", "commands": "nope"},
-              open(wpath, "w"))
+    epoch = json.load(open(os.path.join(d, "neumann_snapshot.json")))["data_dir"]
+    json.dump({"format": "neumann_spark_wal/1", "epoch": epoch,
+               "commands": "nope"}, open(wpath, "w"))
     crc = os.path.join(d, ".wal.json.crc")
     if os.path.exists(crc):
         os.remove(crc)
     with pytest.raises(ValueError, match="corrupt WAL"):
         eng.execute(f"LOAD '{d}' RECOVER")
-    # a failing replayed command surfaces as a typed replay error
-    json.dump({"format": "neumann_spark_wal/1",
+    # a failing replayed command surfaces as a typed replay error and the
+    # session is restored to the snapshot base state
+    json.dump({"format": "neumann_spark_wal/1", "epoch": epoch,
                "commands": ["INSERT INTO no_such_table VALUES (1)"]},
               open(wpath, "w"))
     if os.path.exists(crc):
         os.remove(crc)
     with pytest.raises(ValueError, match="WAL replay failed at entry 0"):
         eng.execute(f"LOAD '{d}' RECOVER")
+    # a STALE epoch (from before a re-save) is treated as an empty log,
+    # never double-applied
+    json.dump({"format": "neumann_spark_wal/1", "epoch": "data-stale",
+               "commands": ["INSERT INTO no_such_table VALUES (1)"]},
+              open(wpath, "w"))
+    if os.path.exists(crc):
+        os.remove(crc)
+    res = eng.execute(f"LOAD '{d}' RECOVER").collect()[0]
+    assert res["replayed"] == 0
 
 
 def test_manifest_fallback_preserves_old_on_failure(spark, tmp_path):

@@ -203,9 +203,11 @@ def test_merge_touched_partition_read_prunes(spark, tmp_path):
         [(i, ["a", "b", "c", "d"][i % 4], float(i)) for i in range(20)],
         "k bigint, p string, v double",
     ).write.partitionBy("p").parquet(tdir)
+    from neumann_spark.operators.dml import _pruned_target_read
+
     touched = ["a", "c"]
-    pruned = spark.read.parquet(tdir).filter(F.col("p").isin(touched))
-    plan = _plan(pruned)
+    # plan the EXACT frame merge_into_partitioned reads, not a re-built one
+    plan = _plan(_pruned_target_read(spark, tdir, "p", touched))
     scan = next(
         ln for ln in plan.splitlines()
         if "PartitionFilters" in ln and "p#" in ln)
