@@ -372,3 +372,117 @@ def pipeline_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("cw", 1).alias("first_token"),
         )
     )
+
+
+# --- end-to-end curation pipeline -----------------------------------------
+# The composition the whole family exists for: one flagship query chaining
+# quality gate -> exact dedup -> eval-split removal -> decontamination ->
+# packing histogram, each stage the registered operator above/alongside.
+# A user of the reference migrating a curation job runs exactly this
+# chain; the oracle recomposes every stage in SQL, so a semantics drift in
+# ANY stage (rule thresholds, dedup keying, n-gram contamination) breaks
+# the hash.
+
+
+def _end_to_end_oracle_sql() -> str:
+    from neumann_spark.pipeline.text_queries import _SW_LIST
+
+    return f"""
+    WITH {_NGRAMS_SQL},
+    quality AS MATERIALIZED (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               len(str_split(text, ' ')) AS n_words,
+               CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE)
+                 / len(str_split(text, ' ')) AS mwl,
+               len(list_filter(str_split(text, ' '),
+                               w -> w IN ({_SW_LIST}))) AS sw,
+               CAST(len(list_filter(str_split(text, ' '),
+                                    w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+                 / len(str_split(text, ' ')) AS alpha_frac
+        FROM documents
+      ) WHERE n_words BETWEEN 20 AND 80 AND mwl >= 3.0 AND mwl <= 4.5
+          AND sw >= 2 AND alpha_frac >= 0.8
+    ),
+    dedup_kept AS MATERIALIZED (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY md5(concat(source, ':',
+                                         CAST(n_chars // 50 AS VARCHAR)))
+                 ORDER BY doc_id) AS rn
+        FROM documents
+      ) WHERE rn = 1
+    ),
+    ev AS MATERIALIZED (
+      SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0
+    ),
+    contaminated AS MATERIALIZED (
+      SELECT g.doc_id FROM grams g JOIN ev ON ev.g = g.g
+      WHERE g.doc_id % 97 <> 0
+      GROUP BY g.doc_id
+      HAVING COUNT(*) >= {CONTAM_MIN_NGRAMS}
+    ),
+    survivors AS (
+      SELECT d.* FROM documents d
+      JOIN quality q ON q.doc_id = d.doc_id
+      JOIN dedup_kept k ON k.doc_id = d.doc_id
+      WHERE d.doc_id % 97 <> 0
+        AND NOT EXISTS (SELECT 1 FROM contaminated c
+                        WHERE c.doc_id = d.doc_id)
+    )
+    SELECT source,
+           CAST(FLOOR(LOG2(GREATEST(len(str_split(text, ' ')), 1)))
+                AS BIGINT) AS bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS total_tokens
+    FROM survivors
+    GROUP BY source, bucket
+    """
+
+
+@register("pipeline_end_to_end", oracle=_end_to_end_oracle_sql())
+def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pipeline, built by CALLING the registered
+    stage operators (not re-implementations): Gopher quality gate
+    (`text_gopher_quality_rules` passes=1) -> exact-dedup survivors
+    (keep-min-id per content key) -> eval-split removal + decontamination
+    anti-join (`pipeline_decontaminate`) -> per-source packing histogram
+    (`pipeline_length_buckets` bucketing). Every stage is map-only or one
+    compact-key shuffle, so the composition inherits the 100 TB shape of
+    its parts — Catalyst fuses the three semi/anti joins against the same
+    documents scan."""
+    from neumann_spark.pipeline.text_queries import text_gopher_quality_rules
+
+    d = load(spark, sf_dir, "documents")
+    quality = (
+        text_gopher_quality_rules(spark, sf_dir)
+        .filter(F.col("passes") == 1)
+        .select("doc_id")
+    )
+    key = F.md5(F.concat(
+        F.col("source"), F.lit(":"),
+        (F.col("n_chars") / F.lit(50)).cast("bigint").cast("string")))
+    kept = (
+        d.select("doc_id", key.alias("k"))
+        .select(
+            "doc_id",
+            F.row_number().over(
+                Window.partitionBy("k").orderBy("doc_id")).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select("doc_id")
+    )
+    contaminated = pipeline_decontaminate(spark, sf_dir).select("doc_id")
+    survivors = (
+        d.join(quality, "doc_id", "left_semi")
+        .join(kept, "doc_id", "left_semi")
+        .filter(F.col("doc_id") % 97 != 0)
+        .join(contaminated, "doc_id", "left_anti")
+    )
+    toks = F.size(F.split("text", " "))
+    bucket = F.floor(F.log2(F.greatest(toks, F.lit(1)))).cast("bigint")
+    return survivors.groupBy("source", bucket.alias("bucket")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(toks.cast("bigint")).alias("total_tokens"),
+    )

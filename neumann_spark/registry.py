@@ -86,6 +86,7 @@ _PRIORITY: list[str] = [
     "dedup_embedding_cosine",
     "dedup_hot_ngrams",
     "dedup_semantic_semdedup",
+    "pipeline_end_to_end",
     # ANN production path
     "ann_ivfpq_rescore",
     "ann_ivfpq_rescore_high_recall",
