@@ -94,8 +94,9 @@ _PRIORITY: list[str] = [
     "ann_index_persist_roundtrip",
     "ann_pq_rescore",
     "ann_ivf_search",
-    "ann_lsh_buckets",
-    "ann_binary_hamming",
+    # multimodal real-decode flagships (round-6 JPEG + dHash differential)
+    "multimodal_real_decode",
+    "multimodal_image_dhash",
     # distributed graph twins (scale path for the driver-side tier)
     "graph_bridges_distributed",
     "graph_articulation_distributed",
@@ -103,9 +104,9 @@ _PRIORITY: list[str] = [
     "graph_mst_boruvka",
     "graph_astar_distributed",
     "graph_core_decomposition",
-    # multimodal + remaining superset rows
-    "multimodal_real_decode",
-    "multimodal_image_dhash",
+    # next in line if the driver budget extends past ~50
+    "ann_lsh_buckets",
+    "ann_binary_hamming",
     "multimodal_features",
     "fulltext_bm25",
     "rel_cube",
