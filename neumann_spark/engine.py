@@ -268,7 +268,10 @@ class NeumannSparkEngine:
         # replays as empty rather than double-applying.
         manifest = self._manifest_read(
             _os.path.join(path, self._SNAPSHOT_MANIFEST))
-        if (isinstance(manifest, dict)
+        # a log with NO epoch key predates epoch tagging (legacy writer):
+        # replay it as before — only a PRESENT-but-mismatched epoch marks
+        # the stale-log-next-to-newer-snapshot crash window
+        if (isinstance(manifest, dict) and "epoch" in log
                 and log.get("epoch") != manifest.get("data_dir")):
             return []
         return [str(c) for c in log["commands"]]

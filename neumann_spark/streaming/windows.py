@@ -111,11 +111,16 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- genuine streaming path (exercised in tests) --------------------------
 
 
-def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _events_stream(spark: SparkSession, sf_dir: str,
+                   single_batch: bool = False) -> DataFrame:
     """readStream over the events fixture, adapting to the `ts` encoding the
     file actually stores: TIMESTAMP(MICROS) today (read natively), INT64
     nanos historically (read as long via `nanosAsLong`, truncated to the
-    micros grid). Mirrors the batch-side branch in catalog.load."""
+    micros grid). Mirrors the batch-side branch in catalog.load.
+    `single_batch` pins maxFilesPerTrigger high enough that availableNow
+    delivers everything in ONE micro-batch regardless of file count —
+    consumers whose idempotence assumes batch monotonicity (the merge
+    upsert) get it by construction."""
     from pyspark.sql import types as T
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -125,11 +130,13 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"event_id bigint, ts {'bigint' if nanos else 'timestamp'}, "
         "user_id bigint, event_type string, value double, props string"
     )
-    stream = (
+    reader = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")  # file source needs a dir
-        .parquet(sf_dir)
     )
+    if single_batch:
+        reader = reader.option("maxFilesPerTrigger", str(10**6))
+    stream = reader.parquet(sf_dir)
     if nanos:
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return stream
@@ -512,8 +519,9 @@ def stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                        batch_df.select("event_type").distinct().collect()]
             if not touched:
                 return
-            tgt = spark.read.parquet(tdir).filter(
-                F.col("event_type").isin(touched))
+            from neumann_spark.operators.dml import _pruned_target_read
+
+            tgt = _pruned_target_read(spark, tdir, "event_type", touched)
             # replay safety (foreachBatch is at-least-once): the committed
             # per-key stream_wm is the high-water mark of stream events
             # already merged — a re-delivered micro-batch only contributes
@@ -521,8 +529,9 @@ def stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             # adds zero rows. Idempotence keys on the data itself rather
             # than on a batch-id marker that could land out-of-sync with
             # the merge commit; it assumes per-key event-id-monotone batch
-            # order (append-only logs, and the availableNow file source
-            # here).
+            # order (append-only logs; here maxFilesPerTrigger forces ONE
+            # batch so the assumption holds by construction even if the
+            # fixture becomes a multi-file directory).
             wm = tgt.select("user_id", "event_type",
                             F.col("stream_wm").alias("wm"))
             fresh = (
@@ -551,7 +560,7 @@ def stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark, tdir, src,
                 keys=["user_id", "event_type"], partition_col="event_type")
 
-        stream = _events_stream(spark, sf_dir).filter(
+        stream = _events_stream(spark, sf_dir, single_batch=True).filter(
             (F.col("event_id") % 2 == 1)
             & F.col("event_type").isin(["click", "view"])
             & (F.col("user_id") % 3 != 0)
