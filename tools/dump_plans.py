@@ -68,6 +68,17 @@ COMMENTARY = {
     "materialization, no driver collect.",
     "rel_approx_percentiles": "GK sketch = bounded mergeable partial agg "
     "state (objHashAggregate) — per-group quantiles without a full sort.",
+    "ann_ivfpq_rescore_low_scan": "Two-stage ANN at a 0.1 scan budget: "
+    "fine-PQ ADC shortlist over broadcast code maps, broadcast 200-row "
+    "shortlist semi-join, exact cosine rescore, TakeOrdered top-k — the "
+    "float vectors are read for 10% of the corpus only.",
+    "multimodal_image_dhash": "Arrow mapInPandas over the encoded media "
+    "column: one scan, no shuffle; the dHash stage streams batches and "
+    "emits two-int fingerprints — the image-dedup blocking key.",
+    "pipeline_end_to_end": "Composed curation chain: three semi/anti "
+    "joins (quality gate, dedup survivors, decontamination) against one "
+    "documents scan, then a single groupBy — the stages fuse instead of "
+    "re-scanning per step.",
 }
 
 
