@@ -45,6 +45,16 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 # (stale reds from r1/r3 — all green under the identical local selfcheck),
 # then (b) never-sampled flagship surfaces. Queries not listed keep their
 # registration order after these.
+#
+# ROTATION NOTE (next round): assuming the round-6 window lands, 35
+# registered queries remain never-driver-sampled — positions 51-85 of
+# this list (ann_lsh_*/sq/ivfpq variants, multimodal_metadata/features,
+# fulltext prefix/fuzzy/bm25, rel_cube/approx_percentiles,
+# win_distribution, graph path/traversal/similarity lookup family,
+# graph_articulation_points/graph_bridges fast paths). Round 7 should
+# front-load those (plus any new round-7 surfaces and any round-6 reds),
+# keeping ~10 slots to re-confirm this round's reds if CORRECTNESS_r06
+# shows any.
 _PRIORITY: list[str] = [
     # (a) stale driver reds, fixed in r2/r4 — re-evidence first
     "dml_graph_mutation",
