@@ -406,3 +406,42 @@ def test_merge_into_matches_python_model(spark, tmp_path_factory, target, source
         for r in spark.read.parquet(tdir).collect()
     }
     assert got == model
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.integers(min_value=1, max_value=40),   # width
+    st.integers(min_value=1, max_value=40),   # height
+    st.integers(min_value=0, max_value=2**31 - 1),  # pixel seed
+    st.sampled_from([0, 2, 3]),               # restart interval (0 = none)
+)
+def test_jpeg_roundtrip_matches_reference_for_any_shape(w, h, seed, rst):
+    """For ANY image shape (including non-multiple-of-8 dims needing edge
+    padding) and content, decoding our encoder's stream must reproduce the
+    independent quant->dequant->IDCT reference reconstruction exactly —
+    the end-to-end Huffman/zigzag/padding/restart paths have no
+    shape-dependent corner cases."""
+    import numpy as np
+
+    from neumann_spark.pipeline.multimodal import (
+        _JPEG_QLUM, _JPEG_ZZ, _jpeg_dct_mat, decode_jpeg_pixels, encode_jpeg)
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    dec = decode_jpeg_pixels(encode_jpeg(img, restart_interval=rst))
+    assert dec.shape == (h, w)
+
+    T = _jpeg_dct_mat()
+    q = np.array(_JPEG_QLUM, dtype=float)[np.argsort(_JPEG_ZZ)].reshape(8, 8)
+    ph = -(-h // 8) * 8
+    pw = -(-w // 8) * 8
+    padded = np.pad(img, ((0, ph - h), (0, pw - w)), mode="edge").astype(float)
+    ref = np.zeros_like(padded)
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            b = padded[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128
+            c = T @ b @ T.T
+            qq = np.sign(c) * np.floor(np.abs(c) / q + 0.5 + 1e-9)
+            ref[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = np.clip(
+                np.round(T.T @ (qq * q) @ T + 128), 0, 255)
+    assert np.array_equal(dec, ref[:h, :w].astype(np.uint8))
