@@ -39,24 +39,75 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 # Driver-evidence priority order. The correctness driver checks queries in
 # the order `queries()` yields them, under a fixed budget (empirically the
 # first ~50). Registration order is module-import order (cheapest modules
-# first), which through round 5 meant the same cheap window was re-sampled
-# every round while 68/160 queries were never driver-checked. This list
-# front-loads (a) queries whose latest driver row predates their fix
-# (stale reds from r1/r3 — all green under the identical local selfcheck),
-# then (b) never-sampled flagship surfaces. Queries not listed keep their
-# registration order after these.
+# first), so without this list the same cheap window would be re-sampled
+# every round. Each round the list is rotated toward never-driver-sampled
+# queries; queries not listed keep their registration order after these.
 #
-# ROTATION NOTE (next round): assuming the round-6 window lands, 35
-# registered queries remain never-driver-sampled — positions 51-85 of
-# this list (ann_lsh_*/sq/ivfpq variants, multimodal_metadata/features,
-# fulltext prefix/fuzzy/bm25, rel_cube/approx_percentiles,
-# win_distribution, graph path/traversal/similarity lookup family,
-# graph_articulation_points/graph_bridges fast paths). Round 7 should
-# front-load those (plus any new round-7 surfaces and any round-6 reds),
-# keeping ~10 slots to re-confirm this round's reds if CORRECTNESS_r06
-# shows any.
+# Round-7 rotation: CORRECTNESS_r06 was 50/50 green (no reds to
+# re-confirm), so positions 1-35 are exactly the 35 queries that have
+# never appeared in any driver window (the r6 ROTATION NOTE pool: ANN
+# variant tier, multimodal metadata/features, fulltext prefix/fuzzy/bm25,
+# rel_cube/approx_percentiles, win_distribution, the graph
+# path/traversal/lookup/similarity family, constraint check, and the
+# articulation/bridges fast paths). Positions 36+ are the new round-7
+# surfaces (registered as they land; _prioritized() skips unregistered
+# names harmlessly). The previously-green r6 window follows as the tail.
+#
+# ROTATION NOTE (next round): if this window lands green, every
+# registered query will have at least one driver-green row. Round 8
+# should front-load any r7 reds, then the new r7 surfaces again if they
+# missed the budget, then rotate oldest-evidence-first (r1 greens).
 _PRIORITY: list[str] = [
-    # (a) stale driver reds, fixed in r2/r4 — re-evidence first
+    # (a) the 35 never-driver-sampled queries — ANN variant tier first
+    "ann_lsh_buckets",
+    "ann_lsh_multiprobe",
+    "ann_binary_hamming",
+    "ann_ivf_clusters",
+    "ann_pq_search",
+    "ann_sq_search",
+    "ann_ivfpq_search",
+    # multimodal remaining surfaces
+    "multimodal_metadata",
+    "multimodal_features",
+    # fulltext variants
+    "fulltext_prefix_search",
+    "fulltext_fuzzy_search",
+    "fulltext_bm25",
+    # relational/window remainder
+    "rel_cube",
+    "rel_approx_percentiles",
+    "win_distribution_functions",
+    # graph lookup / traversal / path family
+    "graph_find_nodes_by_label",
+    "graph_find_edges_by_type",
+    "graph_degrees",
+    "graph_neighbors",
+    "graph_neighbors_by_type",
+    "graph_motif_pattern",
+    "graph_bfs_levels",
+    "graph_weighted_shortest_path",
+    "graph_variable_paths",
+    "graph_all_weighted_paths",
+    "graph_closeness_sampled",
+    # node-similarity variants
+    "graph_adamic_adar",
+    "graph_node_similarity_cosine",
+    "graph_node_similarity_common",
+    "graph_resource_allocation",
+    "graph_preferential_attachment",
+    "graph_most_similar",
+    # graph constraints + driver-side fast-path tier
+    "graph_constraint_check",
+    "graph_articulation_points",
+    "graph_bridges",
+    # (b) new round-7 surfaces (registered as they land this round)
+    "tx_atomic_visibility",
+    "cursor_stream_batches",
+    "result_cache_semantics",
+    "graph_aggregate_verbs",
+    "multimodal_mp4_frames",
+    "ann_ivfpq_graph_rescore",
+    # (c) previously-green r6 window (latest evidence r6) — tail
     "dml_graph_mutation",
     "dml_vector_mutation",
     "dml_entity_mutation",
@@ -67,7 +118,6 @@ _PRIORITY: list[str] = [
     "graph_astar_path",
     "graph_betweenness_sampled",
     "graph_louvain",
-    # (b) never-driver-sampled flagships (session/DDL/snapshot tier)
     "ddl_roundtrip",
     "cursor_pagination",
     "dml_fk_actions",
@@ -77,17 +127,14 @@ _PRIORITY: list[str] = [
     "snapshot_roundtrip",
     "snapshot_wal_recover",
     "checkpoint_rollback",
-    # unified cross-engine (the reference's signature feature)
     "unified_entity_stats",
     "unified_find_rows",
     "unified_similar_connected",
     "unified_neighbors_by_similarity",
-    # Cypher subset
     "cypher_match_edges",
     "cypher_node_match",
     "cypher_count_aggregate",
     "cypher_varlength_filtered",
-    # dedup family (LLM-pipeline core)
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
@@ -97,61 +144,20 @@ _PRIORITY: list[str] = [
     "dedup_hot_ngrams",
     "dedup_semantic_semdedup",
     "pipeline_end_to_end",
-    # ANN production path
     "ann_ivfpq_rescore",
     "ann_ivfpq_rescore_high_recall",
     "ann_ivfpq_rescore_low_scan",
     "ann_index_persist_roundtrip",
     "ann_pq_rescore",
     "ann_ivf_search",
-    # multimodal real-decode flagships (round-6 JPEG + dHash differential)
     "multimodal_real_decode",
     "multimodal_image_dhash",
-    # distributed graph twins (scale path for the driver-side tier)
     "graph_bridges_distributed",
     "graph_articulation_distributed",
     "graph_scc_distributed",
     "graph_mst_boruvka",
     "graph_astar_distributed",
     "graph_core_decomposition",
-    # next in line if the driver budget extends past ~50
-    "ann_lsh_buckets",
-    "ann_binary_hamming",
-    "multimodal_features",
-    "fulltext_bm25",
-    "rel_cube",
-    "rel_approx_percentiles",
-    "win_distribution_functions",
-    # remaining never-sampled (past the ~50 budget today; next in line if
-    # the budget grows, and the rotation pool for later rounds)
-    "ann_lsh_multiprobe",
-    "ann_ivf_clusters",
-    "ann_pq_search",
-    "ann_sq_search",
-    "ann_ivfpq_search",
-    "multimodal_metadata",
-    "graph_bfs_levels",
-    "graph_weighted_shortest_path",
-    "graph_closeness_sampled",
-    "graph_variable_paths",
-    "graph_all_weighted_paths",
-    "fulltext_prefix_search",
-    "fulltext_fuzzy_search",
-    "graph_find_nodes_by_label",
-    "graph_find_edges_by_type",
-    "graph_degrees",
-    "graph_neighbors",
-    "graph_neighbors_by_type",
-    "graph_motif_pattern",
-    "graph_adamic_adar",
-    "graph_node_similarity_cosine",
-    "graph_node_similarity_common",
-    "graph_resource_allocation",
-    "graph_preferential_attachment",
-    "graph_most_similar",
-    "graph_constraint_check",
-    "graph_articulation_points",
-    "graph_bridges",
 ]
 
 
