@@ -220,11 +220,13 @@ class NeumannSparkEngine:
 
     # -- WAL (`tensor_store/src/wal.rs`) ----------------------------------
 
-    # snapshot-machinery heads never journal: SAVE starts the epoch, LOAD/
-    # ROLLBACK replace the state the log describes, CHECKPOINT is its own
-    # durability mechanism
-    _WAL_EXCLUDED = frozenset(
-        {"SAVE", "LOAD", "ROLLBACK", "CHECKPOINT", "CHECKPOINTS"})
+    # snapshot-machinery heads never journal through the generic write
+    # path: SAVE starts the epoch, LOAD/ROLLBACK replace the state the log
+    # describes. CHECKPOINT journals itself explicitly (resolved-name
+    # form, _exec_checkpoint) so LOAD … RECOVER rebuilds the checkpoint
+    # registry too — replaying CHECKPOINT 'name' at its log position
+    # re-saves from the exact state it originally captured
+    _WAL_EXCLUDED = frozenset({"SAVE", "LOAD", "ROLLBACK", "CHECKPOINTS"})
     _WAL_FILE = "wal.json"
 
     def _wal_append(self, cmd: str, head: "Optional[str]" = None) -> None:
@@ -2836,7 +2838,14 @@ class NeumannSparkEngine:
 
         fs, p = self._hadoop_fs(mpath)
         if not fs.exists(p):
-            return None
+            # self-healing for the non-FileContext publish path: a crash
+            # between rename(p, bak) and rename(tmp, p) strands the prior
+            # manifest at .bak with nothing at p — fall back so the
+            # snapshot stays loadable across that window
+            bak = p.suffix(".bak")
+            if not fs.exists(bak):
+                return None
+            p = bak
         stream = fs.open(p)
         try:
             raw = self.spark._jvm.org.apache.commons.io.IOUtils.toString(
@@ -3053,6 +3062,12 @@ class NeumannSparkEngine:
         self._save_snapshot(_os.path.join(root, name))
         self._cp_log[name] = self._cp_seq
         self._cp_log.move_to_end(name)  # re-created name = most recent
+        # journal the RESOLVED name (unnamed checkpoints journal their
+        # cp_<n>), so LOAD … RECOVER re-registers every post-SAVE
+        # checkpoint: at its log position the session state equals the
+        # state the checkpoint originally captured, so re-saving under
+        # the same name reproduces it even in a fresh session
+        self._wal_append(f"CHECKPOINT '{name}'")
         return self.spark.createDataFrame(
             [(name, "created")], "checkpoint string, status string")
 

@@ -189,7 +189,17 @@ def merge_into_partitioned(
         swapped = []  # (final_dir, trash_dir or None) in commit order
         try:
             for new_dir, final_dir in plan:
-                trash = final_dir + f".old_{uuid.uuid4().hex[:8]}"
+                # underscore prefix: Spark/Hadoop readers skip _-prefixed
+                # dirs, so a crash between the two renames (or a failed
+                # rmtree) leaves trash that is invisible to
+                # spark.read.parquet(target_dir) instead of surfacing as
+                # a phantom partition value ('=' must not appear in the
+                # name or partition inference still parses it as a
+                # conflicting partition column)
+                trash = os.path.join(
+                    target_dir,
+                    f"_old_{os.path.basename(final_dir).replace('=', '-')}"
+                    f"_{uuid.uuid4().hex[:8]}")
                 if os.path.isdir(final_dir):
                     os.rename(final_dir, trash)
                 else:

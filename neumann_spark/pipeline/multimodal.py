@@ -1001,6 +1001,14 @@ def decode_jpeg_pixels(payload: bytes):
         raise ValueError("JPEG missing SOF/SOS")
     h_img, w_img, comps = frame
     scomps, data_start = scan
+    # only fully-interleaved single-scan baseline is decoded: a
+    # non-interleaved multi-scan file would otherwise silently come back
+    # as a grayscale plane of its first component
+    if len(scomps) != len(comps):
+        raise ValueError(
+            f"non-interleaved multi-scan JPEG (first scan covers "
+            f"{len(scomps)} of {len(comps)} frame components) — "
+            "unsupported")
 
     # split entropy data into restart segments, unstuffing 0xFF00
     segments: list[bytes] = []
@@ -1185,13 +1193,24 @@ def _image_luma(blob: bytes, media_type: str):
     """Decode an image payload and return an integer luma plane: channel
     sum for color (monotone in brightness, integer-exact), 3x the sample
     for grayscale so all types share one scale."""
+    import struct
+
     import numpy as np
 
     if media_type == "image/bmp":
         return decode_bmp_pixels(blob).astype(np.int64).sum(axis=2)
     if media_type == "image/png":
+        # decode_png_pixels returns (h, w * spp) raw samples; samples per
+        # pixel depends on the IHDR color type (gray 1, gray+alpha 2,
+        # RGB 3, RGBA 4) — derive it from the declared width rather than
+        # assuming RGB, which mangles gray/RGBA rows
         arr = decode_png_pixels(blob).astype(np.int64)
-        return arr.reshape(arr.shape[0], -1, 3).sum(axis=2)
+        (w,) = struct.unpack_from(">I", blob, 16)
+        spp = arr.shape[1] // w
+        px = arr.reshape(arr.shape[0], w, spp)
+        if spp <= 2:  # gray / gray+alpha: scale to the 3-channel sum
+            return 3 * px[:, :, 0]
+        return px[:, :, :3].sum(axis=2)  # RGB / RGBA (alpha dropped)
     if media_type == "image/jpeg":
         return 3 * decode_jpeg_pixels(blob).astype(np.int64)
     raise ValueError(f"not an image type: {media_type!r}")

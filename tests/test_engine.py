@@ -1528,6 +1528,62 @@ def test_manifest_fallback_preserves_old_on_failure(spark, tmp_path):
     assert read(p) == "NEW"  # the pre-publish manifest was restored
 
 
+def test_manifest_read_falls_back_to_bak(spark, tmp_path):
+    """A crash between rename(p, bak) and rename(tmp, p) in the fallback
+    publish leaves no manifest at p with the prior one stranded at .bak —
+    _manifest_read self-heals by reading the .bak sibling, so the
+    snapshot stays loadable across that window."""
+    import os
+
+    from neumann_spark.engine import NeumannSparkEngine
+
+    eng = NeumannSparkEngine(spark, SF_DIR)
+    eng.execute("CREATE TABLE bak_t (id INT)")
+    eng.execute("INSERT INTO bak_t VALUES (7)")
+    d = str(tmp_path / "snap")
+    eng.execute(f"SAVE '{d}'")
+    eng.execute("DROP TABLE bak_t")
+
+    m = os.path.join(d, "neumann_snapshot.json")
+    os.rename(m, m + ".bak")  # simulate the interrupted-publish window
+    crc = os.path.join(d, ".neumann_snapshot.json.crc")
+    if os.path.exists(crc):  # keep the checksum sidecar name in sync
+        os.rename(crc, os.path.join(d, ".neumann_snapshot.json.bak.crc"))
+
+    eng.execute(f"LOAD '{d}'")
+    assert eng.execute(
+        "SELECT COUNT(*) AS n FROM bak_t").collect()[0]["n"] == 1
+    eng.execute("DROP TABLE bak_t")
+
+
+def test_recover_restores_checkpoint_registry(spark, tmp_path):
+    """CHECKPOINT journals its resolved name, so LOAD … RECOVER rebuilds
+    the checkpoint registry: ROLLBACK TO a post-SAVE checkpoint works
+    after recovery and restores the exact mid-epoch state."""
+    from neumann_spark.engine import NeumannSparkEngine
+
+    eng = NeumannSparkEngine(spark, SF_DIR)
+    eng.execute("CREATE TABLE cpr_t (id INT)")
+    eng.execute("INSERT INTO cpr_t VALUES (1)")
+    d = str(tmp_path / "snap")
+    eng.execute(f"SAVE '{d}'")
+    eng.execute("INSERT INTO cpr_t VALUES (2)")
+    eng.execute("CHECKPOINT mark")
+    eng.execute("INSERT INTO cpr_t VALUES (3)")
+
+    res = eng.execute(f"LOAD '{d}' RECOVER").collect()[0]
+    assert res["replayed"] == 3  # 2 inserts + the journaled checkpoint
+    assert eng.execute(
+        "SELECT COUNT(*) AS n FROM cpr_t").collect()[0]["n"] == 3
+    names = [r["checkpoint"]
+             for r in eng.execute("CHECKPOINTS").collect()]
+    assert "mark" in names
+    eng.execute("ROLLBACK TO mark")  # pre-fix: unknown checkpoint
+    assert eng.execute(
+        "SELECT COUNT(*) AS n FROM cpr_t").collect()[0]["n"] == 2
+    eng.execute("DROP TABLE cpr_t")
+
+
 def test_cypher_return_aggregates(engine):
     """RETURN COUNT forms (`cypher.rs:158` `COUNT(p) AS total`): global
     count, implicit grouping, COUNT(DISTINCT), RETURN DISTINCT, aliases."""

@@ -526,3 +526,66 @@ def test_dhash_spark_matches_local(spark):
         blob = enc[r["media_type"]](r["doc_id"])
         hi, lo = dhash_bits(_image_luma(blob, r["media_type"]))
         assert (r["dhash_hi"], r["dhash_lo"]) == (hi, lo)
+
+
+def _make_png(w, h, ctype, rows):
+    """Minimal non-interlaced 8-bit PNG from raw per-row sample bytes."""
+    import struct
+    import zlib
+
+    from neumann_spark.pipeline.multimodal import _PNG_SIG, _png_chunk
+
+    raw = b"".join(b"\x00" + bytes(r) for r in rows)  # filter None
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b""))
+
+
+def test_image_luma_png_gray_and_rgba():
+    """_image_luma must honor the PNG's actual samples-per-pixel:
+    grayscale (1/px) scales by 3, gray+alpha (2/px) and RGBA (4/px) drop
+    alpha — none may be misread as packed RGB triples."""
+    import numpy as np
+
+    from neumann_spark.pipeline.multimodal import _image_luma
+
+    g = [[10, 20, 30, 40], [50, 60, 70, 80]]
+    luma = _image_luma(_make_png(4, 2, 0, g), "image/png")
+    assert luma.shape == (2, 4)
+    assert (luma == 3 * np.array(g)).all()
+
+    ga = [[10, 255, 20, 0], [30, 128, 40, 7]]  # (gray, alpha) pairs
+    luma = _image_luma(_make_png(2, 2, 4, ga), "image/png")
+    assert luma.shape == (2, 2)
+    assert (luma == 3 * np.array([[10, 20], [30, 40]])).all()
+
+    rgba = [[1, 2, 3, 255, 4, 5, 6, 0], [7, 8, 9, 9, 10, 11, 12, 1]]
+    luma = _image_luma(_make_png(2, 2, 6, rgba), "image/png")
+    assert luma.shape == (2, 2)
+    assert (luma == np.array([[6, 15], [24, 33]])).all()
+
+    rgb = [[100, 110, 120, 130, 140, 150]]
+    luma = _image_luma(_make_png(2, 1, 2, rgb), "image/png")
+    assert (luma == np.array([[330, 420]])).all()
+
+
+def test_jpeg_multiscan_rejected():
+    """A non-interleaved multi-scan baseline JPEG (first scan covers one
+    of three frame components) must raise, not silently decode as a
+    grayscale plane of component 1."""
+    import struct
+
+    import pytest as _pt
+
+    from neumann_spark.pipeline.multimodal import decode_jpeg_pixels
+
+    sof_body = struct.pack(">BHHB", 8, 8, 8, 3) + bytes(
+        [1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0])
+    sos_body = bytes([1, 1, 0x00, 0, 63, 0])  # ns=1: component 1 only
+    payload = (b"\xff\xd8"
+               + b"\xff\xc0" + struct.pack(">H", len(sof_body) + 2) + sof_body
+               + b"\xff\xda" + struct.pack(">H", len(sos_body) + 2) + sos_body
+               + b"\xff\xd9")
+    with _pt.raises(ValueError, match="multi-scan"):
+        decode_jpeg_pixels(payload)

@@ -177,9 +177,11 @@ def test_merge_into_rolls_back_on_midswap_failure(spark, tmp_path, monkeypatch):
     calls = {"n": 0}
 
     def failing_rename(a, b):
-        # commit renames touch the target dir; fail on the LAST one so
-        # partition 'a' is already fully swapped when 'b' aborts
-        if f"{os.sep}p=b" in str(b) and str(tdir) in str(b):
+        # fail the COMMIT rename (stage -> final) of the LAST partition,
+        # so 'a' is already fully swapped when 'b' aborts; restore
+        # renames (trash -> final) must still succeed for the rollback
+        if ("_stage_" in str(a) and f"{os.sep}p=b" in str(b)
+                and str(tdir) in str(b)):
             raise OSError("injected rename failure")
         return real_rename(a, b)
 
@@ -190,5 +192,43 @@ def test_merge_into_rolls_back_on_midswap_failure(spark, tmp_path, monkeypatch):
 
     after = {(r["k"], r["p"], r["v"])
              for r in spark.read.parquet(tdir).collect()}
-    assert after == before  # full rollback, no partial merge, no .old dirs
-    assert not [d for d in os.listdir(tdir) if ".old" in d]
+    assert after == before  # full rollback, no partial merge, no trash dirs
+    assert not [d for d in os.listdir(tdir)
+                if ".old" in d or d.startswith("_old_")]
+
+
+def test_merge_trash_dirs_invisible_to_readers(spark, tmp_path, monkeypatch):
+    """Crash leftovers from the swap (a trash dir whose rmtree failed, or
+    a kill between the two renames) must never surface as a phantom
+    partition: trash dirs are _-prefixed, which parquet readers skip."""
+    import os
+    import shutil
+
+    from neumann_spark.operators.dml import merge_into_partitioned
+
+    tdir = str(tmp_path / "t")
+    rows = [(i, "a" if i % 2 == 0 else "b", float(i)) for i in range(10)]
+    spark.createDataFrame(
+        rows, "k bigint, p string, v double"
+    ).write.partitionBy("p").parquet(tdir)
+
+    real_rmtree = shutil.rmtree
+
+    def keep_trash(path, *a, **kw):
+        if os.path.basename(str(path)).startswith("_old_"):
+            return  # simulate a failed cleanup: the trash dir survives
+        return real_rmtree(path, *a, **kw)
+
+    monkeypatch.setattr(shutil, "rmtree", keep_trash)
+    src = spark.createDataFrame(
+        [(0, "a", 99.0)], "k bigint, p string, v double")
+    merge_into_partitioned(spark, tdir, src, ["k"], "p")
+    monkeypatch.undo()
+
+    leftovers = [d for d in os.listdir(tdir) if d.startswith("_old_")]
+    assert leftovers  # the simulated crash leftover is on disk...
+    back = spark.read.parquet(tdir)
+    assert sorted(r["p"] for r in back.select("p").distinct().collect()) \
+        == ["a", "b"]  # ...but invisible: no phantom partition value
+    assert back.count() == 10 and \
+        back.filter("k = 0").collect()[0]["v"] == 99.0
