@@ -230,6 +230,127 @@ def cursor_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cursor_stream_batches",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey,
+             ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS rn
+      FROM orders
+    )
+    SELECT rn // 1000 AS batch_id, COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM t GROUP BY 1 ORDER BY 1
+    """,
+)
+def cursor_stream_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming cursor (`relational_engine/src/cursor.rs` StreamingCursor):
+    `execute_streaming` yields fixed-size row batches over toLocalIterator
+    without materializing the result on the driver. The query consumes the
+    whole iterator and hashes each batch's (index, size, key-sum), pinning
+    batch boundaries, ordering, and completeness against the oracle's
+    ROW_NUMBER partitioning of the same ordered scan."""
+    from neumann_spark.engine import NeumannSparkEngine
+
+    eng = NeumannSparkEngine(spark, sf_dir)
+    it = eng.execute_streaming(
+        "SELECT o_orderkey FROM orders ORDER BY o_orderkey",
+        batch_size=1000)
+    rows = [(i, len(b), sum(r["o_orderkey"] for r in b))
+            for i, b in enumerate(it)]
+    return spark.createDataFrame(
+        rows, "batch_id bigint, n_rows bigint, key_sum bigint")
+
+
+@register(
+    "result_cache_semantics",
+    oracle="""
+    SELECT TRUE AS hit_is_cached,
+           CAST(1 AS BIGINT) AS cached_before_write,
+           CAST(0 AS BIGINT) AS cached_after_write,
+           (SELECT COUNT(*) FROM region) AS n_regions,
+           TRUE AS recompute_matches
+    """,
+)
+def result_cache_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-result cache (`query_router/src/lib.rs:1931-1961`): a repeated
+    cacheable SELECT returns the memoized result object (hit), the entry
+    survives until the next write, any write invalidates the whole cache,
+    and the post-invalidation recompute equals the cached result. Each
+    observable is a hashed column, so a broken hit/invalidation path flips
+    the row."""
+    from neumann_spark.engine import NeumannSparkEngine
+
+    eng = NeumannSparkEngine(spark, sf_dir)
+    q = "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"
+    first = eng.execute(q)
+    hit_is_cached = eng.execute(q) is first  # LRU hit: same object
+    cached_before = len(eng._cache)
+    before_rows = sorted(map(tuple, first.collect()))
+    eng.execute("CREATE TABLE cache_poke (id INT)")  # any write invalidates
+    cached_after = len(eng._cache)
+    recompute_matches = (
+        sorted(map(tuple, eng.execute(q).collect())) == before_rows)
+    eng.execute("DROP TABLE cache_poke")
+    return spark.createDataFrame(
+        [(hit_is_cached, cached_before, cached_after,
+          len(before_rows), recompute_matches)],
+        "hit_is_cached boolean, cached_before_write bigint, "
+        "cached_after_write bigint, n_regions bigint, "
+        "recompute_matches boolean")
+
+
+@register(
+    "graph_aggregate_verbs",
+    oracle=GRAPH_SQL_CTE
+    + """
+    SELECT
+      (SELECT COUNT(id) FROM nodes WHERE label = 'customer')
+        AS n_customers,
+      (SELECT MAX(id) FROM nodes WHERE label = 'supplier')
+        AS max_supplier_id,
+      (SELECT CAST(SUM(weight) AS DOUBLE) FROM edges
+        WHERE edge_type = 'located_in') AS located_in_total,
+      (SELECT CAST(AVG(weight) AS DOUBLE) FROM edges
+        WHERE edge_type = 'part_of') AS part_of_avg,
+      (SELECT MAX(weight) FROM edges WHERE edge_type = 'supplies')
+        AS supplies_max,
+      (SELECT COUNT(weight) FROM edges
+        WHERE edge_type = 'supplies' AND dst % 2 = 0) AS supplies_even_cnt
+    """,
+)
+def graph_aggregate_verbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph AGGREGATE verbs (`graph_engine` property aggregation; router
+    AGGREGATE dispatch): COUNT/MAX over node properties BY LABEL,
+    SUM/AVG/MAX/COUNT over edge weight BY TYPE / ON, plus a WHERE
+    predicate — every facade branch of `_exec_aggregate` in one hashed
+    row. Aggregates are chosen fp-exact (counts, maxima, sums of 1.0
+    weights) so the hash is stable across partition orderings."""
+    from neumann_spark.engine import NeumannSparkEngine
+
+    eng = NeumannSparkEngine(spark, sf_dir)
+
+    def one(cmd: str, out: str) -> DataFrame:
+        df = eng.execute(cmd)
+        return df.select(F.col(df.columns[0]).alias(out))
+
+    return (
+        one("AGGREGATE NODE PROPERTY id COUNT BY LABEL customer",
+            "n_customers")
+        .crossJoin(one("AGGREGATE NODE PROPERTY id MAX BY LABEL supplier",
+                       "max_supplier_id"))
+        .crossJoin(one("AGGREGATE EDGE PROPERTY weight SUM ON located_in",
+                       "located_in_total"))
+        .crossJoin(one("AGGREGATE EDGE PROPERTY weight AVG BY TYPE part_of",
+                       "part_of_avg"))
+        .crossJoin(one("AGGREGATE EDGE PROPERTY weight MAX BY TYPE supplies",
+                       "supplies_max"))
+        .crossJoin(one(
+            "AGGREGATE EDGE PROPERTY weight COUNT ON supplies "
+            "WHERE dst % 2 = 0", "supplies_even_cnt"))
+    )
+
+
+@register(
     "ddl_roundtrip",
     oracle="""
     SELECT * FROM (VALUES
