@@ -103,6 +103,11 @@ class NeumannSparkEngine:
         self._wal_epoch = ""
         self._wal_replaying = False
         self._last_manifest_data_dir = ""
+        # BEGIN/COMMIT/ROLLBACK transaction fork (None = no open tx):
+        # a shallow state snapshot — every store is an immutable DataFrame
+        # plan and the metadata dicts are deep-copied at BEGIN
+        self._tx_fork: "Optional[dict]" = None
+        self._tx_wal_buffer: list[str] = []
         for t in TABLES:
             load(spark, sf_dir, t).createOrReplaceTempView(t)
 
@@ -187,6 +192,10 @@ class NeumannSparkEngine:
             out = self._exec_save(cmd)
         elif head == "LOAD":
             out = self._exec_load(cmd)
+        elif head == "BEGIN":
+            out = self._exec_begin(cmd)
+        elif head == "COMMIT":
+            out = self._exec_commit(cmd)
         elif head == "CHECKPOINT":
             out = self._exec_checkpoint(cmd)
         elif head == "ROLLBACK":
@@ -226,7 +235,8 @@ class NeumannSparkEngine:
     # form, _exec_checkpoint) so LOAD … RECOVER rebuilds the checkpoint
     # registry too — replaying CHECKPOINT 'name' at its log position
     # re-saves from the exact state it originally captured
-    _WAL_EXCLUDED = frozenset({"SAVE", "LOAD", "ROLLBACK", "CHECKPOINTS"})
+    _WAL_EXCLUDED = frozenset(
+        {"SAVE", "LOAD", "ROLLBACK", "CHECKPOINTS", "BEGIN", "COMMIT"})
     _WAL_FILE = "wal.json"
 
     def _wal_append(self, cmd: str, head: "Optional[str]" = None) -> None:
@@ -239,6 +249,13 @@ class NeumannSparkEngine:
         if self._wal_path is None or self._wal_replaying:
             return
         if (head or cmd.split(None, 1)[0].upper()) in self._WAL_EXCLUDED:
+            return
+        if self._tx_fork is not None:
+            # open transaction: hold the journal until COMMIT (one atomic
+            # whole-file publish), so a crash mid-tx — or a ROLLBACK —
+            # leaves NO uncommitted command in the durable log and
+            # recovery replays only committed work
+            self._tx_wal_buffer.append(cmd)
             return
         self._wal_entries.append(cmd)
         self._wal_write()
@@ -2748,6 +2765,7 @@ class NeumannSparkEngine:
         The manifest (constraint/FK/index metadata + store schemas) is
         tiny JSON, written through the Hadoop FileSystem API so snapshots
         work on any Spark-reachable filesystem (hdfs://, s3a://, local)."""
+        self._no_tx("SAVE")
         m = self._require(
             re.match(r"SAVE(\s+COMPRESSED)?\s+(.+?)\s*$", cmd, re.I | re.S),
             "SAVE [COMPRESSED] 'path/to/dir'")
@@ -2916,6 +2934,7 @@ class NeumannSparkEngine:
         LOAD restores the snapshot base state and DISARMS the log —
         mutations after a non-recovering load are a fork, and appending
         them to the old epoch would corrupt replay."""
+        self._no_tx("LOAD")
         m = self._require(
             re.match(r"LOAD\s+(.+?)(\s+RECOVER)?\s*$", cmd, re.I | re.S),
             "LOAD 'path/to/dir' [RECOVER]")
@@ -3041,6 +3060,7 @@ class NeumannSparkEngine:
         generated ids)."""
         import os as _os
 
+        self._no_tx("CHECKPOINT")
         m = self._require(
             re.match(r"CHECKPOINT(?:\s+(.+?))?\s*$", cmd, re.I | re.S),
             "CHECKPOINT ['name']")
@@ -3072,12 +3092,17 @@ class NeumannSparkEngine:
             [(name, "created")], "checkpoint string, status string")
 
     def _exec_rollback(self, cmd: str) -> DataFrame:
-        """`ROLLBACK [TO] 'name'` — whole-state swap back to a checkpoint
-        (`cp_guard.rollback(&target, store)`): the load path, aimed at the
-        managed dir. Later checkpoints survive (the reference keeps the
-        full history; rollback does not truncate it)."""
+        """`ROLLBACK` (bare — transaction abort) or `ROLLBACK [TO] 'name'`
+        (checkpoint restore, `cp_guard.rollback(&target, store)`): the
+        load path, aimed at the managed dir. Later checkpoints survive
+        (the reference keeps the full history; rollback does not truncate
+        it)."""
         import os as _os
 
+        if re.fullmatch(r"ROLLBACK(?:\s+(?:TRANSACTION|WORK))?",
+                        cmd.strip(), re.I):
+            return self._exec_tx_rollback()
+        self._no_tx("ROLLBACK TO")
         m = self._require(
             re.match(r"ROLLBACK\s+(?:TO\s+)?(.+?)\s*$", cmd, re.I | re.S),
             "ROLLBACK TO 'name'")
@@ -3092,6 +3117,88 @@ class NeumannSparkEngine:
         self._wal_path, self._wal_entries = None, []
         return self.spark.createDataFrame(
             [(name, "rolled_back")], "checkpoint string, status string")
+
+    # -- BEGIN / COMMIT / ROLLBACK transactions (`relational_engine/src/
+    #    transaction.rs:1-945` begin/commit/rollback; router BEGIN dispatch
+    #    `query_router/src/lib.rs:1969+`). Scope matches the reference's
+    #    execution model: single-session statement-list atomicity — BEGIN
+    #    forks the in-memory state (the checkpoint mechanism without the
+    #    snapshot write), COMMIT discards the fork (current state wins and
+    #    the held WAL entries publish atomically), ROLLBACK restores the
+    #    fork. No concurrency/MVCC — the reference is single-node too. ----
+
+    # metadata dicts that mutating commands rebuild or mutate in place;
+    # deep-copied at BEGIN (small, plain-data schema/constraint
+    # registries). `_tables` is handled separately: its values are
+    # immutable DataFrame plans, so a shallow dict copy suffices (and
+    # deepcopy cannot traverse a DataFrame)
+    _TX_DICT_ATTRS = ("_fks", "_table_constraints",
+                      "_constraints", "_graph_indexes")
+
+    def _no_tx(self, verb: str) -> None:
+        """Snapshot machinery is ill-defined mid-transaction (it would
+        persist, or swap in, uncommitted state) — typed refusal."""
+        if self._tx_fork is not None:
+            raise ValueError(
+                f"{verb} is not allowed inside a transaction "
+                "(COMMIT or ROLLBACK first)")
+
+    def _exec_begin(self, cmd: str) -> DataFrame:
+        import copy as _copy
+
+        self._require(
+            re.fullmatch(r"BEGIN(?:\s+(?:TRANSACTION|WORK))?",
+                         cmd.strip(), re.I),
+            "BEGIN [TRANSACTION]")
+        if self._tx_fork is not None:
+            raise ValueError("transaction already in progress")
+        fork: dict = {a: getattr(self, a) for a, _ in self._SNAPSHOT_STORES}
+        fork["_tables"] = dict(self._tables)
+        for a in self._TX_DICT_ATTRS:
+            fork[a] = _copy.deepcopy(getattr(self, a))
+        self._tx_fork = fork
+        self._tx_wal_buffer = []
+        return self.spark.createDataFrame(
+            [("begin", "ok")], "tx string, status string")
+
+    def _exec_commit(self, cmd: str) -> DataFrame:
+        self._require(
+            re.fullmatch(r"COMMIT(?:\s+(?:TRANSACTION|WORK))?",
+                         cmd.strip(), re.I),
+            "COMMIT")
+        if self._tx_fork is None:
+            raise ValueError("no transaction in progress")
+        self._tx_fork = None
+        if self._tx_wal_buffer and self._wal_path is not None:
+            # atomic durability: the tx's commands land in the journal as
+            # one whole-file publish, only now
+            self._wal_entries.extend(self._tx_wal_buffer)
+            self._wal_write()
+        self._tx_wal_buffer = []
+        return self.spark.createDataFrame(
+            [("commit", "ok")], "tx string, status string")
+
+    def _exec_tx_rollback(self) -> DataFrame:
+        if self._tx_fork is None:
+            raise ValueError("no transaction in progress")
+        fork, self._tx_fork = self._tx_fork, None
+        self._tx_wal_buffer = []
+        created = set(self._tables)
+        for attr, value in fork.items():
+            setattr(self, attr, value)
+        # temp views: drop tables created inside the tx (un-shadowing any
+        # fixture table of the same name), re-point every surviving view
+        # at its pre-BEGIN DataFrame version
+        for name in created - set(self._tables):
+            self.spark.catalog.dropTempView(name)
+            if name in TABLES:
+                load(self.spark, self.sf_dir, name).createOrReplaceTempView(
+                    name)
+        for name, df in self._tables.items():
+            df.createOrReplaceTempView(name)
+        self._mutations += 1
+        return self.spark.createDataFrame(
+            [("rollback", "ok")], "tx string, status string")
 
     def _exec_checkpoints(self, cmd: str) -> DataFrame:
         """`CHECKPOINTS [LIMIT n]` — list checkpoints, most recent first."""

@@ -300,6 +300,64 @@ def result_cache_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tx_atomic_visibility",
+    oracle="""
+    WITH final AS (
+      SELECT * FROM (VALUES (1, 'base'), (2, 'two'), (4, 'committed'))
+        t(id, v)
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM final) AS n_rows,
+           (SELECT CAST(SUM(id) AS BIGINT) FROM final) AS id_sum,
+           (SELECT STRING_AGG(v, '|' ORDER BY v) FROM final) AS vs,
+           CAST(0 AS BIGINT) AS n_tx_nodes,
+           TRUE AS nested_begin_rejected,
+           TRUE AS stray_commit_rejected
+    """,
+)
+def tx_atomic_visibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BEGIN/COMMIT/ROLLBACK facade transactions
+    (`relational_engine/src/transaction.rs:1-945`; router BEGIN dispatch
+    `query_router/src/lib.rs:1969+`): a rolled-back transaction leaves
+    zero trace (insert, update, and graph node all undone), a committed
+    one is fully visible, and nested BEGIN / stray COMMIT are typed
+    errors. The hashed row pins the post-sequence state; the oracle is
+    the declarative replay with the aborted block elided."""
+    from neumann_spark.engine import NeumannSparkEngine
+
+    eng = NeumannSparkEngine(spark, sf_dir)
+    eng.execute("CREATE TABLE tx_vis (id INT, v TEXT)")
+    eng.execute("INSERT INTO tx_vis VALUES (1, 'base'), (2, 'keep')")
+    eng.execute("BEGIN")
+    eng.execute("INSERT INTO tx_vis VALUES (3, 'gone')")
+    eng.execute("UPDATE tx_vis SET v = 'lost' WHERE id = 2")
+    eng.execute("NODE 9500002 txlab2")
+    nested = False
+    try:
+        eng.execute("BEGIN")
+    except ValueError:
+        nested = True
+    eng.execute("ROLLBACK")
+    eng.execute("BEGIN TRANSACTION")
+    eng.execute("INSERT INTO tx_vis VALUES (4, 'committed')")
+    eng.execute("UPDATE tx_vis SET v = 'two' WHERE id = 2")
+    eng.execute("COMMIT")
+    stray = False
+    try:
+        eng.execute("COMMIT")
+    except ValueError:
+        stray = True
+    base = eng.execute("SELECT id, v FROM tx_vis").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("id").cast("bigint").alias("id_sum"),
+        F.array_join(F.sort_array(F.collect_list("v")), "|").alias("vs"))
+    nodes = eng._nodes.filter(F.col("label") == "txlab2").agg(
+        F.count("*").alias("n_tx_nodes"))
+    return (base.crossJoin(nodes)
+            .withColumn("nested_begin_rejected", F.lit(nested))
+            .withColumn("stray_commit_rejected", F.lit(stray)))
+
+
+@register(
     "graph_aggregate_verbs",
     oracle=GRAPH_SQL_CTE
     + """

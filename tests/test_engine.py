@@ -1556,6 +1556,101 @@ def test_manifest_read_falls_back_to_bak(spark, tmp_path):
     eng.execute("DROP TABLE bak_t")
 
 
+def test_transaction_rollback_restores_all_stores(spark):
+    """BEGIN/ROLLBACK atomicity across every engine: relational insert +
+    update, graph node, embedding, created table, dropped table — all
+    undone; pre-tx state byte-equal."""
+    from neumann_spark.engine import NeumannSparkEngine
+
+    eng = NeumannSparkEngine(spark, SF_DIR)
+    eng.execute("CREATE TABLE txa_t (id INT, v TEXT)")
+    eng.execute("INSERT INTO txa_t VALUES (1, 'base'), (2, 'keep')")
+    eng.execute("CREATE TABLE txa_drop (x INT)")
+    n_nodes = eng._nodes.count()
+    n_emb = eng._embeddings.count()
+
+    eng.execute("BEGIN")
+    eng.execute("INSERT INTO txa_t VALUES (3, 'gone')")
+    eng.execute("UPDATE txa_t SET v = 'mut' WHERE id = 1")
+    eng.execute("NODE 9500001 txlab")
+    eng.execute("EMBED STORE 'tx:vec' ["
+                + ", ".join(["0.5"] * 64) + "]")
+    eng.execute("CREATE TABLE txa_new (x INT)")
+    eng.execute("DROP TABLE txa_drop")
+    # read-your-writes inside the tx
+    got = sorted(map(tuple, eng.execute("SELECT * FROM txa_t").collect()))
+    assert got == [(1, "mut"), (2, "keep"), (3, "gone")]
+    eng.execute("ROLLBACK")
+
+    got = sorted(map(tuple, eng.execute("SELECT * FROM txa_t").collect()))
+    assert got == [(1, "base"), (2, "keep")]
+    assert eng._nodes.count() == n_nodes
+    assert eng._embeddings.count() == n_emb
+    assert eng.execute("SELECT COUNT(*) AS n FROM txa_drop") \
+        .collect()[0]["n"] == 0  # dropped-in-tx table restored
+    with pytest.raises(Exception):
+        eng.execute("SELECT * FROM txa_new").collect()  # created-in-tx gone
+    eng.execute("DROP TABLE txa_t")
+    eng.execute("DROP TABLE txa_drop")
+
+
+def test_transaction_commit_and_guards(spark):
+    from neumann_spark.engine import NeumannSparkEngine
+
+    eng = NeumannSparkEngine(spark, SF_DIR)
+    eng.execute("CREATE TABLE txc_t (id INT)")
+    eng.execute("BEGIN TRANSACTION")
+    eng.execute("INSERT INTO txc_t VALUES (1)")
+    with pytest.raises(ValueError, match="already in progress"):
+        eng.execute("BEGIN")
+    for blocked in ("SAVE '/tmp/x'", "LOAD '/tmp/x'", "CHECKPOINT m",
+                    "ROLLBACK TO m"):
+        with pytest.raises(ValueError, match="inside a transaction"):
+            eng.execute(blocked)
+    eng.execute("COMMIT")
+    assert eng.execute(
+        "SELECT COUNT(*) AS n FROM txc_t").collect()[0]["n"] == 1
+    for stray in ("COMMIT", "ROLLBACK"):
+        with pytest.raises(ValueError, match="no transaction"):
+            eng.execute(stray)
+    eng.execute("DROP TABLE txc_t")
+
+
+def test_transaction_wal_atomicity(spark, tmp_path):
+    """Uncommitted tx commands never reach the durable journal: a
+    recover taken 'mid-crash' (before COMMIT) replays none of them; a
+    committed tx's commands replay as a block."""
+    import json
+    import os
+
+    from neumann_spark.engine import NeumannSparkEngine
+
+    eng = NeumannSparkEngine(spark, SF_DIR)
+    eng.execute("CREATE TABLE txw_t (id INT)")
+    d = str(tmp_path / "snap")
+    eng.execute(f"SAVE '{d}'")
+
+    eng.execute("BEGIN")
+    eng.execute("INSERT INTO txw_t VALUES (1)")
+    # the journal on disk must NOT contain the uncommitted insert
+    log = json.load(open(os.path.join(d, "wal.json"))) \
+        if os.path.exists(os.path.join(d, "wal.json")) else {"commands": []}
+    assert all("txw_t" not in c for c in log["commands"])
+    eng.execute("ROLLBACK")
+    res = eng.execute(f"LOAD '{d}' RECOVER").collect()[0]
+    assert res["replayed"] == 0  # rolled-back tx: nothing journaled
+
+    eng.execute("BEGIN")
+    eng.execute("INSERT INTO txw_t VALUES (2)")
+    eng.execute("INSERT INTO txw_t VALUES (3)")
+    eng.execute("COMMIT")
+    res = eng.execute(f"LOAD '{d}' RECOVER").collect()[0]
+    assert res["replayed"] == 2  # the committed block, atomically
+    assert eng.execute(
+        "SELECT COUNT(*) AS n FROM txw_t").collect()[0]["n"] == 2
+    eng.execute("DROP TABLE txw_t")
+
+
 def test_recover_restores_checkpoint_registry(spark, tmp_path):
     """CHECKPOINT journals its resolved name, so LOAD … RECOVER rebuilds
     the checkpoint registry: ROLLBACK TO a post-SAVE checkpoint works

@@ -358,6 +358,76 @@ def test_checkpoint_rollback_model(spark, ops):
         eng.execute("DROP TABLE cpm_t")
 
 
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.one_of(
+            st.tuples(st.just("insert"), st.integers(0, 99)),
+            st.tuples(st.just("begin"), st.just(0)),
+            st.tuples(st.just("commit"), st.just(0)),
+            st.tuples(st.just("rollback"), st.just(0)),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_transaction_model(spark, ops):
+    """Model-based BEGIN/COMMIT/ROLLBACK: any interleaving of inserts and
+    transaction verbs leaves the table equal to a plain-Python model
+    (begin = fork list, commit = keep, rollback = restore fork; stray
+    verbs = error + state unchanged; an open tx at the end is rolled
+    back)."""
+    from neumann_spark.engine import NeumannSparkEngine
+    from tests.conftest import SF_DIR
+
+    eng = NeumannSparkEngine(spark, SF_DIR)
+    eng.execute("CREATE TABLE txm_t (v INT)")
+    model: list[int] = []
+    fork: "list[int] | None" = None
+    try:
+        for op, arg in ops:
+            if op == "insert":
+                eng.execute(f"INSERT INTO txm_t VALUES ({arg})")
+                model.append(arg)
+            elif op == "begin":
+                if fork is None:
+                    eng.execute("BEGIN")
+                    fork = list(model)
+                else:
+                    import pytest as _pt
+
+                    with _pt.raises(ValueError, match="already in progress"):
+                        eng.execute("BEGIN")
+            elif op == "commit":
+                if fork is not None:
+                    eng.execute("COMMIT")
+                    fork = None
+                else:
+                    import pytest as _pt
+
+                    with _pt.raises(ValueError, match="no transaction"):
+                        eng.execute("COMMIT")
+            else:
+                if fork is not None:
+                    eng.execute("ROLLBACK")
+                    model, fork = fork, None
+                else:
+                    import pytest as _pt
+
+                    with _pt.raises(ValueError, match="no transaction"):
+                        eng.execute("ROLLBACK")
+        if fork is not None:  # close any open tx before comparing
+            eng.execute("ROLLBACK")
+            model, fork = fork, None
+        got = sorted(
+            r["v"] for r in eng.execute("SELECT v FROM txm_t").collect())
+        assert got == sorted(model)
+    finally:
+        if getattr(eng, "_tx_fork", None) is not None:
+            eng.execute("ROLLBACK")
+        eng.execute("DROP TABLE txm_t")
+
+
 _merge_target = st.lists(
     st.tuples(st.integers(min_value=0, max_value=20),  # key
               st.sampled_from(["a", "b", "c"]),        # partition
