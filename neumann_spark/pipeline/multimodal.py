@@ -5,10 +5,11 @@ feature-extract run as Arrow-batched `mapInPandas` stages. Decode is REAL
 for WAV audio, BMP, PNG, and baseline JPEG images (stdlib `wave`/`struct`/
 `zlib` + numpy — see `decode_wav`/`decode_bmp`/`decode_png`/`decode_jpeg`
 below, exercised end-to-end by `multimodal_real_decode` against a
-closed-form oracle), plus real ISO-BMFF box-level metadata for MP4; only
-mp4 SAMPLE decode (genuinely ffmpeg-bound) stays out of scope. Everything
-Spark-side is real and tested: schema, batch iteration,
-partition-preserving plumbing.
+closed-form oracle), AND for MP4: box-level metadata plus raw-sample
+frame decode through the real stsd/stsz/stsc/stco sample tables
+(`decode_mp4_frames` — uncompressed 'raw ' RGB tracks; compressed codecs
+raise, those genuinely need ffmpeg). Everything Spark-side is real and
+tested: schema, batch iteration, partition-preserving plumbing.
 
 At 100 TB: binary payloads dominate I/O — the scan projects only (id, blob)
 for decode stages, metadata-only queries never touch the blob column
@@ -57,10 +58,11 @@ def decode_media(payload: bytes, media_type: str):
     """Dispatch decode: REAL for `audio/wav`, `image/bmp`, `image/png`,
     and `image/jpeg` (pure stdlib/numpy parsers below — zlib covers PNG
     inflate; the baseline-JPEG decoder below does Huffman + dequant + IDCT
-    itself). `video/mp4` returns real box-level container metadata
-    (timescale, duration, 0.0); SAMPLE decode for mp4 genuinely requires
-    ffmpeg, which is not in this container — the metadata surface is the
-    media-inventory path that precedes any transcode decision."""
+    itself). `video/mp4` returns box-level metadata (timescale, duration)
+    plus the mean over the raw video samples reached through the stbl
+    walk when the track is uncompressed 'raw ' RGB (0.0 for a
+    metadata-only shell); COMPRESSED codecs (avc1/hev1/...) raise — those
+    genuinely require ffmpeg, which is not in this container."""
     if media_type == "audio/wav":
         return decode_wav(payload)
     if media_type == "image/bmp":
@@ -71,7 +73,8 @@ def decode_media(payload: bytes, media_type: str):
         return decode_jpeg(payload)
     if media_type == "video/mp4":
         ts, dur = decode_mp4_metadata(payload)
-        return ts, dur, 0.0
+        frames = decode_mp4_frames(payload)
+        return ts, dur, float(frames.mean()) if frames is not None else 0.0
     raise ValueError(f"unknown media type {media_type!r}")
 
 
@@ -174,9 +177,9 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # No external libs needed: the generator below emits byte-exact RIFF/WAVE
 # and BMP files, and `decode_wav`/`decode_bmp` parse ANY file of those
-# formats (stdlib `wave`, `struct`). PNG and baseline JPEG follow further
-# down; only mp4 SAMPLE decode (ffmpeg-bound) is out of scope — its
-# box-level metadata parses for real.
+# formats (stdlib `wave`, `struct`). PNG, baseline JPEG, and MP4 (box
+# metadata + raw-track sample decode) follow further down; only
+# COMPRESSED video codecs (ffmpeg-bound) are out of scope.
 
 ENC_SCHEMA = "doc_id bigint, media binary, media_type string"
 DECODE_SCHEMA = (
@@ -286,7 +289,7 @@ def decode_bmp(payload: bytes) -> tuple[int, int, float]:
 
 def encoded_media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real binary media column: a five-way (doc_id // 5) % 5 split over
-    BMP image / WAV audio / PNG image / MP4 metadata-shell / baseline
+    BMP image / WAV audio / PNG image / raw-track MP4 movie / baseline
     JPEG payloads. Encoding runs distributed in Arrow batches
     (mapInPandas), the same stage shape a re-encode/transcode pipeline
     uses at 100 TB; only (doc_id) is read from the source."""
@@ -303,8 +306,8 @@ def encoded_media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
                     blob, mt = encode_wav(doc_id), "audio/wav"
                 elif kind == 2:
                     blob, mt = encode_png(doc_id), "image/png"
-                elif kind == 3:  # real ISO-BMFF shell; sample decode needs ffmpeg
-                    blob, mt = encode_mp4_shell(doc_id), "video/mp4"
+                elif kind == 3:  # raw-RGB-track MP4: samples decode for real
+                    blob, mt = encode_mp4_raw(doc_id), "video/mp4"
                 else:
                     blob, mt = encode_jpeg_doc(doc_id), "image/jpeg"
                 out["doc_id"].append(doc_id)
@@ -364,12 +367,21 @@ def _decode_oracle_sql() -> str:
       GROUP BY d.doc_id
     ),
     mp4 AS (
-      -- box-level metadata (mvhd timescale/duration); no sample decode
+      -- mvhd metadata (timescale/duration) PLUS the mean over every raw
+      -- RGB sample byte reached through the stbl walk (all frames)
       SELECT d.doc_id, 'video/mp4' AS media_type,
              CAST(1000 AS BIGINT) AS dim_a,
              CAST(1000 + d.doc_id % 500 AS BIGINT) AS dim_b,
-             CAST(0.0 AS DOUBLE) AS mean_value
-      FROM docs d WHERE (d.doc_id // 5) % 5 = 3
+             ROUND(AVG(CAST((d.doc_id * 19 + f.i * 23 + y.i * 5
+                             + x.i * 3 + c.i * 7) % 256 AS DOUBLE)), 6)
+               AS mean_value
+      FROM docs d
+      JOIN generate_series(0, 4) AS f(i) ON f.i < 2 + d.doc_id % 3
+      JOIN generate_series(0, 9) AS x(i) ON x.i < 6 + d.doc_id % 4
+      JOIN generate_series(0, 6) AS y(i) ON y.i < 4 + d.doc_id % 3
+      CROSS JOIN generate_series(0, 2) AS c(i)
+      WHERE (d.doc_id // 5) % 5 = 3
+      GROUP BY d.doc_id
     ),
     jpeg AS (
       -- flat 8x8 blocks quantize to a lone DC coefficient, so the LOSSY
@@ -397,19 +409,20 @@ def _decode_oracle_sql() -> str:
 @register("multimodal_real_decode", oracle=_decode_oracle_sql())
 def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end REAL media decode: build byte-exact WAV/BMP/PNG/JPEG
-    files and ISO-BMFF shells in one Arrow stage, parse them back with
-    actual format parsers (stdlib `wave`; BMP struct headers, row padding
-    and all; PNG chunk walk + zlib inflate + all five filters; full
-    baseline-JPEG Huffman + dequant + IDCT; MP4 box-tree walk to mvhd) in
+    files and raw-track MP4 movies in one Arrow stage, parse them back
+    with actual format parsers (stdlib `wave`; BMP struct headers, row
+    padding and all; PNG chunk walk + zlib inflate + all five filters;
+    full baseline-JPEG Huffman + dequant + IDCT; MP4 box-tree walk to
+    mvhd plus the stbl sample-table walk down to the raw frame bytes) in
     another, and emit typed features — (n_samples, sample_rate, mean
     amplitude) for audio, (width, height, mean decoded pixel) for images,
-    (timescale, duration) for video metadata. The oracle recomputes every
-    feature in closed form from doc_id — including the LOSSY jpeg
-    round-trip, whose flat-block construction makes the quantization
-    error exactly computable — so a decoder that misreads a header,
-    drops padding wrong, or truncates frames hash-mismatches. mp4 SAMPLE
-    decode genuinely needs ffmpeg; the box-level metadata here is the
-    real media-inventory path."""
+    (timescale, duration, mean sample byte) for video. The oracle
+    recomputes every feature in closed form from doc_id — including the
+    LOSSY jpeg round-trip, whose flat-block construction makes the
+    quantization error exactly computable — so a decoder that misreads a
+    header, drops padding wrong, or truncates frames hash-mismatches.
+    Only COMPRESSED video codecs stay out (genuinely ffmpeg-bound; they
+    raise rather than fake)."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -425,8 +438,10 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     a, b, m = decode_png(bytes(blob))
                 elif mt == "image/jpeg":
                     a, b, m = decode_jpeg(bytes(blob))
-                else:  # mp4: box-level metadata only (no sample decode)
-                    (a, b), m = decode_mp4_metadata(bytes(blob)), 0.0
+                else:  # mp4: mvhd metadata + raw-sample decode via stbl
+                    a, b = decode_mp4_metadata(bytes(blob))
+                    fr = decode_mp4_frames(bytes(blob))
+                    m = float(fr.mean()) if fr is not None else 0.0
                 out["doc_id"].append(int(doc_id))
                 out["media_type"].append(mt)
                 out["dim_a"].append(a)
@@ -436,6 +451,66 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return encoded_media_df(spark, sf_dir).mapInPandas(
         op, schema=DECODE_SCHEMA)
+
+
+@register(
+    "multimodal_mp4_frames",
+    oracle="""
+    WITH docs AS MATERIALIZED (
+      SELECT doc_id FROM documents
+      WHERE doc_id % 5 = 0 AND (doc_id // 5) % 5 = 3
+    )
+    SELECT d.doc_id, f.i AS frame_idx,
+           CAST(6 + d.doc_id % 4 AS BIGINT) AS width,
+           CAST(4 + d.doc_id % 3 AS BIGINT) AS height,
+           ROUND(AVG(CAST((d.doc_id * 19 + f.i * 23 + y.i * 5
+                           + x.i * 3 + c.i * 7) % 256 AS DOUBLE)), 6)
+             AS frame_mean
+    FROM docs d
+    JOIN generate_series(0, 4) AS f(i) ON f.i < 2 + d.doc_id % 3
+    JOIN generate_series(0, 9) AS x(i) ON x.i < 6 + d.doc_id % 4
+    JOIN generate_series(0, 6) AS y(i) ON y.i < 4 + d.doc_id % 3
+    CROSS JOIN generate_series(0, 2) AS c(i)
+    GROUP BY d.doc_id, f.i
+    """,
+)
+def multimodal_mp4_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4 frame sampling through the real sample tables: encode complete
+    raw-RGB-track MP4s in one Arrow stage, then demux them back —
+    stsd/stsz/stsc/stco walk to the actual sample bytes — and emit one
+    row per FRAME (doc_id, frame_idx, width, height, frame mean). The
+    oracle recomputes every frame's mean from the generator formula, so a
+    demuxer that mis-maps samples to chunks, mis-reads stsd dims, or
+    truncates a frame hash-mismatches. The reference's media path is
+    `tensor_blob`'s typed binary entities; frame-level decode is the
+    Spark-side extension a video curation pipeline needs (frame-sample →
+    feature-extract at 100 TB: blob-pruned scan + one map-only Arrow
+    stage, no shuffle)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "width": [],
+                   "height": [], "frame_mean": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                frames = decode_mp4_frames(encode_mp4_raw(doc_id))
+                n, h, w = frames.shape[:3]
+                for f in range(n):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(f)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["frame_mean"].append(
+                        round(float(frames[f].mean()), 6))
+            yield pd.DataFrame(out)
+
+    d = load(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 5 == 0)
+        & (F.floor(F.col("doc_id") / 5) % 5 == 3))
+    return d.select("doc_id").mapInPandas(
+        op,
+        schema="doc_id bigint, frame_idx bigint, width bigint, "
+               "height bigint, frame_mean double")
 
 
 # --- PNG: real encode/decode via stdlib zlib ------------------------------
@@ -557,12 +632,15 @@ def decode_png(payload: bytes) -> tuple[int, int, float]:
     return int(w), h, float(out.mean()) if out.size else 0.0
 
 
-# --- MP4: real box-level metadata parsing (frame decode stays stubbed) ----
+# --- MP4: real box-level metadata + raw-track sample decode ---------------
 #
 # The ISO-BMFF container (box tree, mvhd timescale/duration) is plain
 # struct parsing — the media-inventory path every pipeline runs BEFORE
-# deciding what to transcode. Frame/sample decode genuinely needs ffmpeg
-# and keeps the `decode_media` stub.
+# deciding what to transcode. Sample decode is real too, the way JPEG
+# is: `decode_mp4_frames` walks the actual stsd/stsz/stsc/stco sample
+# tables of ANY ISO-BMFF file to the media bytes and decodes
+# uncompressed 'raw ' RGB tracks; only COMPRESSED codecs (avc1/hev1/…)
+# stay out — those genuinely require ffmpeg and raise a typed error.
 
 
 def _mp4_shape(doc_id: int) -> tuple[int, int]:
@@ -595,6 +673,210 @@ def encode_mp4_shell(doc_id: int) -> bytes:
         + struct.pack(">I", 2)          # next_track_id
     )
     return ftyp + box(b"moov", box(b"mvhd", mvhd_payload))
+
+
+def _mp4_video_shape(doc_id: int) -> tuple[int, int, int]:
+    """(width, height, n_frames) of the raw-RGB video track."""
+    return 6 + doc_id % 4, 4 + doc_id % 3, 2 + doc_id % 3
+
+
+def _mp4_frame(doc_id: int, f: int, w: int, h: int):
+    """Deterministic raw RGB frame — pixel (y, x, c) is a pure function
+    of doc_id/frame, so frame features are closed-form in SQL."""
+    import numpy as np
+
+    y = np.arange(h)[:, None, None]
+    x = np.arange(w)[None, :, None]
+    c = np.arange(3)[None, None, :]
+    return ((doc_id * 19 + f * 23 + y * 5 + x * 3 + c * 7) % 256).astype(
+        np.uint8)
+
+
+def encode_mp4_raw(doc_id: int) -> bytes:
+    """A complete ISO-BMFF movie with an UNCOMPRESSED video track: ftyp +
+    mdat (raw 24-bit RGB frames, row-packed) + moov carrying the full
+    sample-table machinery (stsd 'raw ' visual sample entry, stts, stsc,
+    stsz, stco) plus tkhd/mdhd/hdlr/vmhd/dinf. Written against the public
+    ISO/IEC 14496-12 box layouts — the same stbl walk any demuxer does;
+    only the CODEC is trivial ('raw ' RGB), which is what makes sample
+    decode possible without ffmpeg."""
+    import struct
+
+    w, h, n = _mp4_video_shape(doc_id)
+    ts, dur = _mp4_shape(doc_id)
+    frames = [_mp4_frame(doc_id, f, w, h).tobytes() for f in range(n)]
+    sample_size = w * h * 3
+
+    def box(btype: bytes, payload_: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload_)) + btype + payload_
+
+    def full(btype: bytes, payload_: bytes, version: int = 0,
+             flags: int = 0) -> bytes:
+        return box(btype,
+                   bytes([version]) + flags.to_bytes(3, "big") + payload_)
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    mdat = box(b"mdat", b"".join(frames))
+    chunk_offset = len(ftyp) + 8  # absolute offset of the first sample
+    mvhd = full(b"mvhd", (
+        struct.pack(">II", 0, 0)          # creation/modification time
+        + struct.pack(">II", ts, dur)     # timescale, duration
+        + struct.pack(">I", 0x00010000)   # rate 1.0
+        + struct.pack(">H", 0x0100)       # volume 1.0
+        + b"\x00" * 10
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", 2)))          # next_track_id
+    tkhd = full(b"tkhd", (
+        struct.pack(">II", 0, 0)          # times
+        + struct.pack(">I", 1)            # track id
+        + b"\x00" * 4 + struct.pack(">I", dur) + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)  # layer/group/volume/reserved
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", w << 16, h << 16)), flags=7)
+    mdhd = full(b"mdhd", struct.pack(">IIII", 0, 0, ts, dur)
+                + struct.pack(">HH", 0x55C4, 0))  # language 'und'
+    hdlr = full(b"hdlr", struct.pack(">I", 0) + b"vide" + b"\x00" * 12
+                + b"raw video\x00")
+    vmhd = full(b"vmhd", struct.pack(">HHHH", 0, 0, 0, 0), flags=1)
+    dinf = box(b"dinf", full(b"dref", struct.pack(">I", 1)
+                             + full(b"url ", b"", flags=1)))
+    entry = (b"\x00" * 6 + struct.pack(">H", 1)   # reserved + data_ref_idx
+             + struct.pack(">HH", 0, 0) + b"\x00" * 12
+             + struct.pack(">HH", w, h)
+             + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+             + struct.pack(">I", 0) + struct.pack(">H", 1)
+             + b"\x00" * 32                        # compressorname
+             + struct.pack(">Hh", 24, -1))         # depth 24, pre_defined
+    stsd = full(b"stsd", struct.pack(">I", 1) + box(b"raw ", entry))
+    stts = full(b"stts", struct.pack(">III", 1, n, 1))
+    stsc = full(b"stsc", struct.pack(">IIII", 1, 1, n, 1))
+    stsz = full(b"stsz", struct.pack(">II", sample_size, n))
+    stco = full(b"stco", struct.pack(">II", 1, chunk_offset))
+    stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = box(b"minf", vmhd + dinf + stbl)
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    trak = box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def _mp4_boxes(buf: bytes, start: int, end: int):
+    """Yield (type, payload_start, payload_end) for each child box."""
+    import struct
+
+    pos = start
+    while pos + 8 <= end:
+        (size32,), btype = (struct.unpack_from(">I", buf, pos),
+                            buf[pos + 4: pos + 8])
+        if size32 == 1:  # 64-bit largesize
+            if pos + 16 > end:
+                raise ValueError("truncated MP4 largesize box")
+            hdr = 16
+            size = struct.unpack_from(">Q", buf, pos + 8)[0]
+        elif size32 == 0:
+            hdr, size = 8, end - pos
+        else:
+            hdr, size = 8, size32
+        if size < hdr or pos + size > end:
+            raise ValueError("malformed MP4 box size")
+        yield btype, pos + hdr, pos + size
+        pos += size
+
+
+def decode_mp4_frames(payload: bytes):
+    """Walk the sample tables of ANY ISO-BMFF file (stsd/stsz/stsc/
+    stco-or-co64, multi-chunk, per-sample or uniform sizes) down to the
+    actual media bytes, and decode uncompressed 'raw ' 24-bit RGB samples
+    to a (n_frames, h, w, 3) uint8 array. Returns None when the file has
+    no video track (a metadata shell); raises for compressed codecs
+    (avc1/hev1/...), which genuinely require ffmpeg."""
+    import struct
+
+    import numpy as np
+
+    def find(s: int, e: int, name: bytes):
+        for t, a, b in _mp4_boxes(payload, s, e):
+            if t == name:
+                return a, b
+        return None
+
+    moov = find(0, len(payload), b"moov")
+    if moov is None:
+        raise ValueError("no moov box — not an MP4 movie")
+    for t, a, b in _mp4_boxes(payload, *moov):
+        if t != b"trak":
+            continue
+        mdia = find(a, b, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = find(*mdia, b"hdlr")
+        if hdlr is None or payload[hdlr[0] + 8: hdlr[0] + 12] != b"vide":
+            continue
+        minf = find(*mdia, b"minf")
+        stbl = find(*minf, b"stbl") if minf else None
+        if stbl is None:
+            continue
+        # stsd: first visual sample entry — format fourcc, dims, depth
+        stsd = find(*stbl, b"stsd")
+        if stsd is None or struct.unpack_from(">I", payload, stsd[0] + 4)[0] < 1:
+            raise ValueError("video track without stsd entry")
+        e0 = stsd[0] + 8  # first entry's box header
+        fmt = payload[e0 + 4: e0 + 8]
+        if fmt != b"raw ":
+            raise ValueError(
+                f"compressed mp4 sample format {fmt!r} — decoding real "
+                "codecs requires ffmpeg (out of scope)")
+        w, h = struct.unpack_from(">HH", payload, e0 + 8 + 24)
+        (depth,) = struct.unpack_from(">H", payload, e0 + 8 + 74)
+        if depth != 24:
+            raise ValueError(f"unsupported raw depth {depth} (24-bit only)")
+        # stsz: uniform or per-sample sizes
+        stsz = find(*stbl, b"stsz")
+        if stsz is None:
+            raise ValueError("video track without stsz")
+        uniform, count = struct.unpack_from(">II", payload, stsz[0] + 4)
+        sizes = ([uniform] * count if uniform else
+                 list(struct.unpack_from(f">{count}I", payload, stsz[0] + 12)))
+        # stco/co64 chunk offsets
+        stco, width64 = find(*stbl, b"stco"), False
+        if stco is None:
+            stco, width64 = find(*stbl, b"co64"), True
+        if stco is None:
+            raise ValueError("video track without stco/co64")
+        (n_chunks,) = struct.unpack_from(">I", payload, stco[0] + 4)
+        offs = list(struct.unpack_from(
+            f">{n_chunks}{'Q' if width64 else 'I'}", payload, stco[0] + 8))
+        # stsc: samples-per-chunk runs
+        stsc = find(*stbl, b"stsc")
+        if stsc is None:
+            raise ValueError("video track without stsc")
+        (n_runs,) = struct.unpack_from(">I", payload, stsc[0] + 4)
+        runs = [struct.unpack_from(">III", payload, stsc[0] + 8 + 12 * i)[:2]
+                for i in range(n_runs)]
+        frames, si = [], 0
+        for ci in range(1, n_chunks + 1):
+            spc = next((s for fc, s in reversed(runs) if fc <= ci), 0)
+            pos = offs[ci - 1]
+            for _ in range(spc):
+                if si >= len(sizes):
+                    break
+                sz = sizes[si]
+                if sz != w * h * 3:
+                    raise ValueError(
+                        f"raw sample size {sz} != {w}x{h}x3 — unsupported "
+                        "raw layout (padded/planar)")
+                if pos + sz > len(payload):
+                    raise ValueError("sample extends past end of file")
+                frames.append(np.frombuffer(
+                    payload, dtype=np.uint8, count=sz, offset=pos
+                ).reshape(h, w, 3))
+                pos += sz
+                si += 1
+        if si != len(sizes):
+            raise ValueError("sample table inconsistent with chunk map")
+        return np.stack(frames) if frames else None
+    return None  # no video track: a metadata-only shell
 
 
 def decode_mp4_metadata(payload: bytes) -> tuple[int, int]:

@@ -570,6 +570,98 @@ def test_image_luma_png_gray_and_rgba():
     assert (luma == np.array([[330, 420]])).all()
 
 
+def test_mp4_raw_roundtrip():
+    """encode_mp4_raw → decode_mp4_frames reproduces every frame byte,
+    and the mvhd metadata parses unchanged; a metadata shell (no video
+    track) returns None rather than fake frames."""
+    from neumann_spark.pipeline.multimodal import (
+        _mp4_frame,
+        _mp4_shape,
+        _mp4_video_shape,
+        decode_mp4_frames,
+        decode_mp4_metadata,
+        encode_mp4_raw,
+        encode_mp4_shell,
+    )
+
+    for doc_id in [0, 15, 40, 123, 9997]:
+        blob = encode_mp4_raw(doc_id)
+        fr = decode_mp4_frames(blob)
+        w, h, n = _mp4_video_shape(doc_id)
+        assert fr.shape == (n, h, w, 3)
+        for f in range(n):
+            assert (fr[f] == _mp4_frame(doc_id, f, w, h)).all()
+        assert decode_mp4_metadata(blob) == _mp4_shape(doc_id)
+    assert decode_mp4_frames(encode_mp4_shell(7)) is None
+
+
+def _foreign_mp4(fmt=b"raw "):
+    """An MP4 exercising layouts OUR encoder never writes: co64 64-bit
+    chunk offsets, per-sample (non-uniform-field) stsz, and a 2-run stsc
+    mapping 3 samples into 2 chunks."""
+    import struct
+
+    def box(t, p):
+        return struct.pack(">I", 8 + len(p)) + t + p
+
+    def full(t, p, fl=0):
+        return box(t, b"\x00" + fl.to_bytes(3, "big") + p)
+
+    w = h = 2
+    frames = [bytes(range(12)), bytes(range(12, 24)), bytes(range(24, 36))]
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512))
+    mdat = box(b"mdat", b"".join(frames))
+    off1 = len(ftyp) + 8
+    off2 = off1 + 24
+    entry = (b"\x00" * 6 + struct.pack(">H", 1) + struct.pack(">HH", 0, 0)
+             + b"\x00" * 12 + struct.pack(">HH", w, h)
+             + struct.pack(">II", 0x480000, 0x480000)
+             + struct.pack(">I", 0) + struct.pack(">H", 1) + b"\x00" * 32
+             + struct.pack(">Hh", 24, -1))
+    stbl = box(b"stbl",
+               full(b"stsd", struct.pack(">I", 1) + box(fmt, entry))
+               + full(b"stts", struct.pack(">III", 1, 3, 1))
+               + full(b"stsc", struct.pack(">I", 2)
+                      + struct.pack(">III", 1, 2, 1)
+                      + struct.pack(">III", 2, 1, 1))
+               + full(b"stsz", struct.pack(">II", 0, 3)
+                      + struct.pack(">III", 12, 12, 12))
+               + full(b"co64", struct.pack(">I", 1 + 1)
+                      + struct.pack(">QQ", off1, off2)))
+    minf = box(b"minf", full(b"vmhd", struct.pack(">HHHH", 0, 0, 0, 0),
+                             fl=1) + stbl)
+    mdia = box(b"mdia",
+               full(b"mdhd", struct.pack(">IIII", 0, 0, 1000, 3)
+                    + struct.pack(">HH", 0x55C4, 0))
+               + full(b"hdlr", struct.pack(">I", 0) + b"vide"
+                      + b"\x00" * 12 + b"x\x00")
+               + minf)
+    moov = box(b"moov", box(b"trak", mdia))
+    return ftyp + mdat + moov, frames
+
+
+def test_mp4_foreign_layouts():
+    """The demuxer reads files from other writers: 64-bit co64 offsets,
+    per-sample stsz table, multi-run stsc chunk mapping."""
+    from neumann_spark.pipeline.multimodal import decode_mp4_frames
+
+    payload, frames = _foreign_mp4()
+    fr = decode_mp4_frames(payload)
+    assert fr.shape == (3, 2, 2, 3)
+    for i, raw in enumerate(frames):
+        assert fr[i].tobytes() == raw
+
+
+def test_mp4_compressed_codec_refused():
+    import pytest as _pt
+
+    from neumann_spark.pipeline.multimodal import decode_mp4_frames
+
+    payload, _ = _foreign_mp4(fmt=b"avc1")
+    with _pt.raises(ValueError, match="ffmpeg"):
+        decode_mp4_frames(payload)
+
+
 def test_jpeg_multiscan_rejected():
     """A non-interleaved multi-scan baseline JPEG (first scan covers one
     of three frame components) must raise, not silently decode as a
