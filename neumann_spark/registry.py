@@ -106,7 +106,8 @@ _PRIORITY: list[str] = [
     "result_cache_semantics",
     "graph_aggregate_verbs",
     "multimodal_mp4_frames",
-    "ann_ivfpq_graph_rescore",
+    "ann_graph_rescore",
+    "ann_graph_rescore_high_recall",
     # (c) previously-green r6 window (latest evidence r6) — tail
     "dml_graph_mutation",
     "dml_vector_mutation",

@@ -31,6 +31,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 TOPK = 10
 
+# bytes per compressed-code row, by method (for byte-normalized read
+# accounting): 8x1B coarse PQ, 16x1B fine PQ, 32x1B graph-traversal PQ,
+# 8B binary signature
+_CODE_BYTES = {
+    "binary_hamming": 8, "pq_adc": 8, "ivfpq_adc": 8, "pq_rescore": 8,
+    "ivfpq_rescore": 8, "ivfpq_rescore_high_recall": 8,
+    "ivfpq_rescore_low_scan": 16,
+    "graph_rescore": 32, "graph_rescore_high_recall": 32,
+}
+
 
 def _exact_top10(order_scores: np.ndarray, qi: int, largest: bool) -> set[int]:
     s = order_scores.copy()
@@ -97,6 +107,36 @@ def main() -> None:
         .toPandas()
     )
 
+    # graph-index artifacts (Spark-built): kNN edges, warm clusters,
+    # 32x2x64 traversal PQ — the round-synchronous search is replayed
+    # here over the exact structures the registered queries traverse
+    from neumann_spark.pipeline.ann import (
+        GRAPH_B,
+        GRAPH_C,
+        GRAPH_PQ_S,
+        GRAPH_PQ_SUBDIM,
+        GRAPH_SHORTLIST,
+        GRAPH_T_HIGH,
+        GRAPH_T_LOW,
+        GRAPH_WARM_PROBES,
+        knn_graph_index,
+    )
+
+    g_edges, g_warm, g_warm_cent, g_codes_long, g_books = knn_graph_index(
+        spark, sf_dir)
+    gep = g_edges.orderBy("src", "pos").toPandas()
+    g_adj: dict[int, list[int]] = {}
+    for src, dst in zip(gep["src"].to_numpy(), gep["dst"].to_numpy()):
+        g_adj.setdefault(int(src), []).append(int(dst))
+    g_cluster_rows = g_warm.toPandas()
+    g_cluster = dict(zip(g_cluster_rows["vec_id"].astype(int),
+                         g_cluster_rows["cluster"].astype(int)))
+    gcp = g_codes_long.toPandas()
+    g_code_mat: dict[int, np.ndarray] = {}
+    for vid, grp in gcp.groupby("vec_id"):
+        g_code_mat[int(vid)] = (
+            grp.sort_values("s")["code"].to_numpy().astype(int))
+
     vecs = np.array(art["v"].tolist(), dtype=np.float64)  # n x 64
     n = len(vecs)
     vec_ids = art["vec_id"].to_numpy()
@@ -132,17 +172,80 @@ def main() -> None:
         order = np.lexsort((vec_ids, -d if largest else d))
         return order[:k]
 
+    # graph artifacts in array form (id-dense: vec_ids are 0..n-1 for the
+    # fixture; assert to keep the replay honest)
+    assert set(g_code_mat) == set(range(n))
+    g_codes = np.stack([g_code_mat[i] for i in range(n)])
+    g_clusters = np.array([g_cluster[i] for i in range(n)])
+    g_cent_ids = np.array([cid for cid, _ in g_warm_cent])
+    g_cent = np.array([c for _, c in g_warm_cent])
+    unit = vecs / (np.linalg.norm(vecs, axis=1)[:, None] + 1e-12)
+
+    def graph_search(qi: int, rounds: int):
+        """Replay _graph_rescore_search: returns (top-10 ids, codes
+        evaluated, edge rows read)."""
+        q = unit[qi]
+        luts = []
+        for s in range(GRAPH_PQ_S):
+            qs = q[s * GRAPH_PQ_SUBDIM:(s + 1) * GRAPH_PQ_SUBDIM]
+            lut = np.full(max(cid for cid, _ in g_books[s]) + 1, np.inf)
+            for cid, c in g_books[s]:
+                lut[cid] = round(float(((qs - np.array(c)) ** 2).sum()), 6)
+            luts.append(lut)
+
+        def adc(ids: np.ndarray) -> np.ndarray:
+            d = np.zeros(len(ids))
+            for s in range(GRAPH_PQ_S):
+                d += luts[s][g_codes[ids, s]]
+            return np.round(d, 6)
+
+        cd = np.round(((g_cent - q) ** 2).sum(axis=1), 6)
+        probes = g_cent_ids[np.lexsort((g_cent_ids, cd))[:GRAPH_WARM_PROBES]]
+        starts = np.where(np.isin(g_clusters, probes))[0]
+        starts = starts[starts != qi]
+        evald = dict(zip(starts.tolist(), adc(starts).tolist()))
+        expanded: set[int] = set()
+        edge_rows = 0
+        for _ in range(rounds):
+            frontier = sorted(
+                (i for i in evald if i not in expanded),
+                key=lambda i: (evald[i], i))[:GRAPH_B]
+            if not frontier:
+                break
+            new = set()
+            for u_ in frontier:
+                expanded.add(u_)
+                nbrs = g_adj.get(u_, [])[:GRAPH_C]
+                edge_rows += len(nbrs)
+                for v_ in nbrs:
+                    if v_ not in evald and v_ != qi:
+                        new.add(v_)
+            if new:
+                nl = np.array(sorted(new))
+                for v_, dv in zip(nl.tolist(), adc(nl).tolist()):
+                    evald[v_] = dv
+        ids = np.array(list(evald.keys()))
+        dd = np.array([evald[int(i)] for i in ids])
+        short = ids[np.lexsort((ids, dd))[:GRAPH_SHORTLIST]]
+        s2 = unit[short] @ q
+        top = short[np.lexsort((short, -np.round(s2, 6)))[:TOPK]]
+        return set(top.tolist()), len(evald), edge_rows
+
     hits: dict[str, list[float]] = {m: [] for m in (
         "lsh_bucket", "lsh_multiprobe", "ivf_nprobe2", "binary_hamming",
         "pq_adc", "sq_dequant", "ivfpq_adc", "pq_rescore", "ivfpq_rescore",
-        "ivfpq_rescore_high_recall", "ivfpq_rescore_low_scan")}
+        "ivfpq_rescore_high_recall", "ivfpq_rescore_low_scan",
+        "graph_rescore", "graph_rescore_high_recall")}
     scanned: dict[str, list[float]] = {m: [] for m in hits}
     # fraction of rows whose COMPRESSED representation (codes/signatures)
     # is read — for two-stage methods `scanned` counts only full-precision
     # vector reads, so this is the other half of the byte accounting
     code_scanned: dict[str, list[float]] = {m: [] for m in (
         "binary_hamming", "pq_adc", "ivfpq_adc", "pq_rescore", "ivfpq_rescore",
-        "ivfpq_rescore_high_recall", "ivfpq_rescore_low_scan")}
+        "ivfpq_rescore_high_recall", "ivfpq_rescore_low_scan",
+        "graph_rescore", "graph_rescore_high_recall")}
+    edge_rows_read: dict[str, list[float]] = {
+        "graph_rescore": [], "graph_rescore_high_recall": []}
     SWEEP_NPROBE = (4, 5, 6, 7, 8)
     SWEEP_SHORTLIST = (200, 400, 600)
     sweep_hits: dict[tuple, list[float]] = {
@@ -275,6 +378,17 @@ def main() -> None:
             scanned[mname].append(len(short) / n)
             code_scanned[mname].append(len(cand) / n)
 
+        # graph-index round-synchronous search (ann_graph_rescore*):
+        # code_scan counts ADC evaluations, scan counts the exact-rescore
+        # shortlist, edge_rows the adjacency entries read during expansion
+        for mname, g_rounds in (("graph_rescore", GRAPH_T_LOW),
+                                ("graph_rescore_high_recall", GRAPH_T_HIGH)):
+            gtop, n_eval, n_edge = graph_search(qi, g_rounds)
+            hits[mname].append(len(gtop & gt_cos) / TOPK)
+            scanned[mname].append(min(GRAPH_SHORTLIST, n_eval) / n)
+            code_scanned[mname].append(n_eval / n)
+            edge_rows_read[mname].append(n_edge / n)
+
         # full (nprobe, shortlist) tradeoff sweep for the two-stage search
         # — the recall-vs-scan curve a deployment tunes against
         for s_nprobe in SWEEP_NPROBE:
@@ -305,16 +419,36 @@ def main() -> None:
             "pq_rescore": "cosine", "ivfpq_rescore": "cosine",
             "ivfpq_rescore_high_recall": "cosine",
             "ivfpq_rescore_low_scan": "cosine",
+            "graph_rescore": "cosine",
+            "graph_rescore_high_recall": "cosine",
         },
         "recall_at_10": {m: round(float(np.mean(h)), 3) for m, h in hits.items()},
         "avg_scan_fraction": {
             m: round(float(np.mean(s)), 3) for m, s in scanned.items()
         },
         # for quantized methods: fraction of rows whose compressed codes
-        # (8 B vs 512 B floats, a 64x ratio) are read. Byte-equivalent
-        # total scan = avg_scan_fraction + avg_code_scan_fraction / 64.
+        # are read (code bytes per row vary by method — see
+        # vec_equiv_read_fraction for the normalized total).
         "avg_code_scan_fraction": {
             m: round(float(np.mean(s)), 3) for m, s in code_scanned.items()
+        },
+        # adjacency rows read by the graph traversal (16 B each)
+        "avg_edge_rows_fraction": {
+            m: round(float(np.mean(s)), 3) for m, s in edge_rows_read.items()
+        },
+        # BYTE-NORMALIZED total read per query, in units of full-vector
+        # rows (512 B float64 x 64): scan + code_scan * code_bytes/512 +
+        # edge_rows * 16/512. This is the honest single number to compare
+        # against the reference's HNSW, which touches ~0.02-0.05 in these
+        # units (a few hundred full vectors of 10K).
+        "vec_equiv_read_fraction": {
+            m: round(
+                float(np.mean(scanned[m]))
+                + float(np.mean(code_scanned.get(m, [0.0])))
+                * _CODE_BYTES.get(m, 0) / 512.0
+                + float(np.mean(edge_rows_read.get(m, [0.0]))) * 16.0 / 512.0,
+                3)
+            for m in hits
         },
         # the tuning curve for the two-stage search: recall@10 by
         # (nprobe, shortlist); scan fraction = shortlist / n_vectors
