@@ -150,3 +150,52 @@ def test_persisted_fine_index_serves_low_scan(spark, tmp_path):
     session = ann_ivfpq_rescore_low_scan(spark, SF_DIR).collect()
     key = lambda r: (r["vec_id"], r["score"])
     assert sorted(map(key, loaded)) == sorted(map(key, session))
+
+
+def test_knn_graph_edges_are_exact_topk(spark):
+    """knn_graph_index forward edges = exact top-M cosine neighbours of
+    each node (pos-ordered), reverse edges capped and deduped — verified
+    against a numpy recompute over the unit vectors."""
+    import numpy as np
+
+    from neumann_spark.catalog import load
+    from neumann_spark.pipeline.ann import GRAPH_M, GRAPH_R, knn_graph_index
+    from tests.conftest import SF_DIR
+
+    edges, _warm, _cent, _codes, _books = knn_graph_index(spark, SF_DIR)
+    ep = edges.orderBy("src", "pos").toPandas()
+    rows = load(spark, SF_DIR, "embeddings").orderBy("vec_id").collect()
+    vecs = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    unit = vecs / np.linalg.norm(vecs, axis=1)[:, None]
+    n = len(unit)
+    d = np.round(1.0 - unit @ unit.T, 6)
+    for src in (0, n // 2, n - 1):
+        grp = ep[ep["src"] == src]
+        fwd = grp[grp["pos"] < GRAPH_M]["dst"].tolist()
+        want = sorted((j for j in range(n) if j != src),
+                      key=lambda j: (d[src, j], j))[:GRAPH_M]
+        assert fwd == want[:len(fwd)]
+        rev = grp[grp["pos"] >= GRAPH_M]["dst"].tolist()
+        assert len(rev) <= GRAPH_R
+        assert rev == sorted(rev)          # source-ascending cap order
+        assert not set(rev) & set(fwd)     # deduped vs forward block
+
+
+def test_graph_rescore_equals_exact_at_tiny_scale(spark):
+    """At sf0.001 (20 vectors) the warm lists + rounds flood the whole
+    graph and the shortlist exceeds N, so the graph search must return
+    EXACTLY the brute-force cosine top-10 (minus the query itself) —
+    the end-to-end correctness anchor beneath the measured-recall story."""
+    from neumann_spark.catalog import load
+    from neumann_spark.functions.vector import knn
+    from neumann_spark.pipeline.ann import ann_graph_rescore
+    from tests.conftest import SF_DIR
+
+    emb = load(spark, SF_DIR, "embeddings")
+    anchor = [float(x)
+              for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    exact = [r["vec_id"]
+             for r in knn(emb, "embedding", anchor, 10, "cosine",
+                          pre_filter=F.col("vec_id") != 0).collect()]
+    got = [r["vec_id"] for r in ann_graph_rescore(spark, SF_DIR).collect()]
+    assert got == exact

@@ -79,6 +79,16 @@ COMMENTARY = {
     "joins (quality gate, dedup survivors, decontamination) against one "
     "documents scan, then a single groupBy — the stages fuse instead of "
     "re-scanning per step.",
+    "ann_graph_rescore": "Graph-index search, final stage plan: the "
+    "round loop probes the edge table by a broadcast B-row frontier and "
+    "ADC-joins a broadcast (s, code, d) LUT per round (bounded frames "
+    "only); here the ADC-top-100 shortlist broadcast-semi-joins the "
+    "vectors for the exact rescore + TakeOrdered top-k — full vectors "
+    "are read for 5% of the corpus.",
+    "multimodal_mp4_frames": "One Arrow mapInPandas stage over a "
+    "doc_id-only scan: encode raw-track MP4s and demux them back through "
+    "the stsd/stsz/stsc/stco walk, one row per frame — no shuffle, no "
+    "driver collect.",
 }
 
 
