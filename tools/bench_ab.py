@@ -63,34 +63,53 @@ def main() -> int:
     finally:
         _run(["git", "worktree", "remove", "--force", wt], check=False)
 
-    def best(series: list[dict]) -> dict[str, float]:
+    def layout_series(r: dict, kind: str) -> dict:
+        """Extract one LAYOUT-CONSISTENT series from a bench JSON. Since
+        round 7 `queries` is the multilayout series and the raw-fixture
+        series ships as `queries_singlelayout`; before round 7 `queries`
+        was single-layout and `queries_multilayout` the secondary.
+        Comparing across that flip on the raw `queries` key would be
+        apples-to-oranges."""
+        new_format = "queries_singlelayout" in r
+        if kind == "single":
+            return r["queries_singlelayout"] if new_format else r["queries"]
+        return r["queries"] if new_format else r.get("queries_multilayout", {})
+
+    def best(series: list[dict], kind: str) -> dict[str, float]:
         out: dict[str, float] = {}
         for r in series:
-            for q, t in r.get("queries", {}).items():
-                out[q] = min(out.get(q, float("inf")), float(t))
+            for q, t in layout_series(r, kind).items():
+                if isinstance(t, (int, float)):
+                    out[q] = min(out.get(q, float("inf")), float(t))
         return out
 
-    hq, bq = best(head_runs), best(base_runs)
-    common = sorted(set(hq) & set(bq))  # HEADLINE can differ across refs —
-    # deltas AND totals compare only the shared query set
-    deltas = {
-        q: round((hq[q] - bq[q]) / bq[q] * 100, 1)
-        for q in common
-        if bq[q] > 0
-    }
     result = {
         "metric": "bench_ab",
         "head": head,
         "base": base_ref,
         "runs_per_side": runs,
-        "head_queries_min": {q: round(t, 3) for q, t in sorted(hq.items())},
-        "base_queries_min": {q: round(t, 3) for q, t in sorted(bq.items())},
-        "delta_pct": deltas,
-        "head_total_min": round(sum(hq[q] for q in common), 2),
-        "base_total_min": round(sum(bq[q] for q in common), 2),
         "note": ("per-query MIN across interleaved runs; |delta| < ~15% is "
-                 "machine noise on this box, not signal"),
+                 "machine noise on this box, not signal; single- and "
+                 "multi-layout series compared separately"),
     }
+    for kind in ("single", "multi"):
+        hq, bq = best(head_runs, kind), best(base_runs, kind)
+        common = sorted(set(hq) & set(bq))  # HEADLINE can differ across
+        # refs — deltas AND totals compare only the shared query set
+        deltas = {
+            q: round((hq[q] - bq[q]) / bq[q] * 100, 1)
+            for q in common
+            if bq[q] > 0
+        }
+        result[f"{kind}_head_queries_min"] = {
+            q: round(t, 3) for q, t in sorted(hq.items())}
+        result[f"{kind}_base_queries_min"] = {
+            q: round(t, 3) for q, t in sorted(bq.items())}
+        result[f"{kind}_delta_pct"] = deltas
+        result[f"{kind}_head_total_min"] = round(
+            sum(hq[q] for q in common), 2)
+        result[f"{kind}_base_total_min"] = round(
+            sum(bq[q] for q in common), 2)
     with open(os.path.join(REPO, "BENCH_AB.json"), "w") as fh:
         json.dump(result, fh, indent=1)
     print(json.dumps(result))
