@@ -1286,6 +1286,7 @@ GRAPH_C = 16           # edges expanded per frontier node
 GRAPH_T_LOW = 6        # rounds: low-read preset  (~0.84 recall @ 0.31 code)
 GRAPH_T_HIGH = 10      # rounds: high-recall preset (~0.92 recall @ 0.44)
 GRAPH_SHORTLIST = 100  # exact-rescore budget (0.05 of the 2K fixture)
+GRAPH_EDGE_BLOCKS = 32  # persisted edge-table partitions (src % blocks)
 
 
 def unit_embeddings(emb: DataFrame) -> DataFrame:
@@ -1385,17 +1386,27 @@ def knn_graph_index(spark: SparkSession, sf_dir: str):
 
 def _graph_rescore_search(spark: SparkSession, sf_dir: str,
                           rounds: int) -> DataFrame:
-    """Round-synchronous graph search for vec#0's top-10: warm-start with
-    the GRAPH_WARM_PROBES nearest Lloyd lists, then `rounds` bulk rounds —
-    frontier = ADC-top-B unexpanded, expand their top-C edges, ADC-rank
-    the new candidates via a broadcast (s, code, d) lookup join — then
-    exact-cosine rescore of the ADC-top-GRAPH_SHORTLIST. Every step is a
-    join/window over bounded frames (frontier B rows, evaluated <= warm +
-    B*C*T rows), so the same plan runs against partition-pruned edge and
-    code tables at 100 TB; nothing sequential but the T-round driver loop,
-    mirroring Pregel-style iteration."""
-    edges, warm_codes, warm_centroids, codes_long, codebooks = \
-        knn_graph_index(spark, sf_dir)
+    """Round-synchronous graph search for vec#0's top-10 over the session
+    index caches — see _graph_rescore_from for the search core."""
+    return _graph_rescore_from(
+        spark, sf_dir, knn_graph_index(spark, sf_dir), rounds)
+
+
+def _graph_rescore_from(spark: SparkSession, sf_dir: str, index: tuple,
+                        rounds: int) -> DataFrame:
+    """Round-synchronous graph search core: warm-start with the
+    GRAPH_WARM_PROBES nearest Lloyd lists, then `rounds` bulk rounds —
+    frontier = ADC-top-B unexpanded (collected as a STATIC B-int IN-list,
+    like the k-row centroid collects: on a block-partitioned edge layout
+    the literal filter prunes unprobed edge files at the source, where a
+    joined frontier frame would read everything), expand their top-C
+    edges, ADC-rank the new candidates via a broadcast (s, code, d)
+    lookup join — then exact-cosine rescore of the ADC-top-SHORTLIST.
+    Every step is a join/filter over bounded frames (frontier B rows,
+    evaluated <= warm + B*C*T rows), so the same plan runs against
+    partition-pruned edge and code tables at 100 TB; nothing sequential
+    but the T-round driver loop, mirroring Pregel-style iteration."""
+    edges, warm_codes, warm_centroids, codes_long, codebooks = index
     u = unit_embeddings(load(spark, sf_dir, "embeddings"))
     qv = [float(x)
           for x in u.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
@@ -1445,27 +1456,32 @@ def _graph_rescore_search(spark: SparkSession, sf_dir: str,
             F.col("cluster").isin(probe_ids) & (F.col("vec_id") != 0)
         ).select("vec_id")
     ).localCheckpoint(eager=True)
-    expanded = None
+    expanded: set = set()
     for _ in range(rounds):
-        unexp = (evald if expanded is None
-                 else evald.join(expanded, "vec_id", "left_anti"))
-        frontier = (unexp.orderBy("d", "vec_id").limit(GRAPH_B)
-                    .select("vec_id").localCheckpoint(eager=True))
-        if frontier.count() == 0:
+        unexp = evald if not expanded else evald.filter(
+            ~F.col("vec_id").isin(sorted(expanded)))
+        # bounded B-row collect: the frontier becomes a literal IN-list,
+        # so a block-partitioned persisted edge table serves each round
+        # with static partition pruning (PartitionFilters, plan-asserted)
+        frontier = [
+            int(r["vec_id"])
+            for r in unexp.orderBy("d", "vec_id").limit(GRAPH_B).collect()
+        ]
+        if not frontier:
             break
+        probe = edges.filter(
+            F.col("src").isin(frontier) & (F.col("pos") < GRAPH_C))
+        if "block" in edges.columns:  # persisted layout: prune edge files
+            probe = probe.filter(F.col("block").isin(
+                sorted({v % GRAPH_EDGE_BLOCKS for v in frontier})))
         new_ids = (
-            edges.join(F.broadcast(frontier),
-                       edges["src"] == frontier["vec_id"])
-            .filter(F.col("pos") < GRAPH_C)
-            .select(F.col("dst").alias("vec_id"))
+            probe.select(F.col("dst").alias("vec_id"))
             .filter(F.col("vec_id") != 0)
             .distinct()
             .join(evald.select("vec_id"), "vec_id", "left_anti")
         )
         evald = evald.unionByName(adc(new_ids)).localCheckpoint(eager=True)
-        expanded = (frontier if expanded is None
-                    else expanded.unionByName(frontier).localCheckpoint(
-                        eager=True))
+        expanded.update(frontier)
     shortlist = (evald.orderBy("d", "vec_id").limit(GRAPH_SHORTLIST)
                  .select("vec_id"))
     from neumann_spark.functions.vector import dot_expr
@@ -1664,6 +1680,74 @@ def _graph_rescore_sql(rounds: int) -> str:
     ORDER BY score DESC, s.vec_id
     LIMIT {PQ_TOPK}""")
     return "".join(parts)
+
+
+def save_graph_index(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Persist the kNN-graph index as parquet: the edge table partitioned
+    by `block = src % GRAPH_EDGE_BLOCKS` (each search round probes <= B
+    source nodes, so the literal block IN-list prunes unprobed edge files
+    at the source — the graph analog of the cluster-partitioned IVF
+    layout), plus warm assignments (cluster-partitioned), warm centroids,
+    traversal codes, and codebooks."""
+    edges, warm_codes, warm_centroids, codes_long, codebooks = \
+        knn_graph_index(spark, sf_dir)
+    (
+        edges.withColumn(
+            "block", (F.col("src") % GRAPH_EDGE_BLOCKS).cast("int"))
+        .write.mode("overwrite").partitionBy("block")
+        .parquet(f"{path}/graph_edges")
+    )
+    (
+        warm_codes.write.mode("overwrite").partitionBy("cluster")
+        .parquet(f"{path}/graph_warm_assign")
+    )
+    spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in warm_centroids],
+        "cluster int, centroid array<double>",
+    ).write.mode("overwrite").parquet(f"{path}/graph_warm_centroids")
+    codes_long.write.mode("overwrite").parquet(f"{path}/graph_codes")
+    _write_codebooks(spark, codebooks, f"{path}/graph_codebooks")
+
+
+def load_graph_index(spark: SparkSession, path: str) -> tuple:
+    """Load a persisted graph index in the exact shapes
+    `_graph_rescore_from` takes; the edge frame keeps its `block`
+    partition column so round probes prune edge files."""
+    edges = spark.read.parquet(f"{path}/graph_edges")
+    warm_codes = spark.read.parquet(f"{path}/graph_warm_assign")
+    warm_centroids = sorted(
+        (int(r["cluster"]), [float(x) for x in r["centroid"]])
+        for r in spark.read.parquet(
+            f"{path}/graph_warm_centroids").collect()
+    )
+    codes_long = spark.read.parquet(f"{path}/graph_codes")
+    codebooks = _read_codebooks(spark, f"{path}/graph_codebooks")
+    return edges, warm_codes, warm_centroids, codes_long, codebooks
+
+
+@register("ann_graph_index_persist",
+          oracle=_graph_rescore_sql(GRAPH_T_LOW))
+def ann_graph_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-index persistence round-trip: save the kNN edges / warm
+    lists / traversal PQ to parquet, load them back, and run the SAME
+    round-synchronous search through the loaded, block-partitioned
+    structures — checked against the identical oracle as
+    `ann_graph_rescore`, so a lossy save/load (dropped edges, reordered
+    positions, truncated centroids) hash-mismatches. The loaded edge
+    scan carries PartitionFilters from the frontier block IN-list
+    (plan-asserted in tests/test_plans.py)."""
+    import shutil
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="neumann_graph_index_")
+    try:
+        save_graph_index(spark, sf_dir, path)
+        index = load_graph_index(spark, path)
+        out = _graph_rescore_from(spark, sf_dir, index, GRAPH_T_LOW)
+        rows = out.collect()  # materialize before the files vanish
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
 
 
 @register("ann_graph_rescore", oracle=_graph_rescore_sql(GRAPH_T_LOW))

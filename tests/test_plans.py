@@ -192,6 +192,36 @@ def test_persisted_index_search_prunes_partitions(spark, tmp_path):
     assert n_in == ANN_RESCORE_NPROBE
 
 
+def test_persisted_graph_edges_prune_partitions(spark, tmp_path):
+    """Each graph-search round probes <= B source nodes; on the persisted
+    block-partitioned edge layout the frontier's literal block IN-list
+    must surface as PartitionFilters, so a round reads only its probed
+    edge files (at 100 TB: B files of N/GRAPH_EDGE_BLOCKS each, never the
+    whole edge table)."""
+    from neumann_spark.pipeline.ann import (
+        GRAPH_C,
+        GRAPH_EDGE_BLOCKS,
+        load_graph_index,
+        save_graph_index,
+    )
+
+    path = str(tmp_path / "gidx")
+    save_graph_index(spark, SF_DIR, path)
+    edges, *_ = load_graph_index(spark, path)
+    frontier = [0, 3, 7]  # a round's collected B-int frontier
+    blocks = sorted({v % GRAPH_EDGE_BLOCKS for v in frontier})
+    probe = edges.filter(
+        F.col("src").isin(frontier) & (F.col("pos") < GRAPH_C)
+    ).filter(F.col("block").isin(blocks))
+    plan = _plan(probe)
+    scan = next(
+        ln for ln in plan.splitlines()
+        if "PartitionFilters" in ln and "block" in ln)
+    assert " IN (" in scan
+    n_in = scan.split(" IN (")[1].split(")")[0].count(",") + 1
+    assert n_in == len(blocks)
+
+
 def test_merge_touched_partition_read_prunes(spark, tmp_path):
     """MERGE INTO's read of the target must carry PartitionFilters over
     the touched-partition IN-list — at scale the scan never lists or
