@@ -1498,15 +1498,12 @@ def _graph_rescore_from(spark: SparkSession, sf_dir: str, index: tuple,
     )
 
 
-def _graph_rescore_sql(rounds: int) -> str:
-    """Oracle: replay the ENTIRE graph-search pipeline in SQL — unit
-    normalization, the warm Lloyd (k=45, vec_id%k init), the 32x2x64
-    traversal PQ Lloyd, the exact kNN edge build (forward top-M by
-    (round6 dist, id) + capped reverse), the T frontier-expansion rounds
-    as unrolled CTEs over ID SETS (the oracle may compute every ADC value
-    once up front — read accounting applies to the engine, not the
-    referee), and the exact-cosine rescore of the ADC shortlist."""
-    M, R, B, C = GRAPH_M, GRAPH_R, GRAPH_B, GRAPH_C
+def _graph_build_parts() -> list[str]:
+    """Shared (query-independent) oracle CTEs: unit normalization, the
+    warm Lloyd (k=45, vec_id%k init), the 32x2x64 traversal PQ Lloyd,
+    the codes long-form, and the exact kNN edge build (forward top-M by
+    (round6 dist, id) + capped reverse)."""
+    M, R = GRAPH_M, GRAPH_R
     S, sub, k = GRAPH_PQ_S, GRAPH_PQ_SUBDIM, GRAPH_PQ_K
     parts = [f"""
     WITH nrm AS MATERIALIZED (
@@ -1578,23 +1575,9 @@ def _graph_rescore_sql(rounds: int) -> str:
     codes_union = "\n      UNION ALL ".join(
         f"SELECT vec_id, {s} AS s, code FROM p{s}a{PQ_ITERS}"
         for s in range(S))
-    lut_union = "\n      UNION ALL ".join(f"""
-      SELECT {s} AS s, c.code,
-             ROUND(SUM((q.val - c.val) * (q.val - c.val)), 6) AS d
-      FROM p{s}c{PQ_ITERS} c
-      JOIN u q ON q.vec_id = 0 AND q.i = c.i
-      GROUP BY c.code""" for s in range(S))
     parts.append(f""",
     codes AS MATERIALIZED (
       {codes_union}
-    ),
-    lut AS MATERIALIZED (
-      {lut_union}
-    ),
-    adc AS MATERIALIZED (
-      SELECT c.vec_id, ROUND(SUM(l.d), 6) AS d
-      FROM codes c JOIN lut l ON l.s = c.s AND l.code = c.code
-      GROUP BY c.vec_id
     ),
     pd AS MATERIALIZED (
       SELECT ua.vec_id AS src, ub.vec_id AS dst,
@@ -1622,56 +1605,93 @@ def _graph_rescore_sql(rounds: int) -> str:
         WHERE NOT EXISTS (
           SELECT 1 FROM fwd g WHERE g.src = f.dst AND g.dst = f.src)
       ) WHERE pos < {M + R}
+    )""")
+    return parts
+
+
+def _graph_anchor_parts(anchor: int, rounds: int, tag: str = "") -> list[str]:
+    """Per-query oracle CTEs (names suffixed `tag` so several anchors
+    coexist in one batched statement): the anchor's ADC lookup table, its
+    global ADC ranking (the oracle may compute every ADC value once up
+    front — read accounting applies to the engine, not the referee), warm
+    probes, the T frontier-expansion rounds as unrolled CTEs over ID
+    SETS, and the ADC shortlist."""
+    B, C = GRAPH_B, GRAPH_C
+    S = GRAPH_PQ_S
+    lut_union = "\n      UNION ALL ".join(f"""
+      SELECT {s} AS s, c.code,
+             ROUND(SUM((q.val - c.val) * (q.val - c.val)), 6) AS d
+      FROM p{s}c{PQ_ITERS} c
+      JOIN u q ON q.vec_id = {anchor} AND q.i = c.i
+      GROUP BY c.code""" for s in range(S))
+    parts = [f""",
+    lut{tag} AS MATERIALIZED (
+      {lut_union}
     ),
-    probes AS MATERIALIZED (
+    adc{tag} AS MATERIALIZED (
+      SELECT c.vec_id, ROUND(SUM(l.d), 6) AS d
+      FROM codes c JOIN lut{tag} l ON l.s = c.s AND l.code = c.code
+      GROUP BY c.vec_id
+    ),
+    probes{tag} AS MATERIALIZED (
       SELECT cl FROM (
         SELECT c.cl,
                ROW_NUMBER() OVER (ORDER BY
                  ROUND(SUM((q.val - c.val) * (q.val - c.val)), 6), c.cl)
                  AS rn
         FROM ivc{GRAPH_WARM_ITERS} c
-        JOIN u q ON q.vec_id = 0 AND q.i = c.i
+        JOIN u q ON q.vec_id = {anchor} AND q.i = c.i
         GROUP BY c.cl
       ) WHERE rn <= {GRAPH_WARM_PROBES}
     ),
-    ev0 AS MATERIALIZED (
+    ev0{tag} AS MATERIALIZED (
       SELECT a.vec_id FROM iva{GRAPH_WARM_ITERS} a
-      JOIN probes p ON p.cl = a.cl
-      WHERE a.vec_id <> 0
+      JOIN probes{tag} p ON p.cl = a.cl
+      WHERE a.vec_id <> {anchor}
     ),
-    ex0 AS MATERIALIZED (
-      SELECT vec_id FROM ev0 WHERE FALSE
-    )""")
+    ex0{tag} AS MATERIALIZED (
+      SELECT vec_id FROM ev0{tag} WHERE FALSE
+    )"""]
     for t in range(1, rounds + 1):
         parts.append(f""",
-    fr{t} AS MATERIALIZED (
+    fr{t}{tag} AS MATERIALIZED (
       SELECT vec_id FROM (
         SELECT e.vec_id,
                ROW_NUMBER() OVER (ORDER BY a.d, e.vec_id) AS rn
-        FROM ev{t - 1} e
-        JOIN adc a ON a.vec_id = e.vec_id
-        WHERE e.vec_id NOT IN (SELECT vec_id FROM ex{t - 1})
+        FROM ev{t - 1}{tag} e
+        JOIN adc{tag} a ON a.vec_id = e.vec_id
+        WHERE e.vec_id NOT IN (SELECT vec_id FROM ex{t - 1}{tag})
       ) WHERE rn <= {B}
     ),
-    ex{t} AS MATERIALIZED (
-      SELECT vec_id FROM ex{t - 1}
-      UNION SELECT vec_id FROM fr{t}
+    ex{t}{tag} AS MATERIALIZED (
+      SELECT vec_id FROM ex{t - 1}{tag}
+      UNION SELECT vec_id FROM fr{t}{tag}
     ),
-    ev{t} AS MATERIALIZED (
-      SELECT vec_id FROM ev{t - 1}
+    ev{t}{tag} AS MATERIALIZED (
+      SELECT vec_id FROM ev{t - 1}{tag}
       UNION
       SELECT g.dst FROM edges g
-      JOIN fr{t} f ON g.src = f.vec_id
-      WHERE g.pos < {C} AND g.dst <> 0
+      JOIN fr{t}{tag} f ON g.src = f.vec_id
+      WHERE g.pos < {C} AND g.dst <> {anchor}
     )""")
     parts.append(f""",
-    short AS MATERIALIZED (
+    short{tag} AS MATERIALIZED (
       SELECT vec_id FROM (
         SELECT e.vec_id,
                ROW_NUMBER() OVER (ORDER BY a.d, e.vec_id) AS rn
-        FROM ev{rounds} e JOIN adc a ON a.vec_id = e.vec_id
+        FROM ev{rounds}{tag} e JOIN adc{tag} a ON a.vec_id = e.vec_id
       ) WHERE rn <= {GRAPH_SHORTLIST}
-    )
+    )""")
+    return parts
+
+
+def _graph_rescore_sql(rounds: int) -> str:
+    """Oracle: replay the ENTIRE graph-search pipeline in SQL — the
+    shared build (_graph_build_parts), the anchor's rounds
+    (_graph_anchor_parts), and the exact-cosine rescore of the ADC
+    shortlist."""
+    parts = _graph_build_parts() + _graph_anchor_parts(0, rounds)
+    parts.append(f"""
     SELECT s.vec_id, ROUND(SUM(uv.val * q.val), 6) AS score
     FROM short s
     JOIN u uv ON uv.vec_id = s.vec_id
@@ -1680,6 +1700,176 @@ def _graph_rescore_sql(rounds: int) -> str:
     ORDER BY score DESC, s.vec_id
     LIMIT {PQ_TOPK}""")
     return "".join(parts)
+
+
+def _graph_batch_sql(anchors: tuple, rounds: int) -> str:
+    """Batched oracle: ONE statement sharing the build CTEs across
+    anchors, with per-anchor lut/probe/round CTEs and a UNION ALL of the
+    per-anchor top-10 rescores tagged by query id."""
+    parts = _graph_build_parts()
+    for a in anchors:
+        parts.extend(_graph_anchor_parts(a, rounds, tag=f"_q{a}"))
+    finals = []
+    for a in anchors:
+        finals.append(f"""
+    SELECT qid, vec_id, score FROM (
+      SELECT CAST({a} AS BIGINT) AS qid, x.vec_id, x.score,
+             ROW_NUMBER() OVER (ORDER BY x.score DESC, x.vec_id) AS rn
+      FROM (
+        SELECT s.vec_id, ROUND(SUM(uv.val * q.val), 6) AS score
+        FROM short_q{a} s
+        JOIN u uv ON uv.vec_id = s.vec_id
+        JOIN u q ON q.vec_id = {a} AND q.i = uv.i
+        GROUP BY s.vec_id
+      ) x
+    ) WHERE rn <= {PQ_TOPK}""")
+    parts.append("\n    UNION ALL".join(finals))
+    return "".join(parts)
+
+
+GRAPH_BATCH_ANCHORS = (0, 3, 7)
+
+
+def _graph_batch_search(spark: SparkSession, sf_dir: str,
+                        anchors: tuple, rounds: int) -> DataFrame:
+    """BATCHED round-synchronous graph search: all queries advance
+    through the SAME T rounds with frontier/evaluated frames keyed by
+    query id. This is the documented mitigation for the per-round
+    job-submit floor (docs/DESIGN.md): one round = ONE edge probe + ONE
+    ADC join serving every query, so the driver-loop cost amortizes over
+    the batch — at high QPS this is the only shape that scales, and it
+    is exactly how a 100 TB deployment drains a query queue."""
+    edges, warm_codes, warm_centroids, codes_long, codebooks = \
+        knn_graph_index(spark, sf_dir)
+    u = unit_embeddings(load(spark, sf_dir, "embeddings"))
+    qvs = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in u.filter(F.col("vec_id").isin(list(anchors))).collect()
+    }
+    cent_df = spark.createDataFrame(
+        [(s, int(code), [float(x) for x in vals])
+         for s, cb in enumerate(codebooks) for code, vals in cb],
+        "s int, code int, cent array<double>")
+    luts = None
+    for a in anchors:
+        qslice = F.slice(
+            F.lit(qvs[a]), F.col("s") * GRAPH_PQ_SUBDIM + 1,
+            GRAPH_PQ_SUBDIM)
+        la = cent_df.select(
+            F.lit(a).cast("bigint").alias("qid"), "s", "code",
+            F.round(
+                F.aggregate(
+                    F.zip_with(qslice, "cent",
+                               lambda x, c: (x - c) * (x - c)),
+                    F.lit(0.0), lambda acc, x: acc + x),
+                6,
+            ).alias("d"))
+        luts = la if luts is None else luts.unionByName(la)
+    luts = luts.localCheckpoint(eager=True)
+
+    def adc(ids: DataFrame) -> DataFrame:  # ids: (qid, vec_id)
+        return (
+            ids.join(codes_long, "vec_id")
+            .join(F.broadcast(luts), ["qid", "s", "code"])
+            .groupBy("qid", "vec_id")
+            .agg(F.round(F.sum("d"), 6).alias("d"))
+        )
+
+    def _d2(q: list, vals: list) -> float:
+        acc = 0.0
+        for x, c in zip(q, vals):
+            acc += (x - c) * (x - c)
+        return round(acc, 6)
+
+    warm = None
+    for a in anchors:
+        probe_ids = [
+            cid for _, cid in sorted(
+                (_d2(qvs[a], vals), int(cid))
+                for cid, vals in warm_centroids)[:GRAPH_WARM_PROBES]
+        ]
+        wa = (
+            warm_codes.filter(
+                F.col("cluster").isin(probe_ids) & (F.col("vec_id") != a))
+            .select(F.lit(a).cast("bigint").alias("qid"), "vec_id")
+        )
+        warm = wa if warm is None else warm.unionByName(wa)
+    evald = adc(warm).localCheckpoint(eager=True)
+    expanded: dict[int, set] = {a: set() for a in anchors}
+    wnd = Window.partitionBy("qid").orderBy("d", "vec_id")
+    for _ in range(rounds):
+        exp_rows = [(a, v) for a in anchors for v in sorted(expanded[a])]
+        if exp_rows:
+            exp_df = spark.createDataFrame(
+                exp_rows, "qid bigint, vec_id bigint")
+            unexp = evald.join(exp_df, ["qid", "vec_id"], "left_anti")
+        else:
+            unexp = evald
+        fr_pairs = [
+            (int(r["qid"]), int(r["vec_id"]))
+            for r in (unexp.withColumn("rn", F.row_number().over(wnd))
+                      .filter(F.col("rn") <= GRAPH_B)
+                      .select("qid", "vec_id").collect())
+        ]
+        if not fr_pairs:
+            break
+        srcs = sorted({v for _, v in fr_pairs})
+        fr_df = spark.createDataFrame(
+            [(q, v) for q, v in fr_pairs], "qid bigint, src bigint")
+        probe = edges.filter(
+            F.col("src").isin(srcs) & (F.col("pos") < GRAPH_C))
+        if "block" in edges.columns:
+            probe = probe.filter(F.col("block").isin(
+                sorted({v % GRAPH_EDGE_BLOCKS for v in srcs})))
+        new_ids = (
+            probe.join(F.broadcast(fr_df), "src")
+            .select("qid", F.col("dst").alias("vec_id"))
+            .filter(F.col("vec_id") != F.col("qid"))
+            .distinct()
+            .join(evald.select("qid", "vec_id"),
+                  ["qid", "vec_id"], "left_anti")
+        )
+        evald = evald.unionByName(adc(new_ids)).localCheckpoint(eager=True)
+        for a, v in fr_pairs:
+            expanded[a].add(v)
+    shortlist = (
+        evald.withColumn("rn", F.row_number().over(wnd))
+        .filter(F.col("rn") <= GRAPH_SHORTLIST)
+        .select("qid", "vec_id")
+    )
+    from neumann_spark.functions.vector import dot_expr
+
+    qdf = spark.createDataFrame(
+        [(a, qvs[a]) for a in anchors], "qid bigint, qv array<double>")
+    scored = (
+        u.join(F.broadcast(shortlist), "vec_id")
+        .join(F.broadcast(qdf), "qid")
+        .select(
+            "qid", "vec_id",
+            F.round(dot_expr(F.col("embedding"), F.col("qv")), 6)
+            .alias("score"),
+        )
+    )
+    wnd2 = Window.partitionBy("qid").orderBy(F.col("score").desc(), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(wnd2))
+        .filter(F.col("rn") <= PQ_TOPK)
+        .select("qid", "vec_id", "score")
+    )
+
+
+@register("ann_graph_rescore_batch",
+          oracle=_graph_batch_sql(GRAPH_BATCH_ANCHORS, GRAPH_T_LOW))
+def ann_graph_rescore_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched graph ANN: three query anchors served by ONE shared round
+    loop — per round, a single edge probe and a single ADC join keyed by
+    query id advance every query's frontier together. The oracle replays
+    all three searches in one statement (shared build CTEs, per-anchor
+    round CTEs, UNION ALL of the rescored top-10s), so any cross-query
+    state bleed (a frontier credited to the wrong query, an exclusion
+    applied globally) hash-mismatches."""
+    return _graph_batch_search(
+        spark, sf_dir, GRAPH_BATCH_ANCHORS, GRAPH_T_LOW)
 
 
 def save_graph_index(spark: SparkSession, sf_dir: str, path: str) -> None:

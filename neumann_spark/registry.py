@@ -109,6 +109,7 @@ _PRIORITY: list[str] = [
     "ann_graph_rescore",
     "ann_graph_rescore_high_recall",
     "ann_graph_index_persist",
+    "ann_graph_rescore_batch",
     # (c) previously-green r6 window (latest evidence r6) — tail
     "dml_graph_mutation",
     "dml_vector_mutation",
