@@ -199,3 +199,26 @@ def test_graph_rescore_equals_exact_at_tiny_scale(spark):
                           pre_filter=F.col("vec_id") != 0).collect()]
     got = [r["vec_id"] for r in ann_graph_rescore(spark, SF_DIR).collect()]
     assert got == exact
+
+
+def test_graph_batch_matches_single_query(spark):
+    """The batched search must be state-isolated per query: anchor 0's
+    rows in the batch result equal the single-query search's result
+    exactly (ids AND rescored scores)."""
+    from neumann_spark.pipeline.ann import (
+        ann_graph_rescore,
+        ann_graph_rescore_batch,
+    )
+    from tests.conftest import SF_DIR
+
+    single = [(r["vec_id"], r["score"])
+              for r in ann_graph_rescore(spark, SF_DIR).collect()]
+    batch = ann_graph_rescore_batch(spark, SF_DIR)
+    q0 = [(r["vec_id"], r["score"])
+          for r in batch.filter(F.col("qid") == 0)
+          .orderBy(F.col("score").desc(), "vec_id").collect()]
+    assert q0 == single
+    # three anchors, ten rows each, and no anchor returns itself
+    rows = batch.collect()
+    assert len(rows) == 30
+    assert all(r["vec_id"] != r["qid"] for r in rows)
