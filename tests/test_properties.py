@@ -515,3 +515,99 @@ def test_jpeg_roundtrip_matches_reference_for_any_shape(w, h, seed, rst):
             ref[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = np.clip(
                 np.round(T.T @ (qq * q) @ T + 128), 0, 255)
     assert np.array_equal(dec, ref[:h, :w].astype(np.uint8))
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(
+    st.integers(min_value=1, max_value=6),    # width
+    st.integers(min_value=1, max_value=5),    # height
+    st.integers(min_value=1, max_value=6),    # frames
+    st.integers(min_value=0, max_value=10**6),  # content seed
+    st.data(),
+)
+def test_mp4_demux_any_layout(w, h, n, seed, data):
+    """decode_mp4_frames must recover every frame byte from ANY legal
+    sample-table layout: random chunk partitions of the sample list
+    (multi-run stsc), per-sample vs uniform stsz, 32-bit stco vs 64-bit
+    co64, and inter-chunk garbage gaps. No Spark — pure demux property."""
+    import struct
+
+    import numpy as np
+
+    from neumann_spark.pipeline.multimodal import decode_mp4_frames
+
+    rng = np.random.default_rng(seed)
+    frames = [rng.integers(0, 256, w * h * 3).astype(np.uint8).tobytes()
+              for _ in range(n)]
+    sz = w * h * 3
+    # random composition of n into chunk sizes
+    chunks = []
+    left = n
+    while left:
+        take = data.draw(st.integers(min_value=1, max_value=left))
+        chunks.append(take)
+        left -= take
+    use_co64 = data.draw(st.booleans())
+    uniform = data.draw(st.booleans())
+    gap = data.draw(st.integers(min_value=0, max_value=7))
+
+    def box(t, p):
+        return struct.pack(">I", 8 + len(p)) + t + p
+
+    def full(t, p, fl=0):
+        return box(t, b"\x00" + fl.to_bytes(3, "big") + p)
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512))
+    # mdat: chunks separated by `gap` junk bytes (legal — stco points at
+    # absolute offsets, nothing says chunks are contiguous)
+    body = bytearray()
+    offs = []
+    si = 0
+    for c in chunks:
+        body += b"\xee" * gap
+        offs.append(len(ftyp) + 8 + len(body))
+        for _ in range(c):
+            body += frames[si]
+            si += 1
+    mdat = box(b"mdat", bytes(body))
+    entry = (b"\x00" * 6 + struct.pack(">H", 1) + struct.pack(">HH", 0, 0)
+             + b"\x00" * 12 + struct.pack(">HH", w, h)
+             + struct.pack(">II", 0x480000, 0x480000)
+             + struct.pack(">I", 0) + struct.pack(">H", 1) + b"\x00" * 32
+             + struct.pack(">Hh", 24, -1))
+    stsd = full(b"stsd", struct.pack(">I", 1) + box(b"raw ", entry))
+    stts = full(b"stts", struct.pack(">III", 1, n, 1))
+    # stsc runs: one entry per change in samples-per-chunk
+    runs = []
+    for i, c in enumerate(chunks):
+        if not runs or runs[-1][1] != c:
+            runs.append((i + 1, c))
+    stsc = full(b"stsc", struct.pack(">I", len(runs)) + b"".join(
+        struct.pack(">III", fc, spc, 1) for fc, spc in runs))
+    if uniform:
+        stsz = full(b"stsz", struct.pack(">II", sz, n))
+    else:
+        stsz = full(b"stsz", struct.pack(">II", 0, n)
+                    + struct.pack(f">{n}I", *([sz] * n)))
+    if use_co64:
+        stco = full(b"co64", struct.pack(">I", len(offs))
+                    + struct.pack(f">{len(offs)}Q", *offs))
+    else:
+        stco = full(b"stco", struct.pack(">I", len(offs))
+                    + struct.pack(f">{len(offs)}I", *offs))
+    stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = box(b"minf", full(b"vmhd", struct.pack(">HHHH", 0, 0, 0, 0),
+                             fl=1) + stbl)
+    mdia = box(b"mdia",
+               full(b"mdhd", struct.pack(">IIII", 0, 0, 1000, n)
+                    + struct.pack(">HH", 0x55C4, 0))
+               + full(b"hdlr", struct.pack(">I", 0) + b"vide"
+                      + b"\x00" * 12 + b"x\x00")
+               + minf)
+    moov = box(b"moov", box(b"trak", mdia))
+
+    out = decode_mp4_frames(ftyp + mdat + moov)
+    assert out.shape == (n, h, w, 3)
+    for i, raw in enumerate(frames):
+        assert out[i].tobytes() == raw
