@@ -125,6 +125,7 @@ def merge_into_partitioned(
     source: DataFrame,
     keys: list[str],
     partition_col: str,
+    verify_key_stability: bool = False,
 ) -> list:
     """MERGE INTO target USING source ON keys — matched rows are replaced
     by the source version, unmatched source rows are inserted. Returns the
@@ -137,6 +138,13 @@ def merge_into_partitioned(
     not be found and would end up duplicated. (Delta/Iceberg MERGE with
     partition predicates carries the same requirement; enforcing it would
     mean scanning every untouched partition, which defeats the pruning.)
+    Callers who cannot guarantee the contract can pass
+    `verify_key_stability=True`: the merge then pre-validates the source
+    keys against a FULL key scan of the target (key + partition columns
+    only — column-pruned, but every partition is listed) and raises
+    BEFORE any state change if a key moved. The default stays False
+    because the validation cost is exactly the untouched-partition read
+    the pruned merge exists to avoid.
 
     Scale shape: only partitions present in the source are read (static
     partition-pruning IN-list — the scan never lists untouched partition
@@ -164,6 +172,29 @@ def merge_into_partitioned(
             raise ValueError(
                 f"MERGE partition value {v!r} needs escaped/null directory "
                 "encoding — unsupported by the rename-based commit")
+    if verify_key_stability:
+        # full key scan (key + partition columns only): a source key that
+        # already lives in a DIFFERENT partition would silently duplicate
+        # under the pruned merge — abort before any state change instead
+        moved = (
+            spark.read.parquet(target_dir)
+            .select(*keys, F.col(partition_col).alias("__tgt_part"))
+            .join(
+                source.select(
+                    *keys, F.col(partition_col).alias("__src_part")),
+                keys,
+            )
+            .filter(F.col("__tgt_part") != F.col("__src_part"))
+            .limit(1)
+            .collect()
+        )
+        if moved:
+            r = moved[0]
+            raise ValueError(
+                "MERGE key-stability violation: key "
+                f"{[r[k] for k in keys]} lives in partition "
+                f"{r['__tgt_part']!r} but the source assigns "
+                f"{r['__src_part']!r} — a pruned merge would duplicate it")
     old = _pruned_target_read(spark, target_dir, partition_col, touched)
     if set(old.columns) != set(source.columns):
         raise ValueError(

@@ -197,6 +197,41 @@ def test_merge_into_rolls_back_on_midswap_failure(spark, tmp_path, monkeypatch):
                 if ".old" in d or d.startswith("_old_")]
 
 
+def test_merge_key_stability_verification(spark, tmp_path):
+    """verify_key_stability=True turns the documented key-stable contract
+    into an enforced precondition: a source row whose key already lives
+    in a different partition aborts BEFORE any state change; the default
+    (pruned) mode keeps the documented Delta/Iceberg-style behavior."""
+    import pytest as _pt
+
+    from neumann_spark.operators.dml import merge_into_partitioned
+
+    tdir = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "k bigint, p string, v double"
+    ).write.partitionBy("p").parquet(tdir)
+    before = {(r["k"], r["p"], r["v"])
+              for r in spark.read.parquet(tdir).collect()}
+
+    moved = spark.createDataFrame(  # key 1 lives in 'a', source says 'b'
+        [(1, "b", 9.0)], "k bigint, p string, v double")
+    with _pt.raises(ValueError, match="key-stability violation"):
+        merge_into_partitioned(
+            spark, tdir, moved, ["k"], "p", verify_key_stability=True)
+    after = {(r["k"], r["p"], r["v"])
+             for r in spark.read.parquet(tdir).collect()}
+    assert after == before  # aborted pre-merge, nothing touched
+
+    ok = spark.createDataFrame(  # stable key + a fresh insert pass
+        [(1, "a", 9.0), (3, "b", 3.0)], "k bigint, p string, v double")
+    touched = merge_into_partitioned(
+        spark, tdir, ok, ["k"], "p", verify_key_stability=True)
+    assert touched == ["a", "b"]
+    got = {(r["k"], r["p"], r["v"])
+           for r in spark.read.parquet(tdir).collect()}
+    assert got == {(1, "a", 9.0), (2, "b", 2.0), (3, "b", 3.0)}
+
+
 def test_merge_trash_dirs_invisible_to_readers(spark, tmp_path, monkeypatch):
     """Crash leftovers from the swap (a trash dir whose rmtree failed, or
     a kill between the two renames) must never surface as a phantom
