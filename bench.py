@@ -120,8 +120,6 @@ def main() -> None:
             if int(k) not in keep:
                 jmap.get(k).unpersist(False)
 
-    keep_ids = _persistent_ids()
-
     # PRIMARY series: multi-row-group layout. Every fixture table is ONE
     # parquet row group, so on the raw fixtures every scan stage is
     # single-task by file-format constraint (a byte-range split cannot

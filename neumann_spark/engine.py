@@ -2944,6 +2944,12 @@ class NeumannSparkEngine:
         # corrupt WAL aborts with the session untouched
         entries = self._wal_read(path) if recover else []
         n = self._load_snapshot(path)
+        # capture the LOADED snapshot's epoch NOW: a replayed CHECKPOINT
+        # below calls _save_snapshot (to the checkpoint dir), which
+        # overwrites _last_manifest_data_dir with the checkpoint's own
+        # nonce — re-arming from that would stamp the log with the wrong
+        # epoch and make the NEXT recovery replay an empty log
+        epoch = self._last_manifest_data_dir
         self._wal_path, self._wal_entries = None, []
         if not recover:
             return self.spark.createDataFrame(
@@ -2965,7 +2971,7 @@ class NeumannSparkEngine:
         finally:
             self._wal_replaying = False
         self._wal_path, self._wal_entries = path, entries
-        self._wal_epoch = self._last_manifest_data_dir
+        self._wal_epoch = epoch
         return self.spark.createDataFrame(
             [(path, n, len(entries))],
             "path string, stores bigint, replayed bigint")

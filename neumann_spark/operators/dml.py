@@ -111,11 +111,16 @@ def dml_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pruned_target_read(spark: SparkSession, target_dir: str,
-                        partition_col: str, touched: list) -> DataFrame:
+                        partition_col: str, touched: list,
+                        schema=None) -> DataFrame:
     """The MERGE target read: only the touched partition directories
     (static IN-list -> PartitionFilters; plan-asserted in
-    tests/test_plans.py::test_merge_touched_partition_read_prunes)."""
-    return spark.read.parquet(target_dir).filter(
+    tests/test_plans.py::test_merge_touched_partition_read_prunes).
+    Pass the writer's `schema` when available: partition-column type
+    inference would otherwise coerce numeric-looking string partition
+    values ('01' -> int 1), silently merging distinct directories."""
+    reader = spark.read.schema(schema) if schema is not None else spark.read
+    return reader.parquet(target_dir).filter(
         F.col(partition_col).isin(touched))
 
 
@@ -172,12 +177,24 @@ def merge_into_partitioned(
             raise ValueError(
                 f"MERGE partition value {v!r} needs escaped/null directory "
                 "encoding — unsupported by the rename-based commit")
+    # column-set check against the target's OWN (inferred) schema — the
+    # typed reads below supply source.schema, under which parquet would
+    # silently project away a column mismatch instead of surfacing it
+    tgt_cols = set(spark.read.parquet(target_dir).columns)
+    if tgt_cols != set(source.columns):
+        raise ValueError(
+            f"MERGE schema mismatch: target {sorted(tgt_cols)} "
+            f"vs source {sorted(source.columns)}")
     if verify_key_stability:
         # full key scan (key + partition columns only): a source key that
         # already lives in a DIFFERENT partition would silently duplicate
-        # under the pruned merge — abort before any state change instead
+        # under the pruned merge — abort before any state change instead.
+        # Read with the SOURCE's schema: partition-column type inference
+        # would otherwise coerce numeric-looking string values ('01' ->
+        # int 1), making distinct partitions compare equal and the check
+        # miss exactly the move it exists to catch
         moved = (
-            spark.read.parquet(target_dir)
+            spark.read.schema(source.schema).parquet(target_dir)
             .select(*keys, F.col(partition_col).alias("__tgt_part"))
             .join(
                 source.select(
@@ -195,11 +212,8 @@ def merge_into_partitioned(
                 f"{[r[k] for k in keys]} lives in partition "
                 f"{r['__tgt_part']!r} but the source assigns "
                 f"{r['__src_part']!r} — a pruned merge would duplicate it")
-    old = _pruned_target_read(spark, target_dir, partition_col, touched)
-    if set(old.columns) != set(source.columns):
-        raise ValueError(
-            f"MERGE schema mismatch: target {sorted(old.columns)} "
-            f"vs source {sorted(source.columns)}")
+    old = _pruned_target_read(
+        spark, target_dir, partition_col, touched, schema=source.schema)
     survivors = old.join(
         source.select(*keys).distinct(), keys, "left_anti")
     merged = survivors.select(*source.columns).unionByName(source)

@@ -1378,8 +1378,11 @@ def knn_graph_index(spark: SparkSession, sf_dir: str):
         .select("vec_id", "x.s", "x.code")
         .localCheckpoint(eager=True)
     )
+    # the unit frame rides along (6th element) so searches reuse the
+    # eagerly-checkpointed normalization instead of re-deriving it per
+    # query; 5-element tuples (the persisted-index loader) stay valid
     out = (edges, warm_codes.localCheckpoint(eager=True), warm_centroids,
-           codes_long, codebooks)
+           codes_long, codebooks, u)
     _KNN_GRAPH_CACHE[key] = out
     return out
 
@@ -1406,8 +1409,10 @@ def _graph_rescore_from(spark: SparkSession, sf_dir: str, index: tuple,
     evaluated <= warm + B*C*T rows), so the same plan runs against
     partition-pruned edge and code tables at 100 TB; nothing sequential
     but the T-round driver loop, mirroring Pregel-style iteration."""
-    edges, warm_codes, warm_centroids, codes_long, codebooks = index
-    u = unit_embeddings(load(spark, sf_dir, "embeddings"))
+    edges, warm_codes, warm_centroids, codes_long, codebooks = index[:5]
+    u = (index[5] if len(index) > 5 else
+         unit_embeddings(load(spark, sf_dir, "embeddings"))
+         .localCheckpoint(eager=True))
     qv = [float(x)
           for x in u.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
 
@@ -1739,9 +1744,8 @@ def _graph_batch_search(spark: SparkSession, sf_dir: str,
     ADC join serving every query, so the driver-loop cost amortizes over
     the batch — at high QPS this is the only shape that scales, and it
     is exactly how a 100 TB deployment drains a query queue."""
-    edges, warm_codes, warm_centroids, codes_long, codebooks = \
+    edges, warm_codes, warm_centroids, codes_long, codebooks, u = \
         knn_graph_index(spark, sf_dir)
-    u = unit_embeddings(load(spark, sf_dir, "embeddings"))
     qvs = {
         int(r["vec_id"]): [float(x) for x in r["embedding"]]
         for r in u.filter(F.col("vec_id").isin(list(anchors))).collect()
@@ -1880,7 +1884,7 @@ def save_graph_index(spark: SparkSession, sf_dir: str, path: str) -> None:
     layout), plus warm assignments (cluster-partitioned), warm centroids,
     traversal codes, and codebooks."""
     edges, warm_codes, warm_centroids, codes_long, codebooks = \
-        knn_graph_index(spark, sf_dir)
+        knn_graph_index(spark, sf_dir)[:5]
     (
         edges.withColumn(
             "block", (F.col("src") % GRAPH_EDGE_BLOCKS).cast("int"))

@@ -1676,6 +1676,19 @@ def test_recover_restores_checkpoint_registry(spark, tmp_path):
     eng.execute("ROLLBACK TO mark")  # pre-fix: unknown checkpoint
     assert eng.execute(
         "SELECT COUNT(*) AS n FROM cpr_t").collect()[0]["n"] == 2
+
+    # epoch survives the replayed CHECKPOINT: _save_snapshot during
+    # replay clobbers _last_manifest_data_dir with the CHECKPOINT's own
+    # nonce, and a recover that re-armed from it would stamp the journal
+    # with the wrong epoch — making this SECOND recovery silently replay
+    # an empty log (the pre-fix bug)
+    res = eng.execute(f"LOAD '{d}' RECOVER").collect()[0]
+    assert res["replayed"] == 3
+    eng.execute("INSERT INTO cpr_t VALUES (4)")  # extends the epoch
+    res = eng.execute(f"LOAD '{d}' RECOVER").collect()[0]
+    assert res["replayed"] == 4  # NOT 0: the log still matches its epoch
+    assert eng.execute(
+        "SELECT COUNT(*) AS n FROM cpr_t").collect()[0]["n"] == 4
     eng.execute("DROP TABLE cpr_t")
 
 

@@ -232,6 +232,33 @@ def test_merge_key_stability_verification(spark, tmp_path):
     assert got == {(1, "a", 9.0), (2, "b", 2.0), (3, "b", 3.0)}
 
 
+def test_merge_numeric_string_partitions(spark, tmp_path):
+    """Partition values '01' and '1' are DISTINCT string partitions;
+    Spark's partition-type inference would coerce both to int 1. The
+    merge read uses the source's schema, so the two directories never
+    blur — and the key-stability check sees the true string values."""
+    import pytest as _pt
+
+    from neumann_spark.operators.dml import merge_into_partitioned
+
+    tdir = str(tmp_path / "t")
+    schema = "k bigint, p string, v double"
+    spark.createDataFrame(
+        [(1, "01", 1.0), (2, "1", 2.0)], schema
+    ).write.partitionBy("p").parquet(tdir)
+
+    src = spark.createDataFrame([(1, "01", 9.0)], schema)
+    assert merge_into_partitioned(spark, tdir, src, ["k"], "p") == ["01"]
+    back = {(r["k"], r["p"], r["v"])
+            for r in spark.read.schema(schema).parquet(tdir).collect()}
+    assert back == {(1, "01", 9.0), (2, "1", 2.0)}
+
+    moved = spark.createDataFrame([(2, "01", 5.0)], schema)  # 2 lives in '1'
+    with _pt.raises(ValueError, match="key-stability violation"):
+        merge_into_partitioned(
+            spark, tdir, moved, ["k"], "p", verify_key_stability=True)
+
+
 def test_merge_trash_dirs_invisible_to_readers(spark, tmp_path, monkeypatch):
     """Crash leftovers from the swap (a trash dir whose rmtree failed, or
     a kill between the two renames) must never surface as a phantom

@@ -162,7 +162,7 @@ def test_knn_graph_edges_are_exact_topk(spark):
     from neumann_spark.pipeline.ann import GRAPH_M, GRAPH_R, knn_graph_index
     from tests.conftest import SF_DIR
 
-    edges, _warm, _cent, _codes, _books = knn_graph_index(spark, SF_DIR)
+    edges = knn_graph_index(spark, SF_DIR)[0]
     ep = edges.orderBy("src", "pos").toPandas()
     rows = load(spark, SF_DIR, "embeddings").orderBy("vec_id").collect()
     vecs = np.array([r["embedding"] for r in rows], dtype=np.float64)

@@ -123,7 +123,7 @@ def main() -> None:
     )
 
     g_edges, g_warm, g_warm_cent, g_codes_long, g_books = knn_graph_index(
-        spark, sf_dir)
+        spark, sf_dir)[:5]
     gep = g_edges.orderBy("src", "pos").toPandas()
     g_adj: dict[int, list[int]] = {}
     for src, dst in zip(gep["src"].to_numpy(), gep["dst"].to_numpy()):
