@@ -345,3 +345,69 @@ def dml_merge_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tdir, ignore_errors=True)
+
+
+@register(
+    "dml_merge_key_stability",
+    oracle="""
+    WITH final AS (
+      SELECT * FROM (VALUES
+        (1, 'A', 10), (2, 'B', 20), (3, 'A', 99), (4, 'B', 40),
+        (5, 'A', 50)) t(id, part, v)
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM final) AS n_rows,
+           (SELECT CAST(SUM(v) AS BIGINT) FROM final) AS v_sum,
+           (SELECT STRING_AGG(CAST(id AS VARCHAR) || ':' || part || ':'
+                              || CAST(v AS VARCHAR), '|' ORDER BY id)
+              FROM final) AS rows_sig,
+           TRUE AS moved_key_rejected
+    """,
+)
+def dml_merge_key_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE key-stability verify mode (new r8, VERDICT r7 item 7):
+    `merge_into_partitioned(verify_key_stability=True)` pre-validates the
+    source keys against a column-pruned full key scan and aborts with a
+    typed error BEFORE any state change when a key's partition moved.
+    Sequence: a clean verified merge applies (update id 3 + insert id 5),
+    then a moved-key merge (id 2 lives in partition B, source says A) must
+    raise AND leave the committed table bit-for-bit at the post-clean-merge
+    state — the hashed row signs the full final table contents, so either
+    a silent duplicate (the moved key landing in both partitions) or a
+    partial apply flips the hash."""
+    import shutil
+    import tempfile
+
+    target = spark.createDataFrame(
+        [(1, "A", 10), (2, "B", 20), (3, "A", 30), (4, "B", 40)],
+        "id int, part string, v int")
+    tdir = tempfile.mkdtemp(prefix="neumann_mergekey_")
+    try:
+        target.write.mode("overwrite").partitionBy("part").parquet(tdir)
+        clean = spark.createDataFrame(
+            [(3, "A", 99), (5, "A", 50)], "id int, part string, v int")
+        merge_into_partitioned(
+            spark, tdir, clean, keys=["id"], partition_col="part",
+            verify_key_stability=True)
+        moved_rejected = False
+        try:
+            merge_into_partitioned(
+                spark, tdir,
+                spark.createDataFrame(
+                    [(2, "A", 21)], "id int, part string, v int"),
+                keys=["id"], partition_col="part",
+                verify_key_stability=True)
+        except ValueError:
+            moved_rejected = True
+        final = spark.read.parquet(tdir).select("id", "part", "v")
+        out = final.agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("v").cast("bigint").alias("v_sum"),
+            F.array_join(
+                F.sort_array(F.collect_list(
+                    F.concat_ws(":", F.col("id"), F.col("part"),
+                                F.col("v")))),
+                "|").alias("rows_sig"),
+        ).withColumn("moved_key_rejected", F.lit(moved_rejected))
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)

@@ -579,6 +579,63 @@ def snapshot_wal_recover(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tx_wal_recover_abort",
+    oracle="""
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), 'base'),
+      (CAST(2 AS BIGINT), 'walled'),
+      (CAST(4 AS BIGINT), 'tx')
+    ) t(id, tag)
+    """,
+)
+def tx_wal_recover_abort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAL x transaction interplay (new r8, VERDICT r7 item 6):
+    `_wal_append` BUFFERS mutations inside an open transaction and only
+    publishes them to the durable journal on COMMIT — so a transaction
+    aborted between SAVE and the crash must leave ZERO trace in
+    `LOAD … RECOVER` replay, while a committed transaction's buffered
+    commands replay in full (`relational_engine/src/transaction.rs`
+    durability contract; engine.py _wal_append/_exec_commit). The aborted
+    block both inserts a row AND clobbers an existing one, so either a
+    replayed uncommitted insert (id 3) or a replayed uncommitted update
+    ('clobbered' tag on id 1) flips the driver hash; `replayed == 2`
+    pins that exactly the non-tx insert and the committed-tx insert are
+    journaled."""
+    import shutil
+    import tempfile
+
+    from neumann_spark.engine import NeumannSparkEngine
+
+    eng = NeumannSparkEngine(spark, sf_dir)
+    eng.execute("CREATE TABLE txwq_t (id INT, tag TEXT)")
+    eng.execute("INSERT INTO txwq_t VALUES (1, 'base')")
+    d = tempfile.mkdtemp(prefix="neumann_txwal_")
+    other = None
+    try:
+        eng.execute(f"SAVE '{d}'")
+        eng.execute("INSERT INTO txwq_t VALUES (2, 'walled')")
+        # aborted transaction between SAVE and crash: nothing may replay
+        eng.execute("BEGIN")
+        eng.execute("INSERT INTO txwq_t VALUES (3, 'aborted')")
+        eng.execute("UPDATE txwq_t SET tag = 'clobbered' WHERE id = 1")
+        eng.execute("ROLLBACK")
+        # committed transaction: its buffered commands replay in full
+        eng.execute("BEGIN")
+        eng.execute("INSERT INTO txwq_t VALUES (4, 'tx')")
+        eng.execute("COMMIT")
+        other = NeumannSparkEngine(spark, sf_dir)
+        res = other.execute(f"LOAD '{d}' RECOVER").collect()[0]
+        assert res["replayed"] == 2, res
+        out = other.execute("SELECT id, tag FROM txwq_t ORDER BY id")
+        return out.localCheckpoint(eager=True)
+    finally:
+        if other is not None:
+            other.execute("DROP TABLE txwq_t")
+        eng.execute("DROP TABLE txwq_t")
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@register(
     "checkpoint_rollback",
     oracle="""
     SELECT * FROM (VALUES

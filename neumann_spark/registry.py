@@ -43,124 +43,79 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 # every round. Each round the list is rotated toward never-driver-sampled
 # queries; queries not listed keep their registration order after these.
 #
-# Round-7 rotation: CORRECTNESS_r06 was 50/50 green (no reds to
-# re-confirm), so positions 1-35 are exactly the 35 queries that have
-# never appeared in any driver window (the r6 ROTATION NOTE pool: ANN
-# variant tier, multimodal metadata/features, fulltext prefix/fuzzy/bm25,
-# rel_cube/approx_percentiles, win_distribution, the graph
-# path/traversal/lookup/similarity family, constraint check, and the
-# articulation/bridges fast paths). Positions 36+ are the new round-7
-# surfaces (registered as they land; _prioritized() skips unregistered
-# names harmlessly). The previously-green r6 window follows as the tail.
+# Round-8 rotation: CORRECTNESS_r07 was 50/50 green and the multi-round
+# evidence program completed (176/176 registered queries driver-green at
+# least once), so this round refreshes the STALEST evidence, per the r7
+# ROTATION NOTE. Positions 1-4: the new round-8 surfaces (the NN-descent
+# build is additionally covered because ann_graph_rescore* oracles replay
+# it; `ann_graph_rescore` re-confirms one of them through the new build).
+# Positions 5-33: the 29 queries whose latest green is round 1-3 (the
+# relational spine, windows, PageRank/CC/LPA/eigenvector/triangles/
+# k-core, Q1 + SQL-API form). Then the 3 r4-evidence joins, then the
+# oldest 15 of the r5 tier (alphabetical prefix of that 50-query tier;
+# the rest rotate in next round). Unlisted queries keep registration
+# order after these.
 #
-# ROTATION NOTE (next round): if this window lands green, every
-# registered query will have at least one driver-green row. Round 8
-# should front-load any r7 reds, then the new r7 surfaces again if they
-# missed the budget, then rotate oldest-evidence-first (r1 greens).
+# ROTATION NOTE (next round): front-load any r8 reds, then the remaining
+# 35 r5-evidence queries (dml_update/delete, facade_*, geo_*, stream_*,
+# text_*, vector_* families — see CORRECTNESS history), then the r6 tier.
 _PRIORITY: list[str] = [
-    # (a) the 35 never-driver-sampled queries — ANN variant tier first
-    "ann_lsh_buckets",
-    "ann_lsh_multiprobe",
-    "ann_binary_hamming",
-    "ann_ivf_clusters",
-    "ann_pq_search",
-    "ann_sq_search",
-    "ann_ivfpq_search",
-    # multimodal remaining surfaces
-    "multimodal_metadata",
-    "multimodal_features",
-    # fulltext variants
-    "fulltext_prefix_search",
-    "fulltext_fuzzy_search",
-    "fulltext_bm25",
-    # relational/window remainder
-    "rel_cube",
-    "rel_approx_percentiles",
-    "win_distribution_functions",
-    # graph lookup / traversal / path family
-    "graph_find_nodes_by_label",
-    "graph_find_edges_by_type",
-    "graph_degrees",
-    "graph_neighbors",
-    "graph_neighbors_by_type",
-    "graph_motif_pattern",
-    "graph_bfs_levels",
-    "graph_weighted_shortest_path",
-    "graph_variable_paths",
-    "graph_all_weighted_paths",
-    "graph_closeness_sampled",
-    # node-similarity variants
-    "graph_adamic_adar",
-    "graph_node_similarity_cosine",
-    "graph_node_similarity_common",
-    "graph_resource_allocation",
-    "graph_preferential_attachment",
-    "graph_most_similar",
-    # graph constraints + driver-side fast-path tier
-    "graph_constraint_check",
-    "graph_articulation_points",
-    "graph_bridges",
-    # (b) new round-7 surfaces (registered as they land this round)
-    "tx_atomic_visibility",
-    "cursor_stream_batches",
-    "result_cache_semantics",
-    "graph_aggregate_verbs",
-    "multimodal_mp4_frames",
+    # (a) new round-8 surfaces
+    "ann_graph_rescore_compact",
+    "tx_wal_recover_abort",
+    "dml_merge_key_stability",
     "ann_graph_rescore",
-    "ann_graph_rescore_high_recall",
-    "ann_graph_index_persist",
-    "ann_graph_rescore_batch",
-    # (c) previously-green r6 window (latest evidence r6) — tail
-    "dml_graph_mutation",
-    "dml_vector_mutation",
-    "dml_entity_mutation",
-    "fulltext_search",
-    "rel_approx_distinct",
-    "graph_scc_tarjan",
-    "graph_mst_kruskal",
-    "graph_astar_path",
-    "graph_betweenness_sampled",
-    "graph_louvain",
-    "ddl_roundtrip",
-    "cursor_pagination",
-    "dml_fk_actions",
-    "dml_constraint_enforcement",
-    "dml_merge_partitioned",
-    "stream_merge_upsert",
-    "snapshot_roundtrip",
-    "snapshot_wal_recover",
-    "checkpoint_rollback",
-    "unified_entity_stats",
-    "unified_find_rows",
-    "unified_similar_connected",
-    "unified_neighbors_by_similarity",
-    "cypher_match_edges",
-    "cypher_node_match",
-    "cypher_count_aggregate",
-    "cypher_varlength_filtered",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_cluster_canonical",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "dedup_hot_ngrams",
-    "dedup_semantic_semdedup",
-    "pipeline_end_to_end",
-    "ann_ivfpq_rescore",
-    "ann_ivfpq_rescore_high_recall",
-    "ann_ivfpq_rescore_low_scan",
-    "ann_index_persist_roundtrip",
-    "ann_pq_rescore",
-    "ann_ivf_search",
-    "multimodal_real_decode",
-    "multimodal_image_dhash",
-    "graph_bridges_distributed",
-    "graph_articulation_distributed",
-    "graph_scc_distributed",
-    "graph_mst_boruvka",
-    "graph_astar_distributed",
-    "graph_core_decomposition",
+    # (b) r1-r3-evidence tier (stalest): relational spine
+    "q1_pricing_summary",
+    "sql_api_q1",
+    "rel_scan_projection",
+    "rel_filter_condition_tree",
+    "rel_filter_expr_superset",
+    "rel_count_star",
+    "rel_agg_global",
+    "rel_agg_group_having",
+    "rel_agg_distinct",
+    "rel_select_distinct",
+    "rel_distinct_subset",
+    "rel_rollup",
+    "rel_pivot",
+    "rel_percentiles",
+    "rel_cast_types",
+    "rel_json_extract",
+    "rel_order_limit_offset",
+    "rel_null_ordering",
+    "rel_set_ops",
+    "win_topk_per_group",
+    "win_running_sum",
+    "win_rank_lag",
+    # r1-evidence graph algorithms
+    "graph_pagerank",
+    "graph_connected_components",
+    "graph_label_propagation",
+    "graph_eigenvector",
+    "graph_triangle_count",
+    "graph_kcore",
+    "graph_node_similarity_jaccard",
+    # (c) r4-evidence joins
+    "join_multi_q5",
+    "join_theta",
+    "join_salted_skew",
+    # (d) oldest 15 of the r5 tier (alphabetical; remainder next round)
+    "dml_delete",
+    "dml_update",
+    "events_gap_fill",
+    "facade_neighbors",
+    "facade_path",
+    "facade_similar",
+    "geo_bbox_search",
+    "geo_knn",
+    "geo_radius_search",
+    "graph_geo_distance",
+    "join_anti",
+    "join_cross",
+    "join_full",
+    "join_inner",
+    "join_left",
 ]
 
 

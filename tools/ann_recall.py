@@ -39,7 +39,11 @@ _CODE_BYTES = {
     "ivfpq_rescore": 8, "ivfpq_rescore_high_recall": 8,
     "ivfpq_rescore_low_scan": 16,
     "graph_rescore": 32, "graph_rescore_high_recall": 32,
+    "graph_rescore_compact": 32,
 }
+# bytes per row read by the RESCORE stage: full float64 vectors (512 B)
+# except the compact preset, which rescores against 64 B SQ8 rows
+_SCAN_BYTES = {"graph_rescore_compact": 64}
 
 
 def _exact_top10(order_scores: np.ndarray, qi: int, largest: bool) -> set[int]:
@@ -113,12 +117,14 @@ def main() -> None:
     from neumann_spark.pipeline.ann import (
         GRAPH_B,
         GRAPH_C,
+        GRAPH_COMPACT_SHORTLIST,
         GRAPH_PQ_S,
         GRAPH_PQ_SUBDIM,
         GRAPH_SHORTLIST,
         GRAPH_T_HIGH,
         GRAPH_T_LOW,
         GRAPH_WARM_PROBES,
+        SQ_LEVELS,
         knn_graph_index,
     )
 
@@ -180,10 +186,20 @@ def main() -> None:
     g_cent_ids = np.array([cid for cid, _ in g_warm_cent])
     g_cent = np.array([c for _, c in g_warm_cent])
     unit = vecs / (np.linalg.norm(vecs, axis=1)[:, None] + 1e-12)
+    # SQ8 rescore tier over round-6 unit values (the compact preset's
+    # 64 B rows), replaying knn_graph_index's grid exactly
+    u6 = np.round(unit, 6)
+    sq_lo, sq_hi = u6.min(axis=0), u6.max(axis=0)
+    sq_step = (sq_hi - sq_lo) / SQ_LEVELS
+    sq_code = np.clip(np.floor((u6 - sq_lo) / sq_step), 0, SQ_LEVELS)
+    sq_deq = sq_lo + (sq_code + 0.5) * sq_step
 
-    def graph_search(qi: int, rounds: int):
+    def graph_search(qi: int, rounds: int,
+                     short: int = GRAPH_SHORTLIST,
+                     rescore_mat: np.ndarray | None = None):
         """Replay _graph_rescore_search: returns (top-10 ids, codes
-        evaluated, edge rows read)."""
+        evaluated, edge rows read). rescore_mat overrides the matrix the
+        shortlist is scored against (unit = exact, sq_deq = compact)."""
         q = unit[qi]
         luts = []
         for s in range(GRAPH_PQ_S):
@@ -226,26 +242,31 @@ def main() -> None:
                     evald[v_] = dv
         ids = np.array(list(evald.keys()))
         dd = np.array([evald[int(i)] for i in ids])
-        short = ids[np.lexsort((ids, dd))[:GRAPH_SHORTLIST]]
-        s2 = unit[short] @ q
-        top = short[np.lexsort((short, -np.round(s2, 6)))[:TOPK]]
+        sh = ids[np.lexsort((ids, dd))[:short]]
+        rmat = unit if rescore_mat is None else rescore_mat
+        s2 = rmat[sh] @ q
+        top = sh[np.lexsort((sh, -np.round(s2, 6)))[:TOPK]]
         return set(top.tolist()), len(evald), edge_rows
 
     hits: dict[str, list[float]] = {m: [] for m in (
         "lsh_bucket", "lsh_multiprobe", "ivf_nprobe2", "binary_hamming",
         "pq_adc", "sq_dequant", "ivfpq_adc", "pq_rescore", "ivfpq_rescore",
         "ivfpq_rescore_high_recall", "ivfpq_rescore_low_scan",
-        "graph_rescore", "graph_rescore_high_recall")}
+        "graph_rescore", "graph_rescore_high_recall",
+        "graph_rescore_compact")}
     scanned: dict[str, list[float]] = {m: [] for m in hits}
     # fraction of rows whose COMPRESSED representation (codes/signatures)
-    # is read — for two-stage methods `scanned` counts only full-precision
-    # vector reads, so this is the other half of the byte accounting
+    # is read — for two-stage methods `scanned` counts only
+    # rescore-stage reads, so this is the other half of the byte
+    # accounting
     code_scanned: dict[str, list[float]] = {m: [] for m in (
         "binary_hamming", "pq_adc", "ivfpq_adc", "pq_rescore", "ivfpq_rescore",
         "ivfpq_rescore_high_recall", "ivfpq_rescore_low_scan",
-        "graph_rescore", "graph_rescore_high_recall")}
+        "graph_rescore", "graph_rescore_high_recall",
+        "graph_rescore_compact")}
     edge_rows_read: dict[str, list[float]] = {
-        "graph_rescore": [], "graph_rescore_high_recall": []}
+        "graph_rescore": [], "graph_rescore_high_recall": [],
+        "graph_rescore_compact": []}
     SWEEP_NPROBE = (4, 5, 6, 7, 8)
     SWEEP_SHORTLIST = (200, 400, 600)
     sweep_hits: dict[tuple, list[float]] = {
@@ -381,11 +402,17 @@ def main() -> None:
         # graph-index round-synchronous search (ann_graph_rescore*):
         # code_scan counts ADC evaluations, scan counts the exact-rescore
         # shortlist, edge_rows the adjacency entries read during expansion
-        for mname, g_rounds in (("graph_rescore", GRAPH_T_LOW),
-                                ("graph_rescore_high_recall", GRAPH_T_HIGH)):
-            gtop, n_eval, n_edge = graph_search(qi, g_rounds)
+        for mname, g_rounds, g_short, g_rmat in (
+            ("graph_rescore", GRAPH_T_LOW, GRAPH_SHORTLIST, None),
+            ("graph_rescore_high_recall", GRAPH_T_HIGH, GRAPH_SHORTLIST,
+             None),
+            ("graph_rescore_compact", GRAPH_T_HIGH,
+             GRAPH_COMPACT_SHORTLIST, sq_deq),
+        ):
+            gtop, n_eval, n_edge = graph_search(
+                qi, g_rounds, short=g_short, rescore_mat=g_rmat)
             hits[mname].append(len(gtop & gt_cos) / TOPK)
-            scanned[mname].append(min(GRAPH_SHORTLIST, n_eval) / n)
+            scanned[mname].append(min(g_short, n_eval) / n)
             code_scanned[mname].append(n_eval / n)
             edge_rows_read[mname].append(n_edge / n)
 
@@ -421,6 +448,7 @@ def main() -> None:
             "ivfpq_rescore_low_scan": "cosine",
             "graph_rescore": "cosine",
             "graph_rescore_high_recall": "cosine",
+            "graph_rescore_compact": "cosine",
         },
         "recall_at_10": {m: round(float(np.mean(h)), 3) for m, h in hits.items()},
         "avg_scan_fraction": {
@@ -437,13 +465,15 @@ def main() -> None:
             m: round(float(np.mean(s)), 3) for m, s in edge_rows_read.items()
         },
         # BYTE-NORMALIZED total read per query, in units of full-vector
-        # rows (512 B float64 x 64): scan + code_scan * code_bytes/512 +
-        # edge_rows * 16/512. This is the honest single number to compare
-        # against the reference's HNSW, which touches ~0.02-0.05 in these
-        # units (a few hundred full vectors of 10K).
+        # rows (512 B float64 x 64): scan * scan_bytes/512 + code_scan *
+        # code_bytes/512 + edge_rows * 16/512 (scan_bytes is 512 except
+        # the compact preset's 64 B SQ rescore rows). This is the honest
+        # single number to compare against the reference's HNSW, which
+        # touches ~0.02-0.05 in these units (a few hundred full vectors
+        # of 10K).
         "vec_equiv_read_fraction": {
             m: round(
-                float(np.mean(scanned[m]))
+                float(np.mean(scanned[m])) * _SCAN_BYTES.get(m, 512) / 512.0
                 + float(np.mean(code_scanned.get(m, [0.0])))
                 * _CODE_BYTES.get(m, 0) / 512.0
                 + float(np.mean(edge_rows_read.get(m, [0.0]))) * 16.0 / 512.0,
