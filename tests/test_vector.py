@@ -271,6 +271,34 @@ def test_graph_batch_matches_single_query(spark):
     assert all(r["vec_id"] != r["qid"] for r in rows)
 
 
+def test_graph_index_persist_sq_tier(spark, tmp_path):
+    """save_graph_index round-trips the SQ8 rescore tier (r8): the
+    compact search through the LOADED index (codes + [lo, hi] grid read
+    back from parquet) equals the session-index compact search exactly —
+    a lossy grid or truncated code array would change the dequantized
+    scores."""
+    from neumann_spark.pipeline.ann import (
+        GRAPH_COMPACT_SHORTLIST,
+        GRAPH_T_HIGH,
+        _graph_rescore_from,
+        knn_graph_index,
+        load_graph_index,
+        save_graph_index,
+    )
+    from tests.conftest import SF_DIR
+
+    path = str(tmp_path / "gidx")
+    save_graph_index(spark, SF_DIR, path)
+    got = _graph_rescore_from(
+        spark, SF_DIR, load_graph_index(spark, path), GRAPH_T_HIGH,
+        shortlist=GRAPH_COMPACT_SHORTLIST, sq_rescore=True).collect()
+    want = _graph_rescore_from(
+        spark, SF_DIR, knn_graph_index(spark, SF_DIR), GRAPH_T_HIGH,
+        shortlist=GRAPH_COMPACT_SHORTLIST, sq_rescore=True).collect()
+    key = lambda r: (r["vec_id"], r["score"])  # noqa: E731
+    assert sorted(map(key, got)) == sorted(map(key, want))
+
+
 def test_graph_batch_scales_to_32_anchors(spark):
     """r8: the batch machinery must serve a 32-query batch through the
     SAME single-join LUT/warm builds — 10 state-isolated rows per anchor,
