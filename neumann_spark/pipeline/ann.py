@@ -1290,9 +1290,9 @@ GRAPH_EDGE_BLOCKS = 32  # persisted edge-table partitions (src % blocks)
 GRAPH_SEED_PROBES = 2  # NN-descent seed: per-node nearest warm clusters
 GRAPH_NND_ROUNDS = 2   # NN-descent refinement rounds over the seeded graph
 # compact preset: SQ8 rescore (64 B rows, not 512 B floats) affords a wider
-# shortlist at ~1/8 the rescore read cost — measured 0.930 recall@10 at
-# 0.057 vector-equivalents (tools/ann_recall.py), the first point inside
-# the reference HNSW's read band (<=0.06)
+# shortlist at ~1/8 the rescore read cost — measured 0.908 recall@10 at
+# 0.057 vector-equivalents (tools/ann_recall.py), the first >=0.9 point
+# inside the reference HNSW's read band (<=0.06)
 GRAPH_COMPACT_SHORTLIST = 150
 
 
@@ -1652,8 +1652,8 @@ def _graph_rescore_from(spark: SparkSession, sf_dir: str, index: tuple,
     if sq_rescore:
         # compact rescore tier: read the 64 B SQ code rows (never the
         # floats), dequantize on the per-dimension [lo, hi]/255 grid, and
-        # rank by rounded dequantized cosine — measured 0.930 recall@10
-        # at 0.057 vector-equivalents vs 0.0974 for the exact-rescore
+        # rank by rounded dequantized cosine — measured 0.908 recall@10
+        # at 0.057 vector-equivalents vs 0.097 for the exact-rescore
         # high-recall preset (ANN_RECALL.json)
         sq_codes, sq_lo, sq_hi = index[6], index[7], index[8]
         steps = [(hi - lo) / SQ_LEVELS for lo, hi in zip(sq_lo, sq_hi)]
@@ -2284,11 +2284,11 @@ def ann_graph_rescore_compact(spark: SparkSession,
     150-row shortlist rescored against 64 B SQ8 rows instead of the 512 B
     float vectors — the DiskANN refinement-quantizer pattern (traverse on
     PQ codes, refine on a scalar-quantized tier, never read full
-    precision). Measured (tools/ann_recall.py): recall@10 0.930 at 0.057
+    precision). Measured (tools/ann_recall.py): recall@10 0.908 at 0.057
     vector-equivalent reads — the first >=0.9 preset inside the <=0.06
     band near the reference HNSW's ~0.02-0.05
-    (`tensor_store/src/hnsw.rs:1434-1533`), vs 0.0974 for the
-    exact-rescore high-recall preset. Rejected alternatives, both
+    (`tensor_store/src/hnsw.rs:1434-1533`), vs 0.097 for the
+    exact-rescore high-recall preset (0.911). Rejected alternatives, both
     measured: a 16 B traversal PQ (16x4x64) caps shortlist recall at
     0.866, and top-10-ADC-stability adaptive stopping caps end-to-end
     recall at 0.84 — recall tracks evaluated coverage nearly linearly on
