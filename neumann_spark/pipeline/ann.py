@@ -1363,12 +1363,31 @@ def _nnd_forward_edges(spark: SparkSession, u: DataFrame,
     return nn
 
 
-def _nnd_seed(spark: SparkSession, u: DataFrame,
-              warm_centroids: list) -> DataFrame:
-    """Seed edges: per-node GRAPH_SEED_PROBES nearest warm clusters
-    (equi-join on a constant key against the broadcast k-row centroid
-    frame — a hash join, not a nested loop — then a per-node window),
-    cluster-mate pairs via a self equi-join on the cluster id, top-M."""
+def _reverse_edges(fwd: DataFrame) -> DataFrame:
+    """Reverse block: dst -> src for every forward edge, minus pairs that
+    already exist forward, capped at GRAPH_R per node in src-ascending
+    order, positioned after the forward block."""
+    rev_cand = fwd.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"))
+    dedup = rev_cand.join(
+        fwd.select("src", "dst"), ["src", "dst"], "left_anti")
+    wr = Window.partitionBy("src").orderBy("dst")
+    return (
+        dedup.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= GRAPH_R)
+        .select("src", (F.lit(GRAPH_M) + F.col("rk") - 1).alias("pos"), "dst")
+    )
+
+
+def _nearest_clusters(spark: SparkSession, u: DataFrame,
+                      warm_centroids: list, p: int) -> DataFrame:
+    """(vec_id, cl, rn): each node's `p` nearest warm clusters by (round6
+    squared distance, cl), rn = 1-based nearness rank. The constant join
+    key is computed per-row
+    (pmod) rather than a literal: a lit(0) key constant-folds to `true`
+    and Catalyst plans a BroadcastNestedLoopJoin, while the data-borne
+    key keeps this a BroadcastHashJoin — same fan-out, assertable plan
+    shape."""
     cent_df = spark.createDataFrame(
         [(0, int(c), [float(x) for x in v]) for c, v in warm_centroids],
         "j int, cl int, cent array<double>")
@@ -1379,18 +1398,24 @@ def _nnd_seed(spark: SparkSession, u: DataFrame,
         6,
     )
     wc = Window.partitionBy("vec_id").orderBy("d", "cl")
-    # the constant join key is computed per-row (pmod) rather than a
-    # literal: a lit(0) key constant-folds to `true` and Catalyst plans a
-    # BroadcastNestedLoopJoin, while the data-borne key keeps this a
-    # BroadcastHashJoin — same fan-out, assertable plan shape
-    seedcl = (
+    return (
         u.withColumn("j", F.pmod(F.col("vec_id"), F.lit(1)).cast("int"))
         .join(F.broadcast(cent_df), "j")
         .select("vec_id", "cl", dcl.alias("d"))
         .withColumn("rn", F.row_number().over(wc))
-        .filter(F.col("rn") <= GRAPH_SEED_PROBES)
-        .select("vec_id", "cl")
+        .filter(F.col("rn") <= p)
+        .select("vec_id", "cl", "rn")
     )
+
+
+def _nnd_seed(spark: SparkSession, u: DataFrame,
+              warm_centroids: list) -> DataFrame:
+    """Seed edges: per-node GRAPH_SEED_PROBES nearest warm clusters
+    (equi-join on a constant key against the broadcast k-row centroid
+    frame — a hash join, not a nested loop — then a per-node window),
+    cluster-mate pairs via a self equi-join on the cluster id, top-M."""
+    seedcl = _nearest_clusters(
+        spark, u, warm_centroids, GRAPH_SEED_PROBES).select("vec_id", "cl")
     sp = (
         seedcl.select(F.col("vec_id").alias("src"), "cl")
         .join(seedcl.select(F.col("vec_id").alias("dst"), "cl"), "cl")
@@ -1406,8 +1431,12 @@ def _nnd_round(u: DataFrame, nn: DataFrame) -> DataFrame:
     neighbours over the current graph in both directions (an equi-join of
     the direction-closed edge set with itself on the shared endpoint)
     plus the current edges, re-ranked to top-M."""
+    # distinct matters: mutual edges appear in both directions and would
+    # double the NoN join's input multiplicity (the final distinct makes
+    # duplicates result-neutral, but not cost-neutral)
     nbdir = nn.select("src", "dst").union(
-        nn.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        nn.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
     cand = (
         nbdir.alias("a")
         .join(nbdir.alias("b"), F.col("a.dst") == F.col("b.src"))
@@ -1461,8 +1490,18 @@ def knn_graph_index(spark: SparkSession, sf_dir: str):
     key = (id(spark), sf_dir)
     if key in _KNN_GRAPH_CACHE:
         return _KNN_GRAPH_CACHE[key]
-    u = unit_embeddings(load(spark, sf_dir, "embeddings")).localCheckpoint(
-        eager=True)
+    out = _build_graph_index(
+        spark, load(spark, sf_dir, "embeddings"))
+    _KNN_GRAPH_CACHE[key] = out
+    return out
+
+
+def _build_graph_index(spark: SparkSession, emb: DataFrame) -> tuple:
+    """Build the 9-element graph-index tuple over an arbitrary
+    (vec_id, embedding) frame — `knn_graph_index` caches this over the
+    fixture table; `ann_graph_insert_search` builds over a subset and
+    grows it incrementally via `knn_graph_insert`."""
+    u = unit_embeddings(emb).localCheckpoint(eager=True)
     warm_codes_w, warm_books = pq_build_joined(
         u, S=1, subdim=DIM, k=GRAPH_WARM_K, iters=GRAPH_WARM_ITERS)
     warm_codes = warm_codes_w.select(
@@ -1470,20 +1509,7 @@ def knn_graph_index(spark: SparkSession, sf_dir: str):
     warm_centroids = warm_books[0]
 
     fwd = _nnd_forward_edges(spark, u, warm_centroids)
-    # reverse edges: dst -> src for every forward edge, minus pairs that
-    # already exist forward, capped at GRAPH_R per node in src-ascending
-    # order, positioned after the forward block
-    rev_cand = fwd.select(
-        F.col("dst").alias("src"), F.col("src").alias("dst"))
-    dedup = rev_cand.join(
-        fwd.select("src", "dst"), ["src", "dst"], "left_anti")
-    wr = Window.partitionBy("src").orderBy("dst")
-    rev = (
-        dedup.withColumn("rk", F.row_number().over(wr))
-        .filter(F.col("rk") <= GRAPH_R)
-        .select("src", (F.lit(GRAPH_M) + F.col("rk") - 1).alias("pos"), "dst")
-    )
-    edges = fwd.unionByName(rev).localCheckpoint(eager=True)
+    edges = fwd.unionByName(_reverse_edges(fwd)).localCheckpoint(eager=True)
 
     codes_w, codebooks = pq_build_joined(
         u, S=GRAPH_PQ_S, subdim=GRAPH_PQ_SUBDIM, k=GRAPH_PQ_K, iters=PQ_ITERS)
@@ -1535,10 +1561,8 @@ def knn_graph_index(spark: SparkSession, sf_dir: str):
     # eagerly-checkpointed normalization instead of re-deriving it per
     # query; 5-element tuples (the persisted-index loader) stay valid;
     # elements 6-8 are the SQ rescore tier (codes, lo grid, hi grid)
-    out = (edges, warm_codes.localCheckpoint(eager=True), warm_centroids,
-           codes_long, codebooks, u, sq_codes, sq_lo, sq_hi)
-    _KNN_GRAPH_CACHE[key] = out
-    return out
+    return (edges, warm_codes.localCheckpoint(eager=True), warm_centroids,
+            codes_long, codebooks, u, sq_codes, sq_lo, sq_hi)
 
 
 def _graph_rescore_search(spark: SparkSession, sf_dir: str, rounds: int,
@@ -1679,13 +1703,184 @@ def _graph_rescore_from(spark: SparkSession, sf_dir: str, index: tuple,
     )
 
 
-def _graph_build_parts() -> list[str]:
+def _pq_assign_long(u_new: DataFrame, codebooks: list,
+                    spark: SparkSession) -> DataFrame:
+    """Assign new unit vectors to the FIXED traversal-PQ codebooks
+    (incremental quantization — centroids do not move on insert, exactly
+    like the reference's HNSW+PQ insert path): one broadcast join of the
+    exploded (vec_id, s, sub) long form against the (s, code, cent)
+    codebook frame, argmin by (round6 distance, code). Returns
+    (vec_id, s, code) rows."""
+    subs = u_new.select(
+        "vec_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(s).alias("s"),
+                    _pq_subvec(
+                        F.col("embedding").cast("array<double>"), s,
+                        GRAPH_PQ_SUBDIM).alias("sub"),
+                )
+                for s in range(GRAPH_PQ_S)
+            ])
+        ).alias("x"),
+    ).select("vec_id", F.col("x.s").alias("s"), F.col("x.sub").alias("sub"))
+    cent = spark.createDataFrame(
+        [(s, int(code), [float(x) for x in vals])
+         for s, cb in enumerate(codebooks) for code, vals in cb],
+        "s int, code int, cent array<double>")
+    d = F.round(
+        F.aggregate(
+            F.zip_with("sub", "cent", lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0), lambda a, x: a + x),
+        6,
+    )
+    return (
+        subs.join(F.broadcast(cent), "s")
+        .select("vec_id", "s", d.alias("d"), "code")
+        .groupBy("vec_id", "s")
+        .agg(F.min(F.struct("d", "code")).alias("m"))
+        .select("vec_id", "s", F.col("m.code").alias("code"))
+    )
+
+
+def knn_graph_insert(spark: SparkSession, index: tuple,
+                     new_emb: DataFrame) -> tuple:
+    """Incrementally insert a BATCH of new vectors into an existing graph
+    index — the bulk-join analog of the reference's HNSW insert path
+    (`tensor_store/src/hnsw.rs:1554-2118`: candidate selection from an
+    entry neighbourhood, bounded-M neighbour re-selection, reverse-link
+    updates). Quantizers are FROZEN (warm centroids, traversal-PQ
+    codebooks, SQ grid), as in any incremental ANN index; only the edge
+    table and per-node code tables grow.
+
+    Steps, all equi-joins and per-source windows (no stage touches more
+    than O(batch * avg_cluster + batch * M^2) pair rows):
+      1. new nodes' GRAPH_SEED_PROBES nearest warm clusters -> candidate
+         pairs against those clusters' existing members + same-cluster
+         batch mates; top-M.
+      2. one refinement hop: candidates' own forward edges (the HNSW
+         "expand the entry neighbourhood" step); re-rank to top-M ->
+         forward edges of the new nodes.
+      3. affected existing nodes (any node a new edge points at) re-rank
+         their current top-M together with the pointing new nodes —
+         HNSW's bounded neighbour-shrink on reverse insertion.
+      4. reverse block re-derived; untouched nodes' forward rows are
+         byte-identical passthroughs.
+    Returns a new 9-tuple in the exact `_graph_rescore_from` shapes."""
+    (edges, warm_codes, warm_centroids, codes_long, codebooks, u,
+     sq_codes, sq_lo, sq_hi) = index
+    un = unit_embeddings(new_emb).localCheckpoint(eager=True)
+    u_all = u.unionByName(un).localCheckpoint(eager=True)
+
+    ncl = _nearest_clusters(spark, un, warm_centroids, GRAPH_SEED_PROBES)
+    new_warm = ncl.filter(F.col("rn") == 1).select(
+        "vec_id", F.col("cl").alias("cluster"))
+
+    # 1-2. forward edges for the batch
+    members = (
+        ncl.select(F.col("vec_id").alias("src"), F.col("cl").alias("cluster"))
+        .join(warm_codes.select(F.col("vec_id").alias("dst"), "cluster"),
+              "cluster")
+        .select("src", "dst")
+    )
+    newnew = (
+        ncl.select(F.col("vec_id").alias("src"), "cl")
+        .join(ncl.select(F.col("vec_id").alias("dst"), "cl"), "cl")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+    )
+    cand0 = members.union(newnew).distinct()
+    nn0 = _top_m_edges(_pair_distances(u_all, cand0)).localCheckpoint(
+        eager=True)
+    hop = (
+        nn0.select("src", F.col("dst").alias("mid"))
+        .join(
+            edges.filter(F.col("pos") < GRAPH_M)
+            .select(F.col("src").alias("mid"), F.col("dst").alias("dst")),
+            "mid")
+        .select("src", "dst")
+    )
+    cand1 = (
+        cand0.union(hop)
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    nn_new = _top_m_edges(_pair_distances(u_all, cand1)).localCheckpoint(
+        eager=True)
+
+    # 3. bounded neighbour re-selection on affected EXISTING nodes only:
+    # a new node targeted by a batch-mate already saw that mate through
+    # the symmetric same-cluster candidates (or will after the next
+    # refinement); letting it into `affected` would give it two
+    # conflicting forward blocks (one from nn_new, one from fwd_aff)
+    rev_pairs = nn_new.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"))
+    affected = rev_pairs.select("src").distinct().join(
+        un.select(F.col("vec_id").alias("src")), "src", "left_anti")
+    exist_pairs = (
+        edges.filter(F.col("pos") < GRAPH_M)
+        .join(affected, "src")
+        .select("src", "dst")
+    )
+    fwd_aff = _top_m_edges(
+        _pair_distances(
+            u_all,
+            exist_pairs.union(
+                rev_pairs.join(affected, "src").select("src", "dst")
+            ).distinct()))
+
+    # 4. merge + reverse rebuild
+    untouched = (
+        edges.filter(F.col("pos") < GRAPH_M)
+        .join(affected, "src", "left_anti")
+        .select("src", "pos", "dst")
+    )
+    fwd2 = untouched.unionByName(fwd_aff).unionByName(nn_new)
+    edges2 = fwd2.unionByName(_reverse_edges(fwd2)).localCheckpoint(
+        eager=True)
+
+    new_codes = _pq_assign_long(un, codebooks, spark)
+
+    def _sq_code(i: int) -> Column:
+        lo, hi = sq_lo[i - 1], sq_hi[i - 1]
+        step = (hi - lo) / SQ_LEVELS
+        return F.least(
+            F.lit(SQ_LEVELS),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.round(F.element_at(
+                        F.col("embedding").cast("array<double>"), i), 6)
+                     - F.lit(lo)) / F.lit(step)
+                ).cast("bigint"),
+            ),
+        ).cast("int")
+
+    new_sq = un.select(
+        "vec_id",
+        F.array(*[_sq_code(i) for i in range(1, DIM + 1)]).alias("qc"))
+    return (
+        edges2,
+        warm_codes.unionByName(new_warm).localCheckpoint(eager=True),
+        warm_centroids,
+        codes_long.unionByName(new_codes).localCheckpoint(eager=True),
+        codebooks,
+        u_all,
+        sq_codes.unionByName(new_sq).localCheckpoint(eager=True),
+        sq_lo,
+        sq_hi,
+    )
+
+
+def _graph_build_parts(emb: str = "embeddings") -> list[str]:
     """Shared (query-independent) oracle CTEs: unit normalization, the
     warm Lloyd (k=45, vec_id%k init), the 32x2x64 traversal PQ Lloyd,
     the codes long-form, and the seeded NN-descent kNN edge build
     (cluster-blocked seed pairs -> top-M, then GRAPH_NND_ROUNDS
     neighbours-of-neighbours refinement rounds, + capped reverse) —
-    replaying `_nnd_forward_edges` exactly."""
+    replaying `_nnd_forward_edges` exactly. `emb` may be a sub-select
+    (parenthesised) to build over a subset, as the insert oracle does."""
     M, R = GRAPH_M, GRAPH_R
     S, sub, k = GRAPH_PQ_S, GRAPH_PQ_SUBDIM, GRAPH_PQ_K
     parts = [f"""
@@ -1693,18 +1888,18 @@ def _graph_build_parts() -> list[str]:
       SELECT e.vec_id,
              SQRT(SUM(CAST(e.embedding[t.i] AS DOUBLE)
                       * CAST(e.embedding[t.i] AS DOUBLE))) AS n
-      FROM embeddings e CROSS JOIN generate_series(1, {DIM}) AS t(i)
+      FROM {emb} e CROSS JOIN generate_series(1, {DIM}) AS t(i)
       GROUP BY e.vec_id
     ),
     u AS MATERIALIZED (
       SELECT e.vec_id, t.i, CAST(e.embedding[t.i] AS DOUBLE) / n.n AS val
-      FROM embeddings e
+      FROM {emb} e
       JOIN nrm n ON n.vec_id = e.vec_id
       CROSS JOIN generate_series(1, {DIM}) AS t(i)
     ),
     iva0 AS MATERIALIZED (
       SELECT vec_id, CAST(vec_id % {GRAPH_WARM_K} AS INT) AS cl
-      FROM embeddings
+      FROM {emb} e
     )"""]
     for t in range(1, GRAPH_WARM_ITERS + 1):
         parts.append(f""",
@@ -1731,7 +1926,7 @@ def _graph_build_parts() -> list[str]:
         lo = s * sub
         parts.append(f""",
     p{s}a0 AS MATERIALIZED (
-      SELECT vec_id, CAST(vec_id % {k} AS INT) AS code FROM embeddings
+      SELECT vec_id, CAST(vec_id % {k} AS INT) AS code FROM {emb} e
     )""")
         for t in range(1, PQ_ITERS + 1):
             parts.append(f""",
@@ -1846,20 +2041,25 @@ def _graph_build_parts() -> list[str]:
 
 
 def _graph_anchor_parts(anchor: int, rounds: int, tag: str = "",
-                        shortlist: int = GRAPH_SHORTLIST) -> list[str]:
+                        shortlist: int = GRAPH_SHORTLIST,
+                        u: str = "u", codes: str = "codes",
+                        edges: str = "edges",
+                        iva: str = "") -> list[str]:
     """Per-query oracle CTEs (names suffixed `tag` so several anchors
     coexist in one batched statement): the anchor's ADC lookup table, its
     global ADC ranking (the oracle may compute every ADC value once up
     front — read accounting applies to the engine, not the referee), warm
     probes, the T frontier-expansion rounds as unrolled CTEs over ID
-    SETS, and the ADC shortlist."""
+    SETS, and the ADC shortlist. The u/codes/edges/iva CTE names are
+    overridable so the insert oracle can search the GROWN structures."""
     B, C = GRAPH_B, GRAPH_C
     S = GRAPH_PQ_S
+    iva = iva or f"iva{GRAPH_WARM_ITERS}"
     lut_union = "\n      UNION ALL ".join(f"""
       SELECT {s} AS s, c.code,
              ROUND(SUM((q.val - c.val) * (q.val - c.val)), 6) AS d
       FROM p{s}c{PQ_ITERS} c
-      JOIN u q ON q.vec_id = {anchor} AND q.i = c.i
+      JOIN {u} q ON q.vec_id = {anchor} AND q.i = c.i
       GROUP BY c.code""" for s in range(S))
     parts = [f""",
     lut{tag} AS MATERIALIZED (
@@ -1867,7 +2067,7 @@ def _graph_anchor_parts(anchor: int, rounds: int, tag: str = "",
     ),
     adc{tag} AS MATERIALIZED (
       SELECT c.vec_id, ROUND(SUM(l.d), 6) AS d
-      FROM codes c JOIN lut{tag} l ON l.s = c.s AND l.code = c.code
+      FROM {codes} c JOIN lut{tag} l ON l.s = c.s AND l.code = c.code
       GROUP BY c.vec_id
     ),
     probes{tag} AS MATERIALIZED (
@@ -1877,12 +2077,12 @@ def _graph_anchor_parts(anchor: int, rounds: int, tag: str = "",
                  ROUND(SUM((q.val - c.val) * (q.val - c.val)), 6), c.cl)
                  AS rn
         FROM ivc{GRAPH_WARM_ITERS} c
-        JOIN u q ON q.vec_id = {anchor} AND q.i = c.i
+        JOIN {u} q ON q.vec_id = {anchor} AND q.i = c.i
         GROUP BY c.cl
       ) WHERE rn <= {GRAPH_WARM_PROBES}
     ),
     ev0{tag} AS MATERIALIZED (
-      SELECT a.vec_id FROM iva{GRAPH_WARM_ITERS} a
+      SELECT a.vec_id FROM {iva} a
       JOIN probes{tag} p ON p.cl = a.cl
       WHERE a.vec_id <> {anchor}
     ),
@@ -1907,7 +2107,7 @@ def _graph_anchor_parts(anchor: int, rounds: int, tag: str = "",
     ev{t}{tag} AS MATERIALIZED (
       SELECT vec_id FROM ev{t - 1}{tag}
       UNION
-      SELECT g.dst FROM edges g
+      SELECT g.dst FROM {edges} g
       JOIN fr{t}{tag} f ON g.src = f.vec_id
       WHERE g.pos < {C} AND g.dst <> {anchor}
     )""")
@@ -1947,6 +2147,157 @@ def _graph_compact_sql() -> str:
     FROM short s
     JOIN sqd dv ON dv.vec_id = s.vec_id
     JOIN u q ON q.vec_id = 0 AND q.i = dv.i
+    GROUP BY s.vec_id
+    ORDER BY score DESC, s.vec_id
+    LIMIT {PQ_TOPK}""")
+    return "".join(parts)
+
+
+GRAPH_INSERT_BATCH = 8  # highest-id vectors inserted incrementally
+
+
+def _graph_insert_sql() -> str:
+    """Oracle for `ann_graph_insert_search`: build the index over
+    embeddings BELOW the cutoff (max id - 7) via the shared build CTEs,
+    replay `knn_graph_insert` for the rest (frozen quantizers: warm/PQ
+    assignment by argmin against the built centroids; seeded candidates +
+    one refinement hop; bounded re-selection on affected existing nodes;
+    reverse rebuild), then run the T_LOW search through the GROWN
+    u2/codes2/edges2/iva2 structures."""
+    W, M, R = GRAPH_WARM_ITERS, GRAPH_M, GRAPH_R
+    cut = f"(SELECT MAX(vec_id) - {GRAPH_INSERT_BATCH - 1} FROM embeddings)"
+    sub = f"(SELECT * FROM embeddings WHERE vec_id < {cut})"
+    parts = _graph_build_parts(emb=sub)
+    pcall_union = "\n      UNION ALL ".join(
+        f"SELECT {s} AS s, code, i, val FROM p{s}c{PQ_ITERS}"
+        for s in range(GRAPH_PQ_S))
+    score = """
+          SELECT s.src, s.dst, ROUND(1.0 - SUM(ua.val * ub.val), 6) AS d
+          FROM {cand} s
+          JOIN u2 ua ON ua.vec_id = s.src
+          JOIN u2 ub ON ub.vec_id = s.dst AND ub.i = ua.i
+          GROUP BY s.src, s.dst"""
+    topm = (
+        """
+      SELECT src, CAST(rn - 1 AS BIGINT) AS pos, dst, d FROM (
+        SELECT p.src, p.dst, p.d,
+               ROW_NUMBER() OVER (PARTITION BY p.src ORDER BY p.d, p.dst)
+                 AS rn
+        FROM (""" + score + """
+        ) p
+      ) WHERE rn <= """ + str(M))
+    parts.append(f""",
+    nrmN AS MATERIALIZED (
+      SELECT e.vec_id,
+             SQRT(SUM(CAST(e.embedding[t.i] AS DOUBLE)
+                      * CAST(e.embedding[t.i] AS DOUBLE))) AS n
+      FROM embeddings e CROSS JOIN generate_series(1, {DIM}) AS t(i)
+      WHERE e.vec_id >= {cut}
+      GROUP BY e.vec_id
+    ),
+    uN AS MATERIALIZED (
+      SELECT e.vec_id, t.i, CAST(e.embedding[t.i] AS DOUBLE) / n.n AS val
+      FROM embeddings e
+      JOIN nrmN n ON n.vec_id = e.vec_id
+      CROSS JOIN generate_series(1, {DIM}) AS t(i)
+      WHERE e.vec_id >= {cut}
+    ),
+    u2 AS MATERIALIZED (
+      SELECT * FROM u UNION ALL SELECT * FROM uN
+    ),
+    ncl AS MATERIALIZED (
+      SELECT vec_id, cl, rn FROM (
+        SELECT n.vec_id, c.cl,
+               ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+                 ROUND(SUM((n.val - c.val) * (n.val - c.val)), 6), c.cl)
+                 AS rn
+        FROM uN n JOIN ivc{W} c ON c.i = n.i
+        GROUP BY n.vec_id, c.cl
+      ) WHERE rn <= {GRAPH_SEED_PROBES}
+    ),
+    nwarm AS MATERIALIZED (SELECT vec_id, cl FROM ncl WHERE rn = 1),
+    ivag AS MATERIALIZED (
+      SELECT vec_id, cl FROM iva{W} UNION ALL SELECT vec_id, cl FROM nwarm
+    ),
+    pcall AS MATERIALIZED (
+      {pcall_union}
+    ),
+    codesN AS MATERIALIZED (
+      SELECT vec_id, s, code FROM (
+        SELECT n.vec_id, c.s, c.code,
+               ROW_NUMBER() OVER (PARTITION BY n.vec_id, c.s ORDER BY
+                 ROUND(SUM((n.val - c.val) * (n.val - c.val)), 6), c.code)
+                 AS rn
+        FROM uN n JOIN pcall c ON c.i = n.i
+        GROUP BY n.vec_id, c.s, c.code
+      ) WHERE rn = 1
+    ),
+    codes2 AS MATERIALIZED (
+      SELECT vec_id, s, code FROM codes
+      UNION ALL SELECT vec_id, s, code FROM codesN
+    ),
+    icand0 AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM (
+        SELECT n.vec_id AS src, a.vec_id AS dst
+        FROM ncl n JOIN iva{W} a ON a.cl = n.cl
+        UNION ALL
+        SELECT a.vec_id AS src, b.vec_id AS dst
+        FROM ncl a JOIN ncl b ON a.cl = b.cl AND a.vec_id <> b.vec_id
+      )
+    ),
+    inn0 AS MATERIALIZED ({topm.format(cand="icand0")}
+    ),
+    icand1 AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM icand0
+        UNION ALL
+        SELECT n.src, g.dst FROM inn0 n
+        JOIN edges g ON g.src = n.dst AND g.pos < {M}
+      ) WHERE src <> dst
+    ),
+    innF AS MATERIALIZED ({topm.format(cand="icand1")}
+    ),
+    iaff AS MATERIALIZED (
+      SELECT DISTINCT dst AS src FROM innF
+      WHERE dst NOT IN (SELECT vec_id FROM nwarm)
+    ),
+    acand AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM (
+        SELECT g.src, g.dst FROM edges g
+        JOIN iaff a ON a.src = g.src WHERE g.pos < {M}
+        UNION ALL
+        SELECT f.dst AS src, f.src AS dst FROM innF f
+        JOIN iaff a ON a.src = f.dst
+      )
+    ),
+    afwd AS MATERIALIZED ({topm.format(cand="acand")}
+    ),
+    fwd2 AS MATERIALIZED (
+      SELECT e.src, e.pos, e.dst FROM edges e
+      WHERE e.pos < {M} AND e.src NOT IN (SELECT src FROM iaff)
+      UNION ALL SELECT src, pos, dst FROM afwd
+      UNION ALL SELECT src, pos, dst FROM innF
+    ),
+    edges2 AS MATERIALIZED (
+      SELECT src, pos, dst FROM fwd2
+      UNION ALL
+      SELECT src, pos, dst FROM (
+        SELECT f.dst AS src,
+               {M} + ROW_NUMBER() OVER (
+                 PARTITION BY f.dst ORDER BY f.src) - 1 AS pos,
+               f.src AS dst
+        FROM fwd2 f
+        WHERE NOT EXISTS (
+          SELECT 1 FROM fwd2 g WHERE g.src = f.dst AND g.dst = f.src)
+      ) WHERE pos < {M + R}
+    )""")
+    parts += _graph_anchor_parts(
+        0, GRAPH_T_LOW, u="u2", codes="codes2", edges="edges2", iva="ivag")
+    parts.append(f"""
+    SELECT s.vec_id, ROUND(SUM(uv.val * q.val), 6) AS score
+    FROM short s
+    JOIN u2 uv ON uv.vec_id = s.vec_id
+    JOIN u2 q ON q.vec_id = 0 AND q.i = uv.i
     GROUP BY s.vec_id
     ORDER BY score DESC, s.vec_id
     LIMIT {PQ_TOPK}""")
@@ -2275,6 +2626,28 @@ def ann_graph_rescore_high_recall(spark: SparkSession,
     at ANY k — which is exactly why the reference, too, serves this
     operating point from a graph index rather than cluster pruning."""
     return _graph_rescore_search(spark, sf_dir, GRAPH_T_HIGH)
+
+
+@register("ann_graph_insert_search", oracle=_graph_insert_sql())
+def ann_graph_insert_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance (new r8): build the graph index over
+    all but the 8 highest-id vectors, insert those 8 through
+    `knn_graph_insert` (the reference's HNSW insert-path analog,
+    `tensor_store/src/hnsw.rs:1554-2118` — frozen quantizers, seeded
+    candidates + one refinement hop, bounded neighbour re-selection on
+    affected nodes, reverse-block rebuild), then run the T_LOW search
+    through the GROWN index. The oracle replays the subset build, the
+    whole insert path, and the search in one statement — so a mis-grown
+    structure (an unassigned new node, a stale affected neighbourhood, a
+    duplicated forward block) hash-mismatches."""
+    emb = load(spark, sf_dir, "embeddings")
+    max_id = emb.agg(F.max("vec_id")).head()[0]
+    cut = int(max_id) - (GRAPH_INSERT_BATCH - 1)
+    base = emb.filter(F.col("vec_id") < cut)
+    incoming = emb.filter(F.col("vec_id") >= cut)
+    index = _build_graph_index(spark, base)
+    grown = knn_graph_insert(spark, index, incoming)
+    return _graph_rescore_from(spark, sf_dir, grown, GRAPH_T_LOW)
 
 
 @register("ann_graph_rescore_compact", oracle=_graph_compact_sql())

@@ -62,6 +62,7 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 _PRIORITY: list[str] = [
     # (a) new round-8 surfaces
     "ann_graph_rescore_compact",
+    "ann_graph_insert_search",
     "tx_wal_recover_abort",
     "dml_merge_key_stability",
     "ann_graph_rescore",

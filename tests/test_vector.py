@@ -299,6 +299,57 @@ def test_graph_index_persist_sq_tier(spark, tmp_path):
     assert sorted(map(key, got)) == sorted(map(key, want))
 
 
+def test_graph_insert_vs_full_build(spark):
+    """knn_graph_insert quality + contract differential (r8): grow an
+    index built on all-but-8 vectors by the remaining 8 and check
+    (a) structural invariants — every node (old and new) keeps a dense
+    pos-ordered forward block of <= M edges, the reverse block stays
+    capped and deduped; (b) search quality — the grown index's T_LOW
+    search for anchor 0 overlaps the full-build index's search >= 8/10
+    (at this scale both flood the graph, so a mis-wired insert shows up
+    immediately)."""
+    from neumann_spark.catalog import load
+    from neumann_spark.pipeline.ann import (
+        GRAPH_INSERT_BATCH,
+        GRAPH_M,
+        GRAPH_R,
+        GRAPH_T_LOW,
+        _build_graph_index,
+        _graph_rescore_from,
+        knn_graph_index,
+        knn_graph_insert,
+    )
+    from tests.conftest import SF_DIR
+
+    emb = load(spark, SF_DIR, "embeddings")
+    cut = int(emb.agg(F.max("vec_id")).head()[0]) - (GRAPH_INSERT_BATCH - 1)
+    grown = knn_graph_insert(
+        spark,
+        _build_graph_index(spark, emb.filter(F.col("vec_id") < cut)),
+        emb.filter(F.col("vec_id") >= cut))
+    ep = grown[0].orderBy("src", "pos").toPandas()
+    n = emb.count()
+    fwd = ep[ep["pos"] < GRAPH_M]
+    assert fwd["src"].nunique() == n  # every node, incl. all 8 new ones
+    for src, grp in fwd.groupby("src"):
+        assert list(grp["pos"]) == list(range(len(grp)))  # dense order
+        assert len(grp) <= GRAPH_M
+        assert grp["dst"].nunique() == len(grp)
+        assert (grp["dst"] != src).all()
+    rev = ep[ep["pos"] >= GRAPH_M]
+    fwd_pairs = set(zip(fwd["src"].astype(int), fwd["dst"].astype(int)))
+    for src, grp in rev.groupby("src"):
+        assert len(grp) <= GRAPH_R
+        assert list(grp["dst"]) == sorted(grp["dst"])
+        assert not any((int(src), int(d)) in fwd_pairs for d in grp["dst"])
+    got = {int(r["vec_id"]) for r in _graph_rescore_from(
+        spark, SF_DIR, grown, GRAPH_T_LOW).collect()}
+    ref = {int(r["vec_id"]) for r in _graph_rescore_from(
+        spark, SF_DIR, knn_graph_index(spark, SF_DIR),
+        GRAPH_T_LOW).collect()}
+    assert len(got & ref) >= 8
+
+
 def test_graph_batch_scales_to_32_anchors(spark):
     """r8: the batch machinery must serve a 32-query batch through the
     SAME single-join LUT/warm builds — 10 state-isolated rows per anchor,
