@@ -1836,7 +1836,11 @@ def knn_graph_insert(spark: SparkSession, index: tuple,
         .join(affected, "src", "left_anti")
         .select("src", "pos", "dst")
     )
-    fwd2 = untouched.unionByName(fwd_aff).unionByName(nn_new)
+    # checkpoint before the reverse derivation, which consumes fwd2
+    # three times (swap, self-anti-join, union) — uncheckpointed, the
+    # triple-replayed union lineage ships multi-MiB task binaries
+    fwd2 = untouched.unionByName(fwd_aff).unionByName(
+        nn_new).localCheckpoint(eager=True)
     edges2 = fwd2.unionByName(_reverse_edges(fwd2)).localCheckpoint(
         eager=True)
 
