@@ -1877,6 +1877,76 @@ def knn_graph_insert(spark: SparkSession, index: tuple,
     )
 
 
+def knn_graph_delete(spark: SparkSession, index: tuple,
+                     del_ids: DataFrame) -> tuple:
+    """Remove a batch of vectors from an existing graph index — the
+    delete/repair counterpart of `knn_graph_insert` (reference analog:
+    HNSW link-through repair on node removal). del_ids: a (vec_id)
+    frame.
+
+    Code tables (warm/PQ/SQ) and the unit frame anti-join the deleted
+    ids out. Deleted nodes' forward blocks drop entirely. Surviving
+    nodes whose forward block pointed AT a deleted node re-rank their
+    candidates = their surviving neighbours UNION the deleted
+    neighbours' own surviving neighbours (the classic "repair links
+    through the removed node" candidate set), bounded top-M; untouched
+    survivors pass through byte-identical. Reverse block re-derived.
+    Every stage is an equi-join bounded by O(|affected| * M^2) pairs."""
+    (edges, warm_codes, warm_centroids, codes_long, codebooks, u,
+     sq_codes, sq_lo, sq_hi) = index
+    dels = del_ids.select("vec_id").distinct().localCheckpoint(eager=True)
+    u_d = u.join(dels, "vec_id", "left_anti").localCheckpoint(eager=True)
+    fwd_surv = (
+        edges.filter(F.col("pos") < GRAPH_M)
+        .join(dels.select(F.col("vec_id").alias("src")), "src", "left_anti")
+    )
+    affected = (
+        fwd_surv.join(dels.select(F.col("vec_id").alias("dst")), "dst")
+        .select("src").distinct()
+    )
+    own_surviving = (
+        fwd_surv.join(affected, "src")
+        .join(dels.select(F.col("vec_id").alias("dst")), "dst", "left_anti")
+        .select("src", "dst")
+    )
+    # link-through: for each affected node's DELETED neighbour, that
+    # neighbour's own surviving forward targets become candidates
+    through = (
+        fwd_surv.join(affected, "src")
+        .join(dels.select(F.col("vec_id").alias("dst")), "dst")
+        .select("src", F.col("dst").alias("mid"))
+        .join(
+            edges.filter(F.col("pos") < GRAPH_M)
+            .select(F.col("src").alias("mid"), F.col("dst").alias("dst")),
+            "mid")
+        .join(dels.select(F.col("vec_id").alias("dst")), "dst", "left_anti")
+        .filter(F.col("dst") != F.col("src"))
+        .select("src", "dst")
+    )
+    repaired = _top_m_edges(
+        _pair_distances(u_d, own_surviving.union(through).distinct()))
+    fwd_d = (
+        fwd_surv.join(affected, "src", "left_anti")
+        .select("src", "pos", "dst")
+        .unionByName(repaired)
+        .localCheckpoint(eager=True)
+    )
+    edges_d = fwd_d.unionByName(_reverse_edges(fwd_d)).localCheckpoint(
+        eager=True)
+    anti = lambda df: df.join(dels, "vec_id", "left_anti")  # noqa: E731
+    return (
+        edges_d,
+        anti(warm_codes).localCheckpoint(eager=True),
+        warm_centroids,
+        anti(codes_long).localCheckpoint(eager=True),
+        codebooks,
+        u_d,
+        anti(sq_codes).localCheckpoint(eager=True),
+        sq_lo,
+        sq_hi,
+    )
+
+
 def _graph_build_parts(emb: str = "embeddings") -> list[str]:
     """Shared (query-independent) oracle CTEs: unit normalization, the
     warm Lloyd (k=45, vec_id%k init), the 32x2x64 traversal PQ Lloyd,
@@ -2308,6 +2378,98 @@ def _graph_insert_sql() -> str:
     return "".join(parts)
 
 
+def _graph_delete_sql() -> str:
+    """Oracle for `ann_graph_delete_search`: full build CTEs, then the
+    delete/repair replay (drop deleted forward blocks, link-through
+    candidate re-selection on affected survivors, reverse rebuild,
+    anti-joined code tables), then the T_LOW search through the SHRUNK
+    uD/codesD/edgesD/ivaD structures."""
+    W, M, R = GRAPH_WARM_ITERS, GRAPH_M, GRAPH_R
+    cut = f"(SELECT MAX(vec_id) - {GRAPH_INSERT_BATCH - 1} FROM embeddings)"
+    parts = _graph_build_parts()
+    parts.append(f""",
+    dels AS MATERIALIZED (
+      SELECT vec_id FROM embeddings WHERE vec_id >= {cut}
+    ),
+    uD AS MATERIALIZED (
+      SELECT * FROM u
+      WHERE vec_id NOT IN (SELECT vec_id FROM dels)
+    ),
+    ivaD AS MATERIALIZED (
+      SELECT vec_id, cl FROM iva{W}
+      WHERE vec_id NOT IN (SELECT vec_id FROM dels)
+    ),
+    codesD AS MATERIALIZED (
+      SELECT vec_id, s, code FROM codes
+      WHERE vec_id NOT IN (SELECT vec_id FROM dels)
+    ),
+    dfwd AS MATERIALIZED (
+      SELECT src, pos, dst FROM edges
+      WHERE pos < {M} AND src NOT IN (SELECT vec_id FROM dels)
+    ),
+    daff AS MATERIALIZED (
+      SELECT DISTINCT src FROM dfwd
+      WHERE dst IN (SELECT vec_id FROM dels)
+    ),
+    dcand AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM (
+        SELECT f.src, f.dst FROM dfwd f
+        JOIN daff a ON a.src = f.src
+        WHERE f.dst NOT IN (SELECT vec_id FROM dels)
+        UNION ALL
+        SELECT f.src, g.dst FROM dfwd f
+        JOIN daff a ON a.src = f.src
+        JOIN edges g ON g.src = f.dst AND g.pos < {M}
+        WHERE f.dst IN (SELECT vec_id FROM dels)
+          AND g.dst NOT IN (SELECT vec_id FROM dels)
+          AND g.dst <> f.src
+      )
+    ),
+    drep AS MATERIALIZED (
+      SELECT src, CAST(rn - 1 AS BIGINT) AS pos, dst FROM (
+        SELECT p.src, p.dst,
+               ROW_NUMBER() OVER (PARTITION BY p.src ORDER BY p.d, p.dst)
+                 AS rn
+        FROM (
+          SELECT s.src, s.dst, ROUND(1.0 - SUM(ua.val * ub.val), 6) AS d
+          FROM dcand s
+          JOIN uD ua ON ua.vec_id = s.src
+          JOIN uD ub ON ub.vec_id = s.dst AND ub.i = ua.i
+          GROUP BY s.src, s.dst
+        ) p
+      ) WHERE rn <= {M}
+    ),
+    fwdD AS MATERIALIZED (
+      SELECT src, pos, dst FROM dfwd
+      WHERE src NOT IN (SELECT src FROM daff)
+      UNION ALL SELECT src, pos, dst FROM drep
+    ),
+    edgesD AS MATERIALIZED (
+      SELECT src, pos, dst FROM fwdD
+      UNION ALL
+      SELECT src, pos, dst FROM (
+        SELECT f.dst AS src,
+               {M} + ROW_NUMBER() OVER (
+                 PARTITION BY f.dst ORDER BY f.src) - 1 AS pos,
+               f.src AS dst
+        FROM fwdD f
+        WHERE NOT EXISTS (
+          SELECT 1 FROM fwdD g WHERE g.src = f.dst AND g.dst = f.src)
+      ) WHERE pos < {M + R}
+    )""")
+    parts += _graph_anchor_parts(
+        0, GRAPH_T_LOW, u="uD", codes="codesD", edges="edgesD", iva="ivaD")
+    parts.append(f"""
+    SELECT s.vec_id, ROUND(SUM(uv.val * q.val), 6) AS score
+    FROM short s
+    JOIN uD uv ON uv.vec_id = s.vec_id
+    JOIN uD q ON q.vec_id = 0 AND q.i = uv.i
+    GROUP BY s.vec_id
+    ORDER BY score DESC, s.vec_id
+    LIMIT {PQ_TOPK}""")
+    return "".join(parts)
+
+
 def _graph_rescore_sql(rounds: int) -> str:
     """Oracle: replay the ENTIRE graph-search pipeline in SQL — the
     shared build (_graph_build_parts), the anchor's rounds
@@ -2652,6 +2814,26 @@ def ann_graph_insert_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     index = _build_graph_index(spark, base)
     grown = knn_graph_insert(spark, index, incoming)
     return _graph_rescore_from(spark, sf_dir, grown, GRAPH_T_LOW)
+
+
+@register("ann_graph_delete_search", oracle=_graph_delete_sql())
+def ann_graph_delete_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index shrink (new r8, completing the build/insert/delete/persist
+    lifecycle): delete the 8 highest-id vectors from the session graph
+    index via `knn_graph_delete` — deleted forward blocks drop, affected
+    survivors repair through their removed neighbours' own surviving
+    targets (bounded-M re-selection), code tables anti-join, reverse
+    block rebuilds — then run the T_LOW search over the shrunk index.
+    The oracle replays the full delete path; a leaked deleted id in any
+    structure (an edge endpoint, a warm list, an ADC row, the rescore
+    frame) hash-mismatches because the search would surface or rank it."""
+    emb = load(spark, sf_dir, "embeddings")
+    max_id = emb.agg(F.max("vec_id")).head()[0]
+    cut = int(max_id) - (GRAPH_INSERT_BATCH - 1)
+    shrunk = knn_graph_delete(
+        spark, knn_graph_index(spark, sf_dir),
+        emb.filter(F.col("vec_id") >= cut).select("vec_id"))
+    return _graph_rescore_from(spark, sf_dir, shrunk, GRAPH_T_LOW)
 
 
 @register("ann_graph_rescore_compact", oracle=_graph_compact_sql())

@@ -63,6 +63,7 @@ _PRIORITY: list[str] = [
     # (a) new round-8 surfaces
     "ann_graph_rescore_compact",
     "ann_graph_insert_search",
+    "ann_graph_delete_search",
     "tx_wal_recover_abort",
     "dml_merge_key_stability",
     "ann_graph_rescore",

@@ -350,6 +350,53 @@ def test_graph_insert_vs_full_build(spark):
     assert len(got & ref) >= 8
 
 
+def test_graph_delete_repairs_index(spark):
+    """knn_graph_delete invariants (r8): after deleting the 8 highest-id
+    vectors, NO structure of the shrunk index contains a deleted id (edge
+    endpoint, warm list, PQ code row, SQ row, unit frame); every survivor
+    keeps a dense pos-ordered forward block; previously-affected nodes
+    were repaired (their blocks no longer reference deleted targets); and
+    the shrunk-index search overlaps brute-force cosine top-10 over the
+    SURVIVORS >= 8/10."""
+    from neumann_spark.catalog import load
+    from neumann_spark.functions.vector import knn
+    from neumann_spark.pipeline.ann import (
+        GRAPH_INSERT_BATCH,
+        GRAPH_M,
+        GRAPH_T_LOW,
+        _graph_rescore_from,
+        knn_graph_delete,
+        knn_graph_index,
+    )
+    from tests.conftest import SF_DIR
+
+    emb = load(spark, SF_DIR, "embeddings")
+    cut = int(emb.agg(F.max("vec_id")).head()[0]) - (GRAPH_INSERT_BATCH - 1)
+    dels = set(range(cut, cut + GRAPH_INSERT_BATCH))
+    shrunk = knn_graph_delete(
+        spark, knn_graph_index(spark, SF_DIR),
+        emb.filter(F.col("vec_id") >= cut).select("vec_id"))
+    ep = shrunk[0].toPandas()
+    assert not set(ep["src"].astype(int)) & dels
+    assert not set(ep["dst"].astype(int)) & dels
+    for frame, col in ((shrunk[1], "vec_id"), (shrunk[3], "vec_id"),
+                       (shrunk[5], "vec_id"), (shrunk[6], "vec_id")):
+        ids = {int(r[col]) for r in frame.select(col).distinct().collect()}
+        assert not ids & dels
+    fwd = ep[ep["pos"] < GRAPH_M].sort_values(["src", "pos"])
+    assert fwd["src"].nunique() == cut  # every survivor still covered
+    for src, grp in fwd.groupby("src"):
+        assert list(grp["pos"]) == list(range(len(grp)))
+    anchor = [float(x)
+              for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    exact = {int(r["vec_id"]) for r in knn(
+        emb.filter(F.col("vec_id") < cut), "embedding", anchor, 10,
+        "cosine", pre_filter=F.col("vec_id") != 0).collect()}
+    got = {int(r["vec_id"]) for r in _graph_rescore_from(
+        spark, SF_DIR, shrunk, GRAPH_T_LOW).collect()}
+    assert len(got & exact) >= 8
+
+
 def test_graph_batch_scales_to_32_anchors(spark):
     """r8: the batch machinery must serve a 32-query batch through the
     SAME single-join LUT/warm builds — 10 state-isolated rows per anchor,
