@@ -1577,7 +1577,8 @@ def _graph_rescore_search(spark: SparkSession, sf_dir: str, rounds: int,
 
 def _graph_rescore_from(spark: SparkSession, sf_dir: str, index: tuple,
                         rounds: int, shortlist: int = GRAPH_SHORTLIST,
-                        sq_rescore: bool = False) -> DataFrame:
+                        sq_rescore: bool = False,
+                        allowed: DataFrame | None = None) -> DataFrame:
     """Round-synchronous graph search core: warm-start with the
     GRAPH_WARM_PROBES nearest Lloyd lists, then `rounds` bulk rounds —
     frontier = ADC-top-B unexpanded (collected as a STATIC B-int IN-list,
@@ -1668,7 +1669,16 @@ def _graph_rescore_from(spark: SparkSession, sf_dir: str, index: tuple,
         )
         evald = evald.unionByName(adc(new_ids)).localCheckpoint(eager=True)
         expanded.update(frontier)
-    short_df = (evald.orderBy("d", "vec_id").limit(shortlist)
+    # optional metadata filter, applied at the SHORTLIST stage (the
+    # filtered-DiskANN strategy): traversal routes through every node so
+    # restrictive filters cannot stall the frontier; only candidates
+    # passing the filter reach the rescore. Pre-filtered traversal is the
+    # brute-force path's strategy (vector_filtered_knn) — the graph form
+    # deliberately post-filters because a 10%-selective filter leaves a
+    # 10%-subgraph whose kNN edges mostly exit the filtered set.
+    short_src = evald if allowed is None else evald.join(
+        F.broadcast(allowed.select("vec_id")), "vec_id")
+    short_df = (short_src.orderBy("d", "vec_id").limit(shortlist)
                 .select("vec_id"))
     from neumann_spark.functions.vector import dot_expr
 
@@ -2118,7 +2128,8 @@ def _graph_anchor_parts(anchor: int, rounds: int, tag: str = "",
                         shortlist: int = GRAPH_SHORTLIST,
                         u: str = "u", codes: str = "codes",
                         edges: str = "edges",
-                        iva: str = "") -> list[str]:
+                        iva: str = "",
+                        allowed: str = "") -> list[str]:
     """Per-query oracle CTEs (names suffixed `tag` so several anchors
     coexist in one batched statement): the anchor's ADC lookup table, its
     global ADC ranking (the oracle may compute every ADC value once up
@@ -2129,6 +2140,8 @@ def _graph_anchor_parts(anchor: int, rounds: int, tag: str = "",
     B, C = GRAPH_B, GRAPH_C
     S = GRAPH_PQ_S
     iva = iva or f"iva{GRAPH_WARM_ITERS}"
+    alw_join = (f"JOIN {allowed} al{tag} ON al{tag}.vec_id = e.vec_id"
+                if allowed else "")
     lut_union = "\n      UNION ALL ".join(f"""
       SELECT {s} AS s, c.code,
              ROUND(SUM((q.val - c.val) * (q.val - c.val)), 6) AS d
@@ -2191,6 +2204,7 @@ def _graph_anchor_parts(anchor: int, rounds: int, tag: str = "",
         SELECT e.vec_id,
                ROW_NUMBER() OVER (ORDER BY a.d, e.vec_id) AS rn
         FROM ev{rounds}{tag} e JOIN adc{tag} a ON a.vec_id = e.vec_id
+        {alw_join}
       ) WHERE rn <= {shortlist}
     )""")
     return parts
@@ -2372,6 +2386,29 @@ def _graph_insert_sql() -> str:
     FROM short s
     JOIN u2 uv ON uv.vec_id = s.vec_id
     JOIN u2 q ON q.vec_id = 0 AND q.i = uv.i
+    GROUP BY s.vec_id
+    ORDER BY score DESC, s.vec_id
+    LIMIT {PQ_TOPK}""")
+    return "".join(parts)
+
+
+def _graph_filtered_sql() -> str:
+    """Oracle for `ann_graph_filtered`: the standard build + T_LOW
+    rounds, with the shortlist restricted to vectors sharing the
+    anchor's label (the `alw` CTE joined into the short stage), then
+    the exact-cosine rescore."""
+    parts = _graph_build_parts()
+    parts.append(""",
+    alw AS MATERIALIZED (
+      SELECT vec_id FROM embeddings
+      WHERE label = (SELECT label FROM embeddings WHERE vec_id = 0)
+    )""")
+    parts += _graph_anchor_parts(0, GRAPH_T_LOW, allowed="alw")
+    parts.append(f"""
+    SELECT s.vec_id, ROUND(SUM(uv.val * q.val), 6) AS score
+    FROM short s
+    JOIN u uv ON uv.vec_id = s.vec_id
+    JOIN u q ON q.vec_id = 0 AND q.i = uv.i
     GROUP BY s.vec_id
     ORDER BY score DESC, s.vec_id
     LIMIT {PQ_TOPK}""")
@@ -2814,6 +2851,25 @@ def ann_graph_insert_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     index = _build_graph_index(spark, base)
     grown = knn_graph_insert(spark, index, incoming)
     return _graph_rescore_from(spark, sf_dir, grown, GRAPH_T_LOW)
+
+
+@register("ann_graph_filtered", oracle=_graph_filtered_sql())
+def ann_graph_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered graph ANN (new r8): top-10 among vectors
+    sharing the anchor's label, served by the graph index with the
+    filtered-DiskANN strategy — traversal routes through EVERY node
+    (a ~10%-selective filter leaves a subgraph whose kNN edges mostly
+    exit the filtered set, so pre-filtered traversal would stall), and
+    the label filter applies at the shortlist stage before the exact
+    rescore. Complements `vector_filtered_knn`'s pre/post brute-force
+    strategies (`vector_engine/src/lib.rs:1698,387` filtered search)
+    with the index-served form."""
+    emb = load(spark, sf_dir, "embeddings")
+    lab = emb.filter(F.col("vec_id") == 0).head()["label"]
+    allowed = emb.filter(F.col("label") == lab).select("vec_id")
+    return _graph_rescore_from(
+        spark, sf_dir, knn_graph_index(spark, sf_dir), GRAPH_T_LOW,
+        allowed=allowed)
 
 
 @register("ann_graph_delete_search", oracle=_graph_delete_sql())

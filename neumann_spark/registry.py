@@ -64,6 +64,7 @@ _PRIORITY: list[str] = [
     "ann_graph_rescore_compact",
     "ann_graph_insert_search",
     "ann_graph_delete_search",
+    "ann_graph_filtered",
     "tx_wal_recover_abort",
     "dml_merge_key_stability",
     "ann_graph_rescore",

@@ -89,6 +89,19 @@ COMMENTARY = {
     "doc_id-only scan: encode raw-track MP4s and demux them back through "
     "the stsd/stsz/stsc/stco walk, one row per frame — no shuffle, no "
     "driver collect.",
+    "ann_graph_rescore_compact": "Compact graph-ANN preset, final stage "
+    "plan: the ADC-top-150 shortlist broadcast-joins the 64 B SQ8 code "
+    "rows (never the 512 B float vectors); dequantization is a codegen'd "
+    "array expression over the frozen [lo, hi]/255 grid literals, then "
+    "TakeOrdered top-k — the rescore reads 1/8 the bytes of the exact "
+    "presets at equal shortlist coverage.",
+    "ann_graph_insert_search": "Search through an incrementally-grown "
+    "index: identical probe shape to ann_graph_rescore (broadcast "
+    "frontier IN-list edge probe + broadcast-LUT ADC join per round) — "
+    "the insert path contributes only bulk equi-joins upstream (seeded "
+    "candidates, one refinement hop, bounded re-selection on affected "
+    "nodes), so the search plan is indistinguishable from the "
+    "batch-built index's.",
 }
 
 
