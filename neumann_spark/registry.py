@@ -65,6 +65,7 @@ _PRIORITY: list[str] = [
     "ann_graph_insert_search",
     "ann_graph_delete_search",
     "ann_graph_filtered",
+    "hybrid_rrf_search",
     "tx_wal_recover_abort",
     "dml_merge_key_stability",
     "ann_graph_rescore",
@@ -142,7 +143,7 @@ def _import_all() -> None:
     from neumann_spark.streaming import windows as stream_windows  # noqa: F401
     from neumann_spark.operators import asof, dml, facade, joins, mutations, relational, windows  # noqa: F401
     from neumann_spark.pipeline import ann, dedup, multimodal  # noqa: F401
-    from neumann_spark.unified import entities  # noqa: F401
+    from neumann_spark.unified import entities, hybrid  # noqa: F401
     from neumann_spark.pipeline import fulltext  # noqa: F401
     from neumann_spark.graph import queries, traversal  # noqa: F401
     from neumann_spark.graph import algorithms  # noqa: F401

@@ -449,3 +449,35 @@ def test_graph_batch_lut_single_join(spark):
     # one lut row per (anchor, codebook cell)
     n_cells = sum(len(cb) for cb in codebooks)
     assert luts.count() == 32 * n_cells
+
+
+def test_hybrid_rrf_fusion_semantics(spark):
+    """Every fused hit carries the RRF score implied by its leg ranks,
+    two-leg hits use both terms, and the output is the global top-10 of
+    the fused scores (fusion formula per the public RRF definition)."""
+    from neumann_spark.unified.hybrid import (
+        FUSE_TOPN, RRF_K, hybrid_rrf_search, _bm25_scores)
+    from tests.conftest import SF_DIR
+
+    out = hybrid_rrf_search(spark, SF_DIR).collect()
+    assert len(out) == 10
+    for r in out:
+        expect = 0.0
+        assert r["rank_text"] is not None or r["rank_vec"] is not None
+        if r["rank_text"] is not None:
+            assert 1 <= r["rank_text"] <= FUSE_TOPN
+            expect += 1.0 / (RRF_K + r["rank_text"])
+        if r["rank_vec"] is not None:
+            assert 1 <= r["rank_vec"] <= FUSE_TOPN
+            expect += 1.0 / (RRF_K + r["rank_vec"])
+        assert abs(r["rrf"] - round(expect, 6)) < 1e-9
+    # descending fused score, doc_id tiebreak
+    scores = [(r["rrf"], r["doc_id"]) for r in out]
+    assert scores == sorted(scores, key=lambda t: (-t[0], t[1]))
+    # a doc ranked #1 by BOTH legs would score 2/(K+1); nothing may exceed it
+    assert all(r["rrf"] <= round(2.0 / (RRF_K + 1), 6) for r in out)
+    # the keyword leg alone must agree with the registered BM25 surface
+    bm = {r["doc_id"]: r["bm25"] for r in _bm25_scores(spark, SF_DIR).collect()}
+    from neumann_spark.pipeline.fulltext import fulltext_bm25
+    ref = {r["doc_id"]: r["bm25"] for r in fulltext_bm25(spark, SF_DIR).collect()}
+    assert bm == ref
