@@ -2244,6 +2244,177 @@ def _graph_compact_sql() -> str:
 GRAPH_INSERT_BATCH = 8  # highest-id vectors inserted incrementally
 
 
+# one knn_graph_insert micro-batch as oracle CTEs; format fields:
+#   rng   boundary predicate selecting this batch's new embeddings rows
+#   x     CTE-name suffix so sequential batches coexist in one statement
+#   u/iva/codes/edges   the CURRENT index state's CTE names
+#   W/M/MR/DIM/PROBES   frozen index constants
+_INSERT_REPLAY_TEMPLATE = """,
+    nrmN{x} AS MATERIALIZED (
+      SELECT e.vec_id,
+             SQRT(SUM(CAST(e.embedding[t.i] AS DOUBLE)
+                      * CAST(e.embedding[t.i] AS DOUBLE))) AS n
+      FROM embeddings e CROSS JOIN generate_series(1, {DIM}) AS t(i)
+      WHERE {rng}
+      GROUP BY e.vec_id
+    ),
+    uN{x} AS MATERIALIZED (
+      SELECT e.vec_id, t.i, CAST(e.embedding[t.i] AS DOUBLE) / n.n AS val
+      FROM embeddings e
+      JOIN nrmN{x} n ON n.vec_id = e.vec_id
+      CROSS JOIN generate_series(1, {DIM}) AS t(i)
+      WHERE {rng}
+    ),
+    u2{x} AS MATERIALIZED (
+      SELECT * FROM {u} UNION ALL SELECT * FROM uN{x}
+    ),
+    ncl{x} AS MATERIALIZED (
+      SELECT vec_id, cl, rn FROM (
+        SELECT n.vec_id, c.cl,
+               ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+                 ROUND(SUM((n.val - c.val) * (n.val - c.val)), 6), c.cl)
+                 AS rn
+        FROM uN{x} n JOIN ivc{W} c ON c.i = n.i
+        GROUP BY n.vec_id, c.cl
+      ) WHERE rn <= {PROBES}
+    ),
+    nwarm{x} AS MATERIALIZED (SELECT vec_id, cl FROM ncl{x} WHERE rn = 1),
+    ivag{x} AS MATERIALIZED (
+      SELECT vec_id, cl FROM {iva} UNION ALL SELECT vec_id, cl FROM nwarm{x}
+    ),
+    codesN{x} AS MATERIALIZED (
+      SELECT vec_id, s, code FROM (
+        SELECT n.vec_id, c.s, c.code,
+               ROW_NUMBER() OVER (PARTITION BY n.vec_id, c.s ORDER BY
+                 ROUND(SUM((n.val - c.val) * (n.val - c.val)), 6), c.code)
+                 AS rn
+        FROM uN{x} n JOIN pcall c ON c.i = n.i
+        GROUP BY n.vec_id, c.s, c.code
+      ) WHERE rn = 1
+    ),
+    codes2{x} AS MATERIALIZED (
+      SELECT vec_id, s, code FROM {codes}
+      UNION ALL SELECT vec_id, s, code FROM codesN{x}
+    ),
+    icand0{x} AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM (
+        SELECT n.vec_id AS src, a.vec_id AS dst
+        FROM ncl{x} n JOIN {iva} a ON a.cl = n.cl
+        UNION ALL
+        SELECT a.vec_id AS src, b.vec_id AS dst
+        FROM ncl{x} a JOIN ncl{x} b ON a.cl = b.cl AND a.vec_id <> b.vec_id
+      )
+    ),
+    inn0{x} AS MATERIALIZED (
+      SELECT src, CAST(rn - 1 AS BIGINT) AS pos, dst, d FROM (
+        SELECT p.src, p.dst, p.d,
+               ROW_NUMBER() OVER (PARTITION BY p.src ORDER BY p.d, p.dst)
+                 AS rn
+        FROM (
+          SELECT s.src, s.dst, ROUND(1.0 - SUM(ua.val * ub.val), 6) AS d
+          FROM icand0{x} s
+          JOIN u2{x} ua ON ua.vec_id = s.src
+          JOIN u2{x} ub ON ub.vec_id = s.dst AND ub.i = ua.i
+          GROUP BY s.src, s.dst
+        ) p
+      ) WHERE rn <= {M}
+    ),
+    icand1{x} AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM icand0{x}
+        UNION ALL
+        SELECT n.src, g.dst FROM inn0{x} n
+        JOIN {edges} g ON g.src = n.dst AND g.pos < {M}
+      ) WHERE src <> dst
+    ),
+    innF{x} AS MATERIALIZED (
+      SELECT src, CAST(rn - 1 AS BIGINT) AS pos, dst, d FROM (
+        SELECT p.src, p.dst, p.d,
+               ROW_NUMBER() OVER (PARTITION BY p.src ORDER BY p.d, p.dst)
+                 AS rn
+        FROM (
+          SELECT s.src, s.dst, ROUND(1.0 - SUM(ua.val * ub.val), 6) AS d
+          FROM icand1{x} s
+          JOIN u2{x} ua ON ua.vec_id = s.src
+          JOIN u2{x} ub ON ub.vec_id = s.dst AND ub.i = ua.i
+          GROUP BY s.src, s.dst
+        ) p
+      ) WHERE rn <= {M}
+    ),
+    iaff{x} AS MATERIALIZED (
+      SELECT DISTINCT dst AS src FROM innF{x}
+      WHERE dst NOT IN (SELECT vec_id FROM nwarm{x})
+    ),
+    acand{x} AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM (
+        SELECT g.src, g.dst FROM {edges} g
+        JOIN iaff{x} a ON a.src = g.src WHERE g.pos < {M}
+        UNION ALL
+        SELECT f.dst AS src, f.src AS dst FROM innF{x} f
+        JOIN iaff{x} a ON a.src = f.dst
+      )
+    ),
+    afwd{x} AS MATERIALIZED (
+      SELECT src, CAST(rn - 1 AS BIGINT) AS pos, dst, d FROM (
+        SELECT p.src, p.dst, p.d,
+               ROW_NUMBER() OVER (PARTITION BY p.src ORDER BY p.d, p.dst)
+                 AS rn
+        FROM (
+          SELECT s.src, s.dst, ROUND(1.0 - SUM(ua.val * ub.val), 6) AS d
+          FROM acand{x} s
+          JOIN u2{x} ua ON ua.vec_id = s.src
+          JOIN u2{x} ub ON ub.vec_id = s.dst AND ub.i = ua.i
+          GROUP BY s.src, s.dst
+        ) p
+      ) WHERE rn <= {M}
+    ),
+    fwd2{x} AS MATERIALIZED (
+      SELECT e.src, e.pos, e.dst FROM {edges} e
+      WHERE e.pos < {M} AND e.src NOT IN (SELECT src FROM iaff{x})
+      UNION ALL SELECT src, pos, dst FROM afwd{x}
+      UNION ALL SELECT src, pos, dst FROM innF{x}
+    ),
+    edges2{x} AS MATERIALIZED (
+      SELECT src, pos, dst FROM fwd2{x}
+      UNION ALL
+      SELECT src, pos, dst FROM (
+        SELECT f.dst AS src,
+               {M} + ROW_NUMBER() OVER (
+                 PARTITION BY f.dst ORDER BY f.src) - 1 AS pos,
+               f.src AS dst
+        FROM fwd2{x} f
+        WHERE NOT EXISTS (
+          SELECT 1 FROM fwd2{x} g WHERE g.src = f.dst AND g.dst = f.src)
+      ) WHERE pos < {MR}
+    )"""
+
+
+def _graph_pcall_part() -> str:
+    """Frozen traversal-PQ codebooks in long form, shared by every insert
+    replay batch (quantizers never retrain on insert)."""
+    pcall_union = "\n      UNION ALL ".join(
+        f"SELECT {s} AS s, code, i, val FROM p{s}c{PQ_ITERS}"
+        for s in range(GRAPH_PQ_S))
+    return f""",
+    pcall AS MATERIALIZED (
+      {pcall_union}
+    )"""
+
+
+def _graph_insert_replay_parts(rng: str, sfx: str, u: str, iva: str,
+                               codes: str, edges: str) -> str:
+    """One `knn_graph_insert` replay batch as oracle CTEs: new vectors are
+    the `embeddings` rows matching boundary predicate `rng`; the CURRENT
+    index state comes in as the (u, iva, codes, edges) CTE names and the
+    grown state leaves as u2{sfx} / ivag{sfx} / codes2{sfx} / edges2{sfx}
+    — so sequential micro-batches chain by feeding one batch's outputs to
+    the next batch's inputs (frozen quantizers ivc*/pcall by name)."""
+    W, M, R = GRAPH_WARM_ITERS, GRAPH_M, GRAPH_R
+    return _INSERT_REPLAY_TEMPLATE.format(
+        rng=rng, x=sfx, u=u, iva=iva, codes=codes, edges=edges,
+        W=W, M=M, MR=M + R, DIM=DIM, PROBES=GRAPH_SEED_PROBES)
+
+
 def _graph_insert_sql() -> str:
     """Oracle for `ann_graph_insert_search`: build the index over
     embeddings BELOW the cutoff (max id - 7) via the shared build CTEs,
@@ -2256,129 +2427,10 @@ def _graph_insert_sql() -> str:
     cut = f"(SELECT MAX(vec_id) - {GRAPH_INSERT_BATCH - 1} FROM embeddings)"
     sub = f"(SELECT * FROM embeddings WHERE vec_id < {cut})"
     parts = _graph_build_parts(emb=sub)
-    pcall_union = "\n      UNION ALL ".join(
-        f"SELECT {s} AS s, code, i, val FROM p{s}c{PQ_ITERS}"
-        for s in range(GRAPH_PQ_S))
-    score = """
-          SELECT s.src, s.dst, ROUND(1.0 - SUM(ua.val * ub.val), 6) AS d
-          FROM {cand} s
-          JOIN u2 ua ON ua.vec_id = s.src
-          JOIN u2 ub ON ub.vec_id = s.dst AND ub.i = ua.i
-          GROUP BY s.src, s.dst"""
-    topm = (
-        """
-      SELECT src, CAST(rn - 1 AS BIGINT) AS pos, dst, d FROM (
-        SELECT p.src, p.dst, p.d,
-               ROW_NUMBER() OVER (PARTITION BY p.src ORDER BY p.d, p.dst)
-                 AS rn
-        FROM (""" + score + """
-        ) p
-      ) WHERE rn <= """ + str(M))
-    parts.append(f""",
-    nrmN AS MATERIALIZED (
-      SELECT e.vec_id,
-             SQRT(SUM(CAST(e.embedding[t.i] AS DOUBLE)
-                      * CAST(e.embedding[t.i] AS DOUBLE))) AS n
-      FROM embeddings e CROSS JOIN generate_series(1, {DIM}) AS t(i)
-      WHERE e.vec_id >= {cut}
-      GROUP BY e.vec_id
-    ),
-    uN AS MATERIALIZED (
-      SELECT e.vec_id, t.i, CAST(e.embedding[t.i] AS DOUBLE) / n.n AS val
-      FROM embeddings e
-      JOIN nrmN n ON n.vec_id = e.vec_id
-      CROSS JOIN generate_series(1, {DIM}) AS t(i)
-      WHERE e.vec_id >= {cut}
-    ),
-    u2 AS MATERIALIZED (
-      SELECT * FROM u UNION ALL SELECT * FROM uN
-    ),
-    ncl AS MATERIALIZED (
-      SELECT vec_id, cl, rn FROM (
-        SELECT n.vec_id, c.cl,
-               ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
-                 ROUND(SUM((n.val - c.val) * (n.val - c.val)), 6), c.cl)
-                 AS rn
-        FROM uN n JOIN ivc{W} c ON c.i = n.i
-        GROUP BY n.vec_id, c.cl
-      ) WHERE rn <= {GRAPH_SEED_PROBES}
-    ),
-    nwarm AS MATERIALIZED (SELECT vec_id, cl FROM ncl WHERE rn = 1),
-    ivag AS MATERIALIZED (
-      SELECT vec_id, cl FROM iva{W} UNION ALL SELECT vec_id, cl FROM nwarm
-    ),
-    pcall AS MATERIALIZED (
-      {pcall_union}
-    ),
-    codesN AS MATERIALIZED (
-      SELECT vec_id, s, code FROM (
-        SELECT n.vec_id, c.s, c.code,
-               ROW_NUMBER() OVER (PARTITION BY n.vec_id, c.s ORDER BY
-                 ROUND(SUM((n.val - c.val) * (n.val - c.val)), 6), c.code)
-                 AS rn
-        FROM uN n JOIN pcall c ON c.i = n.i
-        GROUP BY n.vec_id, c.s, c.code
-      ) WHERE rn = 1
-    ),
-    codes2 AS MATERIALIZED (
-      SELECT vec_id, s, code FROM codes
-      UNION ALL SELECT vec_id, s, code FROM codesN
-    ),
-    icand0 AS MATERIALIZED (
-      SELECT DISTINCT src, dst FROM (
-        SELECT n.vec_id AS src, a.vec_id AS dst
-        FROM ncl n JOIN iva{W} a ON a.cl = n.cl
-        UNION ALL
-        SELECT a.vec_id AS src, b.vec_id AS dst
-        FROM ncl a JOIN ncl b ON a.cl = b.cl AND a.vec_id <> b.vec_id
-      )
-    ),
-    inn0 AS MATERIALIZED ({topm.format(cand="icand0")}
-    ),
-    icand1 AS MATERIALIZED (
-      SELECT DISTINCT src, dst FROM (
-        SELECT src, dst FROM icand0
-        UNION ALL
-        SELECT n.src, g.dst FROM inn0 n
-        JOIN edges g ON g.src = n.dst AND g.pos < {M}
-      ) WHERE src <> dst
-    ),
-    innF AS MATERIALIZED ({topm.format(cand="icand1")}
-    ),
-    iaff AS MATERIALIZED (
-      SELECT DISTINCT dst AS src FROM innF
-      WHERE dst NOT IN (SELECT vec_id FROM nwarm)
-    ),
-    acand AS MATERIALIZED (
-      SELECT DISTINCT src, dst FROM (
-        SELECT g.src, g.dst FROM edges g
-        JOIN iaff a ON a.src = g.src WHERE g.pos < {M}
-        UNION ALL
-        SELECT f.dst AS src, f.src AS dst FROM innF f
-        JOIN iaff a ON a.src = f.dst
-      )
-    ),
-    afwd AS MATERIALIZED ({topm.format(cand="acand")}
-    ),
-    fwd2 AS MATERIALIZED (
-      SELECT e.src, e.pos, e.dst FROM edges e
-      WHERE e.pos < {M} AND e.src NOT IN (SELECT src FROM iaff)
-      UNION ALL SELECT src, pos, dst FROM afwd
-      UNION ALL SELECT src, pos, dst FROM innF
-    ),
-    edges2 AS MATERIALIZED (
-      SELECT src, pos, dst FROM fwd2
-      UNION ALL
-      SELECT src, pos, dst FROM (
-        SELECT f.dst AS src,
-               {M} + ROW_NUMBER() OVER (
-                 PARTITION BY f.dst ORDER BY f.src) - 1 AS pos,
-               f.src AS dst
-        FROM fwd2 f
-        WHERE NOT EXISTS (
-          SELECT 1 FROM fwd2 g WHERE g.src = f.dst AND g.dst = f.src)
-      ) WHERE pos < {M + R}
-    )""")
+    parts.append(_graph_pcall_part())
+    parts.append(_graph_insert_replay_parts(
+        rng=f"e.vec_id >= {cut}", sfx="", u="u", iva=f"iva{W}",
+        codes="codes", edges="edges"))
     parts += _graph_anchor_parts(
         0, GRAPH_T_LOW, u="u2", codes="codes2", edges="edges2", iva="ivag")
     parts.append(f"""
@@ -2386,6 +2438,46 @@ def _graph_insert_sql() -> str:
     FROM short s
     JOIN u2 uv ON uv.vec_id = s.vec_id
     JOIN u2 q ON q.vec_id = 0 AND q.i = uv.i
+    GROUP BY s.vec_id
+    ORDER BY score DESC, s.vec_id
+    LIMIT {PQ_TOPK}""")
+    return "".join(parts)
+
+
+GRAPH_STREAM_BATCHES = 2  # micro-batches the streaming ingest splits into
+
+
+def _graph_stream_insert_sql() -> str:
+    """Oracle for `ann_graph_stream_insert`: build the index below
+    max-15, then chain TWO sequential insert replays — batch 1 over ids
+    [max-15, max-8], batch 2 over ids [max-7, max], with batch 2's
+    CURRENT-state inputs being batch 1's grown outputs (u2_b1 / ivag_b1 /
+    codes2_b1 / edges2_b1) — then the T_LOW search through the final
+    structures. Order-dependence is the point: batch 2's seeded
+    candidates see batch 1's nodes as existing index members, so a
+    stream that collapsed both batches into one (or replayed them out of
+    order) hash-mismatches."""
+    W = GRAPH_WARM_ITERS
+    n = GRAPH_INSERT_BATCH * GRAPH_STREAM_BATCHES
+    cut0 = f"(SELECT MAX(vec_id) - {n - 1} FROM embeddings)"
+    cut1 = f"(SELECT MAX(vec_id) - {GRAPH_INSERT_BATCH - 1} FROM embeddings)"
+    sub = f"(SELECT * FROM embeddings WHERE vec_id < {cut0})"
+    parts = _graph_build_parts(emb=sub)
+    parts.append(_graph_pcall_part())
+    parts.append(_graph_insert_replay_parts(
+        rng=f"e.vec_id >= {cut0} AND e.vec_id < {cut1}", sfx="_b1",
+        u="u", iva=f"iva{W}", codes="codes", edges="edges"))
+    parts.append(_graph_insert_replay_parts(
+        rng=f"e.vec_id >= {cut1}", sfx="_b2",
+        u="u2_b1", iva="ivag_b1", codes="codes2_b1", edges="edges2_b1"))
+    parts += _graph_anchor_parts(
+        0, GRAPH_T_LOW, u="u2_b2", codes="codes2_b2", edges="edges2_b2",
+        iva="ivag_b2")
+    parts.append(f"""
+    SELECT s.vec_id, ROUND(SUM(uv.val * q.val), 6) AS score
+    FROM short s
+    JOIN u2_b2 uv ON uv.vec_id = s.vec_id
+    JOIN u2_b2 q ON q.vec_id = 0 AND q.i = uv.i
     GROUP BY s.vec_id
     ORDER BY score DESC, s.vec_id
     LIMIT {PQ_TOPK}""")
@@ -2851,6 +2943,89 @@ def ann_graph_insert_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     index = _build_graph_index(spark, base)
     grown = knn_graph_insert(spark, index, incoming)
     return _graph_rescore_from(spark, sf_dir, grown, GRAPH_T_LOW)
+
+
+@register("ann_graph_stream_insert", oracle=_graph_stream_insert_sql())
+def ann_graph_stream_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming index maintenance (new r8): the 16 highest-id vectors
+    arrive through a REAL Structured Streaming file source
+    (maxFilesPerTrigger=1 → two mtime-ordered micro-batches, availableNow
+    drain) and each micro-batch grows the graph index via
+    `knn_graph_insert` inside foreachBatch — the live-ingest form of the
+    reference's vector-store insert path (`vector_engine/src/lib.rs:2378`
+    store/insert; HNSW insert `tensor_store/src/hnsw.rs:1554-2118`),
+    micro-batched the way Structured Streaming ingests any sink. The
+    oracle replays the build and BOTH inserts in arrival order, so batch
+    collapsing, reordering, or state leakage across batches
+    hash-mismatches. Every per-batch structure is eagerly
+    localCheckpointed inside the batch, so the returned search plan never
+    re-reads the (deleted) staging files."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    emb = load(spark, sf_dir, "embeddings")
+    max_id = int(emb.agg(F.max("vec_id")).head()[0])
+    n = GRAPH_INSERT_BATCH * GRAPH_STREAM_BATCHES
+    cut = max_id - n + 1
+    base = emb.filter(F.col("vec_id") < cut)
+    state = {"index": _build_graph_index(spark, base), "batches": 0}
+
+    tdir = tempfile.mkdtemp(prefix="neumann_graph_stream_")
+    cpdir = tempfile.mkdtemp(prefix="neumann_graph_stream_cp_")
+    try:
+        src_dir = os.path.join(tdir, "incoming")
+        os.makedirs(src_dir)
+        now = _time.time()
+        for b in range(GRAPH_STREAM_BATCHES):
+            lo = cut + b * GRAPH_INSERT_BATCH
+            stage = os.path.join(tdir, f"stage{b}")
+            (
+                emb.filter((F.col("vec_id") >= lo)
+                           & (F.col("vec_id") < lo + GRAPH_INSERT_BATCH))
+                .select("vec_id", "embedding")
+                .coalesce(1)
+                .write.mode("overwrite").parquet(stage)
+            )
+            part = next(f for f in sorted(os.listdir(stage))
+                        if f.endswith(".parquet"))
+            dst = os.path.join(src_dir, f"batch{b}.parquet")
+            shutil.move(os.path.join(stage, part), dst)
+            # the file source orders files by modification time; pin
+            # strictly increasing mtimes so micro-batch order == id order
+            os.utime(dst, (now - 60 + 30 * b, now - 60 + 30 * b))
+
+        def grow(batch_df, _batch_id):
+            if not batch_df.head(1):
+                return
+            state["index"] = knn_graph_insert(
+                spark, state["index"],
+                batch_df.select("vec_id", "embedding"))
+            state["batches"] += 1
+
+        q = (
+            spark.readStream.schema(emb.select("vec_id", "embedding").schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+            .writeStream.foreachBatch(grow)
+            .option("checkpointLocation", cpdir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+        if state["batches"] != GRAPH_STREAM_BATCHES:
+            raise RuntimeError(
+                f"expected {GRAPH_STREAM_BATCHES} micro-batches, "
+                f"got {state['batches']} — file source did not split")
+        return _graph_rescore_from(spark, sf_dir, state["index"],
+                                   GRAPH_T_LOW)
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)
+        shutil.rmtree(cpdir, ignore_errors=True)
 
 
 @register("ann_graph_filtered", oracle=_graph_filtered_sql())

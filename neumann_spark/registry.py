@@ -66,6 +66,7 @@ _PRIORITY: list[str] = [
     "ann_graph_delete_search",
     "ann_graph_filtered",
     "hybrid_rrf_search",
+    "ann_graph_stream_insert",
     "tx_wal_recover_abort",
     "dml_merge_key_stability",
     "ann_graph_rescore",

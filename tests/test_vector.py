@@ -481,3 +481,40 @@ def test_hybrid_rrf_fusion_semantics(spark):
     from neumann_spark.pipeline.fulltext import fulltext_bm25
     ref = {r["doc_id"]: r["bm25"] for r in fulltext_bm25(spark, SF_DIR).collect()}
     assert bm == ref
+
+
+def test_graph_stream_insert_matches_sequential_batches(spark):
+    """The streaming ingest (file source, maxFilesPerTrigger=1,
+    foreachBatch grow) must produce exactly the index that applying
+    `knn_graph_insert` twice in id order produces: same top-10 search
+    result, and the stream must genuinely have split into two
+    micro-batches (the query raises otherwise)."""
+    from neumann_spark.catalog import load
+    from neumann_spark.pipeline.ann import (
+        GRAPH_INSERT_BATCH,
+        GRAPH_STREAM_BATCHES,
+        GRAPH_T_LOW,
+        _build_graph_index,
+        _graph_rescore_from,
+        ann_graph_stream_insert,
+        knn_graph_insert,
+    )
+    from tests.conftest import SF_DIR
+
+    streamed = [(int(r["vec_id"]), r["score"])
+                for r in ann_graph_stream_insert(spark, SF_DIR).collect()]
+
+    emb = load(spark, SF_DIR, "embeddings")
+    cut = (int(emb.agg(F.max("vec_id")).head()[0])
+           - GRAPH_INSERT_BATCH * GRAPH_STREAM_BATCHES + 1)
+    idx = _build_graph_index(spark, emb.filter(F.col("vec_id") < cut))
+    for b in range(GRAPH_STREAM_BATCHES):
+        lo = cut + b * GRAPH_INSERT_BATCH
+        idx = knn_graph_insert(
+            spark, idx,
+            emb.filter((F.col("vec_id") >= lo)
+                       & (F.col("vec_id") < lo + GRAPH_INSERT_BATCH)))
+    sequential = [(int(r["vec_id"]), r["score"]) for r in
+                  _graph_rescore_from(spark, SF_DIR, idx,
+                                      GRAPH_T_LOW).collect()]
+    assert streamed == sequential
