@@ -13,9 +13,10 @@ incomparable scales (BM25 vs cosine).
 
 Scale shape: each side is already the scale-correct form — BM25 is the
 broadcast term-list inverted-index join with one doc_id shuffle, cosine
-kNN is a map-only score + TakeOrderedAndProject. The fusion itself joins
-two K-row (top-K) frames — driver-negligible, broadcast by size — so the
-hybrid adds NO new shuffle over the more expensive of its two legs.
+kNN is a map-only score + TakeOrderedAndProject. The fusion itself
+full-outer-joins two K-row (top-K) frames — Spark plans full outer as a
+sort-merge, whose exchange moves only ~2K rows — so the hybrid's cost is
+the more expensive of its two legs, not a new data-sized shuffle.
 """
 
 from __future__ import annotations
@@ -159,8 +160,8 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id tiebreak — the same grid the oracles hash, so rank integers
     are engine-independent. Ranks are assigned AFTER each leg's top-K
     (TakeOrderedAndProject), so the window runs over a K-row frame, never
-    a global single-partition sort; the fusion join is two K-row
-    broadcasts. Reference anchors: ranked fulltext
+    a global single-partition sort; the fusion full-outer join moves two
+    K-row frames. Reference anchors: ranked fulltext
     `graph_engine/src/fulltext.rs` (tokenize→index→rank), cosine kNN
     `vector_engine/src/lib.rs:1950`, cross-engine composition
     `tensor_unified/src/lib.rs:884`."""

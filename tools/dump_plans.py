@@ -102,6 +102,18 @@ COMMENTARY = {
     "candidates, one refinement hop, bounded re-selection on affected "
     "nodes), so the search plan is indistinguishable from the "
     "batch-built index's.",
+    "hybrid_rrf_search": "Each retrieval leg ends in its own "
+    "TakeOrderedAndProject top-50 (BM25: one doc_id shuffle off the "
+    "broadcast term-list inverted-index join; cosine: map-only score), "
+    "rank windows run over the 50-row collected legs, and the RRF "
+    "fusion is a full-outer merge of two top-K frames (Spark plans "
+    "full-outer as sort-merge; both inputs are <= 50 rows, so its "
+    "exchange moves ~100 rows — negligible next to either leg).",
+    "ann_graph_filtered": "Identical probe shape to ann_graph_rescore; "
+    "the label filter joins the shortlist stage as a broadcast "
+    "(filtered-DiskANN post-filter strategy), so traversal plans and "
+    "edge-file pruning are unchanged and the filter costs one broadcast "
+    "hash join over the evaluated-candidate set.",
 }
 
 
