@@ -2507,85 +2507,104 @@ def _graph_filtered_sql() -> str:
     return "".join(parts)
 
 
-def _graph_delete_sql() -> str:
-    """Oracle for `ann_graph_delete_search`: full build CTEs, then the
-    delete/repair replay (drop deleted forward blocks, link-through
-    candidate re-selection on affected survivors, reverse rebuild,
-    anti-joined code tables), then the T_LOW search through the SHRUNK
-    uD/codesD/edgesD/ivaD structures."""
-    W, M, R = GRAPH_WARM_ITERS, GRAPH_M, GRAPH_R
-    cut = f"(SELECT MAX(vec_id) - {GRAPH_INSERT_BATCH - 1} FROM embeddings)"
-    parts = _graph_build_parts()
-    parts.append(f""",
-    dels AS MATERIALIZED (
-      SELECT vec_id FROM embeddings WHERE vec_id >= {cut}
+# one knn_graph_delete batch as oracle CTEs; format fields mirror
+# _INSERT_REPLAY_TEMPLATE: dels_sel selects the tombstoned vec_ids,
+# x suffixes this batch's CTE names, u/iva/codes/edges name the CURRENT
+# index state; the shrunk state leaves as uD{x}/ivaD{x}/codesD{x}/edgesD{x}
+_DELETE_REPLAY_TEMPLATE = """,
+    dels{x} AS MATERIALIZED (
+      {dels_sel}
     ),
-    uD AS MATERIALIZED (
-      SELECT * FROM u
-      WHERE vec_id NOT IN (SELECT vec_id FROM dels)
+    uD{x} AS MATERIALIZED (
+      SELECT * FROM {u}
+      WHERE vec_id NOT IN (SELECT vec_id FROM dels{x})
     ),
-    ivaD AS MATERIALIZED (
-      SELECT vec_id, cl FROM iva{W}
-      WHERE vec_id NOT IN (SELECT vec_id FROM dels)
+    ivaD{x} AS MATERIALIZED (
+      SELECT vec_id, cl FROM {iva}
+      WHERE vec_id NOT IN (SELECT vec_id FROM dels{x})
     ),
-    codesD AS MATERIALIZED (
-      SELECT vec_id, s, code FROM codes
-      WHERE vec_id NOT IN (SELECT vec_id FROM dels)
+    codesD{x} AS MATERIALIZED (
+      SELECT vec_id, s, code FROM {codes}
+      WHERE vec_id NOT IN (SELECT vec_id FROM dels{x})
     ),
-    dfwd AS MATERIALIZED (
-      SELECT src, pos, dst FROM edges
-      WHERE pos < {M} AND src NOT IN (SELECT vec_id FROM dels)
+    dfwd{x} AS MATERIALIZED (
+      SELECT src, pos, dst FROM {edges}
+      WHERE pos < {M} AND src NOT IN (SELECT vec_id FROM dels{x})
     ),
-    daff AS MATERIALIZED (
-      SELECT DISTINCT src FROM dfwd
-      WHERE dst IN (SELECT vec_id FROM dels)
+    daff{x} AS MATERIALIZED (
+      SELECT DISTINCT src FROM dfwd{x}
+      WHERE dst IN (SELECT vec_id FROM dels{x})
     ),
-    dcand AS MATERIALIZED (
+    dcand{x} AS MATERIALIZED (
       SELECT DISTINCT src, dst FROM (
-        SELECT f.src, f.dst FROM dfwd f
-        JOIN daff a ON a.src = f.src
-        WHERE f.dst NOT IN (SELECT vec_id FROM dels)
+        SELECT f.src, f.dst FROM dfwd{x} f
+        JOIN daff{x} a ON a.src = f.src
+        WHERE f.dst NOT IN (SELECT vec_id FROM dels{x})
         UNION ALL
-        SELECT f.src, g.dst FROM dfwd f
-        JOIN daff a ON a.src = f.src
-        JOIN edges g ON g.src = f.dst AND g.pos < {M}
-        WHERE f.dst IN (SELECT vec_id FROM dels)
-          AND g.dst NOT IN (SELECT vec_id FROM dels)
+        SELECT f.src, g.dst FROM dfwd{x} f
+        JOIN daff{x} a ON a.src = f.src
+        JOIN {edges} g ON g.src = f.dst AND g.pos < {M}
+        WHERE f.dst IN (SELECT vec_id FROM dels{x})
+          AND g.dst NOT IN (SELECT vec_id FROM dels{x})
           AND g.dst <> f.src
       )
     ),
-    drep AS MATERIALIZED (
+    drep{x} AS MATERIALIZED (
       SELECT src, CAST(rn - 1 AS BIGINT) AS pos, dst FROM (
         SELECT p.src, p.dst,
                ROW_NUMBER() OVER (PARTITION BY p.src ORDER BY p.d, p.dst)
                  AS rn
         FROM (
           SELECT s.src, s.dst, ROUND(1.0 - SUM(ua.val * ub.val), 6) AS d
-          FROM dcand s
-          JOIN uD ua ON ua.vec_id = s.src
-          JOIN uD ub ON ub.vec_id = s.dst AND ub.i = ua.i
+          FROM dcand{x} s
+          JOIN uD{x} ua ON ua.vec_id = s.src
+          JOIN uD{x} ub ON ub.vec_id = s.dst AND ub.i = ua.i
           GROUP BY s.src, s.dst
         ) p
       ) WHERE rn <= {M}
     ),
-    fwdD AS MATERIALIZED (
-      SELECT src, pos, dst FROM dfwd
-      WHERE src NOT IN (SELECT src FROM daff)
-      UNION ALL SELECT src, pos, dst FROM drep
+    fwdD{x} AS MATERIALIZED (
+      SELECT src, pos, dst FROM dfwd{x}
+      WHERE src NOT IN (SELECT src FROM daff{x})
+      UNION ALL SELECT src, pos, dst FROM drep{x}
     ),
-    edgesD AS MATERIALIZED (
-      SELECT src, pos, dst FROM fwdD
+    edgesD{x} AS MATERIALIZED (
+      SELECT src, pos, dst FROM fwdD{x}
       UNION ALL
       SELECT src, pos, dst FROM (
         SELECT f.dst AS src,
                {M} + ROW_NUMBER() OVER (
                  PARTITION BY f.dst ORDER BY f.src) - 1 AS pos,
                f.src AS dst
-        FROM fwdD f
+        FROM fwdD{x} f
         WHERE NOT EXISTS (
-          SELECT 1 FROM fwdD g WHERE g.src = f.dst AND g.dst = f.src)
-      ) WHERE pos < {M + R}
-    )""")
+          SELECT 1 FROM fwdD{x} g WHERE g.src = f.dst AND g.dst = f.src)
+      ) WHERE pos < {MR}
+    )"""
+
+
+def _graph_delete_replay_parts(dels_sel: str, sfx: str, u: str, iva: str,
+                               codes: str, edges: str) -> str:
+    """One `knn_graph_delete` replay batch as oracle CTEs — the shrink
+    counterpart of `_graph_insert_replay_parts`, chainable the same way."""
+    M, R = GRAPH_M, GRAPH_R
+    return _DELETE_REPLAY_TEMPLATE.format(
+        dels_sel=dels_sel, x=sfx, u=u, iva=iva, codes=codes, edges=edges,
+        M=M, MR=M + R)
+
+
+def _graph_delete_sql() -> str:
+    """Oracle for `ann_graph_delete_search`: full build CTEs, then the
+    delete/repair replay (drop deleted forward blocks, link-through
+    candidate re-selection on affected survivors, reverse rebuild,
+    anti-joined code tables), then the T_LOW search through the SHRUNK
+    uD/codesD/edgesD/ivaD structures."""
+    W = GRAPH_WARM_ITERS
+    cut = f"(SELECT MAX(vec_id) - {GRAPH_INSERT_BATCH - 1} FROM embeddings)"
+    parts = _graph_build_parts()
+    parts.append(_graph_delete_replay_parts(
+        dels_sel=f"SELECT vec_id FROM embeddings WHERE vec_id >= {cut}",
+        sfx="", u="u", iva=f"iva{W}", codes="codes", edges="edges"))
     parts += _graph_anchor_parts(
         0, GRAPH_T_LOW, u="uD", codes="codesD", edges="edgesD", iva="ivaD")
     parts.append(f"""
@@ -2593,6 +2612,45 @@ def _graph_delete_sql() -> str:
     FROM short s
     JOIN uD uv ON uv.vec_id = s.vec_id
     JOIN uD q ON q.vec_id = 0 AND q.i = uv.i
+    GROUP BY s.vec_id
+    ORDER BY score DESC, s.vec_id
+    LIMIT {PQ_TOPK}""")
+    return "".join(parts)
+
+
+GRAPH_CDC_DELETE_PRED = "vec_id % 97 = 3"  # deterministic tombstone set
+
+
+def _graph_cdc_stream_sql() -> str:
+    """Oracle for `ann_graph_cdc_stream`: build below max-7, replay an
+    INSERT batch (the 8 highest ids) through `_graph_insert_replay_parts`,
+    then a DELETE batch (ids ≡ 3 mod 97) through
+    `_graph_delete_replay_parts` WITH the insert's grown state as input —
+    then the T_LOW search through the final (grown-then-shrunk)
+    structures. The chain order is load-bearing: deleting from the
+    pre-insert index (or swapping batch order) repairs different
+    neighbourhoods and hash-mismatches."""
+    W = GRAPH_WARM_ITERS
+    cut = f"(SELECT MAX(vec_id) - {GRAPH_INSERT_BATCH - 1} FROM embeddings)"
+    sub = f"(SELECT * FROM embeddings WHERE vec_id < {cut})"
+    parts = _graph_build_parts(emb=sub)
+    parts.append(_graph_pcall_part())
+    parts.append(_graph_insert_replay_parts(
+        rng=f"e.vec_id >= {cut}", sfx="_c1", u="u", iva=f"iva{W}",
+        codes="codes", edges="edges"))
+    parts.append(_graph_delete_replay_parts(
+        dels_sel=("SELECT vec_id FROM embeddings "
+                  f"WHERE {GRAPH_CDC_DELETE_PRED}"),
+        sfx="_c2", u="u2_c1", iva="ivag_c1", codes="codes2_c1",
+        edges="edges2_c1"))
+    parts += _graph_anchor_parts(
+        0, GRAPH_T_LOW, u="uD_c2", codes="codesD_c2", edges="edgesD_c2",
+        iva="ivaD_c2")
+    parts.append(f"""
+    SELECT s.vec_id, ROUND(SUM(uv.val * q.val), 6) AS score
+    FROM short s
+    JOIN uD_c2 uv ON uv.vec_id = s.vec_id
+    JOIN uD_c2 q ON q.vec_id = 0 AND q.i = uv.i
     GROUP BY s.vec_id
     ORDER BY score DESC, s.vec_id
     LIMIT {PQ_TOPK}""")
@@ -3021,6 +3079,90 @@ def ann_graph_stream_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise RuntimeError(
                 f"expected {GRAPH_STREAM_BATCHES} micro-batches, "
                 f"got {state['batches']} — file source did not split")
+        return _graph_rescore_from(spark, sf_dir, state["index"],
+                                   GRAPH_T_LOW)
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)
+        shutil.rmtree(cpdir, ignore_errors=True)
+
+
+@register("ann_graph_cdc_stream", oracle=_graph_cdc_stream_sql())
+def ann_graph_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC into the live index (new r8): a change stream of
+    typed events — micro-batch 1 INSERTs the 8 highest-id vectors,
+    micro-batch 2 DELETEs the ids ≡ 3 (mod 97) as tombstones — drains
+    through a Structured Streaming file source (maxFilesPerTrigger=1,
+    availableNow) and foreachBatch dispatches each batch to
+    `knn_graph_insert` / `knn_graph_delete` by its op column: the
+    upsert-and-tombstone index-maintenance loop every live vector store
+    runs (reference: store/insert `vector_engine/src/lib.rs:2378`,
+    delete + HNSW link-through repair `tensor_store/src/hnsw.rs`). The
+    oracle chains the insert replay THEN the delete replay over the
+    grown state, so wrong batch order, a collapsed batch, or repair
+    against the wrong index generation all hash-mismatch."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    emb = load(spark, sf_dir, "embeddings")
+    max_id = int(emb.agg(F.max("vec_id")).head()[0])
+    cut = max_id - GRAPH_INSERT_BATCH + 1
+    base = emb.filter(F.col("vec_id") < cut)
+    state = {"index": _build_graph_index(spark, base), "batches": 0}
+
+    etype = emb.schema["embedding"].dataType
+    events = [
+        emb.filter(F.col("vec_id") >= cut).select(
+            F.lit("I").alias("op"), "vec_id", "embedding"),
+        emb.filter(F.expr(GRAPH_CDC_DELETE_PRED)).select(
+            F.lit("D").alias("op"), "vec_id",
+            F.lit(None).cast(etype).alias("embedding")),
+    ]
+
+    tdir = tempfile.mkdtemp(prefix="neumann_graph_cdc_")
+    cpdir = tempfile.mkdtemp(prefix="neumann_graph_cdc_cp_")
+    try:
+        src_dir = os.path.join(tdir, "incoming")
+        os.makedirs(src_dir)
+        now = _time.time()
+        for b, batch in enumerate(events):
+            stage = os.path.join(tdir, f"stage{b}")
+            batch.coalesce(1).write.mode("overwrite").parquet(stage)
+            part = next(f for f in sorted(os.listdir(stage))
+                        if f.endswith(".parquet"))
+            dst = os.path.join(src_dir, f"batch{b}.parquet")
+            shutil.move(os.path.join(stage, part), dst)
+            os.utime(dst, (now - 60 + 30 * b, now - 60 + 30 * b))
+
+        def apply_cdc(batch_df, _batch_id):
+            ins = batch_df.filter(F.col("op") == "I")
+            if ins.head(1):
+                state["index"] = knn_graph_insert(
+                    spark, state["index"],
+                    ins.select("vec_id", "embedding"))
+            tomb = batch_df.filter(F.col("op") == "D")
+            if tomb.head(1):
+                state["index"] = knn_graph_delete(
+                    spark, state["index"], tomb.select("vec_id"))
+            state["batches"] += 1
+
+        q = (
+            spark.readStream.schema(events[0].schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+            .writeStream.foreachBatch(apply_cdc)
+            .option("checkpointLocation", cpdir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+        if state["batches"] != 2:
+            raise RuntimeError(
+                f"expected 2 CDC micro-batches, got {state['batches']}")
         return _graph_rescore_from(spark, sf_dir, state["index"],
                                    GRAPH_T_LOW)
     finally:

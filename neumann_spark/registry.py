@@ -67,6 +67,7 @@ _PRIORITY: list[str] = [
     "ann_graph_filtered",
     "hybrid_rrf_search",
     "ann_graph_stream_insert",
+    "ann_graph_cdc_stream",
     "tx_wal_recover_abort",
     "dml_merge_key_stability",
     "ann_graph_rescore",

@@ -518,3 +518,37 @@ def test_graph_stream_insert_matches_sequential_batches(spark):
                   _graph_rescore_from(spark, SF_DIR, idx,
                                       GRAPH_T_LOW).collect()]
     assert streamed == sequential
+
+
+def test_graph_cdc_stream_matches_sequential_ops(spark):
+    """The CDC stream (insert micro-batch, then tombstone micro-batch)
+    must land on exactly the index that imperative insert-then-delete
+    produces, and deleted ids must be gone from the search surface."""
+    from neumann_spark.catalog import load
+    from neumann_spark.pipeline.ann import (
+        GRAPH_CDC_DELETE_PRED,
+        GRAPH_INSERT_BATCH,
+        GRAPH_T_LOW,
+        _build_graph_index,
+        _graph_rescore_from,
+        ann_graph_cdc_stream,
+        knn_graph_delete,
+        knn_graph_insert,
+    )
+    from tests.conftest import SF_DIR
+
+    streamed = [(int(r["vec_id"]), r["score"])
+                for r in ann_graph_cdc_stream(spark, SF_DIR).collect()]
+
+    emb = load(spark, SF_DIR, "embeddings")
+    cut = int(emb.agg(F.max("vec_id")).head()[0]) - GRAPH_INSERT_BATCH + 1
+    idx = _build_graph_index(spark, emb.filter(F.col("vec_id") < cut))
+    idx = knn_graph_insert(spark, idx, emb.filter(F.col("vec_id") >= cut))
+    dels = emb.filter(F.expr(GRAPH_CDC_DELETE_PRED)).select("vec_id")
+    idx = knn_graph_delete(spark, idx, dels)
+    sequential = [(int(r["vec_id"]), r["score"]) for r in
+                  _graph_rescore_from(spark, SF_DIR, idx,
+                                      GRAPH_T_LOW).collect()]
+    assert streamed == sequential
+    gone = {int(r["vec_id"]) for r in dels.collect()}
+    assert not gone & {v for v, _ in streamed}
