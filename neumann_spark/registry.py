@@ -66,6 +66,7 @@ _PRIORITY: list[str] = [
     "ann_graph_delete_search",
     "ann_graph_filtered",
     "hybrid_rrf_search",
+    "hybrid_rrf_ann",
     "ann_graph_stream_insert",
     "ann_graph_cdc_stream",
     "tx_wal_recover_abort",

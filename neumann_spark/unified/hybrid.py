@@ -69,8 +69,8 @@ def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_HYBRID_SQL = f"""
-    WITH terms AS (SELECT UNNEST(['hash', 'merge', 'stream']) AS term),
+# keyword-leg CTEs (terms -> ranked top-K), shared by both hybrid oracles
+_BM25_RANK_CTES = f"""terms AS (SELECT UNNEST(['hash', 'merge', 'stream']) AS term),
     tok AS (
       SELECT doc_id, u.w AS term
       FROM documents, UNNEST(str_split(text, ' ')) AS u(w)
@@ -111,7 +111,23 @@ _HYBRID_SQL = f"""
                ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rn
         FROM bm25
       ) WHERE rn <= {FUSE_TOPN}
-    ),
+    )"""
+
+# RRF fusion of trank (doc_id, rank_text) x vrank (doc_id, rank_vec)
+_FUSION_SELECT = f"""
+    SELECT COALESCE(t.doc_id, v.doc_id) AS doc_id,
+           t.rank_text, v.rank_vec,
+           ROUND(COALESCE(1.0 / ({RRF_K} + t.rank_text), 0.0)
+                 + COALESCE(1.0 / ({RRF_K} + v.rank_vec), 0.0), 6) AS rrf
+    FROM trank t FULL OUTER JOIN vrank v ON v.doc_id = t.doc_id
+    ORDER BY COALESCE(1.0 / ({RRF_K} + t.rank_text), 0.0)
+             + COALESCE(1.0 / ({RRF_K} + v.rank_vec), 0.0) DESC,
+             COALESCE(t.doc_id, v.doc_id)
+    LIMIT {HYBRID_TOPK}
+"""
+
+_HYBRID_SQL = f"""
+    WITH {_BM25_RANK_CTES},
     q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
     scored AS (
       SELECT e.vec_id,
@@ -135,16 +151,41 @@ _HYBRID_SQL = f"""
         FROM scored
       ) WHERE rn <= {FUSE_TOPN}
     )
-    SELECT COALESCE(t.doc_id, v.doc_id) AS doc_id,
-           t.rank_text, v.rank_vec,
-           ROUND(COALESCE(1.0 / ({RRF_K} + t.rank_text), 0.0)
-                 + COALESCE(1.0 / ({RRF_K} + v.rank_vec), 0.0), 6) AS rrf
-    FROM trank t FULL OUTER JOIN vrank v ON v.doc_id = t.doc_id
-    ORDER BY COALESCE(1.0 / ({RRF_K} + t.rank_text), 0.0)
-             + COALESCE(1.0 / ({RRF_K} + v.rank_vec), 0.0) DESC,
-             COALESCE(t.doc_id, v.doc_id)
-    LIMIT {HYBRID_TOPK}
-"""
+    {_FUSION_SELECT}"""
+
+
+def _hybrid_ann_sql() -> str:
+    """Oracle for `hybrid_rrf_ann`: the graph-ANN build + T_LOW search
+    CTEs produce the vector leg's top-10 (`vtop`, the same rescore the
+    `ann_graph_rescore` oracle hashes), the shared BM25 CTEs produce the
+    keyword top-50, and the shared fusion SELECT fuses them."""
+    from neumann_spark.pipeline.ann import (
+        GRAPH_T_LOW,
+        PQ_TOPK,
+        _graph_anchor_parts,
+        _graph_build_parts,
+    )
+
+    parts = _graph_build_parts() + _graph_anchor_parts(0, GRAPH_T_LOW)
+    parts.append(f""",
+    vtop AS MATERIALIZED (
+      SELECT s.vec_id, ROUND(SUM(uv.val * q.val), 6) AS score
+      FROM short s
+      JOIN u uv ON uv.vec_id = s.vec_id
+      JOIN u q ON q.vec_id = 0 AND q.i = uv.i
+      GROUP BY s.vec_id
+      ORDER BY score DESC, s.vec_id
+      LIMIT {PQ_TOPK}
+    ),
+    vrank AS (
+      SELECT vec_id AS doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY score DESC, vec_id) AS BIGINT)
+               AS rank_vec
+      FROM vtop
+    ),
+    {_BM25_RANK_CTES}
+    {_FUSION_SELECT}""")
+    return "".join(parts)
 
 
 @register("hybrid_rrf_search", oracle=_HYBRID_SQL)
@@ -167,13 +208,7 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     `tensor_unified/src/lib.rs:884`."""
     from neumann_spark.functions.vector import cosine_expr
 
-    # keyword leg: top-K on the rounded grid, then rank the K-row frame
-    bm = _bm25_scores(spark, sf_dir)
-    t_top = bm.orderBy(F.col("bm25").desc(), "doc_id").limit(FUSE_TOPN)
-    wt = Window.orderBy(F.col("bm25").desc(), "doc_id")
-    trank = t_top.select(
-        "doc_id", F.row_number().over(wt).cast("bigint").alias("rank_text")
-    )
+    trank = _text_rank(spark, sf_dir)
 
     # vector leg: cosine vs anchor 0, rounded, top-K, rank the K-row frame
     emb = load(spark, sf_dir, "embeddings")
@@ -194,7 +229,23 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     vrank = v_top.select(
         "doc_id", F.row_number().over(wv).cast("bigint").alias("rank_vec")
     )
+    return _fuse(trank, vrank)
 
+
+def _text_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, rank_text): BM25 top-K ranked on the rounded grid — the
+    keyword leg shared by both hybrid surfaces."""
+    bm = _bm25_scores(spark, sf_dir)
+    t_top = bm.orderBy(F.col("bm25").desc(), "doc_id").limit(FUSE_TOPN)
+    wt = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    return t_top.select(
+        "doc_id", F.row_number().over(wt).cast("bigint").alias("rank_text")
+    )
+
+
+def _fuse(trank: DataFrame, vrank: DataFrame) -> DataFrame:
+    """RRF fusion of the two ranked legs — full-outer join of two K-row
+    frames, fused score descending, doc_id tiebreak, top-10."""
     fused = trank.join(vrank, "doc_id", "full_outer")
     rrf_raw = (
         F.coalesce(1.0 / (F.lit(RRF_K) + F.col("rank_text")), F.lit(0.0))
@@ -209,3 +260,32 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("_rrf", 6).alias("rrf"),
         )
     )
+
+
+@register("hybrid_rrf_ann", oracle=_hybrid_ann_sql())
+def hybrid_rrf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval SERVED BY THE ANN INDEX (new r8): the vector leg
+    is the kNN-graph index's round-synchronous search (the production
+    path — bounded-frontier probes + ADC + exact rescore), not a brute
+    corpus scan; fused with the BM25 keyword top-50 by the same RRF
+    contract as `hybrid_rrf_search`. This is the composition a serving
+    deployment actually runs — the exact-leg variant stays registered as
+    the recall ceiling. The oracle chains the full graph build + search
+    replay with the shared BM25 and fusion CTEs, so an index-side
+    regression surfaces here too. Reference anchors: cross-engine router
+    `tensor_unified/src/lib.rs:884`, HNSW serving path
+    `tensor_store/src/hnsw.rs:1434-1533`."""
+    from neumann_spark.pipeline.ann import (
+        GRAPH_T_LOW,
+        _graph_rescore_from,
+        knn_graph_index,
+    )
+
+    vtop = _graph_rescore_from(
+        spark, sf_dir, knn_graph_index(spark, sf_dir), GRAPH_T_LOW)
+    wv = Window.orderBy(F.col("score").desc(), "vec_id")
+    vrank = vtop.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number().over(wv).cast("bigint").alias("rank_vec"),
+    )
+    return _fuse(_text_rank(spark, sf_dir), vrank)

@@ -552,3 +552,29 @@ def test_graph_cdc_stream_matches_sequential_ops(spark):
     assert streamed == sequential
     gone = {int(r["vec_id"]) for r in dels.collect()}
     assert not gone & {v for v, _ in streamed}
+
+
+def test_hybrid_rrf_ann_uses_index_leg(spark):
+    """`hybrid_rrf_ann`'s vector ranks must be exactly the graph-index
+    search's result order (rank i = i-th hit of ann_graph_rescore's
+    pipeline), and its RRF scores must follow from the leg ranks."""
+    from neumann_spark.pipeline.ann import (
+        GRAPH_T_LOW, _graph_rescore_from, knn_graph_index)
+    from neumann_spark.unified.hybrid import RRF_K, hybrid_rrf_ann
+    from tests.conftest import SF_DIR
+
+    out = hybrid_rrf_ann(spark, SF_DIR).collect()
+    assert len(out) == 10
+    idx_hits = [int(r["vec_id"]) for r in _graph_rescore_from(
+        spark, SF_DIR, knn_graph_index(spark, SF_DIR),
+        GRAPH_T_LOW).collect()]
+    rank_of = {v: i + 1 for i, v in enumerate(idx_hits)}
+    for r in out:
+        if r["rank_vec"] is not None:
+            assert rank_of[r["doc_id"]] == r["rank_vec"]
+        expect = 0.0
+        if r["rank_text"] is not None:
+            expect += 1.0 / (RRF_K + r["rank_text"])
+        if r["rank_vec"] is not None:
+            expect += 1.0 / (RRF_K + r["rank_vec"])
+        assert abs(r["rrf"] - round(expect, 6)) < 1e-9
