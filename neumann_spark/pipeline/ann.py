@@ -1292,7 +1292,13 @@ GRAPH_NND_ROUNDS = 2   # NN-descent refinement rounds over the seeded graph
 # compact preset: SQ8 rescore (64 B rows, not 512 B floats) affords a wider
 # shortlist at ~1/8 the rescore read cost — measured 0.908 recall@10 at
 # 0.057 vector-equivalents (tools/ann_recall.py), the first >=0.9 point
-# inside the reference HNSW's read band (<=0.06)
+# inside the reference HNSW's read band (<=0.06). The (rounds x shortlist)
+# grid in ANN_RECALL.json's graph_rescore_sweep shows this is the knee:
+# recall is IDENTICAL across shortlist 150/250/350 at every round count
+# (the limiter is traversal coverage, not rescore width), rounds is the
+# only effective lever, and T=9 lands 0.897 @ 0.053 — so reaching
+# >=0.9 @ <=0.05 on this fixture needs a structurally better entry
+# (hierarchical layers), not parameter tuning.
 GRAPH_COMPACT_SHORTLIST = 150
 
 

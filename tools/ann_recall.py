@@ -273,6 +273,14 @@ def main() -> None:
         (p, s): [] for p in SWEEP_NPROBE for s in SWEEP_SHORTLIST}
     sweep_scan: dict[tuple, list[float]] = {
         (p, s): [] for p in SWEEP_NPROBE for s in SWEEP_SHORTLIST}
+    # graph-search tuning grid (SQ8-rescore form): rounds x shortlist —
+    # the read-volume levers the compact preset exposes without new
+    # structures. Tracked per-cell: recall, codes ADC'd, edge rows read.
+    G_SWEEP_T = (6, 7, 8, 9, 10)
+    G_SWEEP_SHORT = (150, 250, 350)
+    g_sweep: dict[tuple, dict[str, list[float]]] = {
+        (t, s): {"hit": [], "code": [], "edge": []}
+        for t in G_SWEEP_T for s in G_SWEEP_SHORT}
 
     for qi in rng_idx:
         q = vecs[qi]
@@ -416,6 +424,16 @@ def main() -> None:
             code_scanned[mname].append(n_eval / n)
             edge_rows_read[mname].append(n_edge / n)
 
+        # graph (rounds x shortlist) tuning grid, SQ8-rescore form
+        for g_t in G_SWEEP_T:
+            for g_s in G_SWEEP_SHORT:
+                gtop, n_eval, n_edge = graph_search(
+                    qi, g_t, short=g_s, rescore_mat=sq_deq)
+                cell = g_sweep[(g_t, g_s)]
+                cell["hit"].append(len(gtop & gt_cos) / TOPK)
+                cell["code"].append(n_eval / n)
+                cell["edge"].append(n_edge / n)
+
         # full (nprobe, shortlist) tradeoff sweep for the two-stage search
         # — the recall-vs-scan curve a deployment tunes against
         for s_nprobe in SWEEP_NPROBE:
@@ -482,6 +500,22 @@ def main() -> None:
         },
         # the tuning curve for the two-stage search: recall@10 by
         # (nprobe, shortlist); scan fraction = shortlist / n_vectors
+        # the graph-search tuning curve (SQ8 rescore): recall and
+        # byte-normalized read per (rounds, shortlist) cell — the grid
+        # the compact preset was chosen from
+        "graph_rescore_sweep": [
+            {
+                "rounds": t,
+                "shortlist": s,
+                "recall_at_10": round(float(np.mean(c["hit"])), 3),
+                "vec_equiv_read_fraction": round(
+                    float(np.mean([min(s / n, cf) for cf in c["code"]]))
+                    * 64.0 / 512.0
+                    + float(np.mean(c["code"])) * 32.0 / 512.0
+                    + float(np.mean(c["edge"])) * 16.0 / 512.0, 3),
+            }
+            for (t, s), c in sorted(g_sweep.items())
+        ],
         "ivfpq_rescore_sweep": [
             {
                 "nprobe": p,
