@@ -109,6 +109,11 @@ COMMENTARY = {
     "fusion is a full-outer merge of two top-K frames (Spark plans "
     "full-outer as sort-merge; both inputs are <= 50 rows, so its "
     "exchange moves ~100 rows — negligible next to either leg).",
+    "hybrid_rrf_ann": "The serving-path hybrid: the vector leg is the "
+    "graph index's round-synchronous search (broadcast frontier IN-list "
+    "edge probes + broadcast-LUT ADC joins, exact rescore of a 100-row "
+    "shortlist), so the fusion's vector input is 10 rows; the BM25 leg "
+    "and sort-merge fusion are identical to hybrid_rrf_search.",
     "ann_graph_filtered": "Identical probe shape to ann_graph_rescore; "
     "the label filter joins the shortlist stage as a broadcast "
     "(filtered-DiskANN post-filter strategy), so traversal plans and "
