@@ -1295,10 +1295,13 @@ GRAPH_NND_ROUNDS = 2   # NN-descent refinement rounds over the seeded graph
 # inside the reference HNSW's read band (<=0.06). The (rounds x shortlist)
 # grid in ANN_RECALL.json's graph_rescore_sweep shows this is the knee:
 # recall is IDENTICAL across shortlist 150/250/350 at every round count
-# (the limiter is traversal coverage, not rescore width), rounds is the
-# only effective lever, and T=9 lands 0.897 @ 0.053 — so reaching
-# >=0.9 @ <=0.05 on this fixture needs a structurally better entry
-# (hierarchical layers), not parameter tuning.
+# (the limiter is traversal coverage, not rescore width) and rounds is
+# the only effective lever (T=9 lands 0.897 @ 0.053). A hierarchical
+# entry (uniform 1/16 coarse sample, the HNSW upper-layer analog) was
+# measured and is strictly dominated by the warm-cluster start at every
+# round count (graph_entry_experiment) — the warm Lloyd layer already
+# IS the better upper layer, so no entry policy reaches >=0.9 @ <=0.05
+# on this isotropic fixture.
 GRAPH_COMPACT_SHORTLIST = 150
 
 

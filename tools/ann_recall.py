@@ -196,10 +196,14 @@ def main() -> None:
 
     def graph_search(qi: int, rounds: int,
                      short: int = GRAPH_SHORTLIST,
-                     rescore_mat: np.ndarray | None = None):
+                     rescore_mat: np.ndarray | None = None,
+                     entry: str = "warm"):
         """Replay _graph_rescore_search: returns (top-10 ids, codes
         evaluated, edge rows read). rescore_mat overrides the matrix the
-        shortlist is scored against (unit = exact, sq_deq = compact)."""
+        shortlist is scored against (unit = exact, sq_deq = compact).
+        entry='coarse' replaces the warm-cluster start with a
+        hierarchical-entry experiment: ADC a uniform 1/16 coarse sample
+        (the HNSW upper-layer analog) and descend from it."""
         q = unit[qi]
         luts = []
         for s in range(GRAPH_PQ_S):
@@ -215,9 +219,13 @@ def main() -> None:
                 d += luts[s][g_codes[ids, s]]
             return np.round(d, 6)
 
-        cd = np.round(((g_cent - q) ** 2).sum(axis=1), 6)
-        probes = g_cent_ids[np.lexsort((g_cent_ids, cd))[:GRAPH_WARM_PROBES]]
-        starts = np.where(np.isin(g_clusters, probes))[0]
+        if entry == "coarse":
+            starts = np.where(vec_ids % 16 == 0)[0]
+        else:
+            cd = np.round(((g_cent - q) ** 2).sum(axis=1), 6)
+            probes = g_cent_ids[
+                np.lexsort((g_cent_ids, cd))[:GRAPH_WARM_PROBES]]
+            starts = np.where(np.isin(g_clusters, probes))[0]
         starts = starts[starts != qi]
         evald = dict(zip(starts.tolist(), adc(starts).tolist()))
         expanded: set[int] = set()
@@ -281,6 +289,10 @@ def main() -> None:
     g_sweep: dict[tuple, dict[str, list[float]]] = {
         (t, s): {"hit": [], "code": [], "edge": []}
         for t in G_SWEEP_T for s in G_SWEEP_SHORT}
+    # hierarchical-entry experiment (HNSW upper-layer analog): start from
+    # an ADC'd uniform 1/16 coarse sample instead of the warm clusters
+    g_hier: dict[int, dict[str, list[float]]] = {
+        t: {"hit": [], "code": [], "edge": []} for t in G_SWEEP_T}
 
     for qi in rng_idx:
         q = vecs[qi]
@@ -434,6 +446,15 @@ def main() -> None:
                 cell["code"].append(n_eval / n)
                 cell["edge"].append(n_edge / n)
 
+        # hierarchical-entry experiment: coarse uniform sample as start
+        for g_t in G_SWEEP_T:
+            gtop, n_eval, n_edge = graph_search(
+                qi, g_t, short=150, rescore_mat=sq_deq, entry="coarse")
+            cell = g_hier[g_t]
+            cell["hit"].append(len(gtop & gt_cos) / TOPK)
+            cell["code"].append(n_eval / n)
+            cell["edge"].append(n_edge / n)
+
         # full (nprobe, shortlist) tradeoff sweep for the two-stage search
         # — the recall-vs-scan curve a deployment tunes against
         for s_nprobe in SWEEP_NPROBE:
@@ -515,6 +536,22 @@ def main() -> None:
                     + float(np.mean(c["edge"])) * 16.0 / 512.0, 3),
             }
             for (t, s), c in sorted(g_sweep.items())
+        ],
+        # hierarchical-entry experiment at shortlist 150: does a coarse
+        # uniform-sample start (the HNSW upper-layer analog) beat the
+        # warm-cluster start at equal coverage?
+        "graph_entry_experiment": [
+            {
+                "entry": "coarse_1_16",
+                "rounds": t,
+                "recall_at_10": round(float(np.mean(c["hit"])), 3),
+                "vec_equiv_read_fraction": round(
+                    float(np.mean([min(150 / n, cf) for cf in c["code"]]))
+                    * 64.0 / 512.0
+                    + float(np.mean(c["code"])) * 32.0 / 512.0
+                    + float(np.mean(c["edge"])) * 16.0 / 512.0, 3),
+            }
+            for t, c in sorted(g_hier.items())
         ],
         "ivfpq_rescore_sweep": [
             {
