@@ -56,9 +56,15 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 # the rest rotate in next round). Unlisted queries keep registration
 # order after these.
 #
-# ROTATION NOTE (next round): front-load any r8 reds, then the remaining
-# 35 r5-evidence queries (dml_update/delete, facade_*, geo_*, stream_*,
-# text_*, vector_* families — see CORRECTNESS history), then the r6 tier.
+# ROTATION NOTE (next round, r9): front-load any r8 reds, then the
+# remaining ~35 r5-evidence queries not already rotated this round (the
+# rest of the facade_*/geo_*/stream_*/text_*/vector_*/pipeline_*
+# families — see CORRECTNESS history), then the r6 tier (distributed
+# graph twins, Cypher, snapshots/DDL). The r8 surfaces
+# (ann_graph_{filtered,stream_insert,cdc_stream}, hybrid_rrf_{search,ann},
+# tx_wal_recover_abort, dml_merge_key_stability, the graph
+# insert/delete/compact family) will then hold r8-green evidence and can
+# drop to the back of the queue.
 _PRIORITY: list[str] = [
     # (a) new round-8 surfaces
     "ann_graph_rescore_compact",

@@ -244,3 +244,30 @@ def test_merge_touched_partition_read_prunes(spark, tmp_path):
     assert " IN (" in scan
     n_in = scan.split(" IN (")[1].split(")")[0].count(",") + 1
     assert n_in == len(touched)
+
+
+def test_hybrid_legs_take_ordered_fusion_tiny(spark):
+    """Both hybrid retrieval legs must end in TakeOrderedAndProject
+    (per-partition top-K + driver merge — never a global sort of the
+    corpus), the rank windows must run over the top-K frames (below the
+    TakeOrdered, not over the corpus), and the final fused top-10 is
+    itself a TakeOrdered."""
+    from neumann_spark.unified.hybrid import hybrid_rrf_search
+
+    plan = _plan(hybrid_rrf_search(spark, SF_DIR))
+    # two leg top-Ks + the fused top-10
+    assert plan.count("TakeOrderedAndProject") >= 3
+    # fusion is a full-outer of two K-row frames; the corpus-sized scans
+    # sit below the TakeOrdereds, so no Exchange moves corpus-scale rows
+    # after them — Window appears above TakeOrdered in both legs
+    assert "Window" in plan
+
+
+def test_graph_filtered_broadcasts_allow_list(spark):
+    """`ann_graph_filtered`'s label filter must join the shortlist stage
+    as a BROADCAST (the filtered-DiskANN post-filter) — the traversal
+    plan itself is unchanged, so the probe joins stay broadcast too."""
+    from neumann_spark.pipeline.ann import ann_graph_filtered
+
+    plan = _plan(ann_graph_filtered(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
