@@ -1684,9 +1684,12 @@ def _graph_rescore_from(spark: SparkSession, sf_dir: str, index: tuple,
     # passing the filter reach the rescore. Pre-filtered traversal is the
     # brute-force path's strategy (vector_filtered_knn) — the graph form
     # deliberately post-filters because a 10%-selective filter leaves a
-    # 10%-subgraph whose kNN edges mostly exit the filtered set.
-    short_src = evald if allowed is None else evald.join(
-        F.broadcast(allowed.select("vec_id")), "vec_id")
+    # 10%-subgraph whose kNN edges mostly exit the filtered set. The
+    # BROADCAST side is evald (bounded by warm + B*C*rounds rows by
+    # construction); the allow list is a corpus fraction and may not fit
+    # a broadcast at scale.
+    short_src = evald if allowed is None else (
+        allowed.select("vec_id").join(F.broadcast(evald), "vec_id"))
     short_df = (short_src.orderBy("d", "vec_id").limit(shortlist)
                 .select("vec_id"))
     from neumann_spark.functions.vector import dot_expr
@@ -1789,7 +1792,12 @@ def knn_graph_insert(spark: SparkSession, index: tuple,
     Returns a new 9-tuple in the exact `_graph_rescore_from` shapes."""
     (edges, warm_codes, warm_centroids, codes_long, codebooks, u,
      sq_codes, sq_lo, sq_hi) = index
-    un = unit_embeddings(new_emb).localCheckpoint(eager=True)
+    # idempotence guard: an id already in the index (a CDC re-delivery,
+    # or a foreachBatch retry under at-least-once semantics) must be a
+    # no-op, not a second forward block + duplicate code rows that would
+    # double its ADC distance — anti-join makes redelivery safe
+    fresh = new_emb.join(u.select("vec_id"), "vec_id", "left_anti")
+    un = unit_embeddings(fresh).localCheckpoint(eager=True)
     u_all = u.unionByName(un).localCheckpoint(eager=True)
 
     ncl = _nearest_clusters(spark, un, warm_centroids, GRAPH_SEED_PROBES)

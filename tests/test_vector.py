@@ -578,3 +578,35 @@ def test_hybrid_rrf_ann_uses_index_leg(spark):
         if r["rank_vec"] is not None:
             expect += 1.0 / (RRF_K + r["rank_vec"])
         assert abs(r["rrf"] - round(expect, 6)) < 1e-9
+
+
+def test_graph_insert_redelivery_is_noop(spark):
+    """Re-inserting ids already in the index (CDC re-delivery /
+    foreachBatch retry under at-least-once) must leave every index
+    table unchanged — no duplicate forward blocks or code rows."""
+    from neumann_spark.catalog import load
+    from neumann_spark.pipeline.ann import (
+        GRAPH_INSERT_BATCH, _build_graph_index, knn_graph_insert)
+    from tests.conftest import SF_DIR
+
+    emb = load(spark, SF_DIR, "embeddings")
+    cut = int(emb.agg(F.max("vec_id")).head()[0]) - (GRAPH_INSERT_BATCH - 1)
+    idx = _build_graph_index(spark, emb.filter(F.col("vec_id") < cut))
+    grown = knn_graph_insert(spark, idx, emb.filter(F.col("vec_id") >= cut))
+    again = knn_graph_insert(spark, grown,
+                             emb.filter(F.col("vec_id") >= cut))
+    keys = {0: ["src", "pos"], 1: ["vec_id"], 3: ["vec_id", "s"],
+            6: ["vec_id"]}
+    for i, name in ((0, "edges"), (1, "warm"), (3, "codes"), (6, "sq")):
+        a = grown[i].toPandas()
+        b = again[i].toPandas()
+        for df in (a, b):  # array cells -> hashable for comparison
+            for c in df.columns:
+                if df[c].map(lambda v: isinstance(v, (list,)) or
+                             type(v).__name__ == "ndarray").any():
+                    df[c] = df[c].map(tuple)
+        a = a.sort_values(keys[i] + [c for c in a.columns
+                                     if c not in keys[i]]).reset_index(drop=True)
+        b = b.sort_values(keys[i] + [c for c in b.columns
+                                     if c not in keys[i]]).reset_index(drop=True)
+        assert a.equals(b), f"{name} changed on redelivery"
