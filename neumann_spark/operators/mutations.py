@@ -12,6 +12,8 @@ the hash.
 
 from __future__ import annotations
 
+import contextlib
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -528,10 +530,15 @@ def snapshot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         # temp views are session-global: leaving snapq_t registered over
-        # the deleted dir would break any later reader of that name
+        # the deleted dir would break any later reader of that name;
+        # each cleanup step is individually suppressed: if the step under
+        # test raised (e.g. LOAD ... RECOVER failed), a secondary failure
+        # here must not mask the primary exception or skip the rmtree
         if other is not None:
-            other.execute("DROP TABLE snapq_t")
-        eng.execute("DROP TABLE snapq_t")
+            with contextlib.suppress(Exception):
+                other.execute("DROP TABLE snapq_t")
+        with contextlib.suppress(Exception):
+            eng.execute("DROP TABLE snapq_t")
         shutil.rmtree(d, ignore_errors=True)
 
 
@@ -572,9 +579,14 @@ def snapshot_wal_recover(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = other.execute("SELECT id, tag FROM walq_t ORDER BY id")
         return out.localCheckpoint(eager=True)
     finally:
+        # each cleanup step is individually suppressed: if the step under
+        # test raised (e.g. LOAD ... RECOVER failed), a secondary failure
+        # here must not mask the primary exception or skip the rmtree
         if other is not None:
-            other.execute("DROP TABLE walq_t")
-        eng.execute("DROP TABLE walq_t")
+            with contextlib.suppress(Exception):
+                other.execute("DROP TABLE walq_t")
+        with contextlib.suppress(Exception):
+            eng.execute("DROP TABLE walq_t")
         shutil.rmtree(d, ignore_errors=True)
 
 
@@ -629,9 +641,14 @@ def tx_wal_recover_abort(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = other.execute("SELECT id, tag FROM txwq_t ORDER BY id")
         return out.localCheckpoint(eager=True)
     finally:
+        # each cleanup step is individually suppressed: if the step under
+        # test raised (e.g. LOAD ... RECOVER failed), a secondary failure
+        # here must not mask the primary exception or skip the rmtree
         if other is not None:
-            other.execute("DROP TABLE txwq_t")
-        eng.execute("DROP TABLE txwq_t")
+            with contextlib.suppress(Exception):
+                other.execute("DROP TABLE txwq_t")
+        with contextlib.suppress(Exception):
+            eng.execute("DROP TABLE txwq_t")
         shutil.rmtree(d, ignore_errors=True)
 
 

@@ -1317,6 +1317,24 @@ def unit_embeddings(emb: DataFrame) -> DataFrame:
         "vec_id", F.transform(v, lambda x: x / nrm).alias("embedding"))
 
 
+def _sq_cell_expr(val: Column, lo: float, hi: float) -> Column:
+    """Clamp/floor SQ8 cell for one dimension over the frozen [lo, hi]
+    grid — the ONE place the graph index's refinement-quantizer math
+    lives, shared by the batch build and the incremental insert path.
+    Callers pass the round-6 value expression themselves (rounding
+    before floor is load-bearing for Spark/DuckDB cell parity); the grid
+    math here must stay byte-identical across call sites or insert-time
+    codes desync from build-time codes."""
+    step = (hi - lo) / SQ_LEVELS
+    return F.least(
+        F.lit(SQ_LEVELS),
+        F.greatest(
+            F.lit(0),
+            F.floor((val - F.lit(lo)) / F.lit(step)).cast("bigint"),
+        ),
+    ).cast("int")
+
+
 _KNN_GRAPH_CACHE: dict[tuple[int, str], tuple] = {}
 
 
@@ -1550,21 +1568,10 @@ def _build_graph_index(spark: SparkSession, emb: DataFrame) -> tuple:
     sq_lo = [float(srow[f"lo{i}"]) for i in range(1, DIM + 1)]
     sq_hi = [float(srow[f"hi{i}"]) for i in range(1, DIM + 1)]
 
-    def _sq_code(i: int) -> Column:
-        lo, hi = sq_lo[i - 1], sq_hi[i - 1]
-        step = (hi - lo) / SQ_LEVELS
-        return F.least(
-            F.lit(SQ_LEVELS),
-            F.greatest(
-                F.lit(0),
-                F.floor(
-                    (F.element_at("e6", i) - F.lit(lo)) / F.lit(step)
-                ).cast("bigint"),
-            ),
-        ).cast("int")
-
     sq_codes = u6.select(
-        "vec_id", F.array(*[_sq_code(i) for i in range(1, DIM + 1)]).alias(
+        "vec_id", F.array(*[
+            _sq_cell_expr(F.element_at("e6", i), sq_lo[i - 1], sq_hi[i - 1])
+            for i in range(1, DIM + 1)]).alias(
             "qc")).localCheckpoint(eager=True)
     # the unit frame rides along (6th element) so searches reuse the
     # eagerly-checkpointed normalization instead of re-deriving it per
@@ -1873,24 +1880,14 @@ def knn_graph_insert(spark: SparkSession, index: tuple,
 
     new_codes = _pq_assign_long(un, codebooks, spark)
 
-    def _sq_code(i: int) -> Column:
-        lo, hi = sq_lo[i - 1], sq_hi[i - 1]
-        step = (hi - lo) / SQ_LEVELS
-        return F.least(
-            F.lit(SQ_LEVELS),
-            F.greatest(
-                F.lit(0),
-                F.floor(
-                    (F.round(F.element_at(
-                        F.col("embedding").cast("array<double>"), i), 6)
-                     - F.lit(lo)) / F.lit(step)
-                ).cast("bigint"),
-            ),
-        ).cast("int")
-
     new_sq = un.select(
         "vec_id",
-        F.array(*[_sq_code(i) for i in range(1, DIM + 1)]).alias("qc"))
+        F.array(*[
+            _sq_cell_expr(
+                F.round(F.element_at(
+                    F.col("embedding").cast("array<double>"), i), 6),
+                sq_lo[i - 1], sq_hi[i - 1])
+            for i in range(1, DIM + 1)]).alias("qc"))
     return (
         edges2,
         warm_codes.unionByName(new_warm).localCheckpoint(eager=True),

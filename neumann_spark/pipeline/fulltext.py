@@ -153,11 +153,11 @@ def fulltext_fuzzy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 BM25_K1 = 1.2
 BM25_B = 0.75
 
-
-@register(
-    "fulltext_bm25",
-    oracle=f"""
-    WITH terms AS (SELECT UNNEST(['hash', 'merge', 'stream']) AS term),
+# shared oracle building blocks: the inverted-index CTE chain and the
+# BM25 scoring aggregate — reused verbatim by the hybrid-retrieval
+# oracles (neumann_spark/unified/hybrid.py) so the keyword leg cannot
+# drift from the registered BM25 surface
+BM25_CORE_CTES = """terms AS (SELECT UNNEST(['hash', 'merge', 'stream']) AS term),
     tok AS (
       SELECT doc_id, u.w AS term
       FROM documents, UNNEST(str_split(text, ' ')) AS u(w)
@@ -177,20 +177,30 @@ BM25_B = 0.75
     ),
     df AS (
       SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term
-    )
-    SELECT tf.doc_id,
-           CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
-           ROUND(SUM(
+    )"""
+
+BM25_SCORE_SQL = f"""ROUND(SUM(
              LN(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
              * tf.tf * ({BM25_K1} + 1.0)
              / (tf.tf + {BM25_K1}
                 * (1.0 - {BM25_B} + {BM25_B} * d.dl / s.avgdl))
-           ), 4) AS bm25
-    FROM tf
+           ), 4)"""
+
+BM25_SCORE_FROM = """FROM tf
     JOIN df ON df.term = tf.term
     JOIN dl d ON d.doc_id = tf.doc_id
     CROSS JOIN stats s
-    GROUP BY tf.doc_id
+    GROUP BY tf.doc_id"""
+
+
+@register(
+    "fulltext_bm25",
+    oracle=f"""
+    WITH {BM25_CORE_CTES}
+    SELECT tf.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
+           {BM25_SCORE_SQL} AS bm25
+    {BM25_SCORE_FROM}
     """,
 )
 def fulltext_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:

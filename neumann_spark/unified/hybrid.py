@@ -32,78 +32,28 @@ RRF_K = 60          # standard RRF damping constant
 FUSE_TOPN = 50      # per-retriever candidate list length
 HYBRID_TOPK = 10
 
-# the keyword leg reuses the BM25 query surface (same terms, k1, b)
-from neumann_spark.pipeline.fulltext import BM25_B, BM25_K1, SEARCH_TERMS  # noqa: E402
+# the keyword leg IS the registered BM25 surface — same Spark pipeline,
+# same oracle CTEs, so the hybrid legs cannot drift from fulltext_bm25
+from neumann_spark.pipeline.fulltext import (  # noqa: E402
+    BM25_CORE_CTES,
+    BM25_SCORE_FROM,
+    BM25_SCORE_SQL,
+    fulltext_bm25,
+)
 
 
 def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, bm25): disjunctive BM25 over SEARCH_TERMS — the same
-    single-shuffle inverted-index shape as `fulltext_bm25`."""
-    d = load(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-    terms = spark.createDataFrame([(t,) for t in SEARCH_TERMS], "term string")
-    dl = d.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
-    stats = dl.agg(
-        F.count("*").cast("double").alias("n_docs"),
-        F.avg(F.col("dl").cast("double")).alias("avgdl"),
-    )
-    tf = (
-        tok.join(F.broadcast(terms), "term")
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").cast("double").alias("tf"))
-    )
-    df = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
-    idf = F.log(
-        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
-    score = idf * F.col("tf") * (BM25_K1 + 1.0) / (
-        F.col("tf")
-        + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
-    )
-    return (
-        tf.join(F.broadcast(df), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .groupBy("doc_id")
-        .agg(F.round(F.sum(score), 4).alias("bm25"))
-    )
+    """(doc_id, bm25): the registered `fulltext_bm25` pipeline, projected
+    to the fusion's two columns."""
+    return fulltext_bm25(spark, sf_dir).select("doc_id", "bm25")
 
 
 # keyword-leg CTEs (terms -> ranked top-K), shared by both hybrid oracles
-_BM25_RANK_CTES = f"""terms AS (SELECT UNNEST(['hash', 'merge', 'stream']) AS term),
-    tok AS (
-      SELECT doc_id, u.w AS term
-      FROM documents, UNNEST(str_split(text, ' ')) AS u(w)
-    ),
-    dl AS (
-      SELECT doc_id, len(str_split(text, ' ')) AS dl FROM documents
-    ),
-    stats AS (
-      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
-             AVG(CAST(dl AS DOUBLE)) AS avgdl
-      FROM dl
-    ),
-    tf AS (
-      SELECT t.doc_id, t.term, CAST(COUNT(*) AS DOUBLE) AS tf
-      FROM tok t JOIN terms q ON t.term = q.term
-      GROUP BY t.doc_id, t.term
-    ),
-    df AS (
-      SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term
-    ),
+_BM25_RANK_CTES = f"""{BM25_CORE_CTES},
     bm25 AS (
       SELECT tf.doc_id,
-             ROUND(SUM(
-               LN(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
-               * tf.tf * ({BM25_K1} + 1.0)
-               / (tf.tf + {BM25_K1}
-                  * (1.0 - {BM25_B} + {BM25_B} * d.dl / s.avgdl))
-             ), 4) AS bm25
-      FROM tf
-      JOIN df ON df.term = tf.term
-      JOIN dl d ON d.doc_id = tf.doc_id
-      CROSS JOIN stats s
-      GROUP BY tf.doc_id
+             {BM25_SCORE_SQL} AS bm25
+      {BM25_SCORE_FROM}
     ),
     trank AS (
       SELECT doc_id, CAST(rn AS BIGINT) AS rank_text FROM (
