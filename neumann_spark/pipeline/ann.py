@@ -2879,15 +2879,24 @@ def ann_graph_rescore_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def save_graph_index(spark: SparkSession, sf_dir: str, path: str) -> None:
-    """Persist the kNN-graph index as parquet: the edge table partitioned
-    by `block = src % GRAPH_EDGE_BLOCKS` (each search round probes <= B
-    source nodes, so the literal block IN-list prunes unprobed edge files
-    at the source — the graph analog of the cluster-partitioned IVF
-    layout), plus warm assignments (cluster-partitioned), warm centroids,
-    traversal codes, codebooks, and the SQ8 rescore tier (64 B code rows
-    + per-dimension [lo, hi] grid)."""
+    """Persist the session-cached full-corpus index — see
+    `save_graph_index_frames` for the layout."""
+    save_graph_index_frames(spark, knn_graph_index(spark, sf_dir), path)
+
+
+def save_graph_index_frames(spark: SparkSession, index: tuple,
+                            path: str) -> None:
+    """Persist ANY kNN-graph index 9-tuple (batch-built or grown through
+    the insert/delete maintenance paths) as parquet: the edge table
+    partitioned by `block = src % GRAPH_EDGE_BLOCKS` (each search round
+    probes <= B source nodes, so the literal block IN-list prunes
+    unprobed edge files at the source — the graph analog of the
+    cluster-partitioned IVF layout), plus warm assignments
+    (cluster-partitioned), warm centroids, traversal codes, codebooks,
+    and the SQ8 rescore tier (64 B code rows + per-dimension [lo, hi]
+    grid)."""
     (edges, warm_codes, warm_centroids, codes_long, codebooks, _u,
-     sq_codes, sq_lo, sq_hi) = knn_graph_index(spark, sf_dir)
+     sq_codes, sq_lo, sq_hi) = index
     (
         edges.withColumn(
             "block", (F.col("src") % GRAPH_EDGE_BLOCKS).cast("int"))
@@ -2955,6 +2964,38 @@ def ann_graph_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = tempfile.mkdtemp(prefix="neumann_graph_index_")
     try:
         save_graph_index(spark, sf_dir, path)
+        index = load_graph_index(spark, path)
+        out = _graph_rescore_from(spark, sf_dir, index, GRAPH_T_LOW)
+        rows = out.collect()  # materialize before the files vanish
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
+@register("ann_graph_insert_persist", oracle=_graph_insert_sql())
+def ann_graph_insert_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintenance × persistence composition (new r8): grow the index
+    through `knn_graph_insert`, persist the GROWN structures with the
+    same block-partitioned layout as the batch-built index, load them
+    back, and search from disk. The oracle is `ann_graph_insert_search`'s
+    insert replay verbatim — persistence is value-neutral — so a lossy
+    save/load of maintenance output (a dropped appended code row, a
+    reordered grown edge block, a truncated new-cluster partition)
+    hash-mismatches. Completes the lifecycle matrix: build / insert /
+    delete / stream-ingest / CDC, each × in-memory and (here) on-disk."""
+    import shutil
+    import tempfile
+
+    emb = load(spark, sf_dir, "embeddings")
+    max_id = int(emb.agg(F.max("vec_id")).head()[0])
+    cut = max_id - (GRAPH_INSERT_BATCH - 1)
+    grown = knn_graph_insert(
+        spark,
+        _build_graph_index(spark, emb.filter(F.col("vec_id") < cut)),
+        emb.filter(F.col("vec_id") >= cut))
+    path = tempfile.mkdtemp(prefix="neumann_graph_grown_")
+    try:
+        save_graph_index_frames(spark, grown, path)
         index = load_graph_index(spark, path)
         out = _graph_rescore_from(spark, sf_dir, index, GRAPH_T_LOW)
         rows = out.collect()  # materialize before the files vanish

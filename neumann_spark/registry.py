@@ -82,6 +82,7 @@ _PRIORITY: list[str] = [
     "ann_graph_insert_search",
     "ann_graph_stream_insert",
     "ann_graph_cdc_stream",
+    "ann_graph_insert_persist",
     # (b) r1-r3-evidence tier (stalest): relational spine
     "q1_pricing_summary",
     "sql_api_q1",
