@@ -610,3 +610,46 @@ def test_graph_insert_redelivery_is_noop(spark):
         b = b.sort_values(keys[i] + [c for c in b.columns
                                      if c not in keys[i]]).reset_index(drop=True)
         assert a.equals(b), f"{name} changed on redelivery"
+
+
+def test_graph_delete_then_reinsert_restores_searchability(spark):
+    """Tombstone-then-re-add (the CDC upsert pattern): delete a batch,
+    re-insert the same vectors, and the index must (a) keep every
+    structural invariant, (b) contain exactly one forward block per
+    node, and (c) search near-identically to the never-deleted index
+    (re-built edges for the cycled nodes may differ slightly from the
+    original NN-descent edges, so >= 9/10 overlap, not equality)."""
+    from neumann_spark.catalog import load
+    from neumann_spark.pipeline.ann import (
+        GRAPH_INSERT_BATCH,
+        GRAPH_M,
+        GRAPH_T_LOW,
+        _graph_rescore_from,
+        knn_graph_delete,
+        knn_graph_index,
+        knn_graph_insert,
+    )
+    from tests.conftest import SF_DIR
+
+    emb = load(spark, SF_DIR, "embeddings")
+    cut = int(emb.agg(F.max("vec_id")).head()[0]) - (GRAPH_INSERT_BATCH - 1)
+    cycled = emb.filter(F.col("vec_id") >= cut)
+    base = knn_graph_index(spark, SF_DIR)
+    shrunk = knn_graph_delete(spark, base, cycled.select("vec_id"))
+    restored = knn_graph_insert(spark, shrunk, cycled)
+
+    n = emb.count()
+    fwd = restored[0].filter(F.col("pos") < GRAPH_M).toPandas()
+    assert fwd["src"].nunique() == n  # every node incl. the cycled ones
+    for src, grp in fwd.groupby("src"):
+        assert sorted(grp["pos"]) == list(range(len(grp)))
+        assert grp["dst"].nunique() == len(grp)
+    # code tables hold exactly one row set per node again
+    assert restored[1].count() == n
+    assert restored[6].count() == n
+
+    got = {int(r["vec_id"]) for r in _graph_rescore_from(
+        spark, SF_DIR, restored, GRAPH_T_LOW).collect()}
+    ref = {int(r["vec_id"]) for r in _graph_rescore_from(
+        spark, SF_DIR, base, GRAPH_T_LOW).collect()}
+    assert len(got & ref) >= 9
