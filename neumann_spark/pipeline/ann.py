@@ -830,9 +830,10 @@ SQ_TOPK = 10
     ),
     codes AS MATERIALIZED (
       SELECT e.vec_id, s.i,
-             LEAST({SQ_LEVELS}, GREATEST(0, CAST(FLOOR(
-               (CAST(e.embedding[s.i] AS DOUBLE) - s.lo)
-               / ((s.hi - s.lo) / {SQ_LEVELS})) AS BIGINT))) AS code
+             CASE WHEN s.hi = s.lo THEN 0
+                  ELSE LEAST({SQ_LEVELS}, GREATEST(0, CAST(FLOOR(
+                    (CAST(e.embedding[s.i] AS DOUBLE) - s.lo)
+                    / ((s.hi - s.lo) / {SQ_LEVELS})) AS BIGINT))) END AS code
       FROM embeddings e JOIN stats s ON TRUE
     ),
     deq AS MATERIALIZED (
@@ -870,6 +871,10 @@ def ann_sq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     def deq_expr(i: int) -> Column:
         lo, hi = los[i - 1], his[i - 1]
         step = (hi - lo) / SQ_LEVELS
+        if step <= 0.0:
+            # constant dimension: code 0 on a zero-width grid dequantizes
+            # to exactly lo (guards Spark's NULL-on-/0 vs DuckDB's inf)
+            return F.lit(lo)
         code = F.least(
             F.lit(SQ_LEVELS),
             F.greatest(
@@ -1326,6 +1331,12 @@ def _sq_cell_expr(val: Column, lo: float, hi: float) -> Column:
     math here must stay byte-identical across call sites or insert-time
     codes desync from build-time codes."""
     step = (hi - lo) / SQ_LEVELS
+    if step <= 0.0:
+        # zero-width grid (constant dimension): Spark's non-ANSI x/0.0
+        # yields NULL while DuckDB's FLOOR(x/0) yields inf->255 — emit
+        # code 0 explicitly so engine and oracle agree (dequant is then
+        # exactly lo at every site, since lo + (0+0.5)*0 == lo)
+        return F.lit(0)
     return F.least(
         F.lit(SQ_LEVELS),
         F.greatest(
@@ -1608,7 +1619,13 @@ def _graph_rescore_from(spark: SparkSession, sf_dir: str, index: tuple,
     partition-pruned edge and code tables at 100 TB; nothing sequential
     but the T-round driver loop, mirroring Pregel-style iteration."""
     edges, warm_codes, warm_centroids, codes_long, codebooks = index[:5]
-    u = (index[5] if len(index) > 5 and index[5] is not None else
+    # load_graph_index persists everything EXCEPT the float unit frame;
+    # that path re-derives it from sf_dir, which is only sound when the
+    # index covers ids present there — guarded below at the exact-rescore
+    # join (a grown index holds ids sf_dir lacks; a shrunk one must not
+    # let sf_dir rows outside the index reach the rescore)
+    from_disk = not (len(index) > 5 and index[5] is not None)
+    u = (index[5] if not from_disk else
          unit_embeddings(load(spark, sf_dir, "embeddings"))
          .localCheckpoint(eager=True))
     qv = [float(x)
@@ -1721,6 +1738,24 @@ def _graph_rescore_from(spark: SparkSession, sf_dir: str, index: tuple,
             .orderBy(F.col("score").desc(), "vec_id")
             .limit(PQ_TOPK)
         )
+    if from_disk and len(index) > 6:
+        # disk-loaded index + exact rescore: the re-derived unit frame is
+        # the sf_dir corpus, not the indexed set. The persisted SQ code
+        # table IS the covered id set — refuse if the index holds ids the
+        # corpus lacks (a grown index: their floats are unavailable, the
+        # join would silently drop them), and semi-join the unit frame to
+        # the covered set so a shrunk index can never rescore deleted
+        # sf_dir rows. One bounded anti-join count, load path only.
+        covered = index[6].select("vec_id")
+        n_missing = covered.join(
+            u.select("vec_id"), "vec_id", "left_anti").count()
+        if n_missing:
+            raise ValueError(
+                f"loaded graph index covers {n_missing} vec_ids absent "
+                f"from {sf_dir} embeddings; exact rescore needs their "
+                "float vectors — search with sq_rescore=True (the "
+                "self-contained SQ8 tier) or persist the grown corpus")
+        u = u.join(covered, "vec_id")
     return (
         u.join(F.broadcast(short_df), "vec_id")
         .select(
@@ -2240,9 +2275,10 @@ def _graph_compact_sql() -> str:
     ),
     sqd AS MATERIALIZED (
       SELECT s6.vec_id, s6.i,
-             g.lo + (LEAST({SQ_LEVELS}, GREATEST(0,
-                 FLOOR((s6.val - g.lo) / ((g.hi - g.lo) / {SQ_LEVELS}))))
-               + 0.5) * ((g.hi - g.lo) / {SQ_LEVELS}) AS val
+             CASE WHEN g.hi = g.lo THEN g.lo
+                  ELSE g.lo + (LEAST({SQ_LEVELS}, GREATEST(0,
+                      FLOOR((s6.val - g.lo) / ((g.hi - g.lo) / {SQ_LEVELS}))))
+                    + 0.5) * ((g.hi - g.lo) / {SQ_LEVELS}) END AS val
       FROM sq6 s6 JOIN sqg g ON g.i = s6.i
     )
     SELECT s.vec_id, ROUND(SUM(dv.val * q.val), 6) AS score
@@ -3242,6 +3278,123 @@ def ann_graph_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _graph_rescore_from(
         spark, sf_dir, knn_graph_index(spark, sf_dir), GRAPH_T_LOW,
         allowed=allowed)
+
+
+# --- selectivity-adaptive filtered search (new r9) --------------------------
+# The reference's FilterStrategy::Auto (`vector_engine/src/lib.rs:387-399`)
+# estimates filter selectivity on the first 100 stored keys and routes below
+# a 10% threshold to PRE-filter (score only the matching subset — exact, and
+# cheap because the subset is small) and above it to POST-filter (search the
+# index, filter the candidates). Same two endpoints here: the brute
+# pre-filter path (`vector_filtered_knn`'s strategy, Catalyst pushes the
+# predicate into the scan) and the graph-index shortlist-stage filter
+# (`ann_graph_filtered`'s filtered-DiskANN strategy). The estimator mirrors
+# the reference's take(100): the 100 LOWEST vec_ids (deterministic, a
+# per-partition top-100 merge — never a full-corpus aggregate).
+
+FILTER_SELECTIVITY_CUTOFF = 0.1   # vector_engine/src/lib.rs:416
+FILTER_SAMPLE_N = 100             # vector_engine/src/lib.rs:1739
+
+
+def filtered_search_strategy(spark: SparkSession, sf_dir: str,
+                             pred: Column) -> str:
+    """Estimate `pred`'s selectivity on the FILTER_SAMPLE_N lowest-vec_id
+    rows and pick 'pre' below FILTER_SELECTIVITY_CUTOFF, else 'post' —
+    the reference's Auto dispatch (`vector_engine/src/lib.rs:1735-1764`).
+    Measured placement (tools/ann_recall.py `filtered` block): at ~6%
+    selectivity the post-filter graph search's shortlist holds too few
+    allowed members for full recall, while the pre-filter subset scan is
+    both exact and cheaper — the 10% cutoff keeps tight filters on the
+    exact path."""
+    emb = load(spark, sf_dir, "embeddings")
+    sel = (
+        emb.orderBy("vec_id").limit(FILTER_SAMPLE_N)
+        .agg(F.avg(pred.cast("int")).alias("sel"))
+        .head()["sel"]
+    )
+    return "pre" if (sel or 0.0) < FILTER_SELECTIVITY_CUTOFF else "post"
+
+
+def filtered_search_auto(spark: SparkSession, sf_dir: str, pred: Column,
+                         anchor: int = 0, k: int = PQ_TOPK) -> DataFrame:
+    """Auto-dispatched metadata-filtered kNN: tight filters run the brute
+    pre-filter scan (map-only score over the pushed-down subset +
+    TakeOrdered), loose filters the graph-index search with the
+    shortlist-stage allow-list. Both branches return (vec_id, score) by
+    rounded cosine."""
+    if filtered_search_strategy(spark, sf_dir, pred) == "pre":
+        from neumann_spark.functions.vector import _anchor_vec, knn
+
+        emb = load(spark, sf_dir, "embeddings")
+        qv = _anchor_vec(spark, sf_dir, anchor)
+        return knn(emb, "embedding", qv, k, "cosine",
+                   pre_filter=pred & (F.col("vec_id") != anchor))
+    allowed = load(spark, sf_dir, "embeddings").filter(pred).select("vec_id")
+    return _graph_rescore_from(
+        spark, sf_dir, knn_graph_index(spark, sf_dir), GRAPH_T_LOW,
+        allowed=allowed)
+
+
+def _filtered_tight_sql() -> str:
+    """Oracle for `ann_filtered_auto_tight`: the dispatch routes the
+    ~6%-selective predicate to the EXACT pre-filter path, so the oracle
+    is plain filtered cosine top-10 (no index replay needed)."""
+    from neumann_spark.functions.vector import _DOT_CTE
+
+    return _DOT_CTE.format(
+        anchor=0, where="WHERE e.vec_id <> 0 AND e.vec_id % 16 = 3"
+    ) + f"""
+    SELECT vec_id, ROUND(dot / (n_e * n_q), 6) AS score
+    FROM scored ORDER BY dot / (n_e * n_q) DESC, vec_id LIMIT {PQ_TOPK}
+    """
+
+
+def _filtered_loose_sql() -> str:
+    """Oracle for `ann_filtered_auto_loose`: the ~30%-selective predicate
+    routes to the graph index, so the oracle replays the build + T_LOW
+    search with the allow-list CTE at the shortlist stage (the
+    `ann_graph_filtered` oracle with the IN-predicate allow set)."""
+    parts = _graph_build_parts()
+    parts.append(""",
+    alw AS MATERIALIZED (
+      SELECT vec_id FROM embeddings WHERE label IN (1, 2, 3)
+    )""")
+    parts += _graph_anchor_parts(0, GRAPH_T_LOW, allowed="alw")
+    parts.append(f"""
+    SELECT s.vec_id, ROUND(SUM(uv.val * q.val), 6) AS score
+    FROM short s
+    JOIN u uv ON uv.vec_id = s.vec_id
+    JOIN u q ON q.vec_id = 0 AND q.i = uv.i
+    GROUP BY s.vec_id
+    ORDER BY score DESC, s.vec_id
+    LIMIT {PQ_TOPK}""")
+    return "".join(parts)
+
+
+@register("ann_filtered_auto_tight", oracle=_filtered_tight_sql())
+def ann_filtered_auto_tight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-dispatched filtered search, tight predicate (new r9):
+    `vec_id % 16 = 3` is ~6% selective — the sampled estimate lands below
+    the reference's 10% cutoff, so the dispatch (`FilterStrategy::Auto`,
+    `vector_engine/src/lib.rs:387-399`) routes to the exact brute
+    pre-filter scan. The oracle is plain filtered cosine top-10: it
+    matches ONLY if the dispatch actually took the exact path (the graph
+    post-filter at this selectivity drops allowed members from the
+    shortlist and would hash-mismatch)."""
+    return filtered_search_auto(
+        spark, sf_dir, F.col("vec_id") % 16 == 3)
+
+
+@register("ann_filtered_auto_loose", oracle=_filtered_loose_sql())
+def ann_filtered_auto_loose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-dispatched filtered search, loose predicate (new r9):
+    `label IN (1, 2, 3)` is ~30% selective — above the cutoff, so the
+    dispatch routes to the graph-index search with the shortlist-stage
+    allow-list. The oracle replays the index path: it matches ONLY if
+    the dispatch took the post-filter branch (the exact brute answer
+    differs on this fixture)."""
+    return filtered_search_auto(
+        spark, sf_dir, F.col("label").isin(1, 2, 3))
 
 
 @register("ann_graph_delete_search", oracle=_graph_delete_sql())

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from neumann_spark.catalog import load
+from neumann_spark.pipeline.ann import DIM
 from neumann_spark.registry import register
 
 RRF_K = 60          # standard RRF damping constant
@@ -89,7 +90,7 @@ _HYBRID_SQL = f"""
                       * CAST(q.qv[t.i] AS DOUBLE))) AS n_q
       FROM embeddings e
       CROSS JOIN q
-      CROSS JOIN generate_series(1, 64) AS t(i)
+      CROSS JOIN generate_series(1, {DIM}) AS t(i)
       WHERE e.vec_id <> 0
       GROUP BY e.vec_id
     ),

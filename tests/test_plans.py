@@ -266,8 +266,27 @@ def test_hybrid_legs_take_ordered_fusion_tiny(spark):
 def test_graph_filtered_broadcasts_allow_list(spark):
     """`ann_graph_filtered`'s label filter must join the shortlist stage
     as a BROADCAST (the filtered-DiskANN post-filter) — the traversal
-    plan itself is unchanged, so the probe joins stay broadcast too."""
-    from neumann_spark.pipeline.ann import ann_graph_filtered
+    plan itself is unchanged, so vs the unfiltered same-preset search the
+    filtered plan must add EXACTLY ONE BroadcastHashJoin (the allow-list
+    semi against the bounded evald frame), with evald on the broadcast
+    (build) side. Counting against the unfiltered twin pins the property
+    even though every graph plan already contains broadcast joins."""
+    from neumann_spark.pipeline.ann import ann_graph_filtered, ann_graph_rescore
 
+    import re
+
+    base = _plan(ann_graph_rescore(spark, SF_DIR))
     plan = _plan(ann_graph_filtered(spark, SF_DIR))
-    assert "BroadcastHashJoin" in plan
+
+    def n_joins(p: str, kind: str) -> int:
+        # formatted plans print each join twice (tree arm + detail
+        # header); count the numbered detail headers only
+        return len(re.findall(rf"\(\d+\) {kind}\b", p))
+
+    n_base = n_joins(base, "BroadcastHashJoin")
+    n_filt = n_joins(plan, "BroadcastHashJoin")
+    assert n_filt == n_base + 1, (n_base, n_filt)
+    # the extra join must not be a nested-loop or sort-merge degradation
+    assert n_joins(plan, "SortMergeJoin") == n_joins(base, "SortMergeJoin")
+    assert n_joins(plan, "BroadcastNestedLoopJoin") == n_joins(
+        base, "BroadcastNestedLoopJoin")

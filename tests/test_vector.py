@@ -653,3 +653,36 @@ def test_graph_delete_then_reinsert_restores_searchability(spark):
     ref = {int(r["vec_id"]) for r in _graph_rescore_from(
         spark, SF_DIR, base, GRAPH_T_LOW).collect()}
     assert len(got & ref) >= 9
+
+
+def test_filtered_auto_dispatch_routes_by_selectivity(spark):
+    """The Auto dispatch must pick the reference's strategy at the
+    reference's 10% cutoff (`vector_engine/src/lib.rs:387-399,1735`):
+    ~6% selective -> 'pre' (exact brute subset scan), ~30% -> 'post'
+    (index-served shortlist filter) — and the auto-dispatched loose
+    result must equal the directly-invoked graph branch."""
+    from neumann_spark.catalog import load
+    from neumann_spark.pipeline.ann import (
+        GRAPH_T_LOW,
+        _graph_rescore_from,
+        filtered_search_auto,
+        filtered_search_strategy,
+        knn_graph_index,
+    )
+    from tests.conftest import SF_DIR
+
+    tight = F.col("vec_id") % 16 == 3
+    loose = F.col("label").isin(1, 2, 3)
+    assert filtered_search_strategy(spark, SF_DIR, tight) == "pre"
+    assert filtered_search_strategy(spark, SF_DIR, loose) == "post"
+    # an all-pass predicate is maximally loose; an all-reject one maximally tight
+    assert filtered_search_strategy(spark, SF_DIR, F.lit(True)) == "post"
+    assert filtered_search_strategy(spark, SF_DIR, F.lit(False)) == "pre"
+
+    allowed = load(spark, SF_DIR, "embeddings").filter(loose).select("vec_id")
+    want = _graph_rescore_from(
+        spark, SF_DIR, knn_graph_index(spark, SF_DIR), GRAPH_T_LOW,
+        allowed=allowed).collect()
+    got = filtered_search_auto(spark, SF_DIR, loose).collect()
+    key = lambda rows: [(r["vec_id"], r["score"]) for r in rows]  # noqa: E731
+    assert key(got) == key(want)

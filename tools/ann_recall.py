@@ -165,7 +165,9 @@ def main() -> None:
 
     dlo, dhi = vecs.min(axis=0), vecs.max(axis=0)
     step = (dhi - dlo) / SQ_LEVELS
-    sq_codes = np.clip(np.floor((vecs - dlo) / step), 0, SQ_LEVELS)
+    safe_step = np.where(step > 0, step, 1.0)  # zero-width grid -> code 0
+    sq_codes = np.where(
+        step > 0, np.clip(np.floor((vecs - dlo) / safe_step), 0, SQ_LEVELS), 0)
     deq = dlo + (sq_codes + 0.5) * step
 
     norms = np.linalg.norm(vecs, axis=1)
@@ -191,7 +193,9 @@ def main() -> None:
     u6 = np.round(unit, 6)
     sq_lo, sq_hi = u6.min(axis=0), u6.max(axis=0)
     sq_step = (sq_hi - sq_lo) / SQ_LEVELS
-    sq_code = np.clip(np.floor((u6 - sq_lo) / sq_step), 0, SQ_LEVELS)
+    sq_safe = np.where(sq_step > 0, sq_step, 1.0)  # zero-width grid -> code 0
+    sq_code = np.where(
+        sq_step > 0, np.clip(np.floor((u6 - sq_lo) / sq_safe), 0, SQ_LEVELS), 0)
     sq_deq = sq_lo + (sq_code + 0.5) * sq_step
 
     def graph_search(qi: int, rounds: int,
