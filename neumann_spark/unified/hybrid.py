@@ -240,3 +240,134 @@ def hybrid_rrf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(wv).cast("bigint").alias("rank_vec"),
     )
     return _fuse(_text_rank(spark, sf_dir), vrank)
+
+
+# --- three-engine flagship: hybrid RRF ∩ graph reachability (new r9) --------
+
+CONNECTED_ANCHOR_NODE = 17   # same anchor as unified_similar_connected
+CONNECTED_HOPS = 2
+
+
+def _hybrid_connected_sql() -> str:
+    """Oracle for `hybrid_rrf_connected`: the unified graph CTEs
+    (recursive 2-hop reachability from node 17) + the embedding↔node
+    mapping produce the allowed vec_id set; the BM25 CTEs score on
+    corpus-global stats with the top-K restricted to allowed docs; the
+    vector leg scores only allowed vectors; the shared fusion SELECT
+    fuses the two ranked lists."""
+    from neumann_spark.graph.traversal import RECURSIVE_CTE
+    from neumann_spark.unified.entities import _EMB_NODES_SQL
+
+    return (RECURSIVE_CTE + _EMB_NODES_SQL + f""",
+    {BM25_CORE_CTES},
+    bm25 AS (
+      SELECT tf.doc_id,
+             {BM25_SCORE_SQL} AS bm25
+      {BM25_SCORE_FROM}
+    ),
+    reach AS (
+      SELECT CAST({CONNECTED_ANCHOR_NODE} AS BIGINT) AS node, 0 AS dist
+      UNION ALL
+      SELECT e.dst, r.dist + 1 FROM reach r JOIN uedges e ON e.src = r.node
+      WHERE r.dist < {CONNECTED_HOPS}
+    ),
+    reachable AS (SELECT node FROM reach GROUP BY node),
+    alw AS MATERIALIZED (
+      SELECT en.vec_id FROM emb_nodes en
+      JOIN reachable r ON r.node = en.node_id
+    ),
+    trank AS (
+      SELECT doc_id, CAST(rn AS BIGINT) AS rank_text FROM (
+        SELECT b.doc_id,
+               ROW_NUMBER() OVER (ORDER BY b.bm25 DESC, b.doc_id) AS rn
+        FROM bm25 b JOIN alw a ON a.vec_id = b.doc_id
+      ) WHERE rn <= {FUSE_TOPN}
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id,
+             SUM(CAST(e.embedding[t.i] AS DOUBLE) * CAST(q.qv[t.i] AS DOUBLE))
+               AS dot,
+             SQRT(SUM(CAST(e.embedding[t.i] AS DOUBLE)
+                      * CAST(e.embedding[t.i] AS DOUBLE))) AS n_e,
+             SQRT(SUM(CAST(q.qv[t.i] AS DOUBLE)
+                      * CAST(q.qv[t.i] AS DOUBLE))) AS n_q
+      FROM embeddings e
+      JOIN alw a ON a.vec_id = e.vec_id
+      CROSS JOIN q
+      CROSS JOIN generate_series(1, {DIM}) AS t(i)
+      WHERE e.vec_id <> 0
+      GROUP BY e.vec_id
+    ),
+    vrank AS (
+      SELECT doc_id, CAST(rn AS BIGINT) AS rank_vec FROM (
+        SELECT vec_id AS doc_id,
+               ROW_NUMBER() OVER (
+                 ORDER BY ROUND(dot / (n_e * n_q), 6) DESC, vec_id) AS rn
+        FROM scored
+      ) WHERE rn <= {FUSE_TOPN}
+    )
+    {_FUSION_SELECT}""")
+
+
+@register("hybrid_rrf_connected", oracle=_hybrid_connected_sql())
+def hybrid_rrf_connected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-engine flagship (new r9): hybrid BM25+cosine RRF retrieval
+    restricted to entities within 2 graph hops of node 17 — the
+    reference's signature cross-engine composition
+    (`find_similar_connected`, `tensor_unified/src/lib.rs:884`) extended
+    to its ranked-fulltext engine (`graph_engine/src/fulltext.rs`) in one
+    query: SIMILAR ∩ CONNECTED TO ∩ MATCH, fused by RRF.
+
+    Scale shape: the bounded BFS produces a tiny reachable set, mapped to
+    allowed vec_ids and BROADCAST to both legs BELOW their top-Ks (the
+    `find_similar_connected` pre-filter pattern,
+    `vector_engine/src/lib.rs:387-399`): the vector leg scores ONLY
+    allowed vectors (semi-join below the cosine projection — at 100 TB
+    the dot product runs over hundreds of rows, not the corpus); the
+    keyword leg keeps corpus-global BM25 stats (df/avgdl are properties
+    of the index, not the filter) but semi-joins the per-doc scores to
+    allowed docs before its top-K, so the TakeOrdered ranks a bounded
+    frame. Fusion is the shared K-row full-outer RRF."""
+    from neumann_spark.functions.vector import cosine_expr
+    from neumann_spark.graph.model import edges_df, undirected_edges
+    from neumann_spark.graph.traversal import bfs_levels
+    from neumann_spark.unified.entities import entity_embeddings
+
+    e = undirected_edges(edges_df(spark, sf_dir))
+    src = spark.createDataFrame(
+        [(CONNECTED_ANCHOR_NODE, CONNECTED_ANCHOR_NODE)],
+        "source bigint, node bigint")
+    reach = bfs_levels(e, src, CONNECTED_HOPS).select("node")
+    en = entity_embeddings(spark, sf_dir)
+    allowed = (
+        en.join(F.broadcast(reach), en.node_id == reach.node)
+        .select("vec_id")
+    )
+
+    # keyword leg: corpus-stat BM25, allowed-set semi-join BELOW the top-K
+    bm = _bm25_scores(spark, sf_dir).join(
+        F.broadcast(allowed.withColumnRenamed("vec_id", "doc_id")),
+        "doc_id", "semi")
+    t_top = bm.orderBy(F.col("bm25").desc(), "doc_id").limit(FUSE_TOPN)
+    wt = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    trank = t_top.select(
+        "doc_id", F.row_number().over(wt).cast("bigint").alias("rank_text"))
+
+    # vector leg: pre-filter BELOW the cosine projection, then top-K
+    emb = load(spark, sf_dir, "embeddings")
+    anchor = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"))
+    cand = (
+        emb.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(allowed), "vec_id", "semi")
+    )
+    scored = cand.crossJoin(F.broadcast(anchor)).select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(cosine_expr(F.col("embedding"), F.col("qv")), 6).alias("cos"),
+    )
+    v_top = scored.orderBy(F.col("cos").desc(), "doc_id").limit(FUSE_TOPN)
+    wv = Window.orderBy(F.col("cos").desc(), "doc_id")
+    vrank = v_top.select(
+        "doc_id", F.row_number().over(wv).cast("bigint").alias("rank_vec"))
+    return _fuse(trank, vrank)

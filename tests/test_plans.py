@@ -290,3 +290,20 @@ def test_graph_filtered_broadcasts_allow_list(spark):
     assert n_joins(plan, "SortMergeJoin") == n_joins(base, "SortMergeJoin")
     assert n_joins(plan, "BroadcastNestedLoopJoin") == n_joins(
         base, "BroadcastNestedLoopJoin")
+
+
+def test_hybrid_connected_semi_joins_below_both_legs(spark):
+    """`hybrid_rrf_connected` must apply the reachability allow-set as
+    BROADCAST LEFT-SEMI joins in BOTH scoring legs, below their top-Ks:
+    two LeftSemi broadcast joins (keyword + vector leg), and the leg
+    top-Ks + fused top-10 all TakeOrderedAndProject. A LeftSemi above the
+    top-K is impossible in this shape (the fusion is a full-outer of two
+    rank frames), so the counts pin the pre-filter placement."""
+    import re
+
+    from neumann_spark.unified.hybrid import hybrid_rrf_connected
+
+    plan = _plan(hybrid_rrf_connected(spark, SF_DIR))
+    semis = re.findall(r"BroadcastHashJoin .*LeftSemi", plan)
+    assert len(semis) == 2, semis
+    assert len(re.findall(r"\(\d+\) TakeOrderedAndProject", plan)) >= 3
