@@ -43,88 +43,27 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 # every round. Each round the list is rotated toward never-driver-sampled
 # queries; queries not listed keep their registration order after these.
 #
-# Round-8 rotation: CORRECTNESS_r07 was 50/50 green and the multi-round
-# evidence program completed (176/176 registered queries driver-green at
-# least once), so this round refreshes the STALEST evidence, per the r7
-# ROTATION NOTE. Positions 1-4: the new round-8 surfaces (the NN-descent
-# build is additionally covered because ann_graph_rescore* oracles replay
-# it; `ann_graph_rescore` re-confirms one of them through the new build).
-# Positions 5-33: the 29 queries whose latest green is round 1-3 (the
-# relational spine, windows, PageRank/CC/LPA/eigenvector/triangles/
-# k-core, Q1 + SQL-API form). Then the 3 r4-evidence joins, then the
-# oldest 15 of the r5 tier (alphabetical prefix of that 50-query tier;
-# the rest rotate in next round). Unlisted queries keep registration
-# order after these.
+# Round-9 rotation (per the r8 ROTATION NOTE): there are no r8 reds, so
+# positions 1-4 are the new round-9 surfaces (the filtered-dispatch pair,
+# the three-engine hybrid flagship, and the churn-replay search if
+# registered; `ann_filtered_auto_loose` and `ann_graph_churn_search` ride
+# the session graph-index cache, so they go after the cheap two). Then
+# the ENTIRE remaining r5-evidence tier (44 queries: the geo/join/
+# pipeline/source/stream/text/vector families last green in round 5),
+# then the head of the r6 tier to fill the ~50-query driver budget.
+# After this round the evidence floor rises to r6.
 #
-# ROTATION NOTE (next round, r9): front-load any r8 reds, then the
-# remaining ~35 r5-evidence queries not already rotated this round (the
-# rest of the facade_*/geo_*/stream_*/text_*/vector_*/pipeline_*
-# families — see CORRECTNESS history), then the r6 tier (distributed
-# graph twins, Cypher, snapshots/DDL). The r8 surfaces
-# (ann_graph_{filtered,stream_insert,cdc_stream}, hybrid_rrf_{search,ann},
-# tx_wal_recover_abort, dml_merge_key_stability, the graph
-# insert/delete/compact family) will then hold r8-green evidence and can
-# drop to the back of the queue.
+# ROTATION NOTE (next round, r10): front-load any r9 reds, then the r6
+# tier (ann_index_persist_roundtrip, ann_ivf*, cypher_*, ddl_roundtrip,
+# dedup_*, dml_constraint/fk/merge_partitioned, distributed graph twins,
+# snapshots, stream_merge_upsert, unified_*), then the oldest r7 names.
 _PRIORITY: list[str] = [
-    # (a) new round-8 surfaces — ordered for the session index cache:
-    # the compact preset builds and caches the full graph index, so the
-    # four queries after it are cache hits (seconds, not minutes); the
-    # three subset-index builders (insert/stream/cdc) pay their own
-    # build and go last so a tight driver budget still covers the rest
-    "ann_graph_rescore_compact",
-    "ann_graph_rescore",
-    "ann_graph_filtered",
-    "hybrid_rrf_ann",
-    "ann_graph_delete_search",
-    "hybrid_rrf_search",
-    "tx_wal_recover_abort",
-    "dml_merge_key_stability",
-    "ann_graph_insert_search",
-    "ann_graph_stream_insert",
-    "ann_graph_cdc_stream",
-    "ann_graph_insert_persist",
-    # (b) r1-r3-evidence tier (stalest): relational spine
-    "q1_pricing_summary",
-    "sql_api_q1",
-    "rel_scan_projection",
-    "rel_filter_condition_tree",
-    "rel_filter_expr_superset",
-    "rel_count_star",
-    "rel_agg_global",
-    "rel_agg_group_having",
-    "rel_agg_distinct",
-    "rel_select_distinct",
-    "rel_distinct_subset",
-    "rel_rollup",
-    "rel_pivot",
-    "rel_percentiles",
-    "rel_cast_types",
-    "rel_json_extract",
-    "rel_order_limit_offset",
-    "rel_null_ordering",
-    "rel_set_ops",
-    "win_topk_per_group",
-    "win_running_sum",
-    "win_rank_lag",
-    # r1-evidence graph algorithms
-    "graph_pagerank",
-    "graph_connected_components",
-    "graph_label_propagation",
-    "graph_eigenvector",
-    "graph_triangle_count",
-    "graph_kcore",
-    "graph_node_similarity_jaccard",
-    # (c) r4-evidence joins
-    "join_multi_q5",
-    "join_theta",
-    "join_salted_skew",
-    # (d) oldest 15 of the r5 tier (alphabetical; remainder next round)
-    "dml_delete",
-    "dml_update",
-    "events_gap_fill",
-    "facade_neighbors",
-    "facade_path",
-    "facade_similar",
+    # (a) new round-9 surfaces
+    "ann_filtered_auto_tight",
+    "hybrid_rrf_connected",
+    "ann_filtered_auto_loose",
+    "ann_graph_churn_search",
+    # (b) the full r5-evidence tier (oldest first = alphabetical)
     "geo_bbox_search",
     "geo_knn",
     "geo_radius_search",
@@ -134,6 +73,44 @@ _PRIORITY: list[str] = [
     "join_full",
     "join_inner",
     "join_left",
+    "join_natural",
+    "join_right",
+    "join_semi",
+    "pipeline_chunk_documents",
+    "pipeline_data_mixture",
+    "pipeline_decontaminate",
+    "pipeline_length_buckets",
+    "pipeline_pii_scrub",
+    "pipeline_sequence_packing",
+    "pipeline_stratified_sample",
+    "rel_asof_join",
+    "source_csv_roundtrip",
+    "source_json_roundtrip",
+    "source_orc_roundtrip",
+    "stream_dedup",
+    "stream_live_windowed_counts",
+    "stream_session_window",
+    "stream_sliding_window",
+    "stream_stateful_counts",
+    "stream_stream_join",
+    "stream_tumbling_window",
+    "text_fingerprint",
+    "text_gopher_quality_rules",
+    "text_language_id",
+    "text_quality_score",
+    "text_repetition_signals",
+    "text_token_count",
+    "text_unigram_logprob",
+    "vector_collection_stats",
+    "vector_filtered_knn",
+    "vector_knn_cosine",
+    "vector_knn_dot",
+    "vector_knn_euclidean",
+    "vector_pairwise_similarity",
+    "vector_sparse_similarity",
+    # (c) head of the r6 tier (the rest rotate in next round)
+    "ann_index_persist_roundtrip",
+    "ann_ivf_search",
 ]
 
 
