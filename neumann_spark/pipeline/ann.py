@@ -2837,16 +2837,16 @@ def _graph_batch_search(spark: SparkSession, sf_dir: str,
         .select("qid", "vec_id")
     )
     evald = adc(warm).localCheckpoint(eager=True)
-    expanded: dict[int, set] = {a: set() for a in anchors}
+    # the expanded set stays a KEYED DATAFRAME accumulated by union —
+    # never a driver-side dict: at a 10k-query batch the per-round driver
+    # state is ONLY the collected frontier (B * |anchors| pairs, needed
+    # anyway as the static src IN-list that prunes edge blocks at the
+    # source); the anti-join against expanded_df runs executor-side
+    expanded_df = (
+        evald.select("qid", "vec_id").limit(0).localCheckpoint(eager=True))
     wnd = Window.partitionBy("qid").orderBy("d", "vec_id")
     for _ in range(rounds):
-        exp_rows = [(a, v) for a in anchors for v in sorted(expanded[a])]
-        if exp_rows:
-            exp_df = spark.createDataFrame(
-                exp_rows, "qid bigint, vec_id bigint")
-            unexp = evald.join(exp_df, ["qid", "vec_id"], "left_anti")
-        else:
-            unexp = evald
+        unexp = evald.join(expanded_df, ["qid", "vec_id"], "left_anti")
         fr_pairs = [
             (int(r["qid"]), int(r["vec_id"]))
             for r in (unexp.withColumn("rn", F.row_number().over(wnd))
@@ -2872,8 +2872,11 @@ def _graph_batch_search(spark: SparkSession, sf_dir: str,
                   ["qid", "vec_id"], "left_anti")
         )
         evald = evald.unionByName(adc(new_ids)).localCheckpoint(eager=True)
-        for a, v in fr_pairs:
-            expanded[a].add(v)
+        expanded_df = (
+            expanded_df.unionByName(
+                fr_df.select("qid", F.col("src").alias("vec_id")))
+            .localCheckpoint(eager=True)
+        )
     shortlist = (
         evald.withColumn("rn", F.row_number().over(wnd))
         .filter(F.col("rn") <= GRAPH_SHORTLIST)

@@ -397,26 +397,30 @@ def test_graph_delete_repairs_index(spark):
     assert len(got & exact) >= 8
 
 
-def test_graph_batch_scales_to_32_anchors(spark):
-    """r8: the batch machinery must serve a 32-query batch through the
-    SAME single-join LUT/warm builds — 10 state-isolated rows per anchor,
-    and sampled anchors match a batch-of-one of the same anchor exactly
-    (any cross-query bleed in the shared frontier/evaluated frames would
-    change either side)."""
+def test_graph_batch_scales_to_128_anchors(spark):
+    """r8 (widened to 128 in r9): the batch machinery must serve a
+    128-query batch through the SAME single-join LUT/warm builds — 10
+    state-isolated rows per anchor, and sampled anchors match a
+    batch-of-one of the same anchor exactly (any cross-query bleed in
+    the shared frontier/evaluated/expanded frames would change either
+    side). Since r9 the expanded set is a keyed DataFrame accumulated by
+    union (driver holds only each round's collected frontier), so the
+    batch width costs no per-round driver state rebuild."""
     from neumann_spark.pipeline.ann import GRAPH_T_LOW, _graph_batch_search
     from tests.conftest import SF_DIR
 
-    anchors = tuple(range(32))
+    n_anchors = 128
+    anchors = tuple(range(n_anchors))
     rows = _graph_batch_search(
         spark, SF_DIR, anchors, GRAPH_T_LOW).collect()
     per_q: dict[int, list] = {}
     for r in rows:
         per_q.setdefault(int(r["qid"]), []).append(
             (int(r["vec_id"]), r["score"]))
-    assert sorted(per_q) == list(range(32))
+    assert sorted(per_q) == list(range(n_anchors))
     assert all(len(v) == 10 for v in per_q.values())
     assert all(v != q for q, vs in per_q.items() for v, _ in vs)
-    for a in (5, 19, 31):
+    for a in (5, 19, 127):
         solo = _graph_batch_search(
             spark, SF_DIR, (a,), GRAPH_T_LOW).collect()
         assert [(int(r["vec_id"]), r["score"]) for r in solo] == \

@@ -1,0 +1,323 @@
+"""Recall-at-scale for the graph-ANN presets + filtered-search placement.
+
+VERDICT r8 items 1-2: every ANN_RECALL.json number rests on the 2K driver
+fixture; the 100 TB story was extrapolated. This tool measures it:
+
+1. Generates a deterministic synthetic corpus (seeded isotropic unit
+   Gaussians, the SAME distribution as the driver fixture: 64d, unit
+   norm, labels 0..9) at N >= 20K, as parquet.
+2. Builds the kNN-graph index through the REGISTERED Spark build path
+   (`knn_graph_index` -> NN-descent), optionally with the documented
+   grow-K policy (GRAPH_WARM_K ~ sqrt(N)) applied at build time.
+3. Replays the round-synchronous search in numpy (same replay contract
+   as tools/ann_recall.py), validated against ONE live Spark search so
+   the replay cannot silently drift from the engine.
+4. Measures the three presets' recall@10 + byte-normalized read
+   fractions, a rounds x shortlist knee sweep for the compact preset,
+   and filtered (allow-list) recall at ~10% and ~1% selectivity through
+   the post-filter strategy — the measurement that places the
+   auto-dispatch cutoff (`filtered_search_strategy`).
+5. Merges one block into ANN_RECALL.json under "scale_runs".
+
+Usage: python tools/ann_scale_recall.py [N] [n_queries] [warm_k]
+  N          corpus size (default 20000)
+  n_queries  query anchors, evenly spaced (default 100)
+  warm_k     0 = frozen GRAPH_WARM_K=45 (the shipped constant);
+             otherwise the build-time override, e.g. 141 ~ sqrt(20000)
+             (the grow-K policy documented since r8).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TOPK = 10
+SEED = 42
+DIMS = 64
+
+
+def gen_corpus(n: int) -> str:
+    """Write the deterministic synthetic corpus parquet; return its dir."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = f"/tmp/ann_scale_{n}"
+    path = os.path.join(d, "embeddings.parquet")
+    if os.path.exists(path):
+        return d
+    os.makedirs(d, exist_ok=True)
+    rng = np.random.default_rng(SEED)
+    x = rng.standard_normal((n, DIMS))
+    x /= np.linalg.norm(x, axis=1)[:, None]
+    x = x.astype(np.float32)
+    labels = rng.integers(0, 10, n).astype(np.int32)
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array(list(x), type=pa.list_(pa.float32())),
+        "label": pa.array(labels),
+    })
+    pq.write_table(tbl, path)
+    return d
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
+    n_q = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    warm_k = int(sys.argv[3]) if len(sys.argv) > 3 else 0
+
+    sf_dir = gen_corpus(n)
+
+    import neumann_spark.pipeline.ann as ann
+    from neumann_spark.session import get_spark
+
+    if warm_k:
+        ann.GRAPH_WARM_K = warm_k  # build-time grow-K policy override
+    spark = get_spark("ann_scale_recall")
+
+    t0 = time.time()
+    index = ann.knn_graph_index(spark, sf_dir)
+    build_sec = round(time.time() - t0, 1)
+    print(f"index built in {build_sec}s "
+          f"(N={n}, warm_k={warm_k or ann.GRAPH_WARM_K})", file=sys.stderr)
+
+    edges, warm_codes, warm_cent, codes_long, books = index[:5]
+
+    gep = edges.orderBy("src", "pos").toPandas()
+    g_adj: dict[int, list[int]] = {}
+    for src, dst in zip(gep["src"].to_numpy(), gep["dst"].to_numpy()):
+        g_adj.setdefault(int(src), []).append(int(dst))
+    wrows = warm_codes.toPandas()
+    g_clusters = np.zeros(n, dtype=int)
+    g_clusters[wrows["vec_id"].to_numpy(dtype=int)] = (
+        wrows["cluster"].to_numpy(dtype=int))
+    gcp = codes_long.toPandas()
+    g_codes = np.zeros((n, ann.GRAPH_PQ_S), dtype=int)
+    g_codes[gcp["vec_id"].to_numpy(dtype=int),
+            gcp["s"].to_numpy(dtype=int)] = gcp["code"].to_numpy(dtype=int)
+    g_cent_ids = np.array([cid for cid, _ in warm_cent])
+    g_cent = np.array([c for _, c in warm_cent])
+
+    # vectors: read back the generated parquet (float32 -> float64, unit)
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    vecs = np.stack(tbl["embedding"].to_numpy(zero_copy_only=False)).astype(
+        np.float64)
+    labels = tbl["label"].to_numpy()
+    vec_ids = tbl["vec_id"].to_numpy()
+    assert (vec_ids == np.arange(n)).all()
+    unit = vecs / (np.linalg.norm(vecs, axis=1)[:, None] + 1e-12)
+
+    # SQ8 rescore tier, replaying the build grid exactly (round-6 inputs)
+    u6 = np.round(unit, 6)
+    sq_lo, sq_hi = u6.min(axis=0), u6.max(axis=0)
+    sq_step = (sq_hi - sq_lo) / ann.SQ_LEVELS
+    sq_safe = np.where(sq_step > 0, sq_step, 1.0)
+    sq_code = np.where(
+        sq_step > 0,
+        np.clip(np.floor((u6 - sq_lo) / sq_safe), 0, ann.SQ_LEVELS), 0)
+    sq_deq = sq_lo + (sq_code + 0.5) * sq_step
+
+    def graph_search(qi: int, rounds: int, short: int,
+                     rescore_mat: np.ndarray | None = None,
+                     allowed: np.ndarray | None = None):
+        """Replay _graph_rescore_from: (top-10 ids, codes ADC'd, edge rows
+        read). `allowed` (bool mask) applies at the SHORTLIST stage — the
+        engine's filtered-DiskANN post-filter placement."""
+        q = unit[qi]
+        luts = []
+        for s in range(ann.GRAPH_PQ_S):
+            qs = q[s * ann.GRAPH_PQ_SUBDIM:(s + 1) * ann.GRAPH_PQ_SUBDIM]
+            lut = np.full(max(cid for cid, _ in books[s]) + 1, np.inf)
+            for cid, c in books[s]:
+                lut[cid] = round(float(((qs - np.array(c)) ** 2).sum()), 6)
+            luts.append(lut)
+
+        def adc(ids: np.ndarray) -> np.ndarray:
+            d = np.zeros(len(ids))
+            for s in range(ann.GRAPH_PQ_S):
+                d += luts[s][g_codes[ids, s]]
+            return np.round(d, 6)
+
+        cd = np.round(((g_cent - q) ** 2).sum(axis=1), 6)
+        probes = g_cent_ids[
+            np.lexsort((g_cent_ids, cd))[:ann.GRAPH_WARM_PROBES]]
+        starts = np.where(np.isin(g_clusters, probes))[0]
+        starts = starts[starts != qi]
+        evald = dict(zip(starts.tolist(), adc(starts).tolist()))
+        expanded: set[int] = set()
+        edge_rows = 0
+        for _ in range(rounds):
+            frontier = sorted(
+                (i for i in evald if i not in expanded),
+                key=lambda i: (evald[i], i))[:ann.GRAPH_B]
+            if not frontier:
+                break
+            new = set()
+            for u_ in frontier:
+                expanded.add(u_)
+                nbrs = g_adj.get(u_, [])[:ann.GRAPH_C]
+                edge_rows += len(nbrs)
+                for v_ in nbrs:
+                    if v_ not in evald and v_ != qi:
+                        new.add(v_)
+            if new:
+                nl = np.array(sorted(new))
+                for v_, dv in zip(nl.tolist(), adc(nl).tolist()):
+                    evald[v_] = dv
+        ids = np.array(list(evald.keys()))
+        dd = np.array([evald[int(i)] for i in ids])
+        if allowed is not None:
+            keep = allowed[ids]
+            ids, dd = ids[keep], dd[keep]
+        sh = ids[np.lexsort((ids, dd))[:short]]
+        rmat = unit if rescore_mat is None else rescore_mat
+        s2 = rmat[sh] @ q
+        top = sh[np.lexsort((sh, -np.round(s2, 6)))[:TOPK]]
+        return set(top.tolist()), len(evald), edge_rows
+
+    # replay-fidelity gate: the live Spark compact search for anchor 0
+    # must return exactly the replay's ids (same structures, same math)
+    live = {int(r["vec_id"]) for r in ann._graph_rescore_from(
+        spark, sf_dir, index, ann.GRAPH_T_HIGH,
+        shortlist=ann.GRAPH_COMPACT_SHORTLIST, sq_rescore=True).collect()}
+    rep, _, _ = graph_search(0, ann.GRAPH_T_HIGH,
+                             ann.GRAPH_COMPACT_SHORTLIST, rescore_mat=sq_deq)
+    assert live == rep, f"replay drift: live={sorted(live)} rep={sorted(rep)}"
+    print("replay fidelity: live Spark search == numpy replay",
+          file=sys.stderr)
+
+    norms = np.linalg.norm(vecs, axis=1)
+    rng_idx = np.linspace(0, n - 1, num=min(n_q, n), dtype=int)
+
+    presets = {
+        "graph_rescore": (ann.GRAPH_T_LOW, ann.GRAPH_SHORTLIST, None),
+        "graph_rescore_high_recall": (
+            ann.GRAPH_T_HIGH, ann.GRAPH_SHORTLIST, None),
+        "graph_rescore_compact": (
+            ann.GRAPH_T_HIGH, ann.GRAPH_COMPACT_SHORTLIST, sq_deq),
+    }
+    hits = {m: [] for m in presets}
+    code_f = {m: [] for m in presets}
+    edge_f = {m: [] for m in presets}
+    scan_f = {m: [] for m in presets}
+
+    # knee sweep: the levers that restore the operating point at scale
+    SWEEP_T = (10, 14, 18, 24, 32)
+    SWEEP_SHORT = (150, 300, 500)
+    sweep = {(t, s): {"hit": [], "code": [], "edge": []}
+             for t in SWEEP_T for s in SWEEP_SHORT}
+
+    # filtered post-filter recall at two selectivities (the dispatch
+    # placement measurement): ~10% (one label) and ~1% (vec_id % 100)
+    filt = {"0.10": {"hit": [], "sel": []}, "0.01": {"hit": [], "sel": []}}
+
+    for qi in rng_idx:
+        q = vecs[qi]
+        cos = (vecs @ q) / (norms * np.linalg.norm(q) + 1e-12)
+        s = cos.copy()
+        s[qi] = -np.inf
+        gt = set(np.argsort(-s, kind="stable")[:TOPK].tolist())
+
+        for m, (t, sh, rmat) in presets.items():
+            top, n_eval, n_edge = graph_search(qi, t, sh, rescore_mat=rmat)
+            hits[m].append(len(top & gt) / TOPK)
+            code_f[m].append(n_eval / n)
+            edge_f[m].append(n_edge / n)
+            scan_f[m].append(min(sh, n_eval) / n)
+
+        for (t, sh), cell in sweep.items():
+            top, n_eval, n_edge = graph_search(
+                qi, t, sh, rescore_mat=sq_deq)
+            cell["hit"].append(len(top & gt) / TOPK)
+            cell["code"].append(n_eval / n)
+            cell["edge"].append(n_edge / n)
+
+        for key, mask in (
+            ("0.10", labels == (int(qi) % 10)),
+            ("0.01", (vec_ids % 100) == (int(qi) % 100)),
+        ):
+            allowed = mask.copy()
+            allowed[qi] = False
+            if not allowed.any():
+                continue
+            aidx = np.where(allowed)[0]
+            agt = set(aidx[np.argsort(-cos[aidx], kind="stable")
+                           [:TOPK]].tolist())
+            top, _, _ = graph_search(
+                qi, ann.GRAPH_T_HIGH, ann.GRAPH_COMPACT_SHORTLIST,
+                rescore_mat=None, allowed=allowed)
+            k_eff = min(TOPK, len(aidx))
+            filt[key]["hit"].append(len(top & agt) / k_eff)
+            filt[key]["sel"].append(len(aidx) / n)
+
+    def vec_equiv(m: str) -> float:
+        scan_bytes = 64.0 if m == "graph_rescore_compact" else 512.0
+        return round(
+            float(np.mean(scan_f[m])) * scan_bytes / 512.0
+            + float(np.mean(code_f[m])) * 32.0 / 512.0
+            + float(np.mean(edge_f[m])) * 16.0 / 512.0, 4)
+
+    block = {
+        "n_vectors": n,
+        "n_queries": int(len(rng_idx)),
+        "warm_k": int(warm_k or ann.GRAPH_WARM_K),
+        "warm_k_policy": ("frozen" if not warm_k else "sqrt_n"),
+        "build_sec": build_sec,
+        "recall_at_10": {
+            m: round(float(np.mean(h)), 3) for m, h in hits.items()},
+        "vec_equiv_read_fraction": {m: vec_equiv(m) for m in presets},
+        "avg_code_scan_fraction": {
+            m: round(float(np.mean(c)), 4) for m, c in code_f.items()},
+        "compact_sweep": [
+            {
+                "rounds": t, "shortlist": sh,
+                "recall_at_10": round(float(np.mean(c["hit"])), 3),
+                "vec_equiv_read_fraction": round(
+                    float(np.mean([min(sh / n, cf) for cf in c["code"]]))
+                    * 64.0 / 512.0
+                    + float(np.mean(c["code"])) * 32.0 / 512.0
+                    + float(np.mean(c["edge"])) * 16.0 / 512.0, 4),
+            }
+            for (t, sh), c in sorted(sweep.items())
+        ],
+        # post-filter (index-served, filter at shortlist) recall by
+        # selectivity; the pre-filter path is exact by construction at
+        # cost = selectivity full-precision rows, so the dispatch cutoff
+        # is where post-filter recall degrades below the presets' band
+        "filtered_post_recall": {
+            key: {
+                "recall_at_10": round(float(np.mean(d["hit"])), 3)
+                if d["hit"] else None,
+                "avg_selectivity": round(float(np.mean(d["sel"])), 4)
+                if d["sel"] else None,
+                "n_queries": len(d["hit"]),
+            }
+            for key, d in filt.items()
+        },
+    }
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(root, "ANN_RECALL.json")
+    with open(path) as f:
+        doc = json.load(f)
+    runs = [r for r in doc.get("scale_runs", [])
+            if not (r["n_vectors"] == n
+                    and r["warm_k"] == block["warm_k"])]
+    runs.append(block)
+    doc["scale_runs"] = sorted(
+        runs, key=lambda r: (r["n_vectors"], r["warm_k"]))
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=2)
+    print(json.dumps(block))
+
+
+if __name__ == "__main__":
+    main()
