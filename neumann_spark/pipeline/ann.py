@@ -1605,7 +1605,8 @@ def _graph_rescore_search(spark: SparkSession, sf_dir: str, rounds: int,
 def _graph_rescore_from(spark: SparkSession, sf_dir: str, index: tuple,
                         rounds: int, shortlist: int = GRAPH_SHORTLIST,
                         sq_rescore: bool = False,
-                        allowed: DataFrame | None = None) -> DataFrame:
+                        allowed: DataFrame | None = None,
+                        beam: int = GRAPH_B) -> DataFrame:
     """Round-synchronous graph search core: warm-start with the
     GRAPH_WARM_PROBES nearest Lloyd lists, then `rounds` bulk rounds —
     frontier = ADC-top-B unexpanded (collected as a STATIC B-int IN-list,
@@ -1614,10 +1615,14 @@ def _graph_rescore_from(spark: SparkSession, sf_dir: str, index: tuple,
     joined frontier frame would read everything), expand their top-C
     edges, ADC-rank the new candidates via a broadcast (s, code, d)
     lookup join — then exact-cosine rescore of the ADC-top-SHORTLIST.
-    Every step is a join/filter over bounded frames (frontier B rows,
-    evaluated <= warm + B*C*T rows), so the same plan runs against
-    partition-pruned edge and code tables at 100 TB; nothing sequential
-    but the T-round driver loop, mirroring Pregel-style iteration."""
+    Every step is a join/filter over bounded frames (frontier `beam`
+    rows, evaluated <= warm + beam*C*T rows), so the same plan runs
+    against partition-pruned edge and code tables at 100 TB; nothing
+    sequential but the T-round driver loop, mirroring Pregel-style
+    iteration. `rounds` and `beam` are the budget knobs a larger corpus
+    raises (the HNSW ef analog): the fixture presets hold at N=2K; the
+    measured N=20K operating points are in ANN_RECALL.json scale_runs
+    with the restoring (rounds, beam) settings."""
     edges, warm_codes, warm_centroids, codes_long, codebooks = index[:5]
     # load_graph_index persists everything EXCEPT the float unit frame;
     # that path re-derives it from sf_dir, which is only sound when the
@@ -1685,7 +1690,7 @@ def _graph_rescore_from(spark: SparkSession, sf_dir: str, index: tuple,
         # with static partition pruning (PartitionFilters, plan-asserted)
         frontier = [
             int(r["vec_id"])
-            for r in unexp.orderBy("d", "vec_id").limit(GRAPH_B).collect()
+            for r in unexp.orderBy("d", "vec_id").limit(beam).collect()
         ]
         if not frontier:
             break
@@ -2671,6 +2676,41 @@ def _graph_delete_sql() -> str:
 GRAPH_CDC_DELETE_PRED = "vec_id % 97 = 3"  # deterministic tombstone set
 
 
+def _graph_churn_sql() -> str:
+    """Oracle for `ann_graph_churn_search` (new r9): FULL build, then one
+    churn cycle — DELETE the 8 highest ids through
+    `_graph_delete_replay_parts`, RE-INSERT the same vectors through
+    `_graph_insert_replay_parts` with the shrunk state as input (frozen
+    full-corpus quantizers, exactly the maintenance-path contract) — then
+    the T_LOW search through the cycled structures. Cycled nodes get
+    re-selected edges (not necessarily the original NN-descent edges), so
+    the oracle replay is the only way to pin the cycle exactly; any drift
+    between engine and replay (a stale link surviving the delete, a
+    re-insert candidate set differing) hash-mismatches."""
+    W = GRAPH_WARM_ITERS
+    cut = f"(SELECT MAX(vec_id) - {GRAPH_INSERT_BATCH - 1} FROM embeddings)"
+    parts = _graph_build_parts()
+    parts.append(_graph_pcall_part())
+    parts.append(_graph_delete_replay_parts(
+        dels_sel=f"SELECT vec_id FROM embeddings WHERE vec_id >= {cut}",
+        sfx="_h1", u="u", iva=f"iva{W}", codes="codes", edges="edges"))
+    parts.append(_graph_insert_replay_parts(
+        rng=f"e.vec_id >= {cut}", sfx="_h2", u="uD_h1", iva="ivaD_h1",
+        codes="codesD_h1", edges="edgesD_h1"))
+    parts += _graph_anchor_parts(
+        0, GRAPH_T_LOW, u="u2_h2", codes="codes2_h2", edges="edges2_h2",
+        iva="ivag_h2")
+    parts.append(f"""
+    SELECT s.vec_id, ROUND(SUM(uv.val * q.val), 6) AS score
+    FROM short s
+    JOIN u2_h2 uv ON uv.vec_id = s.vec_id
+    JOIN u2_h2 q ON q.vec_id = 0 AND q.i = uv.i
+    GROUP BY s.vec_id
+    ORDER BY score DESC, s.vec_id
+    LIMIT {PQ_TOPK}""")
+    return "".join(parts)
+
+
 def _graph_cdc_stream_sql() -> str:
     """Oracle for `ann_graph_cdc_stream`: build below max-7, replay an
     INSERT batch (the 8 highest ids) through `_graph_insert_replay_parts`,
@@ -3418,6 +3458,31 @@ def ann_graph_delete_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, knn_graph_index(spark, sf_dir),
         emb.filter(F.col("vec_id") >= cut).select("vec_id"))
     return _graph_rescore_from(spark, sf_dir, shrunk, GRAPH_T_LOW)
+
+
+@register("ann_graph_churn_search", oracle=_graph_churn_sql())
+def ann_graph_churn_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index churn (new r9): one full delete→re-insert cycle of the 8
+    highest-id vectors through the maintenance paths (`knn_graph_delete`
+    link-through repair, then `knn_graph_insert` with the frozen
+    full-corpus quantizers), then the T_LOW search over the cycled index
+    — the registered surface for the CDC steady state, where the same
+    keys churn repeatedly and the index must neither leak tombstones nor
+    drift its searchable set. The oracle replays the full cycle
+    (delete-replay CTEs feeding insert-replay CTEs), so a stale link, a
+    lost node, or a mis-repaired neighbourhood hash-mismatches.
+    Multi-cycle drift is pinned separately
+    (`test_graph_churn_drift_bounded`): recall stays within the fresh
+    build's band through 50% corpus churn, the measured rebuild trigger
+    documented in docs/DESIGN.md."""
+    emb = load(spark, sf_dir, "embeddings")
+    max_id = emb.agg(F.max("vec_id")).head()[0]
+    cut = int(max_id) - (GRAPH_INSERT_BATCH - 1)
+    batch = emb.filter(F.col("vec_id") >= cut)
+    shrunk = knn_graph_delete(
+        spark, knn_graph_index(spark, sf_dir), batch.select("vec_id"))
+    cycled = knn_graph_insert(spark, shrunk, batch)
+    return _graph_rescore_from(spark, sf_dir, cycled, GRAPH_T_LOW)
 
 
 @register("ann_graph_rescore_compact", oracle=_graph_compact_sql())

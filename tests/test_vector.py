@@ -690,3 +690,59 @@ def test_filtered_auto_dispatch_routes_by_selectivity(spark):
     got = filtered_search_auto(spark, SF_DIR, loose).collect()
     key = lambda rows: [(r["vec_id"], r["score"]) for r in rows]  # noqa: E731
     assert key(got) == key(want)
+
+
+def test_graph_churn_drift_bounded(spark):
+    """Sustained-churn drift pin (VERDICT r8 item 5): cycle HALF the
+    corpus through delete→re-insert in 5 disjoint ~10% batches (frozen
+    quantizers — the CDC steady state), then verify (a) structural
+    invariants hold, (b) anchor-0 recall@10 vs the exact top-10 stays
+    within 0.1 of the fresh build, and (c) the churned search result
+    overlaps the fresh result >= 8/10. Cycled nodes get re-selected (not
+    NN-descent) edges, so some drift is expected; the pin is that it
+    stays bounded at 50% churn — the measured rebuild trigger documented
+    in docs/DESIGN.md."""
+    import numpy as np
+
+    from neumann_spark.catalog import load
+    from neumann_spark.pipeline.ann import (
+        GRAPH_T_HIGH,
+        _graph_rescore_from,
+        knn_graph_delete,
+        knn_graph_insert,
+        knn_graph_index,
+    )
+    from tests.conftest import SF_DIR
+
+    emb = load(spark, SF_DIR, "embeddings")
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+    vecs = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids = np.array([int(r["vec_id"]) for r in rows])
+    n = len(ids)
+
+    fresh = knn_graph_index(spark, SF_DIR)
+    churned = fresh
+    for c in range(5):  # 5 x ~10% disjoint slices = 50% of the corpus
+        batch = emb.filter(F.col("vec_id") % 10 == c)
+        churned = knn_graph_delete(spark, churned, batch.select("vec_id"))
+        churned = knn_graph_insert(spark, churned, batch)
+
+    # structural invariants survive the churn: every node still indexed
+    assert churned[1].count() == n  # warm assignments
+    assert churned[6].count() == n  # SQ rescore rows
+
+    q = vecs[0]
+    cos = (vecs @ q) / (
+        np.linalg.norm(vecs, axis=1) * np.linalg.norm(q) + 1e-12)
+    s = cos.copy()
+    s[0] = -np.inf
+    gt = set(ids[np.argsort(-s, kind="stable")[:10]].tolist())
+
+    got_fresh = {int(r["vec_id"]) for r in _graph_rescore_from(
+        spark, SF_DIR, fresh, GRAPH_T_HIGH).collect()}
+    got_churn = {int(r["vec_id"]) for r in _graph_rescore_from(
+        spark, SF_DIR, churned, GRAPH_T_HIGH).collect()}
+    r_fresh = len(got_fresh & gt) / 10
+    r_churn = len(got_churn & gt) / 10
+    assert r_churn >= r_fresh - 0.1, (r_fresh, r_churn)
+    assert len(got_churn & got_fresh) >= 8, (got_fresh, got_churn)

@@ -127,10 +127,13 @@ def main() -> None:
 
     def graph_search(qi: int, rounds: int, short: int,
                      rescore_mat: np.ndarray | None = None,
-                     allowed: np.ndarray | None = None):
+                     allowed: np.ndarray | None = None,
+                     beam: int | None = None):
         """Replay _graph_rescore_from: (top-10 ids, codes ADC'd, edge rows
         read). `allowed` (bool mask) applies at the SHORTLIST stage — the
-        engine's filtered-DiskANN post-filter placement."""
+        engine's filtered-DiskANN post-filter placement. `beam` overrides
+        GRAPH_B (the engine's `beam` parameter)."""
+        b_width = beam or ann.GRAPH_B
         q = unit[qi]
         luts = []
         for s in range(ann.GRAPH_PQ_S):
@@ -157,7 +160,7 @@ def main() -> None:
         for _ in range(rounds):
             frontier = sorted(
                 (i for i in evald if i not in expanded),
-                key=lambda i: (evald[i], i))[:ann.GRAPH_B]
+                key=lambda i: (evald[i], i))[:b_width]
             if not frontier:
                 break
             new = set()
@@ -191,8 +194,16 @@ def main() -> None:
     rep, _, _ = graph_search(0, ann.GRAPH_T_HIGH,
                              ann.GRAPH_COMPACT_SHORTLIST, rescore_mat=sq_deq)
     assert live == rep, f"replay drift: live={sorted(live)} rep={sorted(rep)}"
-    print("replay fidelity: live Spark search == numpy replay",
-          file=sys.stderr)
+    live16 = {int(r["vec_id"]) for r in ann._graph_rescore_from(
+        spark, sf_dir, index, ann.GRAPH_T_LOW,
+        shortlist=ann.GRAPH_COMPACT_SHORTLIST, sq_rescore=True,
+        beam=16).collect()}
+    rep16, _, _ = graph_search(0, ann.GRAPH_T_LOW,
+                               ann.GRAPH_COMPACT_SHORTLIST,
+                               rescore_mat=sq_deq, beam=16)
+    assert live16 == rep16, "replay drift at beam=16"
+    print("replay fidelity: live Spark search == numpy replay "
+          "(default and beam=16)", file=sys.stderr)
 
     norms = np.linalg.norm(vecs, axis=1)
     rng_idx = np.linspace(0, n - 1, num=min(n_q, n), dtype=int)
@@ -209,11 +220,13 @@ def main() -> None:
     edge_f = {m: [] for m in presets}
     scan_f = {m: [] for m in presets}
 
-    # knee sweep: the levers that restore the operating point at scale
-    SWEEP_T = (10, 14, 18, 24, 32)
-    SWEEP_SHORT = (150, 300, 500)
-    sweep = {(t, s): {"hit": [], "code": [], "edge": []}
-             for t in SWEEP_T for s in SWEEP_SHORT}
+    # knee sweep over the two budget knobs (rounds, beam) at the compact
+    # shortlist — the levers that restore the operating point at scale
+    SWEEP_T = (10, 18, 32, 48)
+    SWEEP_B = (8, 16, 32)
+    SWEEP_SHORT = 300
+    sweep = {(t, b): {"hit": [], "code": [], "edge": []}
+             for t in SWEEP_T for b in SWEEP_B}
 
     # filtered post-filter recall at two selectivities (the dispatch
     # placement measurement): ~10% (one label) and ~1% (vec_id % 100)
@@ -233,9 +246,9 @@ def main() -> None:
             edge_f[m].append(n_edge / n)
             scan_f[m].append(min(sh, n_eval) / n)
 
-        for (t, sh), cell in sweep.items():
+        for (t, b), cell in sweep.items():
             top, n_eval, n_edge = graph_search(
-                qi, t, sh, rescore_mat=sq_deq)
+                qi, t, SWEEP_SHORT, rescore_mat=sq_deq, beam=b)
             cell["hit"].append(len(top & gt) / TOPK)
             cell["code"].append(n_eval / n)
             cell["edge"].append(n_edge / n)
@@ -278,15 +291,16 @@ def main() -> None:
             m: round(float(np.mean(c)), 4) for m, c in code_f.items()},
         "compact_sweep": [
             {
-                "rounds": t, "shortlist": sh,
+                "rounds": t, "beam": b, "shortlist": SWEEP_SHORT,
                 "recall_at_10": round(float(np.mean(c["hit"])), 3),
                 "vec_equiv_read_fraction": round(
-                    float(np.mean([min(sh / n, cf) for cf in c["code"]]))
+                    float(np.mean(
+                        [min(SWEEP_SHORT / n, cf) for cf in c["code"]]))
                     * 64.0 / 512.0
                     + float(np.mean(c["code"])) * 32.0 / 512.0
                     + float(np.mean(c["edge"])) * 16.0 / 512.0, 4),
             }
-            for (t, sh), c in sorted(sweep.items())
+            for (t, b), c in sorted(sweep.items())
         ],
         # post-filter (index-served, filter at shortlist) recall by
         # selectivity; the pre-filter path is exact by construction at
