@@ -240,3 +240,75 @@ def fulltext_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(score), 4).alias("bm25"),
         )
     )
+
+
+# --- incremental BM25 corpus stats (new r9) ---------------------------------
+# Under the CDC story the index's global statistics (per-term df, n_docs,
+# avgdl) drift as documents churn. The reference rebuilds its inverted
+# index on write (`graph_engine/src/fulltext.rs` index path); the Spark
+# CDC analog maintains them ADDITIVELY in the foreachBatch merge — df is
+# a per-term count and (n_docs, sum_dl) are scalars, all exactly
+# decomposable over inserts and deletes, so the merged state is
+# bit-identical to a from-scratch rebuild (pinned by
+# tests/test_pipeline.py::test_bm25_stats_incremental_merge).
+
+
+def _term_df(docs: DataFrame) -> DataFrame:
+    """(term, df): per-term document frequency — distinct terms per doc,
+    counted per term. One explode + one term-keyed aggregate."""
+    tok = docs.select(
+        F.explode(F.array_distinct(F.split("text", " "))).alias("term"))
+    return tok.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+
+
+def _doc_totals(docs: DataFrame) -> DataFrame:
+    """1-row (n_docs, sum_dl) — avgdl derives as sum_dl / n_docs."""
+    return docs.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.coalesce(
+            F.sum(F.size(F.split("text", " ")).cast("double")), F.lit(0.0)
+        ).alias("sum_dl"),
+    )
+
+
+def bm25_stats_init(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Build the maintained BM25 corpus state from a document corpus:
+    (df_table, totals) where df_table is (term, df) and totals is the
+    1-row (n_docs, sum_dl)."""
+    return _term_df(docs), _doc_totals(docs)
+
+
+def bm25_stats_merge(df_tbl: DataFrame, totals: DataFrame,
+                     added: DataFrame,
+                     removed: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """One CDC micro-batch of the BM25 state: df' = df + df(added)
+    - df(removed) per term (zero-count terms drop out), totals' adds the
+    batch deltas. Every step is a term-keyed join/aggregate — at scale
+    the state table is term-partitioned and the merge touches only the
+    batch's terms, the same bounded-merge shape as the graph-index CDC
+    path. `removed` must carry the removed docs' text (the CDC tombstone
+    payload), exactly like the reference re-reads the doc to un-index
+    it."""
+    delta = (
+        _term_df(added).withColumnRenamed("df", "d_add")
+        .join(_term_df(removed).withColumnRenamed("df", "d_rem"),
+              "term", "full_outer")
+    )
+    merged = (
+        df_tbl.join(delta, "term", "full_outer")
+        .select(
+            "term",
+            (F.coalesce("df", F.lit(0.0))
+             + F.coalesce("d_add", F.lit(0.0))
+             - F.coalesce("d_rem", F.lit(0.0))).alias("df"),
+        )
+        .filter(F.col("df") > 0)
+    )
+    sign = lambda d, s: _doc_totals(d).select(  # noqa: E731
+        (F.col("n_docs") * s).alias("n_docs"),
+        (F.col("sum_dl") * s).alias("sum_dl"))
+    new_totals = (
+        totals.unionByName(sign(added, 1.0)).unionByName(sign(removed, -1.0))
+        .agg(F.sum("n_docs").alias("n_docs"), F.sum("sum_dl").alias("sum_dl"))
+    )
+    return merged, new_totals

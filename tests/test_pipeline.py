@@ -681,3 +681,39 @@ def test_jpeg_multiscan_rejected():
                + b"\xff\xd9")
     with _pt.raises(ValueError, match="multi-scan"):
         decode_jpeg_pixels(payload)
+
+
+def test_bm25_stats_incremental_merge(spark):
+    """The additively-maintained BM25 corpus state (per-term df, n_docs,
+    sum_dl) after a CDC batch of inserts+deletes must equal a
+    from-scratch rebuild on the final corpus EXACTLY — counts decompose
+    additively, so any mismatch is a merge bug, not float noise. Since
+    the registered BM25 surface derives its score from exactly these
+    statistics, stats equality pins score equality too."""
+    from neumann_spark.catalog import load
+    from neumann_spark.pipeline.fulltext import (
+        bm25_stats_init,
+        bm25_stats_merge,
+    )
+    from tests.conftest import SF_DIR
+
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    added = docs.filter(F.col("doc_id") % 5 == 0)      # CDC inserts
+    removed = base.filter(F.col("doc_id") % 7 == 0)    # CDC deletes ⊂ base
+    final = docs.filter(
+        (F.col("doc_id") % 5 == 0)
+        | ((F.col("doc_id") % 5 != 0) & (F.col("doc_id") % 7 != 0)))
+
+    inc_df, inc_tot = bm25_stats_merge(
+        *bm25_stats_init(base), added, removed)
+    want_df, want_tot = bm25_stats_init(final)
+
+    got = {r["term"]: r["df"] for r in inc_df.collect()}
+    want = {r["term"]: r["df"] for r in want_df.collect()}
+    assert got == want
+    g, w = inc_tot.head(), want_tot.head()
+    assert g["n_docs"] == w["n_docs"]
+    assert g["sum_dl"] == w["sum_dl"]
+    # derived avgdl feeds the score; equal numerators/denominators
+    assert g["sum_dl"] / g["n_docs"] == w["sum_dl"] / w["n_docs"]
