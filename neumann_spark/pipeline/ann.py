@@ -3355,7 +3355,9 @@ def filtered_search_strategy(spark: SparkSession, sf_dir: str,
         .agg(F.avg(pred.cast("int")).alias("sel"))
         .head()["sel"]
     )
-    return "pre" if (sel or 0.0) < FILTER_SELECTIVITY_CUTOFF else "post"
+    if sel is None:
+        return "post"  # empty sample -> PostFilter, as the reference
+    return "pre" if sel < FILTER_SELECTIVITY_CUTOFF else "post"
 
 
 def filtered_search_auto(spark: SparkSession, sf_dir: str, pred: Column,
