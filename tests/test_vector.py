@@ -746,3 +746,31 @@ def test_graph_churn_drift_bounded(spark):
     r_churn = len(got_churn & gt) / 10
     assert r_churn >= r_fresh - 0.1, (r_fresh, r_churn)
     assert len(got_churn & got_fresh) >= 8, (got_fresh, got_churn)
+
+
+def test_graph_beam_budget_converges_to_exact(spark):
+    """The `beam` knob is the HNSW ef analog: with the budget opened all
+    the way (beam >= N, enough rounds to exhaust the frontier, shortlist
+    >= N) the traversal covers every reachable node and the exact rescore
+    must return EXACTLY the brute-force cosine top-10 — the property that
+    makes (rounds, beam) an honest recall dial rather than a heuristic
+    (measured operating points at N=20K in ANN_RECALL.json scale_runs)."""
+    from neumann_spark.catalog import load
+    from neumann_spark.functions.vector import knn
+    from neumann_spark.pipeline.ann import (
+        _graph_rescore_from,
+        knn_graph_index,
+    )
+    from tests.conftest import SF_DIR
+
+    emb = load(spark, SF_DIR, "embeddings")
+    n = emb.count()
+    anchor = [float(x)
+              for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    exact = [int(r["vec_id"])
+             for r in knn(emb, "embedding", anchor, 10, "cosine",
+                          pre_filter=F.col("vec_id") != 0).collect()]
+    got = [int(r["vec_id"]) for r in _graph_rescore_from(
+        spark, SF_DIR, knn_graph_index(spark, SF_DIR),
+        rounds=n, shortlist=n, beam=n).collect()]
+    assert got == exact
