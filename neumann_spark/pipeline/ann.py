@@ -2764,13 +2764,35 @@ def _graph_rescore_sql(rounds: int) -> str:
     return "".join(parts)
 
 
-def _graph_batch_sql(anchors: tuple, rounds: int) -> str:
+def _graph_batch_sql(anchors: tuple, rounds: int,
+                     shortlist: int = GRAPH_SHORTLIST,
+                     compact: bool = False) -> str:
     """Batched oracle: ONE statement sharing the build CTEs across
     anchors, with per-anchor lut/probe/round CTEs and a UNION ALL of the
-    per-anchor top-10 rescores tagged by query id."""
+    per-anchor top-10 rescores tagged by query id. `compact` swaps the
+    rescore side to the SQ8-dequantized tier (the sqd CTEs shared by all
+    anchors), replaying `_graph_batch_search(sq_rescore=True)`."""
     parts = _graph_build_parts()
+    if compact:
+        parts.append(f""",
+    sq6 AS MATERIALIZED (
+      SELECT vec_id, i, ROUND(val, 6) AS val FROM u
+    ),
+    sqg AS MATERIALIZED (
+      SELECT i, MIN(val) AS lo, MAX(val) AS hi FROM sq6 GROUP BY i
+    ),
+    sqd AS MATERIALIZED (
+      SELECT s6.vec_id, s6.i,
+             CASE WHEN g.hi = g.lo THEN g.lo
+                  ELSE g.lo + (LEAST({SQ_LEVELS}, GREATEST(0,
+                      FLOOR((s6.val - g.lo) / ((g.hi - g.lo) / {SQ_LEVELS}))))
+                    + 0.5) * ((g.hi - g.lo) / {SQ_LEVELS}) END AS val
+      FROM sq6 s6 JOIN sqg g ON g.i = s6.i
+    )""")
     for a in anchors:
-        parts.extend(_graph_anchor_parts(a, rounds, tag=f"_q{a}"))
+        parts.extend(_graph_anchor_parts(
+            a, rounds, tag=f"_q{a}", shortlist=shortlist))
+    rescore_tbl = "sqd" if compact else "u"
     finals = []
     for a in anchors:
         finals.append(f"""
@@ -2780,7 +2802,7 @@ def _graph_batch_sql(anchors: tuple, rounds: int) -> str:
       FROM (
         SELECT s.vec_id, ROUND(SUM(uv.val * q.val), 6) AS score
         FROM short_q{a} s
-        JOIN u uv ON uv.vec_id = s.vec_id
+        JOIN {rescore_tbl} uv ON uv.vec_id = s.vec_id
         JOIN u q ON q.vec_id = {a} AND q.i = uv.i
         GROUP BY s.vec_id
       ) x
@@ -2821,7 +2843,9 @@ GRAPH_BATCH_ANCHORS = (0, 3, 7)
 
 
 def _graph_batch_search(spark: SparkSession, sf_dir: str,
-                        anchors: tuple, rounds: int) -> DataFrame:
+                        anchors: tuple, rounds: int,
+                        shortlist: int = GRAPH_SHORTLIST,
+                        sq_rescore: bool = False) -> DataFrame:
     """BATCHED round-synchronous graph search: all queries advance
     through the SAME T rounds with frontier/evaluated frames keyed by
     query id. This is the documented mitigation for the per-round
@@ -2917,24 +2941,44 @@ def _graph_batch_search(spark: SparkSession, sf_dir: str,
                 fr_df.select("qid", F.col("src").alias("vec_id")))
             .localCheckpoint(eager=True)
         )
-    shortlist = (
+    short_df = (
         evald.withColumn("rn", F.row_number().over(wnd))
-        .filter(F.col("rn") <= GRAPH_SHORTLIST)
+        .filter(F.col("rn") <= shortlist)
         .select("qid", "vec_id")
     )
     from neumann_spark.functions.vector import dot_expr
 
     qdf = spark.createDataFrame(
         [(a, qvs[a]) for a in anchors], "qid bigint, qv array<double>")
-    scored = (
-        u.join(F.broadcast(shortlist), "vec_id")
-        .join(F.broadcast(qdf), "qid")
-        .select(
-            "qid", "vec_id",
-            F.round(dot_expr(F.col("embedding"), F.col("qv")), 6)
-            .alias("score"),
+    if sq_rescore:
+        # compact tier, batched: rank every query's shortlist against the
+        # 64 B SQ8 rows (never the floats) in the same two broadcast
+        # joins — the per-query dequantized dot is one map-side expr
+        sq_codes, sq_lo, sq_hi = index[6], index[7], index[8]
+        steps = [(hi - lo) / SQ_LEVELS for lo, hi in zip(sq_lo, sq_hi)]
+        deq = F.array(*[
+            F.lit(sq_lo[i]) +
+            (F.element_at("qc", i + 1) + F.lit(0.5)) * F.lit(steps[i])
+            for i in range(DIM)
+        ])
+        scored = (
+            sq_codes.join(F.broadcast(short_df), "vec_id")
+            .join(F.broadcast(qdf), "qid")
+            .select(
+                "qid", "vec_id",
+                F.round(dot_expr(deq, F.col("qv")), 6).alias("score"),
+            )
         )
-    )
+    else:
+        scored = (
+            u.join(F.broadcast(short_df), "vec_id")
+            .join(F.broadcast(qdf), "qid")
+            .select(
+                "qid", "vec_id",
+                F.round(dot_expr(F.col("embedding"), F.col("qv")), 6)
+                .alias("score"),
+            )
+        )
     wnd2 = Window.partitionBy("qid").orderBy(F.col("score").desc(), "vec_id")
     return (
         scored.withColumn("rn", F.row_number().over(wnd2))
@@ -2955,6 +2999,23 @@ def ann_graph_rescore_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     applied globally) hash-mismatches."""
     return _graph_batch_search(
         spark, sf_dir, GRAPH_BATCH_ANCHORS, GRAPH_T_LOW)
+
+
+@register("ann_graph_batch_compact",
+          oracle=_graph_batch_sql(GRAPH_BATCH_ANCHORS, GRAPH_T_HIGH,
+                                  shortlist=GRAPH_COMPACT_SHORTLIST,
+                                  compact=True))
+def ann_graph_batch_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched graph ANN at the COMPACT preset (new r9) — the production
+    serving shape in one query: many anchors advance through one shared
+    round loop (T_HIGH rounds, one edge probe + one ADC join per round)
+    and every query's 150-row shortlist rescores against the 64 B SQ8
+    tier, never the float vectors. The oracle shares the build and sqd
+    CTEs across anchors and replays each search; cross-query bleed or a
+    quantizer mismatch in the batched dequantized dot hash-mismatches."""
+    return _graph_batch_search(
+        spark, sf_dir, GRAPH_BATCH_ANCHORS, GRAPH_T_HIGH,
+        shortlist=GRAPH_COMPACT_SHORTLIST, sq_rescore=True)
 
 
 def save_graph_index(spark: SparkSession, sf_dir: str, path: str) -> None:

@@ -63,6 +63,7 @@ _PRIORITY: list[str] = [
     "hybrid_rrf_connected",
     "ann_filtered_auto_loose",
     "ann_graph_churn_search",
+    "ann_graph_batch_compact",
     # (b) the full r5-evidence tier (oldest first = alphabetical)
     "geo_bbox_search",
     "geo_knn",
@@ -110,7 +111,6 @@ _PRIORITY: list[str] = [
     "vector_sparse_similarity",
     # (c) head of the r6 tier (the rest rotate in next round)
     "ann_index_persist_roundtrip",
-    "ann_ivf_search",
 ]
 
 
