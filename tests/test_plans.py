@@ -307,3 +307,18 @@ def test_hybrid_connected_semi_joins_below_both_legs(spark):
     semis = re.findall(r"BroadcastHashJoin .*LeftSemi", plan)
     assert len(semis) == 2, semis
     assert len(re.findall(r"\(\d+\) TakeOrderedAndProject", plan)) >= 3
+
+
+def test_filtered_auto_tight_takes_brute_path(spark):
+    """`ann_filtered_auto_tight` (~6% selective) must dispatch to the
+    exact brute pre-filter scan: the plan is scan → filter → score →
+    TakeOrderedAndProject with NO joins at all — any join node means the
+    dispatch wrongly routed to the graph index."""
+    import re
+
+    from neumann_spark.pipeline.ann import ann_filtered_auto_tight
+
+    plan = _plan(ann_filtered_auto_tight(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert not re.search(r"\(\d+\) \w*Join", plan), "unexpected join node"
+    assert re.search(r"\(\d+\) Filter", plan)
