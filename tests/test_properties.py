@@ -611,3 +611,49 @@ def test_mp4_demux_any_layout(w, h, n, seed, data):
     assert out.shape == (n, h, w, 3)
     for i, raw in enumerate(frames):
         assert out[i].tobytes() == raw
+
+
+_doc_batch = st.lists(
+    st.text(alphabet="abc ", min_size=1, max_size=20),
+    min_size=0,
+    max_size=12,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(base=_doc_batch, added=_doc_batch, drop_mask=st.lists(
+    st.booleans(), min_size=12, max_size=12))
+def test_bm25_stats_merge_equals_rebuild(spark, base, added, drop_mask):
+    """Property: for ANY base corpus, insert batch, and delete subset,
+    the additively-merged BM25 state (per-term df, n_docs, sum_dl)
+    equals a from-scratch rebuild on the final corpus exactly — the
+    invariant that lets the CDC path maintain ranking statistics without
+    reindexing."""
+    from neumann_spark.pipeline.fulltext import (
+        bm25_stats_init,
+        bm25_stats_merge,
+    )
+
+    def df_of(texts, start):
+        rows = [(start + i, t) for i, t in enumerate(texts)]
+        return spark.createDataFrame(
+            rows or [(None, None)], "doc_id bigint, text string"
+        ).filter(F.col("doc_id").isNotNull())
+
+    base_df = df_of(base, 0)
+    added_df = df_of(added, 1000)
+    removed_df = base_df.filter(
+        F.col("doc_id").isin(
+            [i for i, d in enumerate(drop_mask[:len(base)]) if d]))
+    final_df = base_df.join(
+        removed_df.select("doc_id"), "doc_id", "left_anti"
+    ).unionByName(added_df)
+
+    inc_df, inc_tot = bm25_stats_merge(
+        *bm25_stats_init(base_df), added_df, removed_df)
+    want_df, want_tot = bm25_stats_init(final_df)
+    got = {r["term"]: r["df"] for r in inc_df.collect()}
+    want = {r["term"]: r["df"] for r in want_df.collect()}
+    assert got == want
+    g, w = inc_tot.head(), want_tot.head()
+    assert g["n_docs"] == w["n_docs"] and g["sum_dl"] == w["sum_dl"]
