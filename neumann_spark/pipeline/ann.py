@@ -2766,7 +2766,8 @@ def _graph_rescore_sql(rounds: int) -> str:
 
 def _graph_batch_sql(anchors: tuple, rounds: int,
                      shortlist: int = GRAPH_SHORTLIST,
-                     compact: bool = False) -> str:
+                     compact: bool = False,
+                     allowed_pred: str = "") -> str:
     """Batched oracle: ONE statement sharing the build CTEs across
     anchors, with per-anchor lut/probe/round CTEs and a UNION ALL of the
     per-anchor top-10 rescores tagged by query id. `compact` swaps the
@@ -2789,9 +2790,15 @@ def _graph_batch_sql(anchors: tuple, rounds: int,
                     + 0.5) * ((g.hi - g.lo) / {SQ_LEVELS}) END AS val
       FROM sq6 s6 JOIN sqg g ON g.i = s6.i
     )""")
+    if allowed_pred:
+        parts.append(f""",
+    alw AS MATERIALIZED (
+      SELECT vec_id FROM embeddings WHERE {allowed_pred}
+    )""")
     for a in anchors:
         parts.extend(_graph_anchor_parts(
-            a, rounds, tag=f"_q{a}", shortlist=shortlist))
+            a, rounds, tag=f"_q{a}", shortlist=shortlist,
+            allowed="alw" if allowed_pred else ""))
     rescore_tbl = "sqd" if compact else "u"
     finals = []
     for a in anchors:
@@ -2845,7 +2852,8 @@ GRAPH_BATCH_ANCHORS = (0, 3, 7)
 def _graph_batch_search(spark: SparkSession, sf_dir: str,
                         anchors: tuple, rounds: int,
                         shortlist: int = GRAPH_SHORTLIST,
-                        sq_rescore: bool = False) -> DataFrame:
+                        sq_rescore: bool = False,
+                        allowed: DataFrame | None = None) -> DataFrame:
     """BATCHED round-synchronous graph search: all queries advance
     through the SAME T rounds with frontier/evaluated frames keyed by
     query id. This is the documented mitigation for the per-round
@@ -2941,8 +2949,13 @@ def _graph_batch_search(spark: SparkSession, sf_dir: str,
                 fr_df.select("qid", F.col("src").alias("vec_id")))
             .localCheckpoint(eager=True)
         )
+    # optional metadata filter at the shortlist stage (the filtered-
+    # DiskANN strategy, same placement as the single-query form): the
+    # BROADCAST side is the bounded evald frame, never the allow list
+    short_src = evald if allowed is None else (
+        allowed.select("vec_id").join(F.broadcast(evald), "vec_id"))
     short_df = (
-        evald.withColumn("rn", F.row_number().over(wnd))
+        short_src.withColumn("rn", F.row_number().over(wnd))
         .filter(F.col("rn") <= shortlist)
         .select("qid", "vec_id")
     )
@@ -3016,6 +3029,25 @@ def ann_graph_batch_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _graph_batch_search(
         spark, sf_dir, GRAPH_BATCH_ANCHORS, GRAPH_T_HIGH,
         shortlist=GRAPH_COMPACT_SHORTLIST, sq_rescore=True)
+
+
+@register("ann_graph_batch_filtered",
+          oracle=_graph_batch_sql(GRAPH_BATCH_ANCHORS, GRAPH_T_LOW,
+                                  allowed_pred="label IN (1, 2, 3)"))
+def ann_graph_batch_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched + metadata-filtered graph ANN (new r9), completing the
+    serving matrix (single/batched × exact/compact/filtered): three
+    anchors advance through one shared round loop and a shared allow
+    list (label IN (1,2,3), ~30% selective — the loose regime the
+    auto-dispatch routes to this index path) applies at every query's
+    shortlist stage, the filtered-DiskANN placement. The broadcast side
+    is the bounded evald frame, never the allow list. Oracle: shared
+    build + alw CTEs, per-anchor searches with the allow-join in each
+    short stage."""
+    emb = load(spark, sf_dir, "embeddings")
+    return _graph_batch_search(
+        spark, sf_dir, GRAPH_BATCH_ANCHORS, GRAPH_T_LOW,
+        allowed=emb.filter(F.col("label").isin(1, 2, 3)).select("vec_id"))
 
 
 def save_graph_index(spark: SparkSession, sf_dir: str, path: str) -> None:

@@ -44,19 +44,19 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 # queries; queries not listed keep their registration order after these.
 #
 # Round-9 rotation (per the r8 ROTATION NOTE): there are no r8 reds, so
-# positions 1-4 are the new round-9 surfaces (the filtered-dispatch pair,
-# the three-engine hybrid flagship, and the churn-replay search if
-# registered; `ann_filtered_auto_loose` and `ann_graph_churn_search` ride
-# the session graph-index cache, so they go after the cheap two). Then
-# the ENTIRE remaining r5-evidence tier (44 queries: the geo/join/
-# pipeline/source/stream/text/vector families last green in round 5),
-# then the head of the r6 tier to fill the ~50-query driver budget.
+# positions 1-6 are the new round-9 surfaces (the filtered-dispatch
+# pair, the three-engine hybrid flagship, the churn-replay search, and
+# the batched compact/filtered serving forms; the index-cache riders go
+# after the cheap two). Then the ENTIRE remaining r5-evidence tier (44
+# queries: the geo/join/pipeline/source/stream/text/vector families
+# last green in round 5) fills the ~50-query driver budget exactly.
 # After this round the evidence floor rises to r6.
 #
 # ROTATION NOTE (next round, r10): front-load any r9 reds, then the r6
 # tier (ann_index_persist_roundtrip, ann_ivf*, cypher_*, ddl_roundtrip,
-# dedup_*, dml_constraint/fk/merge_partitioned, distributed graph twins,
-# snapshots, stream_merge_upsert, unified_*), then the oldest r7 names.
+# dedup_*, dml_constraint/fk/merge_partitioned, distributed graph
+# twins, snapshots, stream_merge_upsert, unified_*: 44 queries — the
+# full driver budget), then the oldest r7 names in r11.
 _PRIORITY: list[str] = [
     # (a) new round-9 surfaces
     "ann_filtered_auto_tight",
@@ -64,6 +64,7 @@ _PRIORITY: list[str] = [
     "ann_filtered_auto_loose",
     "ann_graph_churn_search",
     "ann_graph_batch_compact",
+    "ann_graph_batch_filtered",
     # (b) the full r5-evidence tier (oldest first = alphabetical)
     "geo_bbox_search",
     "geo_knn",
@@ -109,8 +110,6 @@ _PRIORITY: list[str] = [
     "vector_knn_euclidean",
     "vector_pairwise_similarity",
     "vector_sparse_similarity",
-    # (c) head of the r6 tier (the rest rotate in next round)
-    "ann_index_persist_roundtrip",
 ]
 
 
