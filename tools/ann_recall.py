@@ -568,8 +568,20 @@ def main() -> None:
         ],
     }
     print(json.dumps(out))
-    with open(os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "ANN_RECALL.json"), "w") as f:
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "ANN_RECALL.json")
+    # preserve keys other tools maintain (scale_runs / scale_ivf_runs
+    # from ann_scale_recall.py / ivf_scale_recall.py) — this tool owns
+    # only the fixture-scale block
+    try:
+        with open(path) as f:
+            doc = json.load(f)
+    except (OSError, ValueError):
+        doc = {}
+    for k, v in doc.items():
+        if k not in out:
+            out[k] = v
+    with open(path, "w") as f:
         json.dump(out, f, indent=2)
 
 
