@@ -1346,6 +1346,40 @@ def _sq_cell_expr(val: Column, lo: float, hi: float) -> Column:
     ).cast("int")
 
 
+def _sq_deq_expr(sq_lo: list, sq_hi: list) -> Column:
+    """Dequantized SQ8 unit-value array over a `qc` codes column on the
+    frozen per-dimension [lo, hi]/SQ_LEVELS grid — the rescore-side twin
+    of `_sq_cell_expr`, shared by the single-query and batched compact
+    searches so the grid math cannot fork across call sites."""
+    steps = [(hi - lo) / SQ_LEVELS for lo, hi in zip(sq_lo, sq_hi)]
+    return F.array(*[
+        F.lit(sq_lo[i]) +
+        (F.element_at("qc", i + 1) + F.lit(0.5)) * F.lit(steps[i])
+        for i in range(DIM)
+    ])
+
+
+
+# shared oracle CTEs for the SQ8 rescore tier (round-6 unit values,
+# per-dimension [lo, hi]/SQ_LEVELS grid, zero-width guard) — one text,
+# interpolated into every compact-form oracle so the grid math cannot
+# fork between the single-query and batched replays
+_SQD_ORACLE_CTES = f""",
+    sq6 AS MATERIALIZED (
+      SELECT vec_id, i, ROUND(val, 6) AS val FROM u
+    ),
+    sqg AS MATERIALIZED (
+      SELECT i, MIN(val) AS lo, MAX(val) AS hi FROM sq6 GROUP BY i
+    ),
+    sqd AS MATERIALIZED (
+      SELECT s6.vec_id, s6.i,
+             CASE WHEN g.hi = g.lo THEN g.lo
+                  ELSE g.lo + (LEAST({SQ_LEVELS}, GREATEST(0,
+                      FLOOR((s6.val - g.lo) / ((g.hi - g.lo) / {SQ_LEVELS}))))
+                    + 0.5) * ((g.hi - g.lo) / {SQ_LEVELS}) END AS val
+      FROM sq6 s6 JOIN sqg g ON g.i = s6.i
+    )"""
+
 _KNN_GRAPH_CACHE: dict[tuple[int, str], tuple] = {}
 
 
@@ -1606,7 +1640,8 @@ def _graph_rescore_from(spark: SparkSession, sf_dir: str, index: tuple,
                         rounds: int, shortlist: int = GRAPH_SHORTLIST,
                         sq_rescore: bool = False,
                         allowed: DataFrame | None = None,
-                        beam: int = GRAPH_B) -> DataFrame:
+                        beam: int = GRAPH_B, anchor: int = 0,
+                        k: int = PQ_TOPK) -> DataFrame:
     """Round-synchronous graph search core: warm-start with the
     GRAPH_WARM_PROBES nearest Lloyd lists, then `rounds` bulk rounds —
     frontier = ADC-top-B unexpanded (collected as a STATIC B-int IN-list,
@@ -1633,8 +1668,8 @@ def _graph_rescore_from(spark: SparkSession, sf_dir: str, index: tuple,
     u = (index[5] if not from_disk else
          unit_embeddings(load(spark, sf_dir, "embeddings"))
          .localCheckpoint(eager=True))
-    qv = [float(x)
-          for x in u.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    qv = [float(x) for x in u.filter(
+        F.col("vec_id") == anchor).select("embedding").head()[0]]
 
     # probe selection: driver-side over the k-row centroid list, same as
     # _ivfpq_rescore_search (static IN-list => partition-prunable)
@@ -1678,7 +1713,7 @@ def _graph_rescore_from(spark: SparkSession, sf_dir: str, index: tuple,
 
     evald = adc(
         warm_codes.filter(
-            F.col("cluster").isin(probe_ids) & (F.col("vec_id") != 0)
+            F.col("cluster").isin(probe_ids) & (F.col("vec_id") != anchor)
         ).select("vec_id")
     ).localCheckpoint(eager=True)
     expanded: set = set()
@@ -1701,7 +1736,7 @@ def _graph_rescore_from(spark: SparkSession, sf_dir: str, index: tuple,
                 sorted({v % GRAPH_EDGE_BLOCKS for v in frontier})))
         new_ids = (
             probe.select(F.col("dst").alias("vec_id"))
-            .filter(F.col("vec_id") != 0)
+            .filter(F.col("vec_id") != anchor)
             .distinct()
             .join(evald.select("vec_id"), "vec_id", "left_anti")
         )
@@ -1731,26 +1766,22 @@ def _graph_rescore_from(spark: SparkSession, sf_dir: str, index: tuple,
         # at 0.057 vector-equivalents vs 0.097 for the exact-rescore
         # high-recall preset (ANN_RECALL.json)
         sq_codes, sq_lo, sq_hi = index[6], index[7], index[8]
-        steps = [(hi - lo) / SQ_LEVELS for lo, hi in zip(sq_lo, sq_hi)]
-        deq = F.array(*[
-            F.lit(sq_lo[i]) +
-            (F.element_at("qc", i + 1) + F.lit(0.5)) * F.lit(steps[i])
-            for i in range(DIM)
-        ])
+        deq = _sq_deq_expr(sq_lo, sq_hi)
         return (
             sq_codes.join(F.broadcast(short_df), "vec_id")
             .select("vec_id", F.round(dot_expr(deq, q), 6).alias("score"))
             .orderBy(F.col("score").desc(), "vec_id")
-            .limit(PQ_TOPK)
+            .limit(k)
         )
     if from_disk and len(index) > 6:
         # disk-loaded index + exact rescore: the re-derived unit frame is
         # the sf_dir corpus, not the indexed set. The persisted SQ code
         # table IS the covered id set — refuse if the index holds ids the
         # corpus lacks (a grown index: their floats are unavailable, the
-        # join would silently drop them), and semi-join the unit frame to
-        # the covered set so a shrunk index can never rescore deleted
-        # sf_dir rows. One bounded anti-join count, load path only.
+        # rescore join would silently drop them). No corpus-side
+        # restriction is needed: short_df derives entirely from index
+        # structures, so deleted sf_dir rows can never reach the rescore.
+        # One bounded anti-join count, load path only.
         covered = index[6].select("vec_id")
         n_missing = covered.join(
             u.select("vec_id"), "vec_id", "left_anti").count()
@@ -1760,7 +1791,6 @@ def _graph_rescore_from(spark: SparkSession, sf_dir: str, index: tuple,
                 f"from {sf_dir} embeddings; exact rescore needs their "
                 "float vectors — search with sq_rescore=True (the "
                 "self-contained SQ8 tier) or persist the grown corpus")
-        u = u.join(covered, "vec_id")
     return (
         u.join(F.broadcast(short_df), "vec_id")
         .select(
@@ -1768,7 +1798,7 @@ def _graph_rescore_from(spark: SparkSession, sf_dir: str, index: tuple,
             F.round(dot_expr(F.col("embedding"), q), 6).alias("score"),
         )
         .orderBy(F.col("score").desc(), "vec_id")
-        .limit(PQ_TOPK)
+        .limit(k)
     )
 
 
@@ -2271,21 +2301,8 @@ def _graph_compact_sql() -> str:
     floats — replaying `_graph_rescore_from(sq_rescore=True)` exactly."""
     parts = _graph_build_parts() + _graph_anchor_parts(
         0, GRAPH_T_HIGH, shortlist=GRAPH_COMPACT_SHORTLIST)
-    parts.append(f""",
-    sq6 AS MATERIALIZED (
-      SELECT vec_id, i, ROUND(val, 6) AS val FROM u
-    ),
-    sqg AS MATERIALIZED (
-      SELECT i, MIN(val) AS lo, MAX(val) AS hi FROM sq6 GROUP BY i
-    ),
-    sqd AS MATERIALIZED (
-      SELECT s6.vec_id, s6.i,
-             CASE WHEN g.hi = g.lo THEN g.lo
-                  ELSE g.lo + (LEAST({SQ_LEVELS}, GREATEST(0,
-                      FLOOR((s6.val - g.lo) / ((g.hi - g.lo) / {SQ_LEVELS}))))
-                    + 0.5) * ((g.hi - g.lo) / {SQ_LEVELS}) END AS val
-      FROM sq6 s6 JOIN sqg g ON g.i = s6.i
-    )
+    parts.append(_SQD_ORACLE_CTES)
+    parts.append(f"""
     SELECT s.vec_id, ROUND(SUM(dv.val * q.val), 6) AS score
     FROM short s
     JOIN sqd dv ON dv.vec_id = s.vec_id
@@ -2775,21 +2792,7 @@ def _graph_batch_sql(anchors: tuple, rounds: int,
     anchors), replaying `_graph_batch_search(sq_rescore=True)`."""
     parts = _graph_build_parts()
     if compact:
-        parts.append(f""",
-    sq6 AS MATERIALIZED (
-      SELECT vec_id, i, ROUND(val, 6) AS val FROM u
-    ),
-    sqg AS MATERIALIZED (
-      SELECT i, MIN(val) AS lo, MAX(val) AS hi FROM sq6 GROUP BY i
-    ),
-    sqd AS MATERIALIZED (
-      SELECT s6.vec_id, s6.i,
-             CASE WHEN g.hi = g.lo THEN g.lo
-                  ELSE g.lo + (LEAST({SQ_LEVELS}, GREATEST(0,
-                      FLOOR((s6.val - g.lo) / ((g.hi - g.lo) / {SQ_LEVELS}))))
-                    + 0.5) * ((g.hi - g.lo) / {SQ_LEVELS}) END AS val
-      FROM sq6 s6 JOIN sqg g ON g.i = s6.i
-    )""")
+        parts.append(_SQD_ORACLE_CTES)
     if allowed_pred:
         parts.append(f""",
     alw AS MATERIALIZED (
@@ -2968,12 +2971,7 @@ def _graph_batch_search(spark: SparkSession, sf_dir: str,
         # 64 B SQ8 rows (never the floats) in the same two broadcast
         # joins — the per-query dequantized dot is one map-side expr
         sq_codes, sq_lo, sq_hi = index[6], index[7], index[8]
-        steps = [(hi - lo) / SQ_LEVELS for lo, hi in zip(sq_lo, sq_hi)]
-        deq = F.array(*[
-            F.lit(sq_lo[i]) +
-            (F.element_at("qc", i + 1) + F.lit(0.5)) * F.lit(steps[i])
-            for i in range(DIM)
-        ])
+        deq = _sq_deq_expr(sq_lo, sq_hi)
         scored = (
             sq_codes.join(F.broadcast(short_df), "vec_id")
             .join(F.broadcast(qdf), "qid")
@@ -3443,9 +3441,13 @@ def filtered_search_strategy(spark: SparkSession, sf_dir: str,
     both exact and cheaper — the 10% cutoff keeps tight filters on the
     exact path."""
     emb = load(spark, sf_dir, "embeddings")
+    # matches / sample_size, NULL-evaluating rows counted as non-matches
+    # (the reference's evaluate_filter(...).unwrap_or(false)) — a plain
+    # AVG(pred) would drop NULL rows from the DENOMINATOR and overstate
+    # the selectivity of predicates over sparsely-populated columns
     sel = (
         emb.orderBy("vec_id").limit(FILTER_SAMPLE_N)
-        .agg(F.avg(pred.cast("int")).alias("sel"))
+        .agg(F.avg(F.coalesce(pred.cast("int"), F.lit(0))).alias("sel"))
         .head()["sel"]
     )
     if sel is None:
@@ -3470,7 +3472,7 @@ def filtered_search_auto(spark: SparkSession, sf_dir: str, pred: Column,
     allowed = load(spark, sf_dir, "embeddings").filter(pred).select("vec_id")
     return _graph_rescore_from(
         spark, sf_dir, knn_graph_index(spark, sf_dir), GRAPH_T_LOW,
-        allowed=allowed)
+        allowed=allowed, anchor=anchor, k=k)
 
 
 def _filtered_tight_sql() -> str:

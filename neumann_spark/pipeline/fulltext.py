@@ -271,24 +271,35 @@ def _doc_totals(docs: DataFrame) -> DataFrame:
     )
 
 
-def bm25_stats_init(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+def bm25_stats_init(docs: DataFrame) -> tuple[DataFrame, DataFrame,
+                                               DataFrame]:
     """Build the maintained BM25 corpus state from a document corpus:
-    (df_table, totals) where df_table is (term, df) and totals is the
-    1-row (n_docs, sum_dl)."""
-    return _term_df(docs), _doc_totals(docs)
+    (df_table, totals, doc_ids) — (term, df) counts, the 1-row
+    (n_docs, sum_dl), and the member doc_id set that makes merges
+    idempotent under redelivery."""
+    return _term_df(docs), _doc_totals(docs), docs.select("doc_id")
 
 
 def bm25_stats_merge(df_tbl: DataFrame, totals: DataFrame,
-                     added: DataFrame,
-                     removed: DataFrame) -> tuple[DataFrame, DataFrame]:
+                     doc_ids: DataFrame, added: DataFrame,
+                     removed: DataFrame) -> tuple[DataFrame, DataFrame,
+                                                  DataFrame]:
     """One CDC micro-batch of the BM25 state: df' = df + df(added)
     - df(removed) per term (zero-count terms drop out), totals' adds the
-    batch deltas. Every step is a term-keyed join/aggregate — at scale
-    the state table is term-partitioned and the merge touches only the
-    batch's terms, the same bounded-merge shape as the graph-index CDC
-    path. `removed` must carry the removed docs' text (the CDC tombstone
-    payload), exactly like the reference re-reads the doc to un-index
-    it."""
+    batch deltas, and the doc_id membership frame advances. REDELIVERY
+    SAFE (the same at-least-once contract as the graph-index CDC path's
+    anti-join guard): inserts already in `doc_ids` and deletes not in it
+    are dropped before any count moves, so re-running a batch is a
+    no-op. Every step is a doc- or term-keyed join/aggregate — at scale
+    the state tables are term-/doc-partitioned and the merge touches
+    only the batch's keys. `removed` must carry the removed docs' text
+    (the CDC tombstone payload), exactly like the reference re-reads the
+    doc to un-index it."""
+    # contract: `added` and `removed` are disjoint within one batch (a
+    # doc churned inside a batch must be collapsed by the caller, as the
+    # CDC stream's I/D micro-batches already are)
+    added = added.join(doc_ids, "doc_id", "left_anti")
+    removed = removed.join(doc_ids, "doc_id", "semi")
     delta = (
         _term_df(added).withColumnRenamed("df", "d_add")
         .join(_term_df(removed).withColumnRenamed("df", "d_rem"),
@@ -311,4 +322,8 @@ def bm25_stats_merge(df_tbl: DataFrame, totals: DataFrame,
         totals.unionByName(sign(added, 1.0)).unionByName(sign(removed, -1.0))
         .agg(F.sum("n_docs").alias("n_docs"), F.sum("sum_dl").alias("sum_dl"))
     )
-    return merged, new_totals
+    new_doc_ids = (
+        doc_ids.unionByName(added.select("doc_id"))
+        .join(removed.select("doc_id"), "doc_id", "left_anti")
+    )
+    return merged, new_totals, new_doc_ids

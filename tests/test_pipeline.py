@@ -705,9 +705,9 @@ def test_bm25_stats_incremental_merge(spark):
         (F.col("doc_id") % 5 == 0)
         | ((F.col("doc_id") % 5 != 0) & (F.col("doc_id") % 7 != 0)))
 
-    inc_df, inc_tot = bm25_stats_merge(
+    inc_df, inc_tot, inc_ids = bm25_stats_merge(
         *bm25_stats_init(base), added, removed)
-    want_df, want_tot = bm25_stats_init(final)
+    want_df, want_tot, want_ids = bm25_stats_init(final)
 
     got = {r["term"]: r["df"] for r in inc_df.collect()}
     want = {r["term"]: r["df"] for r in want_df.collect()}
@@ -717,3 +717,14 @@ def test_bm25_stats_incremental_merge(spark):
     assert g["sum_dl"] == w["sum_dl"]
     # derived avgdl feeds the score; equal numerators/denominators
     assert g["sum_dl"] / g["n_docs"] == w["sum_dl"] / w["n_docs"]
+    ids = lambda df: {r["doc_id"] for r in df.collect()}  # noqa: E731
+    assert ids(inc_ids) == ids(want_ids)
+
+    # REDELIVERY: re-applying the same batch must be a no-op (the
+    # at-least-once foreachBatch contract the graph CDC path pins)
+    re_df, re_tot, re_ids = bm25_stats_merge(
+        inc_df, inc_tot, inc_ids, added, removed)
+    assert {r["term"]: r["df"] for r in re_df.collect()} == want
+    r2 = re_tot.head()
+    assert r2["n_docs"] == w["n_docs"] and r2["sum_dl"] == w["sum_dl"]
+    assert ids(re_ids) == ids(want_ids)

@@ -649,9 +649,9 @@ def test_bm25_stats_merge_equals_rebuild(spark, base, added, drop_mask):
         removed_df.select("doc_id"), "doc_id", "left_anti"
     ).unionByName(added_df)
 
-    inc_df, inc_tot = bm25_stats_merge(
+    inc_df, inc_tot, _ids = bm25_stats_merge(
         *bm25_stats_init(base_df), added_df, removed_df)
-    want_df, want_tot = bm25_stats_init(final_df)
+    want_df, want_tot, _w = bm25_stats_init(final_df)
     got = {r["term"]: r["df"] for r in inc_df.collect()}
     want = {r["term"]: r["df"] for r in want_df.collect()}
     assert got == want

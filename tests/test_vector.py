@@ -690,6 +690,14 @@ def test_filtered_auto_dispatch_routes_by_selectivity(spark):
     got = filtered_search_auto(spark, SF_DIR, loose).collect()
     key = lambda rows: [(r["vec_id"], r["score"]) for r in rows]  # noqa: E731
     assert key(got) == key(want)
+    # the post-filter branch must honor anchor and k, like the pre branch
+    # (r9 review finding: they were silently ignored)
+    alt = filtered_search_auto(spark, SF_DIR, loose, anchor=3, k=5).collect()
+    assert len(alt) == 5
+    assert all(int(r["vec_id"]) != 3 for r in alt)
+    assert key(alt) != key(want)[:5]  # a different anchor ranks differently
+    pre_alt = filtered_search_auto(spark, SF_DIR, tight, anchor=3, k=5)
+    assert len(pre_alt.collect()) == 5
 
 
 def test_graph_churn_drift_bounded(spark):
@@ -755,8 +763,9 @@ def test_graph_beam_budget_converges_to_exact(spark):
     must return EXACTLY the brute-force cosine top-10 — the property that
     makes (rounds, beam) an honest recall dial rather than a heuristic
     (measured operating points at N=20K in ANN_RECALL.json scale_runs)."""
+    import numpy as np
+
     from neumann_spark.catalog import load
-    from neumann_spark.functions.vector import knn
     from neumann_spark.pipeline.ann import (
         _graph_rescore_from,
         knn_graph_index,
@@ -764,12 +773,18 @@ def test_graph_beam_budget_converges_to_exact(spark):
     from tests.conftest import SF_DIR
 
     emb = load(spark, SF_DIR, "embeddings")
-    n = emb.count()
-    anchor = [float(x)
-              for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
-    exact = [int(r["vec_id"])
-             for r in knn(emb, "embedding", anchor, 10, "cosine",
-                          pre_filter=F.col("vec_id") != 0).collect()]
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+    vecs = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids = np.array([int(r["vec_id"]) for r in rows])
+    n = len(ids)
+    # ground truth on the ENGINE's own grid: unit-dot rounded to 6dp,
+    # (score desc, vec_id) tie-break — comparing against raw-score knn
+    # ordering would flake on round-6 ties at the k boundary (the trap
+    # functions/vector.py knn documents)
+    unit = vecs / np.linalg.norm(vecs, axis=1)[:, None]
+    sc = np.round(unit @ unit[0], 6)
+    sc[0] = -np.inf
+    exact = ids[np.lexsort((ids, -sc))[:10]].tolist()
     got = [int(r["vec_id"]) for r in _graph_rescore_from(
         spark, SF_DIR, knn_graph_index(spark, SF_DIR),
         rounds=n, shortlist=n, beam=n).collect()]

@@ -198,67 +198,14 @@ def main() -> None:
         sq_step > 0, np.clip(np.floor((u6 - sq_lo) / sq_safe), 0, SQ_LEVELS), 0)
     sq_deq = sq_lo + (sq_code + 0.5) * sq_step
 
-    def graph_search(qi: int, rounds: int,
-                     short: int = GRAPH_SHORTLIST,
-                     rescore_mat: np.ndarray | None = None,
-                     entry: str = "warm"):
-        """Replay _graph_rescore_search: returns (top-10 ids, codes
-        evaluated, edge rows read). rescore_mat overrides the matrix the
-        shortlist is scored against (unit = exact, sq_deq = compact).
-        entry='coarse' replaces the warm-cluster start with a
-        hierarchical-entry experiment: ADC a uniform 1/16 coarse sample
-        (the HNSW upper-layer analog) and descend from it."""
-        q = unit[qi]
-        luts = []
-        for s in range(GRAPH_PQ_S):
-            qs = q[s * GRAPH_PQ_SUBDIM:(s + 1) * GRAPH_PQ_SUBDIM]
-            lut = np.full(max(cid for cid, _ in g_books[s]) + 1, np.inf)
-            for cid, c in g_books[s]:
-                lut[cid] = round(float(((qs - np.array(c)) ** 2).sum()), 6)
-            luts.append(lut)
+    import neumann_spark.pipeline.ann as ann_mod
 
-        def adc(ids: np.ndarray) -> np.ndarray:
-            d = np.zeros(len(ids))
-            for s in range(GRAPH_PQ_S):
-                d += luts[s][g_codes[ids, s]]
-            return np.round(d, 6)
+    from tools.graph_replay import make_graph_search
 
-        if entry == "coarse":
-            starts = np.where(vec_ids % 16 == 0)[0]
-        else:
-            cd = np.round(((g_cent - q) ** 2).sum(axis=1), 6)
-            probes = g_cent_ids[
-                np.lexsort((g_cent_ids, cd))[:GRAPH_WARM_PROBES]]
-            starts = np.where(np.isin(g_clusters, probes))[0]
-        starts = starts[starts != qi]
-        evald = dict(zip(starts.tolist(), adc(starts).tolist()))
-        expanded: set[int] = set()
-        edge_rows = 0
-        for _ in range(rounds):
-            frontier = sorted(
-                (i for i in evald if i not in expanded),
-                key=lambda i: (evald[i], i))[:GRAPH_B]
-            if not frontier:
-                break
-            new = set()
-            for u_ in frontier:
-                expanded.add(u_)
-                nbrs = g_adj.get(u_, [])[:GRAPH_C]
-                edge_rows += len(nbrs)
-                for v_ in nbrs:
-                    if v_ not in evald and v_ != qi:
-                        new.add(v_)
-            if new:
-                nl = np.array(sorted(new))
-                for v_, dv in zip(nl.tolist(), adc(nl).tolist()):
-                    evald[v_] = dv
-        ids = np.array(list(evald.keys()))
-        dd = np.array([evald[int(i)] for i in ids])
-        sh = ids[np.lexsort((ids, dd))[:short]]
-        rmat = unit if rescore_mat is None else rescore_mat
-        s2 = rmat[sh] @ q
-        top = sh[np.lexsort((sh, -np.round(s2, 6)))[:TOPK]]
-        return set(top.tolist()), len(evald), edge_rows
+    graph_search = make_graph_search(
+        unit=unit, books=g_books, codes=g_codes, clusters=g_clusters,
+        cent=g_cent, cent_ids=g_cent_ids, adj=g_adj, vec_ids=vec_ids,
+        ann=ann_mod)
 
     hits: dict[str, list[float]] = {m: [] for m in (
         "lsh_bucket", "lsh_multiprobe", "ivf_nprobe2", "binary_hamming",

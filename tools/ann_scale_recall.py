@@ -125,66 +125,12 @@ def main() -> None:
         np.clip(np.floor((u6 - sq_lo) / sq_safe), 0, ann.SQ_LEVELS), 0)
     sq_deq = sq_lo + (sq_code + 0.5) * sq_step
 
-    def graph_search(qi: int, rounds: int, short: int,
-                     rescore_mat: np.ndarray | None = None,
-                     allowed: np.ndarray | None = None,
-                     beam: int | None = None):
-        """Replay _graph_rescore_from: (top-10 ids, codes ADC'd, edge rows
-        read). `allowed` (bool mask) applies at the SHORTLIST stage — the
-        engine's filtered-DiskANN post-filter placement. `beam` overrides
-        GRAPH_B (the engine's `beam` parameter)."""
-        b_width = beam or ann.GRAPH_B
-        q = unit[qi]
-        luts = []
-        for s in range(ann.GRAPH_PQ_S):
-            qs = q[s * ann.GRAPH_PQ_SUBDIM:(s + 1) * ann.GRAPH_PQ_SUBDIM]
-            lut = np.full(max(cid for cid, _ in books[s]) + 1, np.inf)
-            for cid, c in books[s]:
-                lut[cid] = round(float(((qs - np.array(c)) ** 2).sum()), 6)
-            luts.append(lut)
+    from tools.graph_replay import make_graph_search
 
-        def adc(ids: np.ndarray) -> np.ndarray:
-            d = np.zeros(len(ids))
-            for s in range(ann.GRAPH_PQ_S):
-                d += luts[s][g_codes[ids, s]]
-            return np.round(d, 6)
-
-        cd = np.round(((g_cent - q) ** 2).sum(axis=1), 6)
-        probes = g_cent_ids[
-            np.lexsort((g_cent_ids, cd))[:ann.GRAPH_WARM_PROBES]]
-        starts = np.where(np.isin(g_clusters, probes))[0]
-        starts = starts[starts != qi]
-        evald = dict(zip(starts.tolist(), adc(starts).tolist()))
-        expanded: set[int] = set()
-        edge_rows = 0
-        for _ in range(rounds):
-            frontier = sorted(
-                (i for i in evald if i not in expanded),
-                key=lambda i: (evald[i], i))[:b_width]
-            if not frontier:
-                break
-            new = set()
-            for u_ in frontier:
-                expanded.add(u_)
-                nbrs = g_adj.get(u_, [])[:ann.GRAPH_C]
-                edge_rows += len(nbrs)
-                for v_ in nbrs:
-                    if v_ not in evald and v_ != qi:
-                        new.add(v_)
-            if new:
-                nl = np.array(sorted(new))
-                for v_, dv in zip(nl.tolist(), adc(nl).tolist()):
-                    evald[v_] = dv
-        ids = np.array(list(evald.keys()))
-        dd = np.array([evald[int(i)] for i in ids])
-        if allowed is not None:
-            keep = allowed[ids]
-            ids, dd = ids[keep], dd[keep]
-        sh = ids[np.lexsort((ids, dd))[:short]]
-        rmat = unit if rescore_mat is None else rescore_mat
-        s2 = rmat[sh] @ q
-        top = sh[np.lexsort((sh, -np.round(s2, 6)))[:TOPK]]
-        return set(top.tolist()), len(evald), edge_rows
+    graph_search = make_graph_search(
+        unit=unit, books=books, codes=g_codes, clusters=g_clusters,
+        cent=g_cent, cent_ids=g_cent_ids, adj=g_adj, vec_ids=vec_ids,
+        ann=ann)
 
     # replay-fidelity gate: the live Spark compact search for anchor 0
     # must return exactly the replay's ids (same structures, same math)

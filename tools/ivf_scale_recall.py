@@ -77,6 +77,12 @@ def main() -> None:
     cent_ids = np.array([cid for cid, _ in centroids])
     norms = np.linalg.norm(vecs, axis=1)
 
+    # replay-fidelity gate (same discipline as ann_scale_recall.py): the
+    # live registered two-stage search for anchor 0 must return exactly
+    # the replay's ids
+    live = {int(r["vec_id"])
+            for r in ann.ann_ivfpq_rescore(spark, sf_dir).collect()}
+
     def adc_table(q, books, S, subdim, code_mat):
         d = np.zeros(n)
         for s in range(S):
@@ -100,6 +106,7 @@ def main() -> None:
     scan_f = {m: [] for m in presets}
     code_f = {m: [] for m in presets}
 
+    gate_done = False
     rng_idx = np.linspace(0, n - 1, num=min(n_q, n), dtype=int)
     for qi in rng_idx:
         q = vecs[qi]
@@ -119,11 +126,21 @@ def main() -> None:
             r_adc = adc_c if kind == "coarse" else adc_f
             order = cand[np.lexsort((vec_ids[cand], r_adc[cand]))]
             sh = order[:short]
-            top = sh[np.argsort(-cos[sh], kind="stable")][:TOPK]
+            # exact-rescore tie-break = the engine's (round6 score DESC,
+            # vec_id), not ADC order (_ivfpq_rescore_search orderBy)
+            top = sh[np.lexsort((sh, -np.round(cos[sh], 6)))][:TOPK]
+            if qi == 0 and m == "ivfpq_rescore":
+                assert set(top.tolist()) == live, (
+                    f"replay drift: live={sorted(live)} "
+                    f"rep={sorted(top.tolist())}")
+                gate_done = True
             hits[m].append(len(set(top.tolist()) & gt) / TOPK)
             scan_f[m].append(len(sh) / n)
             code_f[m].append(len(cand) / n)
 
+    assert gate_done, "fidelity gate never ran (anchor 0 not in queries)"
+    print("replay fidelity: live Spark ivfpq_rescore == numpy replay",
+          file=sys.stderr)
     code_bytes = {"ivfpq_rescore": 8, "ivfpq_rescore_high_recall": 8,
                   "ivfpq_rescore_low_scan": 16}
     block = {
