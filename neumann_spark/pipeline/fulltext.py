@@ -277,7 +277,8 @@ def bm25_stats_init(docs: DataFrame) -> tuple[DataFrame, DataFrame,
     (df_table, totals, doc_ids) — (term, df) counts, the 1-row
     (n_docs, sum_dl), and the member doc_id set that makes merges
     idempotent under redelivery."""
-    return _term_df(docs), _doc_totals(docs), docs.select("doc_id")
+    return (_term_df(docs), _doc_totals(docs),
+            docs.select("doc_id").distinct())
 
 
 def bm25_stats_merge(df_tbl: DataFrame, totals: DataFrame,
@@ -295,9 +296,21 @@ def bm25_stats_merge(df_tbl: DataFrame, totals: DataFrame,
     only the batch's keys. `removed` must carry the removed docs' text
     (the CDC tombstone payload), exactly like the reference re-reads the
     doc to un-index it."""
-    # contract: `added` and `removed` are disjoint within one batch (a
-    # doc churned inside a batch must be collapsed by the caller, as the
-    # CDC stream's I/D micro-batches already are)
+    # within-batch duplicate rows (at-least-once sources can emit the
+    # same change twice in one batch) collapse to one per doc_id BEFORE
+    # any count moves, or inserts would double-count df/n_docs/sum_dl
+    added = added.dropDuplicates(["doc_id"])
+    removed = removed.dropDuplicates(["doc_id"])
+    # a same-batch UPDATE (one doc_id in both legs) cannot be applied
+    # redelivery-safely from aggregate state (on redelivery the tombstone
+    # text no longer matches the stored doc) — require the caller to
+    # split it into a delete batch then an insert batch, the CDC
+    # stream's I/D micro-batch shape; enforced loudly, never silently
+    n_both = added.join(removed, "doc_id", "semi").count()
+    if n_both:
+        raise ValueError(
+            f"{n_both} doc_ids appear in both added and removed: split "
+            "same-batch updates into a delete batch then an insert batch")
     added = added.join(doc_ids, "doc_id", "left_anti")
     removed = removed.join(doc_ids, "doc_id", "semi")
     delta = (

@@ -728,3 +728,20 @@ def test_bm25_stats_incremental_merge(spark):
     r2 = re_tot.head()
     assert r2["n_docs"] == w["n_docs"] and r2["sum_dl"] == w["sum_dl"]
     assert ids(re_ids) == ids(want_ids)
+
+    # within-batch DUPLICATE inserts collapse to one (at-least-once
+    # sources can emit the same change twice inside a batch)
+    dup = added.unionByName(added)
+    d_df, d_tot, d_ids = bm25_stats_merge(
+        *bm25_stats_init(base), dup, removed)
+    assert {r["term"]: r["df"] for r in d_df.collect()} == want
+    d2 = d_tot.head()
+    assert d2["n_docs"] == w["n_docs"] and d2["sum_dl"] == w["sum_dl"]
+
+    # a same-batch UPDATE (one doc_id in both legs) must be rejected
+    # loudly — aggregate state cannot apply it redelivery-safely
+    import pytest
+
+    upd = base.limit(1)
+    with pytest.raises(Exception, match="both added and removed"):
+        bm25_stats_merge(*bm25_stats_init(base), upd, upd)

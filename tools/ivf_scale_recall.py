@@ -77,11 +77,6 @@ def main() -> None:
     cent_ids = np.array([cid for cid, _ in centroids])
     norms = np.linalg.norm(vecs, axis=1)
 
-    # replay-fidelity gate (same discipline as ann_scale_recall.py): the
-    # live registered two-stage search for anchor 0 must return exactly
-    # the replay's ids
-    live = {int(r["vec_id"])
-            for r in ann.ann_ivfpq_rescore(spark, sf_dir).collect()}
 
     def adc_table(q, books, S, subdim, code_mat):
         d = np.zeros(n)
@@ -106,7 +101,33 @@ def main() -> None:
     scan_f = {m: [] for m in presets}
     code_f = {m: [] for m in presets}
 
-    gate_done = False
+    def rescore_replay(qi, nprobe, short, r_adc, cos, cd):
+        probe = cent_ids[np.lexsort((cent_ids, cd))[:nprobe]]
+        cand = np.where(np.isin(clusters, probe))[0]
+        cand = cand[cand != qi]
+        order = cand[np.lexsort((vec_ids[cand], r_adc[cand]))]
+        sh = order[:short]
+        # exact-rescore tie-break = the engine's (round6 score DESC,
+        # vec_id), not ADC order (_ivfpq_rescore_search orderBy)
+        top = sh[np.lexsort((sh, -np.round(cos[sh], 6)))][:TOPK]
+        return top, sh, cand
+
+    # replay-fidelity gate, UP-FRONT (fail fast, same discipline as
+    # ann_scale_recall.py): the live registered two-stage search for
+    # anchor 0 must return exactly the replay's ids
+    live = {int(r["vec_id"])
+            for r in ann.ann_ivfpq_rescore(spark, sf_dir).collect()}
+    q0 = vecs[0]
+    cos0 = (vecs @ q0) / (norms * np.linalg.norm(q0) + 1e-12)
+    cd0 = np.round(((cent - q0) ** 2).sum(axis=1), 6)
+    adc0 = adc_table(q0, codebooks, ann.PQ_S, ann.PQ_SUBDIM, codes)
+    top0, _, _ = rescore_replay(0, ann.ANN_RESCORE_NPROBE,
+                                ann.ANN_RESCORE_SHORTLIST, adc0, cos0, cd0)
+    assert set(top0.tolist()) == live, (
+        f"replay drift: live={sorted(live)} rep={sorted(top0.tolist())}")
+    print("replay fidelity: live Spark ivfpq_rescore == numpy replay",
+          file=sys.stderr)
+
     rng_idx = np.linspace(0, n - 1, num=min(n_q, n), dtype=int)
     for qi in rng_idx:
         q = vecs[qi]
@@ -120,27 +141,13 @@ def main() -> None:
         adc_f = adc_table(q, fine_codebooks, ann.PQ_FINE_S,
                           ann.PQ_FINE_SUBDIM, fine_codes)
         for m, (nprobe, short, kind) in presets.items():
-            probe = cent_ids[np.lexsort((cent_ids, cd))[:nprobe]]
-            cand = np.where(np.isin(clusters, probe))[0]
-            cand = cand[cand != qi]
             r_adc = adc_c if kind == "coarse" else adc_f
-            order = cand[np.lexsort((vec_ids[cand], r_adc[cand]))]
-            sh = order[:short]
-            # exact-rescore tie-break = the engine's (round6 score DESC,
-            # vec_id), not ADC order (_ivfpq_rescore_search orderBy)
-            top = sh[np.lexsort((sh, -np.round(cos[sh], 6)))][:TOPK]
-            if qi == 0 and m == "ivfpq_rescore":
-                assert set(top.tolist()) == live, (
-                    f"replay drift: live={sorted(live)} "
-                    f"rep={sorted(top.tolist())}")
-                gate_done = True
+            top, sh, cand = rescore_replay(qi, nprobe, short, r_adc,
+                                           cos, cd)
             hits[m].append(len(set(top.tolist()) & gt) / TOPK)
             scan_f[m].append(len(sh) / n)
             code_f[m].append(len(cand) / n)
 
-    assert gate_done, "fidelity gate never ran (anchor 0 not in queries)"
-    print("replay fidelity: live Spark ivfpq_rescore == numpy replay",
-          file=sys.stderr)
     code_bytes = {"ivfpq_rescore": 8, "ivfpq_rescore_high_recall": 8,
                   "ivfpq_rescore_low_scan": 16}
     block = {
