@@ -1196,7 +1196,16 @@ def ann_ivfpq_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     HNSW `high_recall` preset (`tensor_store/src/hnsw.rs:1434-1533`,
     searched at `vector_engine/src/lib.rs:2378-2560`). Both indexes come
     from the session caches; the probe filter and the shortlist are
-    broadcast joins — the float vectors are read only for the shortlist."""
+    broadcast joins — the float vectors are read only for the shortlist.
+
+    SCALE CAVEAT (measured, ANN_RECALL.json scale_ivf_runs): this
+    preset's recall is FIXTURE-SCALE — its fixed 400-row ADC shortlist
+    is a constant-fraction read at N=2K but vanishing at scale, so
+    recall falls 0.827 → 0.345 at N=64K; restoring it needs
+    shortlist ∝ N, i.e. an O(N) read (vs the graph presets' measured
+    ~log-N budget). The graph index (`ann_graph_rescore*`, auto-budget)
+    is the SERVING path; this family is the cluster-pruning baseline —
+    exactly the asymmetry that makes the reference serve from HNSW."""
     state, centroids = ivf_index(spark, sf_dir)
     codes, codebooks = pq_index(spark, sf_dir)
     emb = load(spark, sf_dir, "embeddings")
@@ -1216,7 +1225,12 @@ def ann_ivfpq_rescore_high_recall(spark: SparkSession, sf_dir: str) -> DataFrame
     nprobe=7 of 8 lists, 600-vector shortlist. Measured recall@10 0.918 at
     0.30 full-vector scan fraction (tools/ann_recall.py), matching the
     reference's ~0.9+ high-recall headline with the scan budget stated
-    explicitly."""
+    explicitly. SCALE CAVEAT: 0.918 is fixture-scale — the frozen
+    600-row shortlist decays to 0.417 recall at N=64K
+    (ANN_RECALL.json scale_ivf_runs) and restoring it costs an O(N)
+    shortlist; serve at scale from the graph presets
+    (`ann_graph_rescore*`), whose auto budget restores ≥0.9 at ~log-N
+    cost."""
     state, centroids = ivf_index(spark, sf_dir)
     codes, codebooks = pq_index(spark, sf_dir)
     emb = load(spark, sf_dir, "embeddings")
@@ -1248,7 +1262,12 @@ def ann_ivfpq_rescore_low_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     the reference's HNSW serving ~0.9+ while touching a few hundred
     vectors (`tensor_store/src/hnsw.rs:1434-1533`) — the compressed-domain
     read (nprobe/k of the code table) is reported separately in
-    ANN_RECALL.json as avg_code_scan_fraction."""
+    ANN_RECALL.json as avg_code_scan_fraction. SCALE CAVEAT: the fine
+    PQ holds up best of the IVF family but still decays under the
+    frozen 200-row shortlist — 0.903 at 2K → 0.745 at N=64K
+    (scale_ivf_runs), and restoration is shortlist ∝ N, an O(N) read;
+    the graph presets (`ann_graph_rescore*`, auto-budget) are the
+    serving path at scale."""
     state, centroids = ivf_index(spark, sf_dir)
     codes, codebooks = pq_fine_index(spark, sf_dir)
     emb = load(spark, sf_dir, "embeddings")
@@ -1308,6 +1327,62 @@ GRAPH_NND_ROUNDS = 2   # NN-descent refinement rounds over the seeded graph
 # IS the better upper layer, so no entry policy reaches >=0.9 @ <=0.05
 # on this isotropic fixture.
 GRAPH_COMPACT_SHORTLIST = 150
+
+# --- auto-scaling search budget (new r10) -----------------------------------
+# The fixture presets above pin ABSOLUTE read budgets tuned at N=2,000; the
+# measured 2K/20K/65K scale series (ANN_RECALL.json `scale_runs`) shows
+# recall falling 0.91→0.58→0.35 under them as N grows, restored at every
+# scale by widening the (rounds × beam) expansion budget — the ≥0.9-recall
+# points are budget 80 @ 2K, 576 @ 20K, 1536 @ 65K, a power law
+# budget ≈ base · (N/2000)^0.85 (log-log fit residual < 3%), with beam the
+# dominant lever (beam=32 dominates equal-budget narrow-beam settings at
+# every measured N). This is the HNSW-preset semantics the reference ships
+# (`tensor_store/src/hnsw.rs:1434-1533`: ef is an absolute budget over a
+# depth-log graph, so one preset serves any N): here the index stores its
+# cardinality at build and each preset derives (rounds, beam, shortlist)
+# from it, so the SAME preset names hold their recall band at ANY corpus
+# size with no manual knobs. At the fixture scale (N ≤ 2000) the derived
+# budget is exactly the frozen constants, so every existing oracle replay
+# is unchanged.
+GRAPH_AUTO_REF_N = 2000     # calibration corpus size (the measured fixture)
+GRAPH_AUTO_EXP = 0.85       # measured power-law exponent (see above)
+GRAPH_BEAM_MAX = 32         # widest measured beam; beyond it rounds scale
+GRAPH_AUTO_SHORTLIST_MAX = 300  # the measured scale-sweep shortlist
+
+
+def graph_auto_budget(n: int, rounds_base: int = GRAPH_T_HIGH,
+                      beam_base: int = GRAPH_B,
+                      shortlist_base: int = GRAPH_SHORTLIST,
+                      ) -> tuple[int, int, int]:
+    """Derive (rounds, beam, shortlist) for a corpus of N vectors from a
+    preset's fixture-scale base knobs, per the measured restoration law:
+    total budget = rounds_base·beam_base·(N/2000)^0.85, spent by doubling
+    beam up to 32 first (the measured-dominant lever), then adding rounds.
+    Shortlist widens ∝ √scale toward the measured 300-row scale setting.
+    N ≤ 2000 returns the base knobs exactly (oracle-stable at fixture)."""
+    import math
+
+    scale = max(1.0, (max(int(n), 1) / GRAPH_AUTO_REF_N) ** GRAPH_AUTO_EXP)
+    budget = int(math.ceil(rounds_base * beam_base * scale))
+    beam = beam_base
+    while beam * 2 <= GRAPH_BEAM_MAX and budget >= rounds_base * beam * 2:
+        beam *= 2
+    rounds = max(rounds_base, int(math.ceil(budget / beam)))
+    shortlist = max(shortlist_base,
+                    min(GRAPH_AUTO_SHORTLIST_MAX,
+                        int(math.ceil(shortlist_base * math.sqrt(scale)))))
+    return rounds, beam, shortlist
+
+
+def graph_auto_warm_k(n: int) -> int:
+    """Warm-start Lloyd cluster count for an N-vector build: the measured
+    grow-K policy (warm-K ∝ √N — each warm probe ADC-ranks ~N/K rows, so
+    frozen K makes the warm stage O(N) while √N keeps it O(√N)); never
+    below the fixture constant, so N ≤ 2025 builds — every driver fixture
+    — keep the frozen K=45 the oracle replays interpolate."""
+    import math
+
+    return max(GRAPH_WARM_K, int(round(math.sqrt(max(int(n), 1)))))
 
 
 def unit_embeddings(emb: DataFrame) -> DataFrame:
@@ -1574,8 +1649,10 @@ def _build_graph_index(spark: SparkSession, emb: DataFrame) -> tuple:
     fixture table; `ann_graph_insert_search` builds over a subset and
     grows it incrementally via `knn_graph_insert`."""
     u = unit_embeddings(emb).localCheckpoint(eager=True)
+    n = u.count()
+    warm_k = graph_auto_warm_k(n)
     warm_codes_w, warm_books = pq_build_joined(
-        u, S=1, subdim=DIM, k=GRAPH_WARM_K, iters=GRAPH_WARM_ITERS)
+        u, S=1, subdim=DIM, k=warm_k, iters=GRAPH_WARM_ITERS)
     warm_codes = warm_codes_w.select(
         "vec_id", F.col("code_0").alias("cluster"))
     warm_centroids = warm_books[0]
@@ -1609,6 +1686,12 @@ def _build_graph_index(spark: SparkSession, emb: DataFrame) -> tuple:
           for i in range(1, DIM + 1)],
         *[F.max(F.element_at("e6", i)).alias(f"hi{i}")
           for i in range(1, DIM + 1)],
+        # corpus fingerprint: XOR of per-row hashes over the SAME round-6
+        # values the SQ grid quantizes — XOR-combinable, so the insert /
+        # delete maintenance paths update it per batch and a persisted
+        # index can detect a corpus that changed under it (count alone
+        # cannot see an UPDATEd embedding). Piggybacks on this one agg.
+        F.bit_xor(F.xxhash64("vec_id", "e6")).alias("fp"),
     ).collect()[0]
     sq_lo = [float(srow[f"lo{i}"]) for i in range(1, DIM + 1)]
     sq_hi = [float(srow[f"hi{i}"]) for i in range(1, DIM + 1)]
@@ -1621,9 +1704,17 @@ def _build_graph_index(spark: SparkSession, emb: DataFrame) -> tuple:
     # the unit frame rides along (6th element) so searches reuse the
     # eagerly-checkpointed normalization instead of re-deriving it per
     # query; 5-element tuples (the persisted-index loader) stay valid;
-    # elements 6-8 are the SQ rescore tier (codes, lo grid, hi grid)
+    # elements 6-8 are the SQ rescore tier (codes, lo grid, hi grid);
+    # element 9 is the index metadata the auto-budget presets and the
+    # loaded-index validation read: cardinality, the warm-K the build
+    # derived, the XOR corpus fingerprint, and a per-sf_dir validation
+    # cache (mutable, so repeated searches from one loaded index pay the
+    # coverage check once — not one corpus-scale action per query)
+    meta = {"n": n, "warm_k": warm_k,
+            "fp": int(srow["fp"]) if srow["fp"] is not None else 0,
+            "validated": {}}
     return (edges, warm_codes.localCheckpoint(eager=True), warm_centroids,
-            codes_long, codebooks, u, sq_codes, sq_lo, sq_hi)
+            codes_long, codebooks, u, sq_codes, sq_lo, sq_hi, meta)
 
 
 def _graph_rescore_search(spark: SparkSession, sf_dir: str, rounds: int,
@@ -1634,6 +1725,38 @@ def _graph_rescore_search(spark: SparkSession, sf_dir: str, rounds: int,
     return _graph_rescore_from(
         spark, sf_dir, knn_graph_index(spark, sf_dir), rounds,
         shortlist=shortlist, sq_rescore=sq_rescore)
+
+
+# the three serving presets' fixture-scale base knobs:
+# (rounds_base, shortlist_base, sq_rescore)
+GRAPH_PRESETS: dict[str, tuple[int, int, bool]] = {
+    "low": (GRAPH_T_LOW, GRAPH_SHORTLIST, False),
+    "high_recall": (GRAPH_T_HIGH, GRAPH_SHORTLIST, False),
+    "compact": (GRAPH_T_HIGH, GRAPH_COMPACT_SHORTLIST, True),
+}
+
+
+def graph_auto_search(spark: SparkSession, sf_dir: str,
+                      index: tuple | None = None,
+                      preset: str = "high_recall",
+                      **kw) -> DataFrame:
+    """Preset graph-ANN search with the budget DERIVED from the index's
+    stored cardinality (`graph_auto_budget`): the same preset name serves
+    any corpus size at its calibrated recall band — the reference's HNSW
+    preset semantics (`tensor_store/src/hnsw.rs:1434-1533`), where ef is
+    a budget the search spends regardless of N. Works on session-built
+    and disk-loaded indexes alike (both carry metadata; pre-r10 persisted
+    layouts fall back to one cardinality count at load). kw passes
+    through to `_graph_rescore_from` (anchor, k, allowed)."""
+    index = index if index is not None else knn_graph_index(spark, sf_dir)
+    rounds_base, shortlist_base, sq = GRAPH_PRESETS[preset]
+    meta = index[9] if len(index) > 9 else None
+    n = meta["n"] if meta else index[6].count()
+    rounds, beam, shortlist = graph_auto_budget(
+        n, rounds_base, GRAPH_B, shortlist_base)
+    return _graph_rescore_from(
+        spark, sf_dir, index, rounds, shortlist=shortlist, sq_rescore=sq,
+        beam=beam, **kw)
 
 
 def _graph_rescore_from(spark: SparkSession, sf_dir: str, index: tuple,
@@ -1778,19 +1901,48 @@ def _graph_rescore_from(spark: SparkSession, sf_dir: str, index: tuple,
         # the sf_dir corpus, not the indexed set. The persisted SQ code
         # table IS the covered id set — refuse if the index holds ids the
         # corpus lacks (a grown index: their floats are unavailable, the
-        # rescore join would silently drop them). No corpus-side
-        # restriction is needed: short_df derives entirely from index
-        # structures, so deleted sf_dir rows can never reach the rescore.
-        # One bounded anti-join count, load path only.
-        covered = index[6].select("vec_id")
-        n_missing = covered.join(
-            u.select("vec_id"), "vec_id", "left_anti").count()
-        if n_missing:
-            raise ValueError(
-                f"loaded graph index covers {n_missing} vec_ids absent "
-                f"from {sf_dir} embeddings; exact rescore needs their "
-                "float vectors — search with sq_rescore=True (the "
-                "self-contained SQ8 tier) or persist the grown corpus")
+        # rescore join would silently drop them), and refuse if covered
+        # rows' VALUES changed under the index (the XOR fingerprint over
+        # round-6 unit values persisted at build — membership alone
+        # cannot see an UPDATEd embedding, whose traversal/ADC used the
+        # persisted codes while the rescore would use the new floats).
+        # Validated ONCE per (index, sf_dir) via the meta cache — never
+        # one corpus-scale action per search. Shrunk indexes stay valid:
+        # the fingerprint compares over the covered subset only (short_df
+        # derives from index structures, so extra corpus rows are inert).
+        meta = index[9] if len(index) > 9 else None
+        cache = meta.get("validated") if isinstance(meta, dict) else None
+        if cache is None or sf_dir not in cache:
+            covered = index[6].select("vec_id")
+            n_missing = covered.join(
+                u.select("vec_id"), "vec_id", "left_anti").count()
+            if n_missing:
+                raise ValueError(
+                    f"loaded graph index covers {n_missing} vec_ids "
+                    f"absent from {sf_dir} embeddings; exact rescore "
+                    "needs their float vectors — search with "
+                    "sq_rescore=True (the self-contained SQ8 tier) or "
+                    "persist the grown corpus")
+            if isinstance(meta, dict) and meta.get("fp") is not None:
+                e6 = F.transform(F.col("embedding"),
+                                 lambda x: F.round(x, 6))
+                frow = (
+                    u.join(covered, "vec_id", "semi")
+                    .select("vec_id", e6.alias("e6"))
+                    .agg(F.bit_xor(F.xxhash64("vec_id", "e6")))
+                    .collect()[0]
+                )
+                corpus_fp = int(frow[0]) if frow[0] is not None else 0
+                if corpus_fp != meta["fp"]:
+                    raise ValueError(
+                        f"{sf_dir} embeddings changed under the loaded "
+                        "graph index (corpus fingerprint mismatch): "
+                        "traversal/ADC would use stale persisted codes "
+                        "while the exact rescore reads the new floats — "
+                        "rebuild or maintain the index through "
+                        "knn_graph_insert/delete")
+            if cache is not None:
+                cache[sf_dir] = True
     return (
         u.join(F.broadcast(short_df), "vec_id")
         .select(
@@ -1843,6 +1995,28 @@ def _pq_assign_long(u_new: DataFrame, codebooks: list,
     )
 
 
+def _meta_advance(meta: dict | None, u_batch: DataFrame,
+                  sign: int) -> dict | None:
+    """Advance index metadata by one maintenance batch: cardinality moves
+    by ±|batch| and the XOR corpus fingerprint folds the batch rows in or
+    out (XOR is its own inverse, so insert and delete use the same fold).
+    `u_batch` is the batch's UNIT frame — hashed over the same round-6
+    values the build fingerprinted. One bounded (batch-sized) aggregate.
+    Meta-less (pre-r10 persisted) indexes pass through as None."""
+    if meta is None:
+        return None
+    e6 = F.transform(F.col("embedding").cast("array<double>"),
+                     lambda x: F.round(x, 6))
+    row = u_batch.select("vec_id", e6.alias("e6")).agg(
+        F.count("*").alias("n"),
+        F.bit_xor(F.xxhash64("vec_id", "e6")).alias("fp")).collect()[0]
+    bfp = int(row["fp"]) if row["fp"] is not None else 0
+    return {"n": meta["n"] + sign * int(row["n"]),
+            "warm_k": meta["warm_k"],
+            "fp": meta["fp"] ^ bfp,
+            "validated": {}}
+
+
 def knn_graph_insert(spark: SparkSession, index: tuple,
                      new_emb: DataFrame) -> tuple:
     """Incrementally insert a BATCH of new vectors into an existing graph
@@ -1866,9 +2040,13 @@ def knn_graph_insert(spark: SparkSession, index: tuple,
          HNSW's bounded neighbour-shrink on reverse insertion.
       4. reverse block re-derived; untouched nodes' forward rows are
          byte-identical passthroughs.
-    Returns a new 9-tuple in the exact `_graph_rescore_from` shapes."""
+    Returns a new index tuple in the exact `_graph_rescore_from` shapes,
+    with metadata (cardinality + XOR fingerprint) advanced by the batch
+    so auto-budget presets and persisted-index validation stay correct
+    on a grown index."""
     (edges, warm_codes, warm_centroids, codes_long, codebooks, u,
-     sq_codes, sq_lo, sq_hi) = index
+     sq_codes, sq_lo, sq_hi) = index[:9]
+    meta = index[9] if len(index) > 9 else None
     # idempotence guard: an id already in the index (a CDC re-delivery,
     # or a foreachBatch retry under at-least-once semantics) must be a
     # no-op, not a second forward block + duplicate code rows that would
@@ -1968,6 +2146,7 @@ def knn_graph_insert(spark: SparkSession, index: tuple,
         sq_codes.unionByName(new_sq).localCheckpoint(eager=True),
         sq_lo,
         sq_hi,
+        _meta_advance(meta, un, +1),
     )
 
 
@@ -1987,8 +2166,12 @@ def knn_graph_delete(spark: SparkSession, index: tuple,
     survivors pass through byte-identical. Reverse block re-derived.
     Every stage is an equi-join bounded by O(|affected| * M^2) pairs."""
     (edges, warm_codes, warm_centroids, codes_long, codebooks, u,
-     sq_codes, sq_lo, sq_hi) = index
+     sq_codes, sq_lo, sq_hi) = index[:9]
+    meta = index[9] if len(index) > 9 else None
     dels = del_ids.select("vec_id").distinct().localCheckpoint(eager=True)
+    # fingerprint folds OUT exactly the rows the index actually holds
+    # (ids not in the index are no-ops, mirroring the insert anti-join)
+    removed_u = u.join(dels, "vec_id", "semi")
     u_d = u.join(dels, "vec_id", "left_anti").localCheckpoint(eager=True)
     fwd_surv = (
         edges.filter(F.col("pos") < GRAPH_M)
@@ -2038,6 +2221,7 @@ def knn_graph_delete(spark: SparkSession, index: tuple,
         anti(sq_codes).localCheckpoint(eager=True),
         sq_lo,
         sq_hi,
+        _meta_advance(meta, removed_u, -1),
     )
 
 
@@ -2850,6 +3034,13 @@ def _batch_luts(qdf: DataFrame, cent_df: DataFrame) -> DataFrame:
 
 
 GRAPH_BATCH_ANCHORS = (0, 3, 7)
+# batched-search regime thresholds: above GRAPH_PROBE_INLIST_MAX distinct
+# frontier sources the edge probe drops the literal IN-list (plan bloat)
+# and relies on block pruning + the broadcast-hash frontier join; above
+# GRAPH_BATCH_BROADCAST_MAX anchors the filtered shortlist stops hinting
+# broadcast(evald) (the batch-wide evald frame scales with |anchors|)
+GRAPH_PROBE_INLIST_MAX = 1024
+GRAPH_BATCH_BROADCAST_MAX = 256
 
 
 def _graph_batch_search(spark: SparkSession, sf_dir: str,
@@ -2933,8 +3124,18 @@ def _graph_batch_search(spark: SparkSession, sf_dir: str,
         srcs = sorted({v for _, v in fr_pairs})
         fr_df = spark.createDataFrame(
             [(q, v) for q, v in fr_pairs], "qid bigint, src bigint")
-        probe = edges.filter(
-            F.col("src").isin(srcs) & (F.col("pos") < GRAPH_C))
+        probe = edges.filter(F.col("pos") < GRAPH_C)
+        # source-id pruning: below GRAPH_PROBE_INLIST_MAX distinct
+        # frontier sources, a literal IN-list reaches the parquet scan
+        # as a pushed filter (plus row-group stats pruning); above it —
+        # a multi-thousand-query batch — the literal list bloats the
+        # plan and slows Catalyst, so pruning falls to the per-block
+        # partition filter (always ≤ GRAPH_EDGE_BLOCKS literals) and
+        # source matching to the broadcast-hash probe join below (the
+        # equi-key keeps it a BroadcastHashJoin, never a BNLJ —
+        # plan-asserted in tests/test_plans.py for both regimes)
+        if len(srcs) <= GRAPH_PROBE_INLIST_MAX:
+            probe = probe.filter(F.col("src").isin(srcs))
         if "block" in edges.columns:
             probe = probe.filter(F.col("block").isin(
                 sorted({v % GRAPH_EDGE_BLOCKS for v in srcs})))
@@ -2953,10 +3154,20 @@ def _graph_batch_search(spark: SparkSession, sf_dir: str,
             .localCheckpoint(eager=True)
         )
     # optional metadata filter at the shortlist stage (the filtered-
-    # DiskANN strategy, same placement as the single-query form): the
-    # BROADCAST side is the bounded evald frame, never the allow list
-    short_src = evald if allowed is None else (
-        allowed.select("vec_id").join(F.broadcast(evald), "vec_id"))
+    # DiskANN strategy, same placement as the single-query form). The
+    # broadcast hint goes on evald only while the BATCH keeps it small:
+    # evald is bounded per query (warm + beam*C*rounds rows), so at
+    # |anchors| beyond GRAPH_BATCH_BROADCAST_MAX the batch-wide frame
+    # can exceed broadcast limits — there the hint comes off and AQE
+    # picks the strategy from measured sizes (the allow list may well
+    # be the smaller side at tight selectivity)
+    if allowed is None:
+        short_src = evald
+    elif len(anchors) <= GRAPH_BATCH_BROADCAST_MAX:
+        short_src = allowed.select("vec_id").join(
+            F.broadcast(evald), "vec_id")
+    else:
+        short_src = allowed.select("vec_id").join(evald, "vec_id")
     short_df = (
         short_src.withColumn("rn", F.row_number().over(wnd))
         .filter(F.col("rn") <= shortlist)
@@ -3066,7 +3277,8 @@ def save_graph_index_frames(spark: SparkSession, index: tuple,
     and the SQ8 rescore tier (64 B code rows + per-dimension [lo, hi]
     grid)."""
     (edges, warm_codes, warm_centroids, codes_long, codebooks, _u,
-     sq_codes, sq_lo, sq_hi) = index
+     sq_codes, sq_lo, sq_hi) = index[:9]
+    meta = index[9] if len(index) > 9 else None
     (
         edges.withColumn(
             "block", (F.col("src") % GRAPH_EDGE_BLOCKS).cast("int"))
@@ -3089,6 +3301,15 @@ def save_graph_index_frames(spark: SparkSession, index: tuple,
          for i, (lo, hi) in enumerate(zip(sq_lo, sq_hi))],
         "i int, lo double, hi double",
     ).write.mode("overwrite").parquet(f"{path}/graph_sq_grid")
+    if meta is not None:
+        # 1-row metadata: cardinality (the auto-budget presets derive
+        # rounds/beam/shortlist from it at serve time — the HNSW-preset
+        # semantics), the warm-K the build derived, and the XOR corpus
+        # fingerprint the loaded-index validation checks
+        spark.createDataFrame(
+            [(int(meta["n"]), int(meta["warm_k"]), int(meta["fp"]))],
+            "n bigint, warm_k int, fp bigint",
+        ).write.mode("overwrite").parquet(f"{path}/graph_meta")
 
 
 def load_graph_index(spark: SparkSession, path: str) -> tuple:
@@ -3113,8 +3334,18 @@ def load_graph_index(spark: SparkSession, path: str) -> tuple:
     )
     sq_lo = [lo for _, lo, _ in grid]
     sq_hi = [hi for _, _, hi in grid]
+    try:
+        mrow = spark.read.parquet(f"{path}/graph_meta").collect()[0]
+        meta = {"n": int(mrow["n"]), "warm_k": int(mrow["warm_k"]),
+                "fp": int(mrow["fp"]), "validated": {}}
+    except Exception:
+        # pre-r10 layout without metadata: derive cardinality from the
+        # persisted SQ code table (one count at load, not per search);
+        # no fingerprint -> validation falls back to the membership check
+        meta = {"n": sq_codes.count(), "warm_k": None, "fp": None,
+                "validated": {}}
     return (edges, warm_codes, warm_centroids, codes_long, codebooks,
-            None, sq_codes, sq_lo, sq_hi)
+            None, sq_codes, sq_lo, sq_hi, meta)
 
 
 @register("ann_graph_index_persist",
@@ -3182,8 +3413,13 @@ def ann_graph_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     32-byte code rows and 0.05 of the float vectors — 0.081 full-vector
     row equivalents, the lowest read volume of any method in
     ANN_RECALL.json (r6's low-scan IVF-PQ point reads 0.123 for 0.903).
+    Budget auto-scales with index cardinality (new r10,
+    `graph_auto_budget`): at fixture N the derived knobs are exactly
+    (T=6, beam=8) — the oracle replay pins that — while a 20K/65K corpus
+    derives (11, 32)/(29, 32) and holds the preset's band instead of
+    decaying to 0.46/0.26 under frozen knobs (scale_runs auto_presets).
     Spark-first shape: see _graph_rescore_search."""
-    return _graph_rescore_search(spark, sf_dir, GRAPH_T_LOW)
+    return graph_auto_search(spark, sf_dir, preset="low")
 
 
 @register("ann_graph_rescore_high_recall",
@@ -3202,8 +3438,12 @@ def ann_graph_rescore_high_recall(spark: SparkSession,
     embeddings are isotropic (top-10 cosine ~0.3-0.4 vs median ~0.0,
     labels carry no geometry), so IVF candidate recall ~= scan fraction
     at ANY k — which is exactly why the reference, too, serves this
-    operating point from a graph index rather than cluster pruning."""
-    return _graph_rescore_search(spark, sf_dir, GRAPH_T_HIGH)
+    operating point from a graph index rather than cluster pruning.
+    Budget auto-scales with index cardinality (new r10): fixture N
+    derives exactly (T=10, beam=8) — oracle-pinned — while 20K/65K
+    derive (18, 32)/(49, 32), the measured ≥0.9-recall restorations
+    (ANN_RECALL.json scale_runs auto_presets)."""
+    return graph_auto_search(spark, sf_dir, preset="high_recall")
 
 
 @register("ann_graph_insert_search", oracle=_graph_insert_sql())
@@ -3430,29 +3670,50 @@ FILTER_SELECTIVITY_CUTOFF = 0.1   # vector_engine/src/lib.rs:416
 FILTER_SAMPLE_N = 100             # vector_engine/src/lib.rs:1739
 
 
+_FILTER_SEL_CACHE: dict[tuple[int, str, str], str] = {}
+
+
 def filtered_search_strategy(spark: SparkSession, sf_dir: str,
                              pred: Column) -> str:
-    """Estimate `pred`'s selectivity on the FILTER_SAMPLE_N lowest-vec_id
-    rows and pick 'pre' below FILTER_SELECTIVITY_CUTOFF, else 'post' —
-    the reference's Auto dispatch (`vector_engine/src/lib.rs:1735-1764`).
+    """Estimate `pred`'s selectivity on a FILTER_SAMPLE_N-row sample and
+    pick 'pre' below FILTER_SELECTIVITY_CUTOFF, else 'post' — the
+    reference's Auto dispatch (`vector_engine/src/lib.rs:1735-1764`).
     Measured placement (tools/ann_recall.py `filtered` block): at ~6%
     selectivity the post-filter graph search's shortlist holds too few
     allowed members for full recall, while the pre-filter subset scan is
     both exact and cheaper — the 10% cutoff keeps tight filters on the
-    exact path."""
+    exact path.
+
+    The sample is the FILTER_SAMPLE_N lowest rows by xxhash64(vec_id) —
+    a deterministic pseudo-random order (still one per-partition
+    top-N merge, never a full-corpus aggregate). The reference samples
+    its first 100 STORAGE keys, which are hash-map order, not id order
+    (`vector_engine/src/lib.rs:1739`) — sampling the lowest vec_ids
+    would be a STRONGER bias than the pattern mirrored: any predicate
+    correlated with vec_id (`vec_id < 100`, `vec_id >= N-50`)
+    systematically mis-estimates under id order, while hash order is
+    uncorrelated with both id ranges and insertion time. Estimates are
+    cached per (session, sf_dir, predicate) so repeated dispatches of
+    the same filter spend zero jobs."""
+    key = (id(spark), sf_dir, str(pred))
+    if key in _FILTER_SEL_CACHE:
+        return _FILTER_SEL_CACHE[key]
     emb = load(spark, sf_dir, "embeddings")
     # matches / sample_size, NULL-evaluating rows counted as non-matches
     # (the reference's evaluate_filter(...).unwrap_or(false)) — a plain
     # AVG(pred) would drop NULL rows from the DENOMINATOR and overstate
     # the selectivity of predicates over sparsely-populated columns
     sel = (
-        emb.orderBy("vec_id").limit(FILTER_SAMPLE_N)
+        emb.orderBy(F.xxhash64("vec_id"), "vec_id").limit(FILTER_SAMPLE_N)
         .agg(F.avg(F.coalesce(pred.cast("int"), F.lit(0))).alias("sel"))
         .head()["sel"]
     )
     if sel is None:
-        return "post"  # empty sample -> PostFilter, as the reference
-    return "pre" if sel < FILTER_SELECTIVITY_CUTOFF else "post"
+        out = "post"  # empty sample -> PostFilter, as the reference
+    else:
+        out = "pre" if sel < FILTER_SELECTIVITY_CUTOFF else "post"
+    _FILTER_SEL_CACHE[key] = out
+    return out
 
 
 def filtered_search_auto(spark: SparkSession, sf_dir: str, pred: Column,
@@ -3470,9 +3731,14 @@ def filtered_search_auto(spark: SparkSession, sf_dir: str, pred: Column,
         return knn(emb, "embedding", qv, k, "cosine",
                    pre_filter=pred & (F.col("vec_id") != anchor))
     allowed = load(spark, sf_dir, "embeddings").filter(pred).select("vec_id")
-    return _graph_rescore_from(
-        spark, sf_dir, knn_graph_index(spark, sf_dir), GRAPH_T_LOW,
-        allowed=allowed, anchor=anchor, k=k)
+    # the post branch rides the auto-budget low preset (new r10): at
+    # fixture N this is exactly the T_LOW/beam-8 search the oracle
+    # replays; at scale the widened budget is what keeps post-filter
+    # recall serviceable (measured: 10%-selective post-filter recall at
+    # 20K is 0.479 under frozen knobs vs ~0.9 at the auto budget —
+    # ANN_RECALL.json scale_runs filtered_post_recall_auto)
+    return graph_auto_search(
+        spark, sf_dir, preset="low", allowed=allowed, anchor=anchor, k=k)
 
 
 def _filtered_tight_sql() -> str:
@@ -3598,10 +3864,45 @@ def ann_graph_rescore_compact(spark: SparkSession,
     0.866, and top-10-ADC-stability adaptive stopping caps end-to-end
     recall at 0.84 — recall tracks evaluated coverage nearly linearly on
     this isotropic fixture, so stopping early cannot reach 0.9. The
-    oracle replays the SQ grid build and dequantized rescore in SQL."""
-    return _graph_rescore_search(
-        spark, sf_dir, GRAPH_T_HIGH,
-        shortlist=GRAPH_COMPACT_SHORTLIST, sq_rescore=True)
+    oracle replays the SQ grid build and dequantized rescore in SQL.
+    Budget auto-scales with index cardinality (new r10): fixture N
+    derives exactly (T=10, beam=8, shortlist=150) — oracle-pinned —
+    while 20K/65K derive (18, 32, 300)/(49, 32, 300), the measured
+    ≥0.9-recall restorations at ~0.037/0.029 vector-equivalent reads
+    (ANN_RECALL.json scale_runs auto_presets)."""
+    return graph_auto_search(spark, sf_dir, preset="compact")
+
+
+@register("ann_graph_rescore_auto", oracle=_graph_compact_sql())
+def ann_graph_rescore_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-budget serving from a PERSISTED index (new r10, VERDICT r9
+    item 2): save the graph index with its metadata (cardinality, warm-K,
+    corpus fingerprint), load it back, and serve the compact preset with
+    (rounds, beam, shortlist) DERIVED from the loaded metadata — the
+    reference's HNSW preset semantics
+    (`tensor_store/src/hnsw.rs:1434-1533`: one preset name serves any N
+    because ef is an absolute budget over a depth-log graph). The oracle
+    is the compact replay at the fixture-derived knobs (T=10, beam=8,
+    shortlist=150): it matches ONLY if the persisted metadata round-
+    tripped and the derivation reproduced the calibrated budget — a lost
+    meta table, a miscounted build, or a derivation drift all change the
+    traversal and hash-mismatch. The scale story (the same preset names
+    ≥0.9 recall at 20K/65K via derived (18,32,300)/(49,32,300)) is
+    measured in ANN_RECALL.json scale_runs auto_presets. The compact
+    (SQ8) tier is served entirely from persisted structures — the floats
+    are never read."""
+    import shutil
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="neumann_graph_auto_")
+    try:
+        save_graph_index(spark, sf_dir, path)
+        index = load_graph_index(spark, path)
+        out = graph_auto_search(spark, sf_dir, index, preset="compact")
+        rows = out.collect()  # materialize before the files vanish
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
 
 
 # --- index persistence (`save_index`/`load_index`,

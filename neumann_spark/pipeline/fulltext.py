@@ -274,28 +274,48 @@ def _doc_totals(docs: DataFrame) -> DataFrame:
 def bm25_stats_init(docs: DataFrame) -> tuple[DataFrame, DataFrame,
                                                DataFrame]:
     """Build the maintained BM25 corpus state from a document corpus:
-    (df_table, totals, doc_ids) — (term, df) counts, the 1-row
-    (n_docs, sum_dl), and the member doc_id set that makes merges
-    idempotent under redelivery."""
-    return (_term_df(docs), _doc_totals(docs),
-            docs.select("doc_id").distinct())
+    (df_table, totals, docs_state) — (term, df) counts, the 1-row
+    (n_docs, sum_dl), and the VERSIONED membership frame
+    (doc_id, ver, alive) that makes merges idempotent under redelivery
+    even when the same keys churn repeatedly (ver = the sequence number
+    of the batch that last changed the doc; 0 for the initial load)."""
+    state = docs.select("doc_id").distinct().select(
+        "doc_id",
+        F.lit(0).cast("bigint").alias("ver"),
+        F.lit(True).alias("alive"),
+    )
+    return (_term_df(docs), _doc_totals(docs), state)
 
 
 def bm25_stats_merge(df_tbl: DataFrame, totals: DataFrame,
-                     doc_ids: DataFrame, added: DataFrame,
-                     removed: DataFrame) -> tuple[DataFrame, DataFrame,
-                                                  DataFrame]:
+                     docs_state: DataFrame, added: DataFrame,
+                     removed: DataFrame, seq: int) -> tuple[
+                         DataFrame, DataFrame, DataFrame]:
     """One CDC micro-batch of the BM25 state: df' = df + df(added)
     - df(removed) per term (zero-count terms drop out), totals' adds the
-    batch deltas, and the doc_id membership frame advances. REDELIVERY
-    SAFE (the same at-least-once contract as the graph-index CDC path's
-    anti-join guard): inserts already in `doc_ids` and deletes not in it
-    are dropped before any count moves, so re-running a batch is a
-    no-op. Every step is a doc- or term-keyed join/aggregate — at scale
-    the state tables are term-/doc-partitioned and the merge touches
-    only the batch's keys. `removed` must carry the removed docs' text
-    (the CDC tombstone payload), exactly like the reference re-reads the
-    doc to un-index it."""
+    batch deltas, and the versioned membership frame advances. `seq` is
+    the batch's monotone sequence number (foreachBatch's batch_id is
+    exactly this).
+
+    REDELIVERY SAFE UNDER CHURN (r10, closing the ADVICE r9 hole in the
+    r9 membership-only guard): with bare membership, a doc deleted and
+    later RE-INSERTED passes a redelivered ORIGINAL delete's membership
+    check and gets un-indexed again with the STALE tombstone text —
+    silent per-term df corruption in exactly the steady-churn regime.
+    Versions close it: an insert applies only to an unseen doc_id or a
+    tombstone with ver < seq; a delete applies only to a LIVE doc with
+    ver < seq. A redelivered change always carries its original seq,
+    which is never greater than the version of any later change to the
+    same doc — so stale redeliveries of either kind drop, while a fresh
+    batch (seq above every prior ver it touches) applies exactly once.
+    Deleted docs stay as tombstone rows (ver, alive=false); compact
+    tombstones older than the source's redelivery horizon offline.
+
+    Every step is a doc- or term-keyed join/aggregate — at scale the
+    state tables are term-/doc-partitioned and the merge touches only
+    the batch's keys. `removed` must carry the removed docs' text (the
+    CDC tombstone payload), exactly like the reference re-reads the doc
+    to un-index it (`graph_engine/src/fulltext.rs` index path)."""
     # within-batch duplicate rows (at-least-once sources can emit the
     # same change twice in one batch) collapse to one per doc_id BEFORE
     # any count moves, or inserts would double-count df/n_docs/sum_dl
@@ -311,8 +331,18 @@ def bm25_stats_merge(df_tbl: DataFrame, totals: DataFrame,
         raise ValueError(
             f"{n_both} doc_ids appear in both added and removed: split "
             "same-batch updates into a delete batch then an insert batch")
-    added = added.join(doc_ids, "doc_id", "left_anti")
-    removed = removed.join(doc_ids, "doc_id", "semi")
+    st = docs_state.select("doc_id", "ver", "alive")
+    added = (
+        added.join(st, "doc_id", "left")
+        .filter(F.col("alive").isNull()
+                | ((~F.col("alive")) & (F.col("ver") < seq)))
+        .drop("ver", "alive")
+    )
+    removed = (
+        removed.join(st, "doc_id", "inner")
+        .filter(F.col("alive") & (F.col("ver") < seq))
+        .drop("ver", "alive")
+    )
     delta = (
         _term_df(added).withColumnRenamed("df", "d_add")
         .join(_term_df(removed).withColumnRenamed("df", "d_rem"),
@@ -335,8 +365,15 @@ def bm25_stats_merge(df_tbl: DataFrame, totals: DataFrame,
         totals.unionByName(sign(added, 1.0)).unionByName(sign(removed, -1.0))
         .agg(F.sum("n_docs").alias("n_docs"), F.sum("sum_dl").alias("sum_dl"))
     )
-    new_doc_ids = (
-        doc_ids.unionByName(added.select("doc_id"))
-        .join(removed.select("doc_id"), "doc_id", "left_anti")
+    changed = (
+        added.select(
+            "doc_id", F.lit(seq).cast("bigint").alias("ver"),
+            F.lit(True).alias("alive"))
+        .unionByName(removed.select(
+            "doc_id", F.lit(seq).cast("bigint").alias("ver"),
+            F.lit(False).alias("alive")))
     )
-    return merged, new_totals, new_doc_ids
+    new_state = (
+        st.join(changed, "doc_id", "left_anti").unionByName(changed)
+    )
+    return merged, new_totals, new_state

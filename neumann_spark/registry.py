@@ -43,73 +43,72 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 # every round. Each round the list is rotated toward never-driver-sampled
 # queries; queries not listed keep their registration order after these.
 #
-# Round-9 rotation (per the r8 ROTATION NOTE): there are no r8 reds, so
-# positions 1-6 are the new round-9 surfaces (the filtered-dispatch
-# pair, the three-engine hybrid flagship, the churn-replay search, and
-# the batched compact/filtered serving forms; the index-cache riders go
-# after the cheap two). Then the ENTIRE remaining r5-evidence tier (44
-# queries: the geo/join/pipeline/source/stream/text/vector families
-# last green in round 5) fills the ~50-query driver budget exactly.
-# After this round the evidence floor rises to r6.
+# Round-10 rotation (per the r9 ROTATION NOTE): there are no r9 reds,
+# so position 1 is the new round-10 surface (the auto-budget serving
+# query — persisted-meta round-trip + derived knobs, VERDICT r9 item 2).
+# Then the ENTIRE remaining r6-evidence tier (44 queries: the ANN
+# IVF/persist family, cypher_*, ddl/dml constraint surfaces, the dedup
+# family, the distributed graph twins + driver-side fast paths,
+# multimodal, snapshots/WAL, stream_merge_upsert, and the unified
+# entity family — everything last driver-green in round 6) fills the
+# ~50-query driver budget. After this round the evidence floor rises
+# to r7.
 #
-# ROTATION NOTE (next round, r10): front-load any r9 reds, then the r6
-# tier (ann_index_persist_roundtrip, ann_ivf*, cypher_*, ddl_roundtrip,
-# dedup_*, dml_constraint/fk/merge_partitioned, distributed graph
-# twins, snapshots, stream_merge_upsert, unified_*: 44 queries — the
-# full driver budget), then the oldest r7 names in r11.
+# ROTATION NOTE (next round, r11): front-load any r10 reds, then the
+# r7 tier (the 49 names whose newest driver evidence is r7:
+# ann_binary_hamming/lsh*/pq*/sq/ivfpq_search, graph CRUD/degrees/
+# neighbors/traversals/similarity, fulltext_*, facade surfaces,
+# cursor_stream_batches, approx aggregates, multimodal stubs — pick
+# the oldest 49 by the CORRECTNESS_r* union), then the r8 names in
+# r12.
 _PRIORITY: list[str] = [
-    # (a) new round-9 surfaces
-    "ann_filtered_auto_tight",
-    "hybrid_rrf_connected",
-    "ann_filtered_auto_loose",
-    "ann_graph_churn_search",
-    "ann_graph_batch_compact",
-    "ann_graph_batch_filtered",
-    # (b) the full r5-evidence tier (oldest first = alphabetical)
-    "geo_bbox_search",
-    "geo_knn",
-    "geo_radius_search",
-    "graph_geo_distance",
-    "join_anti",
-    "join_cross",
-    "join_full",
-    "join_inner",
-    "join_left",
-    "join_natural",
-    "join_right",
-    "join_semi",
-    "pipeline_chunk_documents",
-    "pipeline_data_mixture",
-    "pipeline_decontaminate",
-    "pipeline_length_buckets",
-    "pipeline_pii_scrub",
-    "pipeline_sequence_packing",
-    "pipeline_stratified_sample",
-    "rel_asof_join",
-    "source_csv_roundtrip",
-    "source_json_roundtrip",
-    "source_orc_roundtrip",
-    "stream_dedup",
-    "stream_live_windowed_counts",
-    "stream_session_window",
-    "stream_sliding_window",
-    "stream_stateful_counts",
-    "stream_stream_join",
-    "stream_tumbling_window",
-    "text_fingerprint",
-    "text_gopher_quality_rules",
-    "text_language_id",
-    "text_quality_score",
-    "text_repetition_signals",
-    "text_token_count",
-    "text_unigram_logprob",
-    "vector_collection_stats",
-    "vector_filtered_knn",
-    "vector_knn_cosine",
-    "vector_knn_dot",
-    "vector_knn_euclidean",
-    "vector_pairwise_similarity",
-    "vector_sparse_similarity",
+    # (a) new round-10 surfaces
+    "ann_graph_rescore_auto",
+    # (b) the full r6-evidence tier (alphabetical)
+    "ann_index_persist_roundtrip",
+    "ann_ivf_search",
+    "ann_ivfpq_rescore",
+    "ann_ivfpq_rescore_high_recall",
+    "ann_ivfpq_rescore_low_scan",
+    "ann_pq_rescore",
+    "checkpoint_rollback",
+    "cursor_pagination",
+    "cypher_count_aggregate",
+    "cypher_match_edges",
+    "cypher_node_match",
+    "cypher_varlength_filtered",
+    "ddl_roundtrip",
+    "dedup_cluster_canonical",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_hot_ngrams",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_semantic_semdedup",
+    "dedup_simhash",
+    "dml_constraint_enforcement",
+    "dml_fk_actions",
+    "dml_merge_partitioned",
+    "graph_articulation_distributed",
+    "graph_astar_distributed",
+    "graph_astar_path",
+    "graph_betweenness_sampled",
+    "graph_bridges_distributed",
+    "graph_core_decomposition",
+    "graph_louvain",
+    "graph_mst_boruvka",
+    "graph_mst_kruskal",
+    "graph_scc_distributed",
+    "multimodal_image_dhash",
+    "multimodal_real_decode",
+    "pipeline_end_to_end",
+    "snapshot_roundtrip",
+    "snapshot_wal_recover",
+    "stream_merge_upsert",
+    "unified_entity_stats",
+    "unified_find_rows",
+    "unified_neighbors_by_similarity",
+    "unified_similar_connected",
 ]
 
 

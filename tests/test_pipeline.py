@@ -705,9 +705,9 @@ def test_bm25_stats_incremental_merge(spark):
         (F.col("doc_id") % 5 == 0)
         | ((F.col("doc_id") % 5 != 0) & (F.col("doc_id") % 7 != 0)))
 
-    inc_df, inc_tot, inc_ids = bm25_stats_merge(
-        *bm25_stats_init(base), added, removed)
-    want_df, want_tot, want_ids = bm25_stats_init(final)
+    inc_df, inc_tot, inc_st = bm25_stats_merge(
+        *bm25_stats_init(base), added, removed, seq=1)
+    want_df, want_tot, want_st = bm25_stats_init(final)
 
     got = {r["term"]: r["df"] for r in inc_df.collect()}
     want = {r["term"]: r["df"] for r in want_df.collect()}
@@ -717,23 +717,24 @@ def test_bm25_stats_incremental_merge(spark):
     assert g["sum_dl"] == w["sum_dl"]
     # derived avgdl feeds the score; equal numerators/denominators
     assert g["sum_dl"] / g["n_docs"] == w["sum_dl"] / w["n_docs"]
-    ids = lambda df: {r["doc_id"] for r in df.collect()}  # noqa: E731
-    assert ids(inc_ids) == ids(want_ids)
+    ids = lambda df: {  # noqa: E731  — LIVE members (tombstones stay)
+        r["doc_id"] for r in df.filter(F.col("alive")).collect()}
+    assert ids(inc_st) == ids(want_st)
 
-    # REDELIVERY: re-applying the same batch must be a no-op (the
-    # at-least-once foreachBatch contract the graph CDC path pins)
-    re_df, re_tot, re_ids = bm25_stats_merge(
-        inc_df, inc_tot, inc_ids, added, removed)
+    # REDELIVERY: re-applying the same batch (same seq) must be a no-op
+    # (the at-least-once foreachBatch contract the graph CDC path pins)
+    re_df, re_tot, re_st = bm25_stats_merge(
+        inc_df, inc_tot, inc_st, added, removed, seq=1)
     assert {r["term"]: r["df"] for r in re_df.collect()} == want
     r2 = re_tot.head()
     assert r2["n_docs"] == w["n_docs"] and r2["sum_dl"] == w["sum_dl"]
-    assert ids(re_ids) == ids(want_ids)
+    assert ids(re_st) == ids(want_st)
 
     # within-batch DUPLICATE inserts collapse to one (at-least-once
     # sources can emit the same change twice inside a batch)
     dup = added.unionByName(added)
-    d_df, d_tot, d_ids = bm25_stats_merge(
-        *bm25_stats_init(base), dup, removed)
+    d_df, d_tot, d_st = bm25_stats_merge(
+        *bm25_stats_init(base), dup, removed, seq=1)
     assert {r["term"]: r["df"] for r in d_df.collect()} == want
     d2 = d_tot.head()
     assert d2["n_docs"] == w["n_docs"] and d2["sum_dl"] == w["sum_dl"]
@@ -744,4 +745,49 @@ def test_bm25_stats_incremental_merge(spark):
 
     upd = base.limit(1)
     with pytest.raises(Exception, match="both added and removed"):
-        bm25_stats_merge(*bm25_stats_init(base), upd, upd)
+        bm25_stats_merge(*bm25_stats_init(base), upd, upd, seq=2)
+
+
+def test_bm25_stats_churn_redelivery_versioned(spark):
+    """ADVICE r9 regression: delete a doc (batch 1), RE-INSERT it with
+    DIFFERENT text (batch 2), then redeliver the ORIGINAL delete batch.
+    Under the r9 membership-only guard the redelivered delete passed
+    (the doc is a member again) and un-indexed the STALE tombstone text
+    — silent per-term df corruption. The r10 versioned state drops it
+    (the redelivered batch's seq=1 is below the doc's current ver=2);
+    stats must equal a from-scratch rebuild of the final corpus, and a
+    LATER legitimate delete (seq=3) must still apply."""
+    from neumann_spark.pipeline.fulltext import (
+        bm25_stats_init,
+        bm25_stats_merge,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "beta delta"), (3, "gamma gamma")],
+        "doc_id bigint, text string")
+    tomb = base.filter(F.col("doc_id") == 1)          # original text
+    readd = spark.createDataFrame(
+        [(1, "epsilon zeta")], "doc_id bigint, text string")
+    empty = base.limit(0)
+
+    st1 = bm25_stats_merge(*bm25_stats_init(base), empty, tomb, seq=1)
+    st2 = bm25_stats_merge(*st1, readd, empty, seq=2)
+    # redeliver the ORIGINAL delete (stale tombstone text, seq=1)
+    st3 = bm25_stats_merge(*st2, empty, tomb, seq=1)
+
+    final = base.filter(F.col("doc_id") != 1).unionByName(readd)
+    want_df, want_tot, _ = bm25_stats_init(final)
+    assert ({r["term"]: r["df"] for r in st3[0].collect()}
+            == {r["term"]: r["df"] for r in want_df.collect()})
+    g, w = st3[1].head(), want_tot.head()
+    assert g["n_docs"] == w["n_docs"] and g["sum_dl"] == w["sum_dl"]
+
+    # a fresh delete of the re-inserted doc (with its CURRENT text)
+    # still applies at a later seq
+    st4 = bm25_stats_merge(*st3, empty, readd, seq=3)
+    want4_df, want4_tot, _ = bm25_stats_init(
+        base.filter(F.col("doc_id") != 1))
+    assert ({r["term"]: r["df"] for r in st4[0].collect()}
+            == {r["term"]: r["df"] for r in want4_df.collect()})
+    g4, w4 = st4[1].head(), want4_tot.head()
+    assert g4["n_docs"] == w4["n_docs"] and g4["sum_dl"] == w4["sum_dl"]

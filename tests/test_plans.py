@@ -322,3 +322,44 @@ def test_filtered_auto_tight_takes_brute_path(spark):
     assert "TakeOrderedAndProject" in plan
     assert not re.search(r"\(\d+\) \w*Join", plan), "unexpected join node"
     assert re.search(r"\(\d+\) Filter", plan)
+
+
+def test_batch_probe_join_form_is_hash_join(spark, tmp_path):
+    """The batched search's edge probe in BOTH regimes (VERDICT r9 item
+    6): below GRAPH_PROBE_INLIST_MAX the literal src IN-list prunes at
+    the scan; above it the IN-list comes off and the frontier join must
+    still plan as a BroadcastHashJoin on the src equi-key — never a
+    BroadcastNestedLoopJoin (the trap: a constant-folded join key turns
+    BHJ into BNLJ). Block partition pruning stays literal in both
+    regimes (≤ GRAPH_EDGE_BLOCKS values by construction)."""
+    import re
+
+    from neumann_spark.pipeline.ann import (
+        GRAPH_C,
+        GRAPH_EDGE_BLOCKS,
+        load_graph_index,
+        save_graph_index,
+    )
+
+    path = str(tmp_path / "gidx_joinform")
+    save_graph_index(spark, SF_DIR, path)
+    edges, *_ = load_graph_index(spark, path)
+    fr_pairs = [(q, v) for q in range(8) for v in range(q, q + 8)]
+    srcs = sorted({v for _, v in fr_pairs})
+    fr_df = spark.createDataFrame(fr_pairs, "qid bigint, src bigint")
+    blocks = sorted({v % GRAPH_EDGE_BLOCKS for v in srcs})
+
+    for with_inlist in (True, False):
+        probe = edges.filter(F.col("pos") < GRAPH_C)
+        if with_inlist:
+            probe = probe.filter(F.col("src").isin(srcs))
+        probe = probe.filter(F.col("block").isin(blocks))
+        joined = probe.join(F.broadcast(fr_df), "src")
+        plan = _plan(joined)
+        assert re.search(r"\(\d+\) BroadcastHashJoin", plan), plan[-800:]
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        scan = next(ln for ln in plan.splitlines()
+                    if "PartitionFilters" in ln and "block" in ln)
+        # Catalyst renders long literal lists as INSET, short ones as IN
+        assert (" IN (" in scan) or (" INSET " in scan), scan

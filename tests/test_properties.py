@@ -650,7 +650,7 @@ def test_bm25_stats_merge_equals_rebuild(spark, base, added, drop_mask):
     ).unionByName(added_df)
 
     inc_df, inc_tot, _ids = bm25_stats_merge(
-        *bm25_stats_init(base_df), added_df, removed_df)
+        *bm25_stats_init(base_df), added_df, removed_df, seq=1)
     want_df, want_tot, _w = bm25_stats_init(final_df)
     got = {r["term"]: r["df"] for r in inc_df.collect()}
     want = {r["term"]: r["df"] for r in want_df.collect()}

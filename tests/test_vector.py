@@ -734,10 +734,22 @@ def test_graph_churn_drift_bounded(spark):
         batch = emb.filter(F.col("vec_id") % 10 == c)
         churned = knn_graph_delete(spark, churned, batch.select("vec_id"))
         churned = knn_graph_insert(spark, churned, batch)
+    # multi-PASS steady state (VERDICT r9 stretch 7): the SAME keys
+    # churn repeatedly — 3 more full cycles of one slice, the
+    # at-least-once CDC regime where a hot partition's rows are
+    # rewritten over and over. Drift must not compound per pass.
+    hot = emb.filter(F.col("vec_id") % 10 == 0)
+    for _ in range(3):
+        churned = knn_graph_delete(spark, churned, hot.select("vec_id"))
+        churned = knn_graph_insert(spark, churned, hot)
 
     # structural invariants survive the churn: every node still indexed
     assert churned[1].count() == n  # warm assignments
     assert churned[6].count() == n  # SQ rescore rows
+    # metadata returns to the fresh build's exactly (XOR fingerprint
+    # folds out and back in per cycle; cardinality conserved)
+    assert churned[9]["n"] == fresh[9]["n"]
+    assert churned[9]["fp"] == fresh[9]["fp"]
 
     q = vecs[0]
     cos = (vecs @ q) / (
@@ -789,3 +801,223 @@ def test_graph_beam_budget_converges_to_exact(spark):
         spark, SF_DIR, knn_graph_index(spark, SF_DIR),
         rounds=n, shortlist=n, beam=n).collect()]
     assert got == exact
+
+
+def test_graph_auto_budget_law():
+    """The auto budget reproduces the frozen fixture presets exactly at
+    N <= 2000 (oracle stability) and the MEASURED >=0.9-recall restoring
+    knobs at the 20K/65K scale points (ANN_RECALL.json scale_runs):
+    (18, 32) at 20K and (~48, 32) at 65K for the T_HIGH presets, with
+    the compact shortlist widening to the measured 300-row setting."""
+    from neumann_spark.pipeline.ann import (
+        GRAPH_B,
+        GRAPH_COMPACT_SHORTLIST,
+        GRAPH_SHORTLIST,
+        GRAPH_T_HIGH,
+        GRAPH_T_LOW,
+        graph_auto_budget,
+        graph_auto_warm_k,
+    )
+
+    # fixture scale: derived knobs == the frozen constants, at every SF
+    for n in (20, 200, 500, 2000):
+        assert graph_auto_budget(n, GRAPH_T_LOW) == (
+            GRAPH_T_LOW, GRAPH_B, GRAPH_SHORTLIST)
+        assert graph_auto_budget(n, GRAPH_T_HIGH) == (
+            GRAPH_T_HIGH, GRAPH_B, GRAPH_SHORTLIST)
+        assert graph_auto_budget(
+            n, GRAPH_T_HIGH, shortlist_base=GRAPH_COMPACT_SHORTLIST
+        ) == (GRAPH_T_HIGH, GRAPH_B, GRAPH_COMPACT_SHORTLIST)
+        assert graph_auto_warm_k(n) == 45
+
+    # measured restoration points (compact preset, scale_runs sweeps)
+    assert graph_auto_budget(
+        20000, GRAPH_T_HIGH, shortlist_base=GRAPH_COMPACT_SHORTLIST
+    ) == (18, 32, 300)
+    r65, b65, s65 = graph_auto_budget(
+        65536, GRAPH_T_HIGH, shortlist_base=GRAPH_COMPACT_SHORTLIST)
+    assert (b65, s65) == (32, 300) and 48 <= r65 <= 50
+    # monotone: budget never shrinks as N grows
+    prev = 0
+    for n in (2000, 8000, 20000, 65536, 1_000_000):
+        r, b, _ = graph_auto_budget(n, GRAPH_T_HIGH)
+        assert r * b >= prev
+        prev = r * b
+    # grow-K policy beyond the fixture
+    assert graph_auto_warm_k(20000) == 141
+    assert graph_auto_warm_k(65536) == 256
+
+
+def test_graph_index_meta_roundtrip_and_validation_cache(spark):
+    """Index metadata (cardinality, warm-K, XOR corpus fingerprint)
+    persists with the index and round-trips byte-identically; the
+    loaded-index coverage/staleness validation runs ONCE per (index,
+    sf_dir) — cached in the meta dict — instead of one corpus-scale
+    action per search (ADVICE r9)."""
+    import shutil
+    import tempfile
+
+    from neumann_spark.pipeline.ann import (
+        GRAPH_T_LOW,
+        _graph_rescore_from,
+        knn_graph_index,
+        load_graph_index,
+        save_graph_index,
+    )
+    from tests.conftest import SF_DIR
+
+    session = knn_graph_index(spark, SF_DIR)
+    meta = session[9]
+    assert meta["n"] == 500 and meta["warm_k"] == 45
+    assert isinstance(meta["fp"], int)
+
+    path = tempfile.mkdtemp(prefix="neumann_meta_rt_")
+    try:
+        save_graph_index(spark, SF_DIR, path)
+        loaded = load_graph_index(spark, path)
+        lmeta = loaded[9]
+        assert lmeta["n"] == meta["n"]
+        assert lmeta["warm_k"] == meta["warm_k"]
+        assert lmeta["fp"] == meta["fp"]
+        assert lmeta["validated"] == {}
+        out1 = _graph_rescore_from(
+            spark, SF_DIR, loaded, GRAPH_T_LOW).collect()
+        assert SF_DIR in lmeta["validated"]  # validated on first search
+        out2 = _graph_rescore_from(
+            spark, SF_DIR, loaded, GRAPH_T_LOW).collect()
+        assert [tuple(r) for r in out1] == [tuple(r) for r in out2]
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def test_graph_meta_advances_on_maintenance(spark):
+    """Insert/delete maintenance advances the metadata exactly: deleting
+    a batch moves n down and the XOR fingerprint off the build value;
+    re-inserting the same rows restores BOTH (XOR is its own inverse) —
+    so a full churn cycle leaves the persisted-validation contract
+    intact, and the auto budget always sees the live cardinality."""
+    from neumann_spark.catalog import load
+    from neumann_spark.pipeline.ann import (
+        knn_graph_delete,
+        knn_graph_insert,
+        knn_graph_index,
+    )
+    from tests.conftest import SF_DIR
+
+    emb = load(spark, SF_DIR, "embeddings")
+    index = knn_graph_index(spark, SF_DIR)
+    meta0 = index[9]
+    batch = emb.filter(F.col("vec_id") >= 492)
+    shrunk = knn_graph_delete(spark, index, batch.select("vec_id"))
+    assert shrunk[9]["n"] == meta0["n"] - 8
+    assert shrunk[9]["fp"] != meta0["fp"]
+    cycled = knn_graph_insert(spark, shrunk, batch)
+    assert cycled[9]["n"] == meta0["n"]
+    assert cycled[9]["fp"] == meta0["fp"]
+    assert cycled[9]["warm_k"] == meta0["warm_k"]
+
+
+def test_graph_stale_corpus_detected(spark, tmp_path):
+    """A persisted index must refuse an exact rescore against a corpus
+    whose embeddings CHANGED under it (ADVICE r9: membership checks see
+    only missing ids — an UPDATEd row would silently rescore new floats
+    against stale persisted codes). The XOR fingerprint catches it; the
+    SQ8 compact tier keeps serving (self-contained, floats never read)."""
+    import shutil
+
+    import pytest as _pytest
+
+    from neumann_spark.catalog import load
+    from neumann_spark.pipeline.ann import (
+        GRAPH_T_LOW,
+        _build_graph_index,
+        _graph_rescore_from,
+        load_graph_index,
+        save_graph_index_frames,
+    )
+    from tests.conftest import SF_DIR
+
+    corpus = str(tmp_path / "corpus")
+    emb = load(spark, SF_DIR, "embeddings").filter(F.col("vec_id") < 64)
+    emb.write.parquet(f"{corpus}/embeddings.parquet")
+    built = _build_graph_index(
+        spark, spark.read.parquet(f"{corpus}/embeddings.parquet"))
+    idx_path = str(tmp_path / "index")
+    save_graph_index_frames(spark, built, idx_path)
+
+    # UPDATE one row's embedding in place (same id set, changed values)
+    mod = (
+        spark.read.parquet(f"{corpus}/embeddings.parquet")
+        .withColumn(
+            "embedding",
+            F.when(F.col("vec_id") == 5,
+                   F.transform("embedding", lambda x: x * 2 + 1))
+            .otherwise(F.col("embedding")))
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(f"{corpus}/embeddings.parquet")
+    mod.write.parquet(f"{corpus}/embeddings.parquet")
+
+    loaded = load_graph_index(spark, idx_path)
+    with _pytest.raises(ValueError, match="fingerprint"):
+        _graph_rescore_from(spark, corpus, loaded, GRAPH_T_LOW).collect()
+    # the compact tier is served entirely from persisted structures
+    out = _graph_rescore_from(
+        spark, corpus, loaded, GRAPH_T_LOW, sq_rescore=True).collect()
+    assert len(out) == 10
+
+
+def test_graph_batch_join_form_matches_inlist(spark, monkeypatch):
+    """Above GRAPH_PROBE_INLIST_MAX distinct frontier sources the edge
+    probe drops the literal IN-list and relies on block pruning + the
+    broadcast-hash frontier join (VERDICT r9 item 6: a 10k-query batch
+    would put ~80k literals in the plan). Forcing the join regime at a
+    small batch must reproduce the IN-list regime's rows exactly."""
+    import neumann_spark.pipeline.ann as ann
+    from tests.conftest import SF_DIR
+
+    anchors = tuple(range(16))
+    base = ann._graph_batch_search(
+        spark, SF_DIR, anchors, ann.GRAPH_T_LOW).collect()
+    monkeypatch.setattr(ann, "GRAPH_PROBE_INLIST_MAX", 0)
+    joined = ann._graph_batch_search(
+        spark, SF_DIR, anchors, ann.GRAPH_T_LOW).collect()
+    key = lambda r: (int(r["qid"]), int(r["vec_id"]))  # noqa: E731
+    assert sorted(map(tuple, base)) == sorted(map(tuple, joined)), (
+        len(base), len(joined))
+
+
+def test_graph_batch_scales_to_512_anchors_join_form(spark):
+    """VERDICT r9 item 6 'done' gate: a 512-query batch at the 2K corpus
+    drives the per-round distinct-source count past
+    GRAPH_PROBE_INLIST_MAX, so the edge probe runs in the join regime
+    (block pruning + broadcast-hash frontier join, no literal IN-list).
+    The batch must stay state-isolated (10 rows per anchor, no self
+    matches) and sampled anchors must equal a batch-of-one exactly —
+    through the join form."""
+    from neumann_spark.pipeline.ann import (
+        GRAPH_B,
+        GRAPH_PROBE_INLIST_MAX,
+        GRAPH_T_LOW,
+        _graph_batch_search,
+    )
+
+    sf01 = "/root/testdata/sf0.1"
+    n_anchors = 512
+    # first round's frontier sources alone exceed the IN-list envelope
+    assert n_anchors * GRAPH_B > GRAPH_PROBE_INLIST_MAX
+    anchors = tuple(range(n_anchors))
+    rows = _graph_batch_search(
+        spark, sf01, anchors, GRAPH_T_LOW).collect()
+    per_q: dict[int, list] = {}
+    for r in rows:
+        per_q.setdefault(int(r["qid"]), []).append(
+            (int(r["vec_id"]), r["score"]))
+    assert sorted(per_q) == list(range(n_anchors))
+    assert all(len(v) == 10 for v in per_q.values())
+    assert all(v != q for q, vs in per_q.items() for v, _ in vs)
+    for a in (11, 307):
+        solo = _graph_batch_search(
+            spark, sf01, (a,), GRAPH_T_LOW).collect()
+        assert [(int(r["vec_id"]), r["score"]) for r in solo] == \
+            sorted(per_q[a], key=lambda t: (-t[1], t[0]))

@@ -19,12 +19,20 @@ fixture; the 100 TB story was extrapolated. This tool measures it:
    auto-dispatch cutoff (`filtered_search_strategy`).
 5. Merges one block into ANN_RECALL.json under "scale_runs".
 
+Round 10: the build derives warm-K from N itself (`graph_auto_warm_k`,
+the shipped sqrt policy) and the presets derive (rounds, beam,
+shortlist) from the index's stored cardinality (`graph_auto_budget`) —
+this tool now measures the AUTO presets (no per-run overrides: the same
+registered preset names a user calls) alongside the frozen-knob
+baselines, plus filtered post-recall at the auto budget (the dispatch's
+post branch). The built index is persisted under the corpus dir and
+reloaded on re-runs, which also exercises save/load at scale.
+
 Usage: python tools/ann_scale_recall.py [N] [n_queries] [warm_k]
   N          corpus size (default 20000)
   n_queries  query anchors, evenly spaced (default 100)
-  warm_k     0 = frozen GRAPH_WARM_K=45 (the shipped constant);
-             otherwise the build-time override, e.g. 141 ~ sqrt(20000)
-             (the grow-K policy documented since r8).
+  warm_k     0 = auto (graph_auto_warm_k(N), the shipped policy);
+             otherwise a build-time override for contrast runs.
 """
 
 from __future__ import annotations
@@ -78,14 +86,27 @@ def main() -> None:
     from neumann_spark.session import get_spark
 
     if warm_k:
-        ann.GRAPH_WARM_K = warm_k  # build-time grow-K policy override
+        # contrast-run override: pin the module floor so the auto policy
+        # resolves to exactly this K at build
+        ann.GRAPH_WARM_K = warm_k
     spark = get_spark("ann_scale_recall")
 
+    idx_dir = os.path.join(sf_dir, f"index_wk{warm_k or 'auto'}")
     t0 = time.time()
-    index = ann.knn_graph_index(spark, sf_dir)
-    build_sec = round(time.time() - t0, 1)
-    print(f"index built in {build_sec}s "
-          f"(N={n}, warm_k={warm_k or ann.GRAPH_WARM_K})", file=sys.stderr)
+    if os.path.exists(os.path.join(idx_dir, "graph_meta")):
+        index = ann.load_graph_index(spark, idx_dir)
+        build_sec = None
+        print(f"index reloaded from {idx_dir} in "
+              f"{round(time.time() - t0, 1)}s", file=sys.stderr)
+    else:
+        index = ann.knn_graph_index(spark, sf_dir)
+        build_sec = round(time.time() - t0, 1)
+        ann.save_graph_index_frames(spark, index, idx_dir)
+        print(f"index built in {build_sec}s (N={n}, "
+              f"warm_k={index[9]['warm_k']})", file=sys.stderr)
+    meta = index[9]
+    assert meta["n"] == n, (meta, n)
+    eff_warm_k = int(meta["warm_k"])
 
     edges, warm_codes, warm_cent, codes_long, books = index[:5]
 
@@ -148,8 +169,19 @@ def main() -> None:
                                ann.GRAPH_COMPACT_SHORTLIST,
                                rescore_mat=sq_deq, beam=16)
     assert live16 == rep16, "replay drift at beam=16"
+    # auto-path gate: the REGISTERED auto-budget serving call (what a
+    # user gets from ann_graph_rescore_compact) must equal the replay
+    # at the knobs graph_auto_budget derives from the stored cardinality
+    t_c, b_c, sh_c = ann.graph_auto_budget(
+        meta["n"], ann.GRAPH_T_HIGH, ann.GRAPH_B,
+        ann.GRAPH_COMPACT_SHORTLIST)
+    live_auto = {int(r["vec_id"]) for r in ann.graph_auto_search(
+        spark, sf_dir, index, preset="compact").collect()}
+    rep_auto, _, _ = graph_search(0, t_c, sh_c, rescore_mat=sq_deq,
+                                  beam=b_c)
+    assert live_auto == rep_auto, "replay drift on the auto path"
     print("replay fidelity: live Spark search == numpy replay "
-          "(default and beam=16)", file=sys.stderr)
+          "(default, beam=16, and auto-budget paths)", file=sys.stderr)
 
     norms = np.linalg.norm(vecs, axis=1)
     rng_idx = np.linspace(0, n - 1, num=min(n_q, n), dtype=int)
@@ -166,6 +198,18 @@ def main() -> None:
     edge_f = {m: [] for m in presets}
     scan_f = {m: [] for m in presets}
 
+    # AUTO presets (r10): (rounds, beam, shortlist) derived from the
+    # index's stored cardinality — exactly what the registered
+    # ann_graph_rescore* queries serve with, no per-run overrides
+    auto_knobs = {
+        m: ann.graph_auto_budget(meta["n"], rb, ann.GRAPH_B, sb)
+        for m, (rb, sb, _) in presets.items()
+    }
+    auto_hits = {m: [] for m in presets}
+    auto_code = {m: [] for m in presets}
+    auto_edge = {m: [] for m in presets}
+    auto_scan = {m: [] for m in presets}
+
     # knee sweep over the two budget knobs (rounds, beam) at the compact
     # shortlist — the levers that restore the operating point at scale
     SWEEP_T = (10, 18, 32, 48)
@@ -177,6 +221,11 @@ def main() -> None:
     # filtered post-filter recall at two selectivities (the dispatch
     # placement measurement): ~10% (one label) and ~1% (vec_id % 100)
     filt = {"0.10": {"hit": [], "sel": []}, "0.01": {"hit": [], "sel": []}}
+    # same measurement at the AUTO budget of the LOW preset — the knobs
+    # the dispatch's post branch actually serves with (filtered_search_auto
+    # routes post-filter traffic through graph_auto_search preset='low')
+    filt_auto = {"0.10": {"hit": [], "sel": []},
+                 "0.01": {"hit": [], "sel": []}}
 
     for qi in rng_idx:
         q = vecs[qi]
@@ -191,6 +240,13 @@ def main() -> None:
             code_f[m].append(n_eval / n)
             edge_f[m].append(n_edge / n)
             scan_f[m].append(min(sh, n_eval) / n)
+            t_a, b_a, sh_a = auto_knobs[m]
+            top, n_eval, n_edge = graph_search(
+                qi, t_a, sh_a, rescore_mat=rmat, beam=b_a)
+            auto_hits[m].append(len(top & gt) / TOPK)
+            auto_code[m].append(n_eval / n)
+            auto_edge[m].append(n_edge / n)
+            auto_scan[m].append(min(sh_a, n_eval) / n)
 
         for (t, b), cell in sweep.items():
             top, n_eval, n_edge = graph_search(
@@ -216,6 +272,12 @@ def main() -> None:
             k_eff = min(TOPK, len(aidx))
             filt[key]["hit"].append(len(top & agt) / k_eff)
             filt[key]["sel"].append(len(aidx) / n)
+            t_l, b_l, sh_l = auto_knobs["graph_rescore"]
+            top_a, _, _ = graph_search(
+                qi, t_l, sh_l, rescore_mat=None, allowed=allowed,
+                beam=b_l)
+            filt_auto[key]["hit"].append(len(top_a & agt) / k_eff)
+            filt_auto[key]["sel"].append(len(aidx) / n)
 
     def vec_equiv(m: str) -> float:
         scan_bytes = 64.0 if m == "graph_rescore_compact" else 512.0
@@ -224,17 +286,39 @@ def main() -> None:
             + float(np.mean(code_f[m])) * 32.0 / 512.0
             + float(np.mean(edge_f[m])) * 16.0 / 512.0, 4)
 
+    def vec_equiv_auto(m: str) -> float:
+        scan_bytes = 64.0 if m == "graph_rescore_compact" else 512.0
+        return round(
+            float(np.mean(auto_scan[m])) * scan_bytes / 512.0
+            + float(np.mean(auto_code[m])) * 32.0 / 512.0
+            + float(np.mean(auto_edge[m])) * 16.0 / 512.0, 4)
+
     block = {
         "n_vectors": n,
         "n_queries": int(len(rng_idx)),
-        "warm_k": int(warm_k or ann.GRAPH_WARM_K),
-        "warm_k_policy": ("frozen" if not warm_k else "sqrt_n"),
+        "warm_k": eff_warm_k,
+        "warm_k_policy": ("auto" if not warm_k else "override"),
         "build_sec": build_sec,
         "recall_at_10": {
             m: round(float(np.mean(h)), 3) for m, h in hits.items()},
         "vec_equiv_read_fraction": {m: vec_equiv(m) for m in presets},
         "avg_code_scan_fraction": {
             m: round(float(np.mean(c)), 4) for m, c in code_f.items()},
+        # the registered preset names under the r10 auto budget — the
+        # headline: same names, any N, recall held (frozen-knob rows
+        # above show the decay the auto budget repairs)
+        "auto_presets": {
+            m: {
+                "rounds": auto_knobs[m][0],
+                "beam": auto_knobs[m][1],
+                "shortlist": auto_knobs[m][2],
+                "recall_at_10": round(float(np.mean(auto_hits[m])), 3),
+                "vec_equiv_read_fraction": vec_equiv_auto(m),
+                "avg_code_scan_fraction": round(
+                    float(np.mean(auto_code[m])), 4),
+            }
+            for m in presets
+        },
         "compact_sweep": [
             {
                 "rounds": t, "beam": b, "shortlist": SWEEP_SHORT,
@@ -261,6 +345,19 @@ def main() -> None:
                 "n_queries": len(d["hit"]),
             }
             for key, d in filt.items()
+        },
+        # post-filter recall at the budget the dispatch actually serves
+        # (auto LOW preset) — the measurement that places/validates the
+        # 10% pre/post cutoff at scale (VERDICT r9 item 4)
+        "filtered_post_recall_auto": {
+            key: {
+                "recall_at_10": round(float(np.mean(d["hit"])), 3)
+                if d["hit"] else None,
+                "avg_selectivity": round(float(np.mean(d["sel"])), 4)
+                if d["sel"] else None,
+                "n_queries": len(d["hit"]),
+            }
+            for key, d in filt_auto.items()
         },
     }
 
