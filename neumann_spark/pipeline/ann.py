@@ -2028,7 +2028,10 @@ def knn_graph_insert(spark: SparkSession, index: tuple,
     table and per-node code tables grow.
 
     Steps, all equi-joins and per-source windows (no stage touches more
-    than O(batch * avg_cluster + batch * M^2) pair rows):
+    than O(batch * avg_cluster + batch * M^2) pair rows — and since the
+    r10 auto warm-K policy builds with K ~ sqrt(N), avg_cluster is
+    ~sqrt(N), so the cluster-member candidate join is O(batch * sqrt(N))
+    rather than the frozen-K O(batch * N/45) the r9 verdict carried):
       1. new nodes' GRAPH_SEED_PROBES nearest warm clusters -> candidate
          pairs against those clusters' existing members + same-cluster
          batch mates; top-M.
@@ -3047,7 +3050,8 @@ def _graph_batch_search(spark: SparkSession, sf_dir: str,
                         anchors: tuple, rounds: int,
                         shortlist: int = GRAPH_SHORTLIST,
                         sq_rescore: bool = False,
-                        allowed: DataFrame | None = None) -> DataFrame:
+                        allowed: DataFrame | None = None,
+                        beam: int = GRAPH_B) -> DataFrame:
     """BATCHED round-synchronous graph search: all queries advance
     through the SAME T rounds with frontier/evaluated frames keyed by
     query id. This is the documented mitigation for the per-round
@@ -3116,7 +3120,7 @@ def _graph_batch_search(spark: SparkSession, sf_dir: str,
         fr_pairs = [
             (int(r["qid"]), int(r["vec_id"]))
             for r in (unexp.withColumn("rn", F.row_number().over(wnd))
-                      .filter(F.col("rn") <= GRAPH_B)
+                      .filter(F.col("rn") <= beam)
                       .select("qid", "vec_id").collect())
         ]
         if not fr_pairs:
@@ -3257,6 +3261,42 @@ def ann_graph_batch_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _graph_batch_search(
         spark, sf_dir, GRAPH_BATCH_ANCHORS, GRAPH_T_LOW,
         allowed=emb.filter(F.col("label").isin(1, 2, 3)).select("vec_id"))
+
+
+def graph_auto_batch_search(spark: SparkSession, sf_dir: str,
+                            anchors: tuple,
+                            preset: str = "compact") -> DataFrame:
+    """Batched preset serving with the budget DERIVED from the index's
+    stored cardinality — `graph_auto_search`'s batch twin, so the
+    queue-draining shape a 100 TB deployment runs also auto-scales its
+    (rounds, beam, shortlist) with N instead of pinning fixture knobs."""
+    rounds_base, shortlist_base, sq = GRAPH_PRESETS[preset]
+    index = knn_graph_index(spark, sf_dir)
+    meta = index[9] if len(index) > 9 else None
+    n = meta["n"] if meta else index[6].count()
+    rounds, beam, shortlist = graph_auto_budget(
+        n, rounds_base, GRAPH_B, shortlist_base)
+    return _graph_batch_search(
+        spark, sf_dir, anchors, rounds, shortlist=shortlist,
+        sq_rescore=sq, beam=beam)
+
+
+@register("ann_graph_batch_auto",
+          oracle=_graph_batch_sql(GRAPH_BATCH_ANCHORS, GRAPH_T_HIGH,
+                                  shortlist=GRAPH_COMPACT_SHORTLIST,
+                                  compact=True))
+def ann_graph_batch_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched serving at the AUTO budget (new r10): the compact preset's
+    (rounds, beam, shortlist) derived from the index's stored
+    cardinality drive the shared round loop — at fixture N the derived
+    knobs are exactly (T=10, beam=8, shortlist=150), so the oracle is
+    the compact batch replay and matches ONLY if the derivation
+    reproduced the calibrated budget through the batched path too. With
+    this the whole serving matrix (single/batched × exact/compact/
+    filtered) rides one budget law (`graph_auto_budget`), the HNSW
+    preset semantics the reference ships."""
+    return graph_auto_batch_search(
+        spark, sf_dir, GRAPH_BATCH_ANCHORS, preset="compact")
 
 
 def save_graph_index(spark: SparkSession, sf_dir: str, path: str) -> None:
@@ -3416,8 +3456,9 @@ def ann_graph_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     Budget auto-scales with index cardinality (new r10,
     `graph_auto_budget`): at fixture N the derived knobs are exactly
     (T=6, beam=8) — the oracle replay pins that — while a 20K/65K corpus
-    derives (11, 32)/(29, 32) and holds the preset's band instead of
-    decaying to 0.46/0.26 under frozen knobs (scale_runs auto_presets).
+    derives (11, 32)/(29, 32) and holds the preset's band (measured
+    0.893 at 20K) instead of decaying to 0.41/0.26 under frozen knobs
+    (scale_runs auto_presets).
     Spark-first shape: see _graph_rescore_search."""
     return graph_auto_search(spark, sf_dir, preset="low")
 
@@ -3442,7 +3483,7 @@ def ann_graph_rescore_high_recall(spark: SparkSession,
     Budget auto-scales with index cardinality (new r10): fixture N
     derives exactly (T=10, beam=8) — oracle-pinned — while 20K/65K
     derive (18, 32)/(49, 32), the measured ≥0.9-recall restorations
-    (ANN_RECALL.json scale_runs auto_presets)."""
+    (0.94 @ 0.048 vec-equiv at 20K; scale_runs auto_presets)."""
     return graph_auto_search(spark, sf_dir, preset="high_recall")
 
 
@@ -3735,8 +3776,9 @@ def filtered_search_auto(spark: SparkSession, sf_dir: str, pred: Column,
     # fixture N this is exactly the T_LOW/beam-8 search the oracle
     # replays; at scale the widened budget is what keeps post-filter
     # recall serviceable (measured: 10%-selective post-filter recall at
-    # 20K is 0.479 under frozen knobs vs ~0.9 at the auto budget —
-    # ANN_RECALL.json scale_runs filtered_post_recall_auto)
+    # 20K is 0.402 under frozen knobs vs 0.811 at the auto budget —
+    # ANN_RECALL.json scale_runs filtered_post_recall_auto — which keeps
+    # the reference's 10% cutoff correctly placed at scale)
     return graph_auto_search(
         spark, sf_dir, preset="low", allowed=allowed, anchor=anchor, k=k)
 
