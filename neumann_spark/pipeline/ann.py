@@ -1203,7 +1203,8 @@ def ann_ivfpq_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a constant-fraction read at N=2K but vanishing at scale, so
     recall falls 0.827 → 0.345 at N=64K; restoring it needs
     shortlist ∝ N, i.e. an O(N) read (vs the graph presets' measured
-    ~log-N budget). The graph index (`ann_graph_rescore*`, auto-budget)
+    sub-linear ∝N^0.85 budget, whose read FRACTION falls with N).
+    The graph index (`ann_graph_rescore*`, auto-budget)
     is the SERVING path; this family is the cluster-pruning baseline —
     exactly the asymmetry that makes the reference serve from HNSW."""
     state, centroids = ivf_index(spark, sf_dir)
@@ -1229,8 +1230,8 @@ def ann_ivfpq_rescore_high_recall(spark: SparkSession, sf_dir: str) -> DataFrame
     600-row shortlist decays to 0.417 recall at N=64K
     (ANN_RECALL.json scale_ivf_runs) and restoring it costs an O(N)
     shortlist; serve at scale from the graph presets
-    (`ann_graph_rescore*`), whose auto budget restores ≥0.9 at ~log-N
-    cost."""
+    (`ann_graph_rescore*`), whose auto budget restores ≥0.9 at a
+    sub-linear ∝N^0.85 cost whose corpus fraction falls with N."""
     state, centroids = ivf_index(spark, sf_dir)
     codes, codebooks = pq_index(spark, sf_dir)
     emb = load(spark, sf_dir, "embeddings")
@@ -1359,7 +1360,17 @@ def graph_auto_budget(n: int, rounds_base: int = GRAPH_T_HIGH,
     total budget = rounds_base·beam_base·(N/2000)^0.85, spent by doubling
     beam up to 32 first (the measured-dominant lever), then adding rounds.
     Shortlist widens ∝ √scale toward the measured 300-row scale setting.
-    N ≤ 2000 returns the base knobs exactly (oracle-stable at fixture)."""
+    N ≤ 2000 returns the base knobs exactly (oracle-stable at fixture).
+
+    Driver-loop note: past the beam cap, ROUNDS carry the N^0.85 growth
+    — each round is one sequential Spark job, so beyond roughly N=10^6
+    (hundreds of rounds) the single-query loop is latency-bound and the
+    right serving shape is `graph_auto_batch_search` (rounds amortize
+    over the whole batch) and/or raising GRAPH_BEAM_MAX with a wider
+    GRAPH_C at build — both widen per-round work, which Spark
+    parallelizes, instead of round count, which it cannot. The budget
+    SIZE stays sub-linear either way (its corpus fraction falls with N:
+    0.057 → 0.037 → 0.029 measured at 2K/20K/65K)."""
     import math
 
     scale = max(1.0, (max(int(n), 1) / GRAPH_AUTO_REF_N) ** GRAPH_AUTO_EXP)
@@ -1395,6 +1406,27 @@ def unit_embeddings(emb: DataFrame) -> DataFrame:
     nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
     return emb.select(
         "vec_id", F.transform(v, lambda x: x / nrm).alias("embedding"))
+
+
+def _e6_expr() -> Column:
+    """Round-6 double array over an `embedding` column — the ONE
+    expression the corpus fingerprint hashes, shared by the build agg,
+    `_meta_advance`, and the loaded-index validation so the three sites
+    can never drift (a divergent copy would falsely refuse every loaded
+    exact rescore with a fingerprint mismatch). Same round-6-before-use
+    discipline as the SQ grid (`_sq_cell_expr`)."""
+    return F.transform(
+        F.col("embedding").cast("array<double>"), lambda x: F.round(x, 6))
+
+
+def _fp_agg(u_frame: DataFrame) -> tuple[int, int | None]:
+    """(row count, XOR-of-xxhash64 fingerprint) over a unit frame's
+    (vec_id, round-6 embedding) rows — one bounded aggregate; fp is None
+    only for an empty frame (normalized to 0 by callers that store it)."""
+    row = u_frame.select("vec_id", _e6_expr().alias("e6")).agg(
+        F.count("*").alias("n"),
+        F.bit_xor(F.xxhash64("vec_id", "e6")).alias("fp")).collect()[0]
+    return int(row["n"]), (int(row["fp"]) if row["fp"] is not None else None)
 
 
 def _sq_cell_expr(val: Column, lo: float, hi: float) -> Column:
@@ -1678,9 +1710,8 @@ def _build_graph_index(spark: SparkSession, emb: DataFrame) -> tuple:
     # so the floor() cell boundaries see bit-identical doubles in Spark
     # and DuckDB (unrounded unit values differ in the last ulps across
     # engines, and floor has no rounding grid to absorb that).
-    e6 = F.transform(
-        F.col("embedding").cast("array<double>"), lambda x: F.round(x, 6))
-    u6 = u.select("vec_id", e6.alias("e6")).localCheckpoint(eager=True)
+    u6 = u.select(
+        "vec_id", _e6_expr().alias("e6")).localCheckpoint(eager=True)
     srow = u6.agg(
         *[F.min(F.element_at("e6", i)).alias(f"lo{i}")
           for i in range(1, DIM + 1)],
@@ -1794,6 +1825,48 @@ def _graph_rescore_from(spark: SparkSession, sf_dir: str, index: tuple,
     qv = [float(x) for x in u.filter(
         F.col("vec_id") == anchor).select("embedding").head()[0]]
 
+    if from_disk and not sq_rescore and len(index) > 6:
+        # disk-loaded index + exact rescore: the re-derived unit frame is
+        # the sf_dir corpus, not the indexed set. The persisted SQ code
+        # table IS the covered id set — refuse if the index holds ids the
+        # corpus lacks (a grown index: their floats are unavailable, the
+        # rescore join would silently drop them), and refuse if covered
+        # rows' VALUES changed under the index (the XOR fingerprint over
+        # round-6 unit values persisted at build — membership alone
+        # cannot see an UPDATEd embedding, whose traversal/ADC used the
+        # persisted codes while the rescore would use the new floats).
+        # Runs BEFORE the traversal so an invalid (index, corpus) pair is
+        # refused in two bounded jobs, not after T rounds of search; and
+        # ONCE per (index, sf_dir) via the meta cache — never one
+        # corpus-scale action per search. Shrunk indexes stay valid: the
+        # fingerprint compares over the covered subset only (short_df
+        # derives from index structures, so extra corpus rows are inert).
+        meta = index[9] if len(index) > 9 else None
+        cache = meta.get("validated") if isinstance(meta, dict) else None
+        if cache is None or sf_dir not in cache:
+            covered = index[6].select("vec_id")
+            n_missing = covered.join(
+                u.select("vec_id"), "vec_id", "left_anti").count()
+            if n_missing:
+                raise ValueError(
+                    f"loaded graph index covers {n_missing} vec_ids "
+                    f"absent from {sf_dir} embeddings; exact rescore "
+                    "needs their float vectors — search with "
+                    "sq_rescore=True (the self-contained SQ8 tier) or "
+                    "persist the grown corpus")
+            if isinstance(meta, dict) and meta.get("fp") is not None:
+                _, corpus_fp = _fp_agg(u.join(covered, "vec_id", "semi"))
+                if (corpus_fp or 0) != meta["fp"]:
+                    raise ValueError(
+                        f"{sf_dir} embeddings changed under the loaded "
+                        "graph index (corpus fingerprint mismatch): "
+                        "traversal/ADC would use stale persisted codes "
+                        "while the exact rescore reads the new floats — "
+                        "rebuild or maintain the index through "
+                        "knn_graph_insert/delete")
+            if cache is not None:
+                cache[sf_dir] = True
+
     # probe selection: driver-side over the k-row centroid list, same as
     # _ivfpq_rescore_search (static IN-list => partition-prunable)
     def _d2(vals: list) -> float:
@@ -1896,53 +1969,6 @@ def _graph_rescore_from(spark: SparkSession, sf_dir: str, index: tuple,
             .orderBy(F.col("score").desc(), "vec_id")
             .limit(k)
         )
-    if from_disk and len(index) > 6:
-        # disk-loaded index + exact rescore: the re-derived unit frame is
-        # the sf_dir corpus, not the indexed set. The persisted SQ code
-        # table IS the covered id set — refuse if the index holds ids the
-        # corpus lacks (a grown index: their floats are unavailable, the
-        # rescore join would silently drop them), and refuse if covered
-        # rows' VALUES changed under the index (the XOR fingerprint over
-        # round-6 unit values persisted at build — membership alone
-        # cannot see an UPDATEd embedding, whose traversal/ADC used the
-        # persisted codes while the rescore would use the new floats).
-        # Validated ONCE per (index, sf_dir) via the meta cache — never
-        # one corpus-scale action per search. Shrunk indexes stay valid:
-        # the fingerprint compares over the covered subset only (short_df
-        # derives from index structures, so extra corpus rows are inert).
-        meta = index[9] if len(index) > 9 else None
-        cache = meta.get("validated") if isinstance(meta, dict) else None
-        if cache is None or sf_dir not in cache:
-            covered = index[6].select("vec_id")
-            n_missing = covered.join(
-                u.select("vec_id"), "vec_id", "left_anti").count()
-            if n_missing:
-                raise ValueError(
-                    f"loaded graph index covers {n_missing} vec_ids "
-                    f"absent from {sf_dir} embeddings; exact rescore "
-                    "needs their float vectors — search with "
-                    "sq_rescore=True (the self-contained SQ8 tier) or "
-                    "persist the grown corpus")
-            if isinstance(meta, dict) and meta.get("fp") is not None:
-                e6 = F.transform(F.col("embedding"),
-                                 lambda x: F.round(x, 6))
-                frow = (
-                    u.join(covered, "vec_id", "semi")
-                    .select("vec_id", e6.alias("e6"))
-                    .agg(F.bit_xor(F.xxhash64("vec_id", "e6")))
-                    .collect()[0]
-                )
-                corpus_fp = int(frow[0]) if frow[0] is not None else 0
-                if corpus_fp != meta["fp"]:
-                    raise ValueError(
-                        f"{sf_dir} embeddings changed under the loaded "
-                        "graph index (corpus fingerprint mismatch): "
-                        "traversal/ADC would use stale persisted codes "
-                        "while the exact rescore reads the new floats — "
-                        "rebuild or maintain the index through "
-                        "knn_graph_insert/delete")
-            if cache is not None:
-                cache[sf_dir] = True
     return (
         u.join(F.broadcast(short_df), "vec_id")
         .select(
@@ -2000,20 +2026,18 @@ def _meta_advance(meta: dict | None, u_batch: DataFrame,
     """Advance index metadata by one maintenance batch: cardinality moves
     by ±|batch| and the XOR corpus fingerprint folds the batch rows in or
     out (XOR is its own inverse, so insert and delete use the same fold).
-    `u_batch` is the batch's UNIT frame — hashed over the same round-6
-    values the build fingerprinted. One bounded (batch-sized) aggregate.
-    Meta-less (pre-r10 persisted) indexes pass through as None."""
+    `u_batch` is the batch's UNIT frame — hashed through the shared
+    `_e6_expr`, the same round-6 values the build fingerprinted. One
+    bounded (batch-sized) aggregate. Meta-less indexes (or those loaded
+    from a pre-r10 layout, whose fp is None) advance what they can:
+    cardinality always, fingerprint only when the build recorded one."""
     if meta is None:
         return None
-    e6 = F.transform(F.col("embedding").cast("array<double>"),
-                     lambda x: F.round(x, 6))
-    row = u_batch.select("vec_id", e6.alias("e6")).agg(
-        F.count("*").alias("n"),
-        F.bit_xor(F.xxhash64("vec_id", "e6")).alias("fp")).collect()[0]
-    bfp = int(row["fp"]) if row["fp"] is not None else 0
-    return {"n": meta["n"] + sign * int(row["n"]),
+    bn, bfp = _fp_agg(u_batch)
+    return {"n": meta["n"] + sign * bn,
             "warm_k": meta["warm_k"],
-            "fp": meta["fp"] ^ bfp,
+            "fp": (meta["fp"] ^ (bfp or 0)) if meta.get("fp") is not None
+            else None,
             "validated": {}}
 
 
@@ -2053,8 +2077,14 @@ def knn_graph_insert(spark: SparkSession, index: tuple,
     # idempotence guard: an id already in the index (a CDC re-delivery,
     # or a foreachBatch retry under at-least-once semantics) must be a
     # no-op, not a second forward block + duplicate code rows that would
-    # double its ADC distance — anti-join makes redelivery safe
-    fresh = new_emb.join(u.select("vec_id"), "vec_id", "left_anti")
+    # double its ADC distance — anti-join makes redelivery safe. The
+    # dropDuplicates handles WITHIN-batch duplicates (at-least-once
+    # sources can emit one change twice inside a batch — the same case
+    # bm25_stats_merge collapses): without it, duplicate rows double the
+    # node's code rows AND self-cancel its XOR fingerprint contribution
+    # (h^h=0), making a correct persisted index fail validation later
+    fresh = (new_emb.dropDuplicates(["vec_id"])
+             .join(u.select("vec_id"), "vec_id", "left_anti"))
     un = unit_embeddings(fresh).localCheckpoint(eager=True)
     u_all = u.unionByName(un).localCheckpoint(eager=True)
 
@@ -3345,9 +3375,16 @@ def save_graph_index_frames(spark: SparkSession, index: tuple,
         # 1-row metadata: cardinality (the auto-budget presets derive
         # rounds/beam/shortlist from it at serve time — the HNSW-preset
         # semantics), the warm-K the build derived, and the XOR corpus
-        # fingerprint the loaded-index validation checks
+        # fingerprint the loaded-index validation checks. warm_k/fp stay
+        # nullable so re-persisting an index loaded from a pre-r10
+        # layout (which has neither) migrates cleanly instead of raising
         spark.createDataFrame(
-            [(int(meta["n"]), int(meta["warm_k"]), int(meta["fp"]))],
+            [(
+                int(meta["n"]),
+                int(meta["warm_k"]) if meta.get("warm_k") is not None
+                else None,
+                int(meta["fp"]) if meta.get("fp") is not None else None,
+            )],
             "n bigint, warm_k int, fp bigint",
         ).write.mode("overwrite").parquet(f"{path}/graph_meta")
 
@@ -3374,11 +3411,22 @@ def load_graph_index(spark: SparkSession, path: str) -> tuple:
     )
     sq_lo = [lo for _, lo, _ in grid]
     sq_hi = [hi for _, _, hi in grid]
-    try:
+    import os as _os
+
+    if _os.path.exists(
+            _os.path.join(path.replace("file:", ""), "graph_meta")):
+        # a CORRUPT or unreadable meta table must raise, not silently
+        # downgrade to "no fingerprint" — that would disable the exact
+        # staleness protection the metadata exists for
         mrow = spark.read.parquet(f"{path}/graph_meta").collect()[0]
-        meta = {"n": int(mrow["n"]), "warm_k": int(mrow["warm_k"]),
-                "fp": int(mrow["fp"]), "validated": {}}
-    except Exception:
+        meta = {
+            "n": int(mrow["n"]),
+            "warm_k": int(mrow["warm_k"])
+            if mrow["warm_k"] is not None else None,
+            "fp": int(mrow["fp"]) if mrow["fp"] is not None else None,
+            "validated": {},
+        }
+    else:
         # pre-r10 layout without metadata: derive cardinality from the
         # persisted SQ code table (one count at load, not per search);
         # no fingerprint -> validation falls back to the membership check

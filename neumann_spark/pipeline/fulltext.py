@@ -278,10 +278,13 @@ def bm25_stats_init(docs: DataFrame) -> tuple[DataFrame, DataFrame,
     (n_docs, sum_dl), and the VERSIONED membership frame
     (doc_id, ver, alive) that makes merges idempotent under redelivery
     even when the same keys churn repeatedly (ver = the sequence number
-    of the batch that last changed the doc; 0 for the initial load)."""
+    of the batch that last changed the doc; -1 for the initial load so
+    the FIRST micro-batch — foreachBatch's batch_id starts at 0 — can
+    delete or update initially-loaded docs: a ver=0 seed would make the
+    seq=0 guard `ver < seq` silently drop them)."""
     state = docs.select("doc_id").distinct().select(
         "doc_id",
-        F.lit(0).cast("bigint").alias("ver"),
+        F.lit(-1).cast("bigint").alias("ver"),
         F.lit(True).alias("alive"),
     )
     return (_term_df(docs), _doc_totals(docs), state)
@@ -294,8 +297,9 @@ def bm25_stats_merge(df_tbl: DataFrame, totals: DataFrame,
     """One CDC micro-batch of the BM25 state: df' = df + df(added)
     - df(removed) per term (zero-count terms drop out), totals' adds the
     batch deltas, and the versioned membership frame advances. `seq` is
-    the batch's monotone sequence number (foreachBatch's batch_id is
-    exactly this).
+    the batch's monotone sequence number, `seq >= 0` (foreachBatch's
+    batch_id is exactly this; the initial load seeds ver=-1 so batch 0
+    can change initially-loaded docs).
 
     REDELIVERY SAFE UNDER CHURN (r10, closing the ADVICE r9 hole in the
     r9 membership-only guard): with bare membership, a doc deleted and

@@ -770,10 +770,12 @@ def test_bm25_stats_churn_redelivery_versioned(spark):
         [(1, "epsilon zeta")], "doc_id bigint, text string")
     empty = base.limit(0)
 
-    st1 = bm25_stats_merge(*bm25_stats_init(base), empty, tomb, seq=1)
-    st2 = bm25_stats_merge(*st1, readd, empty, seq=2)
-    # redeliver the ORIGINAL delete (stale tombstone text, seq=1)
-    st3 = bm25_stats_merge(*st2, empty, tomb, seq=1)
+    # seq=0 = foreachBatch's FIRST batch_id: deleting an initially-
+    # loaded doc in batch 0 must apply (init seeds ver=-1, not 0)
+    st1 = bm25_stats_merge(*bm25_stats_init(base), empty, tomb, seq=0)
+    st2 = bm25_stats_merge(*st1, readd, empty, seq=1)
+    # redeliver the ORIGINAL delete (stale tombstone text, seq=0)
+    st3 = bm25_stats_merge(*st2, empty, tomb, seq=0)
 
     final = base.filter(F.col("doc_id") != 1).unionByName(readd)
     want_df, want_tot, _ = bm25_stats_init(final)
@@ -784,7 +786,7 @@ def test_bm25_stats_churn_redelivery_versioned(spark):
 
     # a fresh delete of the re-inserted doc (with its CURRENT text)
     # still applies at a later seq
-    st4 = bm25_stats_merge(*st3, empty, readd, seq=3)
+    st4 = bm25_stats_merge(*st3, empty, readd, seq=2)
     want4_df, want4_tot, _ = bm25_stats_init(
         base.filter(F.col("doc_id") != 1))
     assert ({r["term"]: r["df"] for r in st4[0].collect()}

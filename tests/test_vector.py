@@ -915,6 +915,14 @@ def test_graph_meta_advances_on_maintenance(spark):
     assert cycled[9]["n"] == meta0["n"]
     assert cycled[9]["fp"] == meta0["fp"]
     assert cycled[9]["warm_k"] == meta0["warm_k"]
+    # WITHIN-batch duplicates (at-least-once sources) must collapse
+    # before any structure or metadata moves: duplicated rows would
+    # self-cancel the XOR fingerprint (h^h=0) and overcount n — a
+    # correct persisted index would then fail validation (review r10)
+    dup_cycled = knn_graph_insert(spark, shrunk, batch.unionByName(batch))
+    assert dup_cycled[9]["n"] == meta0["n"]
+    assert dup_cycled[9]["fp"] == meta0["fp"]
+    assert dup_cycled[3].count() == cycled[3].count()  # PQ code rows
 
 
 def test_graph_stale_corpus_detected(spark, tmp_path):

@@ -86,9 +86,11 @@ def main() -> None:
     from neumann_spark.session import get_spark
 
     if warm_k:
-        # contrast-run override: pin the module floor so the auto policy
-        # resolves to exactly this K at build
-        ann.GRAPH_WARM_K = warm_k
+        # contrast-run override: replace the auto policy outright so the
+        # build uses EXACTLY this K (pinning only the GRAPH_WARM_K floor
+        # would silently ignore overrides below sqrt(N) and mislabel an
+        # auto build as a contrast run)
+        ann.graph_auto_warm_k = lambda _n: warm_k
     spark = get_spark("ann_scale_recall")
 
     idx_dir = os.path.join(sf_dir, f"index_wk{warm_k or 'auto'}")
