@@ -3504,8 +3504,8 @@ def ann_graph_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     Budget auto-scales with index cardinality (new r10,
     `graph_auto_budget`): at fixture N the derived knobs are exactly
     (T=6, beam=8) — the oracle replay pins that — while a 20K/65K corpus
-    derives (11, 32)/(29, 32) and holds the preset's band (measured
-    0.893 at 20K) instead of decaying to 0.41/0.26 under frozen knobs
+    derives (11, 32)/(30, 32) and holds the preset's band (measured
+    0.893 at 20K, 0.883 at 65K) instead of decaying to 0.41/0.26 under frozen knobs
     (scale_runs auto_presets).
     Spark-first shape: see _graph_rescore_search."""
     return graph_auto_search(spark, sf_dir, preset="low")
