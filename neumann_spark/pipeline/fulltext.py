@@ -381,3 +381,68 @@ def bm25_stats_merge(df_tbl: DataFrame, totals: DataFrame,
         st.join(changed, "doc_id", "left_anti").unionByName(changed)
     )
     return merged, new_totals, new_state
+
+
+@register(
+    "fulltext_bm25_cdc_stats",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, u.w AS term
+      FROM documents, UNNEST(str_split(text, ' ')) AS u(w)
+    ),
+    dfs AS (
+      SELECT term, CAST(COUNT(*) AS DOUBLE) AS df
+      FROM tok GROUP BY term
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             CAST(SUM(LEN(str_split(text, ' '))) AS DOUBLE) AS sum_dl
+      FROM documents
+    )
+    SELECT d.term, d.df, t.n_docs, t.sum_dl
+    FROM dfs d CROSS JOIN tot t
+    ORDER BY d.df DESC, d.term
+    LIMIT 20
+    """,
+)
+def fulltext_bm25_cdc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 corpus statistics maintained through a CDC churn-and-
+    redelivery sequence (new r10; registered surface for the versioned
+    state, `bm25_stats_init`/`bm25_stats_merge`): initialize on the
+    corpus minus every doc_id % 5 == 0, then
+      batch 0 — delete the doc_id % 7 == 0 members (foreachBatch's
+                FIRST batch_id, exercising the ver=-1 seed),
+      batch 1 — insert the % 5 == 0 docs AND re-insert the batch-0
+                deletions (key churn),
+      batch 0 redelivered — the original tombstones arrive again, the
+                at-least-once failure mode; the versioned guard must
+                drop them (a membership-only guard would re-apply them
+                and corrupt per-term df).
+    The final state must equal a from-scratch rebuild over ALL documents
+    — the oracle computes exactly that in SQL (distinct-terms-per-doc df
+    counts plus the (n_docs, sum_dl) totals), so a leaked redelivery, a
+    double-counted duplicate, or a version comparison off by one
+    hash-mismatches. Every merge step is a doc-/term-keyed
+    join/aggregate; at scale the state tables are term-/doc-partitioned
+    and each batch touches only its keys (reference analog: the write-
+    path index maintenance in `graph_engine/src/fulltext.rs`)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    del0 = base.filter(F.col("doc_id") % 7 == 0)
+    ins1 = docs.filter(
+        (F.col("doc_id") % 5 == 0)
+        | ((F.col("doc_id") % 5 != 0) & (F.col("doc_id") % 7 == 0)))
+    empty = docs.limit(0)
+
+    state = bm25_stats_init(base)
+    state = bm25_stats_merge(*state, empty, del0, seq=0)
+    state = bm25_stats_merge(*state, ins1, empty, seq=1)
+    state = bm25_stats_merge(*state, empty, del0, seq=0)  # redelivery
+
+    df_tbl, totals, _ = state
+    return (
+        df_tbl.crossJoin(F.broadcast(totals))
+        .orderBy(F.col("df").desc(), "term")
+        .limit(20)
+        .select("term", "df", "n_docs", "sum_dl")
+    )

@@ -44,9 +44,10 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 # queries; queries not listed keep their registration order after these.
 #
 # Round-10 rotation (per the r9 ROTATION NOTE): there are no r9 reds,
-# so positions 1-2 are the new round-10 surfaces (the auto-budget
+# so positions 1-3 are the new round-10 surfaces (the auto-budget
 # serving queries — persisted-meta round-trip + derived knobs, single
-# and batched forms, VERDICT r9 item 2).
+# and batched forms, VERDICT r9 item 2 — and the versioned BM25 CDC
+# stats churn/redelivery surface).
 # Then the ENTIRE remaining r6-evidence tier (44 queries: the ANN
 # IVF/persist family, cypher_*, ddl/dml constraint surfaces, the dedup
 # family, the distributed graph twins + driver-side fast paths,
@@ -66,6 +67,7 @@ _PRIORITY: list[str] = [
     # (a) new round-10 surfaces
     "ann_graph_rescore_auto",
     "ann_graph_batch_auto",
+    "fulltext_bm25_cdc_stats",
     # (b) the full r6-evidence tier (alphabetical)
     "ann_index_persist_roundtrip",
     "ann_ivf_search",
