@@ -2784,7 +2784,7 @@ def _graph_filtered_sql() -> str:
       SELECT vec_id FROM embeddings
       WHERE label = (SELECT label FROM embeddings WHERE vec_id = 0)
     )""")
-    parts += _graph_anchor_parts(0, GRAPH_T_LOW, allowed="alw")
+    parts += _graph_anchor_parts(0, GRAPH_T_HIGH, allowed="alw")
     parts.append(f"""
     SELECT s.vec_id, ROUND(SUM(uv.val * q.val), 6) AS score
     FROM short s
@@ -3820,15 +3820,19 @@ def filtered_search_auto(spark: SparkSession, sf_dir: str, pred: Column,
         return knn(emb, "embedding", qv, k, "cosine",
                    pre_filter=pred & (F.col("vec_id") != anchor))
     allowed = load(spark, sf_dir, "embeddings").filter(pred).select("vec_id")
-    # the post branch rides the auto-budget low preset (new r10): at
-    # fixture N this is exactly the T_LOW/beam-8 search the oracle
-    # replays; at scale the widened budget is what keeps post-filter
-    # recall serviceable (measured: 10%-selective post-filter recall at
-    # 20K is 0.402 under frozen knobs vs 0.811 at the auto budget —
-    # ANN_RECALL.json scale_runs filtered_post_recall_auto — which keeps
-    # the reference's 10% cutoff correctly placed at scale)
+    # the post branch rides the auto-budget HIGH-RECALL preset (r10;
+    # measured placement): filtered recall is traversal-coverage-bound
+    # more than unfiltered (the allow list thins the shortlist), so the
+    # wider budget buys the most exactly here — at fixture N (T=10,
+    # beam=8, the knobs the oracle replays) it lifts 10%-selective
+    # post-filter recall 0.68 -> 0.825 over the low preset; at scale the
+    # auto budget is what keeps the branch serviceable at all (10%:
+    # 0.825/0.903/0.922 at 2K/20K/65K vs 0.402 frozen at 20K;
+    # ANN_RECALL.json scale_runs filtered_post_recall_auto), keeping
+    # the reference's 10% cutoff correctly placed at every measured N
     return graph_auto_search(
-        spark, sf_dir, preset="low", allowed=allowed, anchor=anchor, k=k)
+        spark, sf_dir, preset="high_recall", allowed=allowed,
+        anchor=anchor, k=k)
 
 
 def _filtered_tight_sql() -> str:
@@ -3847,15 +3851,16 @@ def _filtered_tight_sql() -> str:
 
 def _filtered_loose_sql() -> str:
     """Oracle for `ann_filtered_auto_loose`: the ~30%-selective predicate
-    routes to the graph index, so the oracle replays the build + T_LOW
-    search with the allow-list CTE at the shortlist stage (the
-    `ann_graph_filtered` oracle with the IN-predicate allow set)."""
+    routes to the graph index, so the oracle replays the build + the
+    post branch's high-recall-preset search (T_HIGH at fixture N, the
+    auto-derived knobs) with the allow-list CTE at the shortlist stage
+    (the filtered-DiskANN placement)."""
     parts = _graph_build_parts()
     parts.append(""",
     alw AS MATERIALIZED (
       SELECT vec_id FROM embeddings WHERE label IN (1, 2, 3)
     )""")
-    parts += _graph_anchor_parts(0, GRAPH_T_LOW, allowed="alw")
+    parts += _graph_anchor_parts(0, GRAPH_T_HIGH, allowed="alw")
     parts.append(f"""
     SELECT s.vec_id, ROUND(SUM(uv.val * q.val), 6) AS score
     FROM short s

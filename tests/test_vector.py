@@ -667,7 +667,7 @@ def test_filtered_auto_dispatch_routes_by_selectivity(spark):
     result must equal the directly-invoked graph branch."""
     from neumann_spark.catalog import load
     from neumann_spark.pipeline.ann import (
-        GRAPH_T_LOW,
+        GRAPH_T_HIGH,
         _graph_rescore_from,
         filtered_search_auto,
         filtered_search_strategy,
@@ -683,9 +683,10 @@ def test_filtered_auto_dispatch_routes_by_selectivity(spark):
     assert filtered_search_strategy(spark, SF_DIR, F.lit(True)) == "post"
     assert filtered_search_strategy(spark, SF_DIR, F.lit(False)) == "pre"
 
+    # post branch = high-recall auto preset (r10): T_HIGH at fixture N
     allowed = load(spark, SF_DIR, "embeddings").filter(loose).select("vec_id")
     want = _graph_rescore_from(
-        spark, SF_DIR, knn_graph_index(spark, SF_DIR), GRAPH_T_LOW,
+        spark, SF_DIR, knn_graph_index(spark, SF_DIR), GRAPH_T_HIGH,
         allowed=allowed).collect()
     got = filtered_search_auto(spark, SF_DIR, loose).collect()
     key = lambda rows: [(r["vec_id"], r["score"]) for r in rows]  # noqa: E731

@@ -223,9 +223,10 @@ def main() -> None:
     # filtered post-filter recall at two selectivities (the dispatch
     # placement measurement): ~10% (one label) and ~1% (vec_id % 100)
     filt = {"0.10": {"hit": [], "sel": []}, "0.01": {"hit": [], "sel": []}}
-    # same measurement at the AUTO budget of the LOW preset — the knobs
-    # the dispatch's post branch actually serves with (filtered_search_auto
-    # routes post-filter traffic through graph_auto_search preset='low')
+    # same measurement at the AUTO budget of the HIGH-RECALL preset —
+    # the knobs the dispatch's post branch actually serves with
+    # (filtered_search_auto routes post-filter traffic through
+    # graph_auto_search preset='high_recall'; r10 measured placement)
     filt_auto = {"0.10": {"hit": [], "sel": []},
                  "0.01": {"hit": [], "sel": []}}
 
@@ -274,10 +275,10 @@ def main() -> None:
             k_eff = min(TOPK, len(aidx))
             filt[key]["hit"].append(len(top & agt) / k_eff)
             filt[key]["sel"].append(len(aidx) / n)
-            t_l, b_l, sh_l = auto_knobs["graph_rescore"]
+            t_h, b_h, sh_h = auto_knobs["graph_rescore_high_recall"]
             top_a, _, _ = graph_search(
-                qi, t_l, sh_l, rescore_mat=None, allowed=allowed,
-                beam=b_l)
+                qi, t_h, sh_h, rescore_mat=None, allowed=allowed,
+                beam=b_h)
             filt_auto[key]["hit"].append(len(top_a & agt) / k_eff)
             filt_auto[key]["sel"].append(len(aidx) / n)
 
