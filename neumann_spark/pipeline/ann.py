@@ -1370,7 +1370,8 @@ def graph_auto_budget(n: int, rounds_base: int = GRAPH_T_HIGH,
     GRAPH_C at build — both widen per-round work, which Spark
     parallelizes, instead of round count, which it cannot. The budget
     SIZE stays sub-linear either way (its corpus fraction falls with N:
-    0.057 → 0.037 → 0.029 measured at 2K/20K/65K)."""
+    0.057 → 0.036 → 0.030 compact vec-equivalents measured at
+    2K/20K/65K, ANN_RECALL.json auto_presets)."""
     import math
 
     scale = max(1.0, (max(int(n), 1) / GRAPH_AUTO_REF_N) ** GRAPH_AUTO_EXP)
@@ -2078,13 +2079,26 @@ def knn_graph_insert(spark: SparkSession, index: tuple,
     # or a foreachBatch retry under at-least-once semantics) must be a
     # no-op, not a second forward block + duplicate code rows that would
     # double its ADC distance — anti-join makes redelivery safe. The
-    # dropDuplicates handles WITHIN-batch duplicates (at-least-once
-    # sources can emit one change twice inside a batch — the same case
-    # bm25_stats_merge collapses): without it, duplicate rows double the
-    # node's code rows AND self-cancel its XOR fingerprint contribution
-    # (h^h=0), making a correct persisted index fail validation later
-    fresh = (new_emb.dropDuplicates(["vec_id"])
-             .join(u.select("vec_id"), "vec_id", "left_anti"))
+    # full-row dropDuplicates collapses WITHIN-batch exact duplicates
+    # (at-least-once sources can emit one change twice inside a batch —
+    # the same case bm25_stats_merge collapses): without it, duplicate
+    # rows double the node's code rows AND self-cancel its XOR
+    # fingerprint contribution (h^h=0), making a correct persisted
+    # index fail validation later. CONFLICTING duplicates (same vec_id,
+    # different embedding — an insert+update compacted into one batch)
+    # are rejected loudly, mirroring bm25_stats_merge's same-batch-
+    # update contract: resolving them via an arbitrary winner would
+    # build nondeterministic codes/edges/fingerprints.
+    batch = new_emb.select("vec_id", "embedding").dropDuplicates()
+    n_conflict = (
+        batch.groupBy("vec_id").agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 1).count())
+    if n_conflict:
+        raise ValueError(
+            f"{n_conflict} vec_ids appear with CONFLICTING embeddings "
+            "in one insert batch: split same-batch updates into a "
+            "delete batch then an insert batch")
+    fresh = batch.join(u.select("vec_id"), "vec_id", "left_anti")
     un = unit_embeddings(fresh).localCheckpoint(eager=True)
     u_all = u.unionByName(un).localCheckpoint(eager=True)
 
@@ -2774,10 +2788,12 @@ def _graph_stream_insert_sql() -> str:
 
 
 def _graph_filtered_sql() -> str:
-    """Oracle for `ann_graph_filtered`: the standard build + T_LOW
-    rounds, with the shortlist restricted to vectors sharing the
-    anchor's label (the `alw` CTE joined into the short stage), then
-    the exact-cosine rescore."""
+    """Oracle for `ann_graph_filtered`: the standard build + the
+    high-recall preset's rounds (T_HIGH at fixture N — filtered search
+    rides the wider preset since r10, the measured placement), with the
+    shortlist restricted to vectors sharing the anchor's label (the
+    `alw` CTE joined into the short stage), then the exact-cosine
+    rescore."""
     parts = _graph_build_parts()
     parts.append(""",
     alw AS MATERIALIZED (
@@ -3411,13 +3427,7 @@ def load_graph_index(spark: SparkSession, path: str) -> tuple:
     )
     sq_lo = [lo for _, lo, _ in grid]
     sq_hi = [hi for _, _, hi in grid]
-    import os as _os
-
-    if _os.path.exists(
-            _os.path.join(path.replace("file:", ""), "graph_meta")):
-        # a CORRUPT or unreadable meta table must raise, not silently
-        # downgrade to "no fingerprint" — that would disable the exact
-        # staleness protection the metadata exists for
+    try:
         mrow = spark.read.parquet(f"{path}/graph_meta").collect()[0]
         meta = {
             "n": int(mrow["n"]),
@@ -3426,10 +3436,20 @@ def load_graph_index(spark: SparkSession, path: str) -> tuple:
             "fp": int(mrow["fp"]) if mrow["fp"] is not None else None,
             "validated": {},
         }
-    else:
-        # pre-r10 layout without metadata: derive cardinality from the
-        # persisted SQ code table (one count at load, not per search);
-        # no fingerprint -> validation falls back to the membership check
+    except Exception as exc:  # narrow: ONLY a missing path may fall back
+        # a missing graph_meta is the pre-r10 layout: derive cardinality
+        # from the persisted SQ code table (one count at load, not per
+        # search); no fingerprint -> validation falls back to the
+        # membership check. ANY OTHER failure (corrupt table, IO or
+        # permission error) must raise — a silent downgrade would
+        # disable the exact staleness protection the metadata exists
+        # for. Checked via the exception class/message rather than a
+        # driver-local os.path probe, so indexes on non-driver-local
+        # filesystems (hdfs://, s3a://) are classified correctly.
+        msg = str(exc)
+        if ("PATH_NOT_FOUND" not in msg
+                and "Path does not exist" not in msg):
+            raise
         meta = {"n": sq_codes.count(), "warm_k": None, "fp": None,
                 "validated": {}}
     return (edges, warm_codes, warm_centroids, codes_long, codebooks,
@@ -3734,13 +3754,16 @@ def ann_graph_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     the label filter applies at the shortlist stage before the exact
     rescore. Complements `vector_filtered_knn`'s pre/post brute-force
     strategies (`vector_engine/src/lib.rs:1698,387` filtered search)
-    with the index-served form."""
+    with the index-served form. Served at the HIGH-RECALL auto preset
+    (r10, the measured filtered placement: the allow list thins the
+    shortlist, so filtered recall is coverage-bound and the wider
+    budget buys the most here — 0.825 vs 0.68 at 10% selectivity on the
+    2K fixture, 0.903/0.922 at 20K/65K)."""
     emb = load(spark, sf_dir, "embeddings")
     lab = emb.filter(F.col("vec_id") == 0).head()["label"]
     allowed = emb.filter(F.col("label") == lab).select("vec_id")
-    return _graph_rescore_from(
-        spark, sf_dir, knn_graph_index(spark, sf_dir), GRAPH_T_LOW,
-        allowed=allowed)
+    return graph_auto_search(
+        spark, sf_dir, preset="high_recall", allowed=allowed)
 
 
 # --- selectivity-adaptive filtered search (new r9) --------------------------

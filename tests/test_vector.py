@@ -924,6 +924,16 @@ def test_graph_meta_advances_on_maintenance(spark):
     assert dup_cycled[9]["n"] == meta0["n"]
     assert dup_cycled[9]["fp"] == meta0["fp"]
     assert dup_cycled[3].count() == cycled[3].count()  # PQ code rows
+    # CONFLICTING duplicates (same id, different embedding — a compacted
+    # insert+update) must be rejected loudly, never resolved by an
+    # arbitrary winner (nondeterministic codes/edges/fingerprints)
+    import pytest as _pytest
+
+    conflicting = batch.unionByName(
+        batch.withColumn(
+            "embedding", F.transform("embedding", lambda x: x * 2)))
+    with _pytest.raises(ValueError, match="CONFLICTING"):
+        knn_graph_insert(spark, shrunk, conflicting)
 
 
 def test_graph_stale_corpus_detected(spark, tmp_path):

@@ -110,22 +110,11 @@ def main() -> None:
     assert meta["n"] == n, (meta, n)
     eff_warm_k = int(meta["warm_k"])
 
-    edges, warm_codes, warm_cent, codes_long, books = index[:5]
+    books = index[4]
+    from tools.graph_replay import export_index_arrays
 
-    gep = edges.orderBy("src", "pos").toPandas()
-    g_adj: dict[int, list[int]] = {}
-    for src, dst in zip(gep["src"].to_numpy(), gep["dst"].to_numpy()):
-        g_adj.setdefault(int(src), []).append(int(dst))
-    wrows = warm_codes.toPandas()
-    g_clusters = np.zeros(n, dtype=int)
-    g_clusters[wrows["vec_id"].to_numpy(dtype=int)] = (
-        wrows["cluster"].to_numpy(dtype=int))
-    gcp = codes_long.toPandas()
-    g_codes = np.zeros((n, ann.GRAPH_PQ_S), dtype=int)
-    g_codes[gcp["vec_id"].to_numpy(dtype=int),
-            gcp["s"].to_numpy(dtype=int)] = gcp["code"].to_numpy(dtype=int)
-    g_cent_ids = np.array([cid for cid, _ in warm_cent])
-    g_cent = np.array([c for _, c in warm_cent])
+    g_adj, g_clusters, g_codes, g_cent_ids, g_cent = export_index_arrays(
+        index, n, ann)
 
     # vectors: read back the generated parquet (float32 -> float64, unit)
     import pyarrow.parquet as pq
@@ -139,14 +128,9 @@ def main() -> None:
     unit = vecs / (np.linalg.norm(vecs, axis=1)[:, None] + 1e-12)
 
     # SQ8 rescore tier, replaying the build grid exactly (round-6 inputs)
-    u6 = np.round(unit, 6)
-    sq_lo, sq_hi = u6.min(axis=0), u6.max(axis=0)
-    sq_step = (sq_hi - sq_lo) / ann.SQ_LEVELS
-    sq_safe = np.where(sq_step > 0, sq_step, 1.0)
-    sq_code = np.where(
-        sq_step > 0,
-        np.clip(np.floor((u6 - sq_lo) / sq_safe), 0, ann.SQ_LEVELS), 0)
-    sq_deq = sq_lo + (sq_code + 0.5) * sq_step
+    from tools.graph_replay import sq_dequant_matrix
+
+    sq_deq = sq_dequant_matrix(unit, ann)
 
     from tools.graph_replay import make_graph_search
 

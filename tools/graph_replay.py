@@ -17,6 +17,45 @@ import numpy as np
 TOPK = 10
 
 
+def export_index_arrays(index, n: int, ann):
+    """Index-tuple DataFrames -> the dense replay arrays
+    (adj, clusters, codes, cent_ids, cent). ONE copy of the
+    tuple-layout-dependent export, shared by tools/ann_scale_recall.py
+    and tools/ann_churn_scale.py so an index-layout change cannot
+    silently break one tool's measurements while the other stays
+    correct (r10 review finding)."""
+    gep = index[0].orderBy("src", "pos").toPandas()
+    adj: dict[int, list[int]] = {}
+    for src, dst in zip(gep["src"].to_numpy(), gep["dst"].to_numpy()):
+        adj.setdefault(int(src), []).append(int(dst))
+    wrows = index[1].toPandas()
+    clusters = np.zeros(n, dtype=int)
+    clusters[wrows["vec_id"].to_numpy(dtype=int)] = (
+        wrows["cluster"].to_numpy(dtype=int))
+    gcp = index[3].toPandas()
+    codes = np.zeros((n, ann.GRAPH_PQ_S), dtype=int)
+    codes[gcp["vec_id"].to_numpy(dtype=int),
+          gcp["s"].to_numpy(dtype=int)] = gcp["code"].to_numpy(dtype=int)
+    cent_ids = np.array([cid for cid, _ in index[2]])
+    cent = np.array([c for _, c in index[2]])
+    return adj, clusters, codes, cent_ids, cent
+
+
+def sq_dequant_matrix(unit: np.ndarray, ann) -> np.ndarray:
+    """Replay of the engine's SQ8 rescore tier over a unit matrix:
+    round-6 inputs, per-dimension [lo, hi]/SQ_LEVELS grid with the
+    zero-width-guard — byte-identical to `_sq_cell_expr`/`_sq_deq_expr`.
+    Shared by both scale tools (same dedup rationale as above)."""
+    u6 = np.round(unit, 6)
+    sq_lo, sq_hi = u6.min(axis=0), u6.max(axis=0)
+    sq_step = (sq_hi - sq_lo) / ann.SQ_LEVELS
+    sq_safe = np.where(sq_step > 0, sq_step, 1.0)
+    sq_code = np.where(
+        sq_step > 0,
+        np.clip(np.floor((u6 - sq_lo) / sq_safe), 0, ann.SQ_LEVELS), 0)
+    return sq_lo + (sq_code + 0.5) * sq_step
+
+
 def make_graph_search(*, unit, books, codes, clusters, cent, cent_ids,
                       adj, vec_ids, ann):
     """Bind the index artifacts (numpy/dict forms of the Spark-built
