@@ -271,11 +271,16 @@ def test_graph_filtered_broadcasts_allow_list(spark):
     semi against the bounded evald frame), with evald on the broadcast
     (build) side. Counting against the unfiltered twin pins the property
     even though every graph plan already contains broadcast joins."""
-    from neumann_spark.pipeline.ann import ann_graph_filtered, ann_graph_rescore
+    from neumann_spark.pipeline.ann import (
+        ann_graph_filtered,
+        ann_graph_rescore_high_recall,
+    )
 
     import re
 
-    base = _plan(ann_graph_rescore(spark, SF_DIR))
+    # same-preset twin: ann_graph_filtered serves at the high-recall
+    # auto preset since r10
+    base = _plan(ann_graph_rescore_high_recall(spark, SF_DIR))
     plan = _plan(ann_graph_filtered(spark, SF_DIR))
 
     def n_joins(p: str, kind: str) -> int:
