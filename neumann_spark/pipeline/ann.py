@@ -2089,15 +2089,36 @@ def knn_graph_insert(spark: SparkSession, index: tuple,
     # are rejected loudly, mirroring bm25_stats_merge's same-batch-
     # update contract: resolving them via an arbitrary winner would
     # build nondeterministic codes/edges/fingerprints.
-    batch = new_emb.select("vec_id", "embedding").dropDuplicates()
-    n_conflict = (
-        batch.groupBy("vec_id").agg(F.count("*").alias("c"))
-        .filter(F.col("c") > 1).count())
-    if n_conflict:
+    batch = (new_emb.select("vec_id", "embedding").dropDuplicates()
+             .localCheckpoint(eager=True))  # dedup shuffle computed once
+    crow = batch.agg(
+        F.count("*").alias("n"),
+        F.count_distinct("vec_id").alias("d")).collect()[0]
+    if crow["n"] != crow["d"]:
         raise ValueError(
-            f"{n_conflict} vec_ids appear with CONFLICTING embeddings "
-            "in one insert batch: split same-batch updates into a "
-            "delete batch then an insert batch")
+            f"{int(crow['n']) - int(crow['d'])} vec_ids appear with "
+            "CONFLICTING embeddings in one insert batch: split "
+            "same-batch updates into a delete batch then an insert batch")
+    # cross-batch form of the same conflict: an insert row whose id is
+    # ALREADY indexed with a different embedding is an UPDATE arriving
+    # without its delete — silently anti-joining it away would keep
+    # serving the stale vectors (and surface later, far from the cause,
+    # as a fingerprint-mismatch refusal on the persisted index). Only
+    # redeliveries with equal round-6 UNIT values (the fingerprint's
+    # own grid) pass as no-ops — the engine is cosine-only, so a pure
+    # rescaling is the same vector and correctly counts as identical.
+    # One batch-bounded join.
+    bu = unit_embeddings(batch)
+    n_stale = (
+        bu.select("vec_id", _e6_expr().alias("e6b"))
+        .join(u.select("vec_id", _e6_expr().alias("e6i")), "vec_id")
+        .filter(F.col("e6b") != F.col("e6i"))
+        .count())
+    if n_stale:
+        raise ValueError(
+            f"{n_stale} vec_ids are already indexed with DIFFERENT "
+            "embeddings: updates must arrive as a delete batch then an "
+            "insert batch (knn_graph_delete -> knn_graph_insert)")
     fresh = batch.join(u.select("vec_id"), "vec_id", "left_anti")
     un = unit_embeddings(fresh).localCheckpoint(eager=True)
     u_all = u.unionByName(un).localCheckpoint(eager=True)
@@ -3443,12 +3464,24 @@ def load_graph_index(spark: SparkSession, path: str) -> tuple:
         # membership check. ANY OTHER failure (corrupt table, IO or
         # permission error) must raise — a silent downgrade would
         # disable the exact staleness protection the metadata exists
-        # for. Checked via the exception class/message rather than a
-        # driver-local os.path probe, so indexes on non-driver-local
-        # filesystems (hdfs://, s3a://) are classified correctly.
-        msg = str(exc)
-        if ("PATH_NOT_FOUND" not in msg
-                and "Path does not exist" not in msg):
+        # for. Classified by the AnalysisException ERROR CLASS
+        # (PATH_NOT_FOUND), not a message substring (nested Py4J
+        # messages can embed unrelated path wording) and not a
+        # driver-local os.path probe (misclassifies hdfs://, s3a://
+        # indexes); the message check remains only as the fallback for
+        # exceptions that carry no error class.
+        from pyspark.errors import AnalysisException
+
+        cond = None
+        if isinstance(exc, AnalysisException):
+            getter = (getattr(exc, "getCondition", None)
+                      or getattr(exc, "getErrorClass", None))
+            cond = getter() if getter else None
+        if cond is not None:
+            if cond != "PATH_NOT_FOUND":
+                raise
+        elif not isinstance(exc, AnalysisException) or (
+                "Path does not exist" not in str(exc)):
             raise
         meta = {"n": sq_codes.count(), "warm_k": None, "fp": None,
                 "validated": {}}

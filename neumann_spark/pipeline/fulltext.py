@@ -322,9 +322,27 @@ def bm25_stats_merge(df_tbl: DataFrame, totals: DataFrame,
     to un-index it (`graph_engine/src/fulltext.rs` index path)."""
     # within-batch duplicate rows (at-least-once sources can emit the
     # same change twice in one batch) collapse to one per doc_id BEFORE
-    # any count moves, or inserts would double-count df/n_docs/sum_dl
-    added = added.dropDuplicates(["doc_id"])
-    removed = removed.dropDuplicates(["doc_id"])
+    # any count moves, or inserts would double-count df/n_docs/sum_dl.
+    # Full-row dedup first, then a per-leg conflict check: a doc_id
+    # appearing with two DIFFERENT texts in one leg (a compacted update
+    # hiding inside the insert leg) must be rejected loudly — picking
+    # an arbitrary winner would make per-term df nondeterministic, the
+    # same contract the graph-index insert path enforces.
+    def _collapse(leg: DataFrame, name: str) -> DataFrame:
+        leg = leg.dropDuplicates()
+        crow = leg.agg(
+            F.count("*").alias("n"),
+            F.count_distinct("doc_id").alias("d")).collect()[0]
+        if crow["n"] != crow["d"]:
+            raise ValueError(
+                f"{int(crow['n']) - int(crow['d'])} doc_ids appear with "
+                f"CONFLICTING texts in the '{name}' leg: split "
+                "same-batch updates into a delete batch then an insert "
+                "batch")
+        return leg
+
+    added = _collapse(added, "added")
+    removed = _collapse(removed, "removed")
     # a same-batch UPDATE (one doc_id in both legs) cannot be applied
     # redelivery-safely from aggregate state (on redelivery the tombstone
     # text no longer matches the stored doc) — require the caller to

@@ -934,6 +934,17 @@ def test_graph_meta_advances_on_maintenance(spark):
             "embedding", F.transform("embedding", lambda x: x * 2)))
     with _pytest.raises(ValueError, match="CONFLICTING"):
         knn_graph_insert(spark, shrunk, conflicting)
+    # cross-batch form: an insert for an id ALREADY indexed with a
+    # different embedding is an update arriving without its delete —
+    # rejected loudly (silently anti-joining it away would keep serving
+    # the stale vectors); identical redeliveries still no-op above.
+    # NOTE the comparison is on round-6 UNIT values (the engine is
+    # cosine-only, so a pure rescaling like x*2 IS the same vector and
+    # passes as a redelivery) — the conflict needs a direction change
+    stale = batch.withColumn(
+        "embedding", F.transform("embedding", lambda x: x + F.lit(1.0)))
+    with _pytest.raises(ValueError, match="DIFFERENT"):
+        knn_graph_insert(spark, index, stale)
 
 
 def test_graph_stale_corpus_detected(spark, tmp_path):
