@@ -43,76 +43,75 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 # every round. Each round the list is rotated toward never-driver-sampled
 # queries; queries not listed keep their registration order after these.
 #
-# Round-10 rotation (per the r9 ROTATION NOTE): there are no r9 reds,
-# so positions 1-3 are the new round-10 surfaces (the auto-budget
-# serving queries — persisted-meta round-trip + derived knobs, single
-# and batched forms, VERDICT r9 item 2 — and the versioned BM25 CDC
-# stats churn/redelivery surface).
-# Then the ENTIRE remaining r6-evidence tier (44 queries: the ANN
-# IVF/persist family, cypher_*, ddl/dml constraint surfaces, the dedup
-# family, the distributed graph twins + driver-side fast paths,
-# multimodal, snapshots/WAL, stream_merge_upsert, and the unified
-# entity family — everything last driver-green in round 6) fills the
-# ~50-query driver budget. After this round the evidence floor rises
-# to r7.
+# Round-11 rotation (per the r10 ROTATION NOTE): there are no r10 reds,
+# so position 1 is the new round-11 surface (the build-derived
+# (beam-cap, C) auto-budget law, VERDICT r10 item 1), then the ENTIRE
+# r7-evidence tier (the 49 names whose newest driver evidence is r7 by
+# the CORRECTNESS_r* union: the ANN LSH/PQ/SQ/IVF-PQ search family +
+# graph-index persist/batch/high-recall serving, graph CRUD/degrees/
+# neighbors/traversals/similarity/motif, fulltext search surfaces,
+# facade mutations, cursor streaming, approx aggregates, multimodal,
+# result cache, tx visibility) fills the ~50-query driver budget.
+# After this round the evidence floor rises to r8.
 #
-# ROTATION NOTE (next round, r11): front-load any r10 reds, then the
-# r7 tier (the 49 names whose newest driver evidence is r7:
-# ann_binary_hamming/lsh*/pq*/sq/ivfpq_search, graph CRUD/degrees/
-# neighbors/traversals/similarity, fulltext_*, facade surfaces,
-# cursor_stream_batches, approx aggregates, multimodal stubs — pick
-# the oldest 49 by the CORRECTNESS_r* union), then the r8 names in
-# r12.
+# ROTATION NOTE (next round, r12): front-load any r11 reds, then the
+# 50-name r8 tier (newest evidence r8 by the CORRECTNESS_r* union:
+# rel_* relational surfaces, joins, windows, facade_*, hybrid_*,
+# streaming windows, text_* pipeline queries), then the r9 names in
+# r13.
 _PRIORITY: list[str] = [
-    # (a) new round-10 surfaces
-    "ann_graph_rescore_auto",
-    "ann_graph_batch_auto",
-    "fulltext_bm25_cdc_stats",
-    # (b) the full r6-evidence tier (alphabetical)
-    "ann_index_persist_roundtrip",
-    "ann_ivf_search",
-    "ann_ivfpq_rescore",
-    "ann_ivfpq_rescore_high_recall",
-    "ann_ivfpq_rescore_low_scan",
-    "ann_pq_rescore",
-    "checkpoint_rollback",
-    "cursor_pagination",
-    "cypher_count_aggregate",
-    "cypher_match_edges",
-    "cypher_node_match",
-    "cypher_varlength_filtered",
-    "ddl_roundtrip",
-    "dedup_cluster_canonical",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_hot_ngrams",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_semantic_semdedup",
-    "dedup_simhash",
-    "dml_constraint_enforcement",
-    "dml_fk_actions",
-    "dml_merge_partitioned",
-    "graph_articulation_distributed",
-    "graph_astar_distributed",
-    "graph_astar_path",
-    "graph_betweenness_sampled",
-    "graph_bridges_distributed",
-    "graph_core_decomposition",
-    "graph_louvain",
-    "graph_mst_boruvka",
-    "graph_mst_kruskal",
-    "graph_scc_distributed",
-    "multimodal_image_dhash",
-    "multimodal_real_decode",
-    "pipeline_end_to_end",
-    "snapshot_roundtrip",
-    "snapshot_wal_recover",
-    "stream_merge_upsert",
-    "unified_entity_stats",
-    "unified_find_rows",
-    "unified_neighbors_by_similarity",
-    "unified_similar_connected",
+    # (a) new round-11 surfaces
+    "ann_graph_autobudget_law",
+    # (b) the full r7-evidence tier (alphabetical)
+    "ann_binary_hamming",
+    "ann_graph_index_persist",
+    "ann_graph_rescore_batch",
+    "ann_graph_rescore_high_recall",
+    "ann_ivf_clusters",
+    "ann_ivfpq_search",
+    "ann_lsh_buckets",
+    "ann_lsh_multiprobe",
+    "ann_pq_search",
+    "ann_sq_search",
+    "cursor_stream_batches",
+    "dml_entity_mutation",
+    "dml_graph_mutation",
+    "dml_vector_mutation",
+    "fulltext_bm25",
+    "fulltext_fuzzy_search",
+    "fulltext_prefix_search",
+    "fulltext_search",
+    "graph_adamic_adar",
+    "graph_aggregate_verbs",
+    "graph_all_weighted_paths",
+    "graph_articulation_points",
+    "graph_bfs_levels",
+    "graph_bridges",
+    "graph_closeness_sampled",
+    "graph_constraint_check",
+    "graph_degrees",
+    "graph_find_edges_by_type",
+    "graph_find_nodes_by_label",
+    "graph_most_similar",
+    "graph_motif_pattern",
+    "graph_neighbors",
+    "graph_neighbors_by_type",
+    "graph_node_similarity_common",
+    "graph_node_similarity_cosine",
+    "graph_preferential_attachment",
+    "graph_resource_allocation",
+    "graph_scc_tarjan",
+    "graph_variable_paths",
+    "graph_weighted_shortest_path",
+    "multimodal_features",
+    "multimodal_metadata",
+    "multimodal_mp4_frames",
+    "rel_approx_distinct",
+    "rel_approx_percentiles",
+    "rel_cube",
+    "result_cache_semantics",
+    "tx_atomic_visibility",
+    "win_distribution_functions",
 ]
 
 
