@@ -1347,43 +1347,106 @@ GRAPH_COMPACT_SHORTLIST = 150
 # is unchanged.
 GRAPH_AUTO_REF_N = 2000     # calibration corpus size (the measured fixture)
 GRAPH_AUTO_EXP = 0.85       # measured power-law exponent (see above)
-GRAPH_BEAM_MAX = 32         # widest measured beam; beyond it rounds scale
+GRAPH_BEAM_MAX = 32         # fixture-scale beam cap (pre-r11 serving law)
 GRAPH_AUTO_SHORTLIST_MAX = 300  # the measured scale-sweep shortlist
+# --- build-derived per-round width (r11, VERDICT r10 item 1) ---------------
+# The r10 law froze beam at 32 and C at 16, so past the cap ROUNDS carried
+# the whole N^0.85 budget growth — ~490 SEQUENTIAL Spark jobs per single
+# query at N=10^6 (each round is one job: pure submit latency). The
+# reference needs only ef ∝ log N because HNSW's graph is depth-log at
+# fixed M (`tensor_store/src/hnsw.rs:1434-1533`). Here the equivalent is
+# BUILD-side: derive (expansion C, beam cap) from N at index build and
+# store them in graph_meta, so per-round work — beam × C candidate
+# expansions, which Spark parallelizes as ONE edge probe + ONE ADC join —
+# carries the budget and rounds grow ~log N. Measured (tools/
+# ann_beam_calibration.py, equal-budget splits on the persisted scale
+# indexes): recall is flat in the split — 65K: (49,32,16)→0.930 vs
+# (13,64,32)→0.932 and (7,128,32)→0.936; 20K: (18,32,16)→0.924 vs
+# (18,16,32)→0.930 — so widening (beam, C) buys the round reduction for
+# free. C caps at GRAPH_M (the forward edges the build already stores:
+# reading pos<32 instead of pos<16 re-reads the same 16-byte edge rows,
+# no wider build); beam caps at the smallest power of two that lands
+# rounds near rounds_base + 2·log2(N/2000), hard-clamped so the frontier
+# stays ONE literal IN-list inside the probe envelope.
+GRAPH_ROUNDS_PER_DBL = 2    # serving rounds added per doubling of N
+GRAPH_BEAM_ABS_MAX = 512    # frontier stays one IN-list (< the 1024 probe
+#                             envelope GRAPH_PROBE_INLIST_MAX)
+
+
+def graph_build_caps(n: int) -> tuple[int, int]:
+    """(c_cap, beam_cap) for an N-vector index build — the per-round
+    width provisioned at build time, persisted in graph_meta beside
+    n/warm_k so serving derives the SAME budget split from a loaded
+    index. N ≤ 2000 returns the frozen fixture caps (every existing
+    oracle replays unchanged); larger builds provision the full forward
+    block (c_cap = GRAPH_M) and a beam cap sized so spending the whole
+    N^0.85 budget at the widest (beam × c) leaves
+    rounds ≈ GRAPH_T_HIGH + GRAPH_ROUNDS_PER_DBL · log2(N/2000):
+    2K → (16, 32); 20K → (32, 16); 65K → (32, 64); 131K → (32, 64);
+    1M → (32, 512) ⇒ derived rounds 10/18/13/22/17 — log-ish, never the
+    r10 law's 49-at-65K / ~490-at-1M sequential jobs."""
+    import math
+
+    if n <= GRAPH_AUTO_REF_N:
+        return GRAPH_C, GRAPH_BEAM_MAX
+    scale = (int(n) / GRAPH_AUTO_REF_N) ** GRAPH_AUTO_EXP
+    budget = int(math.ceil(round(
+        GRAPH_T_HIGH * GRAPH_B * GRAPH_C * scale, 6)))
+    rounds_target = GRAPH_T_HIGH + GRAPH_ROUNDS_PER_DBL * int(
+        math.ceil(round(math.log2(int(n) / GRAPH_AUTO_REF_N), 6)))
+    want = round(budget / (rounds_target * GRAPH_M), 6)
+    beam_cap = GRAPH_B
+    while beam_cap < want and beam_cap * 2 <= GRAPH_BEAM_ABS_MAX:
+        beam_cap *= 2
+    return GRAPH_M, beam_cap
 
 
 def graph_auto_budget(n: int, rounds_base: int = GRAPH_T_HIGH,
                       beam_base: int = GRAPH_B,
                       shortlist_base: int = GRAPH_SHORTLIST,
-                      ) -> tuple[int, int, int]:
-    """Derive (rounds, beam, shortlist) for a corpus of N vectors from a
-    preset's fixture-scale base knobs, per the measured restoration law:
-    total budget = rounds_base·beam_base·(N/2000)^0.85, spent by doubling
-    beam up to 32 first (the measured-dominant lever), then adding rounds.
-    Shortlist widens ∝ √scale toward the measured 300-row scale setting.
-    N ≤ 2000 returns the base knobs exactly (oracle-stable at fixture).
+                      caps: tuple[int, int] | None = None,
+                      ) -> tuple[int, int, int, int]:
+    """Derive (rounds, beam, c, shortlist) for a corpus of N vectors from
+    a preset's fixture-scale base knobs, per the measured restoration
+    law: total candidate budget = rounds_base·beam_base·GRAPH_C·
+    (N/2000)^0.85 expansions, spent by doubling the expansion width C up
+    to the build's c_cap, then beam up to the build's beam_cap (equal-
+    budget recall is measured flat in the split — see graph_build_caps),
+    then adding rounds. `caps` is the index's build-provisioned
+    (c_cap, beam_cap) from graph_meta; None derives them from n (exact
+    for any GRAPH_M=32 build — pre-r11 persisted layouts). Shortlist
+    widens ∝ √scale toward the measured 300-row scale setting. N ≤ 2000
+    returns the base knobs exactly (oracle-stable at fixture).
 
-    Driver-loop note: past the beam cap, ROUNDS carry the N^0.85 growth
-    — each round is one sequential Spark job, so beyond roughly N=10^6
-    (hundreds of rounds) the single-query loop is latency-bound and the
-    right serving shape is `graph_auto_batch_search` (rounds amortize
-    over the whole batch) and/or raising GRAPH_BEAM_MAX with a wider
-    GRAPH_C at build — both widen per-round work, which Spark
-    parallelizes, instead of round count, which it cannot. The budget
-    SIZE stays sub-linear either way (its corpus fraction falls with N:
-    0.057 → 0.036 → 0.030 compact vec-equivalents measured at
-    2K/20K/65K, ANN_RECALL.json auto_presets)."""
+    With the build-derived caps, rounds — the only sequential term, one
+    Spark job each — grow ~log N instead of the r10 law's N^0.85/32:
+    derived (rounds, beam, c) at the high-recall preset are
+    (10,8,16) @2K, (18,16,32) @20K, (13,64,32) @65K, (22,64,32) @131K,
+    (17,512,32) @1M. The budget SIZE stays sub-linear either way (its
+    corpus fraction falls with N: 0.057 → 0.036 → 0.030 compact
+    vec-equivalents measured at 2K/20K/65K, ANN_RECALL.json
+    auto_presets)."""
     import math
 
+    c_cap, beam_cap = caps if caps is not None else graph_build_caps(n)
     scale = max(1.0, (max(int(n), 1) / GRAPH_AUTO_REF_N) ** GRAPH_AUTO_EXP)
-    budget = int(math.ceil(rounds_base * beam_base * scale))
+    budget = int(math.ceil(round(
+        rounds_base * beam_base * GRAPH_C * scale, 6)))
+    c = GRAPH_C
+    while c * 2 <= c_cap and budget >= rounds_base * beam_base * (c * 2):
+        c *= 2
     beam = beam_base
-    while beam * 2 <= GRAPH_BEAM_MAX and budget >= rounds_base * beam * 2:
+    while beam * 2 <= beam_cap and budget >= rounds_base * (beam * 2) * c:
         beam *= 2
-    rounds = max(rounds_base, int(math.ceil(budget / beam)))
+    rounds = max(rounds_base, int(math.ceil(budget / (beam * c))))
+    # round-6 before ceil, like the budget: absorbs last-ulp sqrt/pow
+    # differences so the DuckDB replay of this law (the
+    # ann_graph_autobudget_law oracle) computes bit-identical knobs
     shortlist = max(shortlist_base,
                     min(GRAPH_AUTO_SHORTLIST_MAX,
-                        int(math.ceil(shortlist_base * math.sqrt(scale)))))
-    return rounds, beam, shortlist
+                        int(math.ceil(round(
+                            shortlist_base * math.sqrt(scale), 6)))))
+    return rounds, beam, c, shortlist
 
 
 def graph_auto_warm_k(n: int) -> int:
@@ -1742,8 +1805,10 @@ def _build_graph_index(spark: SparkSession, emb: DataFrame) -> tuple:
     # derived, the XOR corpus fingerprint, and a per-sf_dir validation
     # cache (mutable, so repeated searches from one loaded index pay the
     # coverage check once — not one corpus-scale action per query)
+    c_cap, beam_cap = graph_build_caps(n)
     meta = {"n": n, "warm_k": warm_k,
             "fp": int(srow["fp"]) if srow["fp"] is not None else 0,
+            "c_cap": c_cap, "beam_cap": beam_cap,
             "validated": {}}
     return (edges, warm_codes.localCheckpoint(eager=True), warm_centroids,
             codes_long, codebooks, u, sq_codes, sq_lo, sq_hi, meta)
@@ -1784,11 +1849,21 @@ def graph_auto_search(spark: SparkSession, sf_dir: str,
     rounds_base, shortlist_base, sq = GRAPH_PRESETS[preset]
     meta = index[9] if len(index) > 9 else None
     n = meta["n"] if meta else index[6].count()
-    rounds, beam, shortlist = graph_auto_budget(
-        n, rounds_base, GRAPH_B, shortlist_base)
+    rounds, beam, c, shortlist = graph_auto_budget(
+        n, rounds_base, GRAPH_B, shortlist_base, caps=_meta_caps(meta))
     return _graph_rescore_from(
         spark, sf_dir, index, rounds, shortlist=shortlist, sq_rescore=sq,
-        beam=beam, **kw)
+        beam=beam, c=c, **kw)
+
+
+def _meta_caps(meta: dict | None) -> tuple[int, int] | None:
+    """The build-provisioned (c_cap, beam_cap) out of an index's metadata
+    dict, or None (→ derive from n) for pre-r11 metadata that predates
+    the stored caps."""
+    if isinstance(meta, dict) and meta.get("c_cap") is not None \
+            and meta.get("beam_cap") is not None:
+        return int(meta["c_cap"]), int(meta["beam_cap"])
+    return None
 
 
 def _graph_rescore_from(spark: SparkSession, sf_dir: str, index: tuple,
@@ -1796,7 +1871,7 @@ def _graph_rescore_from(spark: SparkSession, sf_dir: str, index: tuple,
                         sq_rescore: bool = False,
                         allowed: DataFrame | None = None,
                         beam: int = GRAPH_B, anchor: int = 0,
-                        k: int = PQ_TOPK) -> DataFrame:
+                        k: int = PQ_TOPK, c: int = GRAPH_C) -> DataFrame:
     """Round-synchronous graph search core: warm-start with the
     GRAPH_WARM_PROBES nearest Lloyd lists, then `rounds` bulk rounds —
     frontier = ADC-top-B unexpanded (collected as a STATIC B-int IN-list,
@@ -1927,7 +2002,7 @@ def _graph_rescore_from(spark: SparkSession, sf_dir: str, index: tuple,
         if not frontier:
             break
         probe = edges.filter(
-            F.col("src").isin(frontier) & (F.col("pos") < GRAPH_C))
+            F.col("src").isin(frontier) & (F.col("pos") < c))
         if "block" in edges.columns:  # persisted layout: prune edge files
             probe = probe.filter(F.col("block").isin(
                 sorted({v % GRAPH_EDGE_BLOCKS for v in frontier})))
@@ -2039,6 +2114,14 @@ def _meta_advance(meta: dict | None, u_batch: DataFrame,
             "warm_k": meta["warm_k"],
             "fp": (meta["fp"] ^ (bfp or 0)) if meta.get("fp") is not None
             else None,
+            # the per-round width caps are BUILD-time provisioning (the
+            # edges on disk have GRAPH_M forward slots regardless of
+            # churn), so they ride along unchanged; the budget derivation
+            # picks up the moved cardinality through n and spends any
+            # growth past the caps in rounds until a rebuild re-derives
+            # them (the documented rebuild trigger)
+            "c_cap": meta.get("c_cap"),
+            "beam_cap": meta.get("beam_cap"),
             "validated": {}}
 
 
@@ -3118,7 +3201,8 @@ def _graph_batch_search(spark: SparkSession, sf_dir: str,
                         shortlist: int = GRAPH_SHORTLIST,
                         sq_rescore: bool = False,
                         allowed: DataFrame | None = None,
-                        beam: int = GRAPH_B) -> DataFrame:
+                        beam: int = GRAPH_B,
+                        c: int = GRAPH_C) -> DataFrame:
     """BATCHED round-synchronous graph search: all queries advance
     through the SAME T rounds with frontier/evaluated frames keyed by
     query id. This is the documented mitigation for the per-round
@@ -3195,7 +3279,7 @@ def _graph_batch_search(spark: SparkSession, sf_dir: str,
         srcs = sorted({v for _, v in fr_pairs})
         fr_df = spark.createDataFrame(
             [(q, v) for q, v in fr_pairs], "qid bigint, src bigint")
-        probe = edges.filter(F.col("pos") < GRAPH_C)
+        probe = edges.filter(F.col("pos") < c)
         # source-id pruning: below GRAPH_PROBE_INLIST_MAX distinct
         # frontier sources, a literal IN-list reaches the parquet scan
         # as a pushed filter (plus row-group stats pruning); above it —
@@ -3341,11 +3425,11 @@ def graph_auto_batch_search(spark: SparkSession, sf_dir: str,
     index = knn_graph_index(spark, sf_dir)
     meta = index[9] if len(index) > 9 else None
     n = meta["n"] if meta else index[6].count()
-    rounds, beam, shortlist = graph_auto_budget(
-        n, rounds_base, GRAPH_B, shortlist_base)
+    rounds, beam, c, shortlist = graph_auto_budget(
+        n, rounds_base, GRAPH_B, shortlist_base, caps=_meta_caps(meta))
     return _graph_batch_search(
         spark, sf_dir, anchors, rounds, shortlist=shortlist,
-        sq_rescore=sq, beam=beam)
+        sq_rescore=sq, beam=beam, c=c)
 
 
 @register("ann_graph_batch_auto",
@@ -3421,8 +3505,12 @@ def save_graph_index_frames(spark: SparkSession, index: tuple,
                 int(meta["warm_k"]) if meta.get("warm_k") is not None
                 else None,
                 int(meta["fp"]) if meta.get("fp") is not None else None,
+                int(meta["c_cap"]) if meta.get("c_cap") is not None
+                else None,
+                int(meta["beam_cap"]) if meta.get("beam_cap") is not None
+                else None,
             )],
-            "n bigint, warm_k int, fp bigint",
+            "n bigint, warm_k int, fp bigint, c_cap int, beam_cap int",
         ).write.mode("overwrite").parquet(f"{path}/graph_meta")
 
 
@@ -3449,12 +3537,22 @@ def load_graph_index(spark: SparkSession, path: str) -> tuple:
     sq_lo = [lo for _, lo, _ in grid]
     sq_hi = [hi for _, _, hi in grid]
     try:
-        mrow = spark.read.parquet(f"{path}/graph_meta").collect()[0]
+        mrow = spark.read.parquet(
+            f"{path}/graph_meta").collect()[0].asDict()
+        # pre-r11 layouts persist no width caps: re-derive them from the
+        # stored cardinality — exact for any GRAPH_M=32 build, which is
+        # every layout version so far (the caps column exists so a future
+        # wider-M build's provisioning travels with its index)
+        caps = ((int(mrow["c_cap"]), int(mrow["beam_cap"]))
+                if mrow.get("c_cap") is not None
+                and mrow.get("beam_cap") is not None
+                else graph_build_caps(int(mrow["n"])))
         meta = {
             "n": int(mrow["n"]),
             "warm_k": int(mrow["warm_k"])
             if mrow["warm_k"] is not None else None,
             "fp": int(mrow["fp"]) if mrow["fp"] is not None else None,
+            "c_cap": caps[0], "beam_cap": caps[1],
             "validated": {},
         }
     except Exception as exc:  # narrow: ONLY a missing path may fall back
@@ -3483,8 +3581,10 @@ def load_graph_index(spark: SparkSession, path: str) -> tuple:
         elif not isinstance(exc, AnalysisException) or (
                 "Path does not exist" not in str(exc)):
             raise
-        meta = {"n": sq_codes.count(), "warm_k": None, "fp": None,
-                "validated": {}}
+        n_loaded = sq_codes.count()
+        c_cap, beam_cap = graph_build_caps(n_loaded)
+        meta = {"n": n_loaded, "warm_k": None, "fp": None,
+                "c_cap": c_cap, "beam_cap": beam_cap, "validated": {}}
     return (edges, warm_codes, warm_centroids, codes_long, codebooks,
             None, sq_codes, sq_lo, sq_hi, meta)
 
@@ -4022,9 +4122,11 @@ def ann_graph_rescore_compact(spark: SparkSession,
     oracle replays the SQ grid build and dequantized rescore in SQL.
     Budget auto-scales with index cardinality (new r10): fixture N
     derives exactly (T=10, beam=8, shortlist=150) — oracle-pinned —
-    while 20K/65K derive (18, 32, 300)/(49, 32, 300), the measured
-    ≥0.9-recall restorations at ~0.037/0.029 vector-equivalent reads
-    (ANN_RECALL.json scale_runs auto_presets)."""
+    while 20K/65K derive (rounds, beam, c) = (18,16,32)/(13,64,32) at
+    shortlist 300 — the calibrated equal-budget splits of the measured
+    ≥0.9-recall restorations, with per-round width provisioned at build
+    (graph_build_caps) so rounds grow ~log N (ANN_RECALL.json scale_runs
+    auto_presets + the beam/C calibration cells)."""
     return graph_auto_search(spark, sf_dir, preset="compact")
 
 
@@ -4042,7 +4144,7 @@ def ann_graph_rescore_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     tripped and the derivation reproduced the calibrated budget — a lost
     meta table, a miscounted build, or a derivation drift all change the
     traversal and hash-mismatch. The scale story (the same preset names
-    ≥0.9 recall at 20K/65K via derived (18,32,300)/(49,32,300)) is
+    ≥0.9 recall at 20K/65K via derived (18,16,32)/(13,64,32) @300) is
     measured in ANN_RECALL.json scale_runs auto_presets. The compact
     (SQ8) tier is served entirely from persisted structures — the floats
     are never read."""
@@ -4058,6 +4160,112 @@ def ann_graph_rescore_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(path, ignore_errors=True)
     return spark.createDataFrame(rows, out.schema)
+
+
+# the scale points the law query pins beyond the fixture cardinality:
+# the two measured restorations (20K, 65K — ANN_RECALL.json scale_runs),
+# the r11 build target (131K), and the 1M point where the r10 law's
+# ~490 sequential rounds motivated the build-derived caps
+GRAPH_LAW_NS = (20000, 65536, 131072, 1048576)
+
+
+def _autobudget_law_sql() -> str:
+    """DuckDB replay of graph_build_caps + graph_auto_budget (high-recall
+    preset) over the fixture cardinality ∪ GRAPH_LAW_NS: the budget
+    power law, the log2 rounds target, the power-of-two cap/spend
+    doublings (via an exact power ladder, never FLOOR(LOG2(·)) whose
+    boundary ulps differ across engines), and the round-6-before-ceil
+    guards — bit-identical to the Python derivation or the hash
+    mismatches."""
+    ref, exp = GRAPH_AUTO_REF_N, GRAPH_AUTO_EXP
+    rb, bb, c0 = GRAPH_T_HIGH, GRAPH_B, GRAPH_C
+    ns = ", ".join(f"({n})" for n in GRAPH_LAW_NS)
+    return f"""
+    WITH ns AS (
+      SELECT DISTINCT n FROM (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings
+        UNION ALL
+        SELECT CAST(v AS BIGINT) FROM (VALUES {ns}) t(v)
+      )
+    ),
+    pows AS (SELECT CAST(POWER(2, i) AS BIGINT) AS p FROM range(40) r(i)),
+    law AS (
+      SELECT n,
+        GREATEST(1.0, POWER(n / {ref}.0, {exp})) AS scale,
+        CEIL(ROUND({rb * bb * c0}
+             * GREATEST(1.0, POWER(n / {ref}.0, {exp})), 6)) AS budget
+      FROM ns
+    ),
+    caps AS (
+      SELECT n, scale, budget,
+        CASE WHEN n <= {ref} THEN {c0} ELSE {GRAPH_M} END AS c_cap,
+        CASE WHEN n <= {ref} THEN {GRAPH_BEAM_MAX} ELSE
+          LEAST({GRAPH_BEAM_ABS_MAX}, GREATEST({bb}, (
+            SELECT MIN(p) FROM pows
+            WHERE p >= ROUND(budget / (({rb} + {GRAPH_ROUNDS_PER_DBL}
+              * CEIL(ROUND(LOG2(n / {ref}.0), 6))) * {GRAPH_M}.0), 6)
+          ))) END AS beam_cap
+      FROM law
+    ),
+    spent_c AS (
+      SELECT *, GREATEST({c0}, LEAST(c_cap, (
+        SELECT MAX(p) FROM pows
+        WHERE p <= LEAST(c_cap, FLOOR(budget / {rb * bb}.0))))) AS c
+      FROM caps
+    ),
+    spent AS (
+      SELECT *, GREATEST({bb}, LEAST(beam_cap, (
+        SELECT MAX(p) FROM pows
+        WHERE p <= LEAST(beam_cap, FLOOR(budget / ({rb} * c * 1.0)))))
+        ) AS beam
+      FROM spent_c
+    )
+    SELECT n,
+      CAST(c_cap AS BIGINT) AS c_cap,
+      CAST(beam_cap AS BIGINT) AS beam_cap,
+      CAST(GREATEST({rb}, CEIL(budget / (beam * c * 1.0))) AS BIGINT)
+        AS rounds,
+      CAST(beam AS BIGINT) AS beam,
+      CAST(c AS BIGINT) AS c,
+      CAST(GREATEST({GRAPH_SHORTLIST}, LEAST({GRAPH_AUTO_SHORTLIST_MAX},
+           CEIL(ROUND({GRAPH_SHORTLIST} * SQRT(scale), 6)))) AS BIGINT)
+        AS shortlist
+    FROM spent
+    ORDER BY n
+    """
+
+
+@register("ann_graph_autobudget_law", oracle=_autobudget_law_sql())
+def ann_graph_autobudget_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pin the build-derived auto-budget LAW itself (r11, VERDICT r10
+    item 1): for the fixture cardinality plus the measured/targeted scale
+    ladder (20K, 65K, 131K, 1M), emit the knobs an index built at that N
+    would provision (graph_build_caps → c_cap, beam_cap) and the
+    high-recall preset's derived spend (graph_auto_budget → rounds,
+    beam, c, shortlist). The oracle recomputes the law in SQL from the
+    same constants, so ANY drift in the derivation — exponent, rounds
+    target, cap clamps, spend order, rounding guards — hash-mismatches.
+    The pinned ladder IS the serving-latency contract: rounds (the only
+    sequential term, one Spark job each) stay 10/18/13/22/17 across
+    2K→1M where the r10 frozen-width law needed 10/18/49/88/~490; the
+    equal-budget recall parity of the wide splits is measured in
+    ANN_RECALL.json (65K: (13,64,32) 0.932 vs (49,32,16) 0.930;
+    131K auto presets ≥0.9 — the r11 build point). Reference contract:
+    `tensor_store/src/hnsw.rs:1434-1533` (HNSW presets: ef over a
+    depth-log graph serves any N; here depth-log comes from
+    build-provisioned width instead of a layer hierarchy)."""
+    emb_n = load(spark, sf_dir, "embeddings").count()
+    rows = []
+    for n in sorted({int(emb_n), *GRAPH_LAW_NS}):
+        c_cap, beam_cap = graph_build_caps(n)
+        rounds, beam, c, shortlist = graph_auto_budget(
+            n, GRAPH_T_HIGH, GRAPH_B, GRAPH_SHORTLIST,
+            caps=(c_cap, beam_cap))
+        rows.append((n, c_cap, beam_cap, rounds, beam, c, shortlist))
+    return spark.createDataFrame(
+        rows,
+        "n bigint, c_cap bigint, beam_cap bigint, rounds bigint, "
+        "beam bigint, c bigint, shortlist bigint")
 
 
 # --- index persistence (`save_index`/`load_index`,

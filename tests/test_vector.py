@@ -806,44 +806,66 @@ def test_graph_beam_budget_converges_to_exact(spark):
 
 def test_graph_auto_budget_law():
     """The auto budget reproduces the frozen fixture presets exactly at
-    N <= 2000 (oracle stability) and the MEASURED >=0.9-recall restoring
-    knobs at the 20K/65K scale points (ANN_RECALL.json scale_runs):
-    (18, 32) at 20K and (~48, 32) at 65K for the T_HIGH presets, with
-    the compact shortlist widening to the measured 300-row setting."""
+    N <= 2000 (oracle stability) and the CALIBRATED equal-budget knobs at
+    the measured scale points (ANN_RECALL.json scale_runs +
+    tools/ann_beam_calibration.py): with the r11 build-derived width
+    caps, per-round work (beam × C) carries the N^0.85 budget and rounds
+    grow ~log N — (18,16,32) at 20K (recall 0.930), (13,64,32) at 65K
+    (0.932) — instead of the r10 law's 49 sequential rounds at 65K and
+    ~490 at 1M."""
     from neumann_spark.pipeline.ann import (
         GRAPH_B,
+        GRAPH_BEAM_ABS_MAX,
+        GRAPH_BEAM_MAX,
+        GRAPH_C,
         GRAPH_COMPACT_SHORTLIST,
+        GRAPH_M,
         GRAPH_SHORTLIST,
         GRAPH_T_HIGH,
         GRAPH_T_LOW,
         graph_auto_budget,
         graph_auto_warm_k,
+        graph_build_caps,
     )
 
     # fixture scale: derived knobs == the frozen constants, at every SF
     for n in (20, 200, 500, 2000):
+        assert graph_build_caps(n) == (GRAPH_C, GRAPH_BEAM_MAX)
         assert graph_auto_budget(n, GRAPH_T_LOW) == (
-            GRAPH_T_LOW, GRAPH_B, GRAPH_SHORTLIST)
+            GRAPH_T_LOW, GRAPH_B, GRAPH_C, GRAPH_SHORTLIST)
         assert graph_auto_budget(n, GRAPH_T_HIGH) == (
-            GRAPH_T_HIGH, GRAPH_B, GRAPH_SHORTLIST)
+            GRAPH_T_HIGH, GRAPH_B, GRAPH_C, GRAPH_SHORTLIST)
         assert graph_auto_budget(
             n, GRAPH_T_HIGH, shortlist_base=GRAPH_COMPACT_SHORTLIST
-        ) == (GRAPH_T_HIGH, GRAPH_B, GRAPH_COMPACT_SHORTLIST)
+        ) == (GRAPH_T_HIGH, GRAPH_B, GRAPH_C, GRAPH_COMPACT_SHORTLIST)
         assert graph_auto_warm_k(n) == 45
 
-    # measured restoration points (compact preset, scale_runs sweeps)
+    # calibrated equal-budget points (tools/ann_beam_calibration.py):
+    # same total candidate budget as the r10 measured restorations,
+    # split into build-provisioned width instead of rounds
+    assert graph_build_caps(20000) == (GRAPH_M, 16)
     assert graph_auto_budget(
         20000, GRAPH_T_HIGH, shortlist_base=GRAPH_COMPACT_SHORTLIST
-    ) == (18, 32, 300)
-    r65, b65, s65 = graph_auto_budget(
-        65536, GRAPH_T_HIGH, shortlist_base=GRAPH_COMPACT_SHORTLIST)
-    assert (b65, s65) == (32, 300) and 48 <= r65 <= 50
-    # monotone: budget never shrinks as N grows
+    ) == (18, 16, 32, 300)
+    assert graph_build_caps(65536) == (GRAPH_M, 64)
+    assert graph_auto_budget(
+        65536, GRAPH_T_HIGH, shortlist_base=GRAPH_COMPACT_SHORTLIST
+    ) == (13, 64, 32, 300)
+    # the headline: rounds — the only sequential term — stay ~log N;
+    # at 131K rounds ≤ 1.5× the 65K r10 setting (49), at 1M they are
+    # ~17 vs the r10 law's ~490 sequential Spark jobs
+    r131 = graph_auto_budget(131072, GRAPH_T_HIGH)[0]
+    assert r131 <= 1.5 * 49, r131
+    r1m, b1m, c1m, _ = graph_auto_budget(1_048_576, GRAPH_T_HIGH)
+    assert r1m <= 20 and b1m <= GRAPH_BEAM_ABS_MAX and c1m == GRAPH_M
+    # monotone: budget never shrinks as N grows; beam stays inside the
+    # IN-list probe envelope at any N
     prev = 0
-    for n in (2000, 8000, 20000, 65536, 1_000_000):
-        r, b, _ = graph_auto_budget(n, GRAPH_T_HIGH)
-        assert r * b >= prev
-        prev = r * b
+    for n in (2000, 8000, 20000, 65536, 1_000_000, 100_000_000):
+        r, b, c, _ = graph_auto_budget(n, GRAPH_T_HIGH)
+        assert r * b * c >= prev
+        assert b <= GRAPH_BEAM_ABS_MAX
+        prev = r * b * c
     # grow-K policy beyond the fixture
     assert graph_auto_warm_k(20000) == 141
     assert graph_auto_warm_k(65536) == 256

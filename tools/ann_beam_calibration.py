@@ -97,24 +97,19 @@ def main() -> None:
         s[qi] = -np.inf
         gts[qi] = set(np.argsort(-s, kind="stable")[:TOPK].tolist())
 
-    c_orig = ann.GRAPH_C
-    try:
-        for rounds, beam, c in cells:
-            ann.GRAPH_C = c  # replay reads ann.GRAPH_C per expansion
-            hit, code_f = [], []
-            for qi in rng_idx:
-                top, n_eval, _ = graph_search(
-                    int(qi), rounds, 300, rescore_mat=sq_deq, beam=beam)
-                hit.append(len(top & gts[qi]) / TOPK)
-                code_f.append(n_eval / n)
-            print(json.dumps({
-                "n": n, "rounds": rounds, "beam": beam, "c": c,
-                "budget": rounds * beam * c,
-                "recall_at_10": round(float(np.mean(hit)), 3),
-                "avg_code_scan_fraction": round(float(np.mean(code_f)), 4),
-            }), flush=True)
-    finally:
-        ann.GRAPH_C = c_orig
+    for rounds, beam, c in cells:
+        hit, code_f = [], []
+        for qi in rng_idx:
+            top, n_eval, _ = graph_search(
+                int(qi), rounds, 300, rescore_mat=sq_deq, beam=beam, c=c)
+            hit.append(len(top & gts[qi]) / TOPK)
+            code_f.append(n_eval / n)
+        print(json.dumps({
+            "n": n, "rounds": rounds, "beam": beam, "c": c,
+            "budget": rounds * beam * c,
+            "recall_at_10": round(float(np.mean(hit)), 3),
+            "avg_code_scan_fraction": round(float(np.mean(code_f)), 4),
+        }), flush=True)
 
 
 def g_codes(codes):

@@ -70,8 +70,9 @@ def main() -> None:
     sq_deq = sq_dequant_matrix(unit, ann)
     vec_ids = np.arange(n)
     rng_idx = np.linspace(0, n - 1, num=n_q, dtype=int)
-    t_c, b_c, sh_c = ann.graph_auto_budget(
-        n, ann.GRAPH_T_HIGH, ann.GRAPH_B, ann.GRAPH_COMPACT_SHORTLIST)
+    t_c, b_c, c_c, sh_c = ann.graph_auto_budget(
+        n, ann.GRAPH_T_HIGH, ann.GRAPH_B, ann.GRAPH_COMPACT_SHORTLIST,
+        caps=ann._meta_caps(meta0))
 
     from tools.graph_replay import export_index_arrays, make_graph_search
 
@@ -90,7 +91,8 @@ def main() -> None:
             s = cos.copy()
             s[qi] = -np.inf
             gt = set(np.argsort(-s, kind="stable")[:TOPK].tolist())
-            top, _, _ = gs(int(qi), t_c, sh_c, rescore_mat=sq_deq, beam=b_c)
+            top, _, _ = gs(int(qi), t_c, sh_c, rescore_mat=sq_deq, beam=b_c,
+                           c=c_c)
             hits.append(len(top & gt) / TOPK)
         return round(float(np.mean(hits)), 3)
 
@@ -134,7 +136,8 @@ def main() -> None:
     block = {
         "n_vectors": n,
         "n_queries": n_q,
-        "auto_knobs": {"rounds": t_c, "beam": b_c, "shortlist": sh_c},
+        "auto_knobs": {"rounds": t_c, "beam": b_c, "c": c_c,
+                       "shortlist": sh_c},
         "recall_fresh_auto_compact": fresh,
         "recall_after_50pct_churn": recall_50,
         "recall_after_3_hot_passes": recall_hot,

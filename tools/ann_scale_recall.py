@@ -158,13 +158,13 @@ def main() -> None:
     # auto-path gate: the REGISTERED auto-budget serving call (what a
     # user gets from ann_graph_rescore_compact) must equal the replay
     # at the knobs graph_auto_budget derives from the stored cardinality
-    t_c, b_c, sh_c = ann.graph_auto_budget(
+    t_c, b_c, c_c, sh_c = ann.graph_auto_budget(
         meta["n"], ann.GRAPH_T_HIGH, ann.GRAPH_B,
-        ann.GRAPH_COMPACT_SHORTLIST)
+        ann.GRAPH_COMPACT_SHORTLIST, caps=ann._meta_caps(meta))
     live_auto = {int(r["vec_id"]) for r in ann.graph_auto_search(
         spark, sf_dir, index, preset="compact").collect()}
     rep_auto, _, _ = graph_search(0, t_c, sh_c, rescore_mat=sq_deq,
-                                  beam=b_c)
+                                  beam=b_c, c=c_c)
     assert live_auto == rep_auto, "replay drift on the auto path"
     print("replay fidelity: live Spark search == numpy replay "
           "(default, beam=16, and auto-budget paths)", file=sys.stderr)
@@ -188,7 +188,8 @@ def main() -> None:
     # index's stored cardinality — exactly what the registered
     # ann_graph_rescore* queries serve with, no per-run overrides
     auto_knobs = {
-        m: ann.graph_auto_budget(meta["n"], rb, ann.GRAPH_B, sb)
+        m: ann.graph_auto_budget(meta["n"], rb, ann.GRAPH_B, sb,
+                                 caps=ann._meta_caps(meta))
         for m, (rb, sb, _) in presets.items()
     }
     auto_hits = {m: [] for m in presets}
@@ -227,9 +228,9 @@ def main() -> None:
             code_f[m].append(n_eval / n)
             edge_f[m].append(n_edge / n)
             scan_f[m].append(min(sh, n_eval) / n)
-            t_a, b_a, sh_a = auto_knobs[m]
+            t_a, b_a, c_a, sh_a = auto_knobs[m]
             top, n_eval, n_edge = graph_search(
-                qi, t_a, sh_a, rescore_mat=rmat, beam=b_a)
+                qi, t_a, sh_a, rescore_mat=rmat, beam=b_a, c=c_a)
             auto_hits[m].append(len(top & gt) / TOPK)
             auto_code[m].append(n_eval / n)
             auto_edge[m].append(n_edge / n)
@@ -259,10 +260,10 @@ def main() -> None:
             k_eff = min(TOPK, len(aidx))
             filt[key]["hit"].append(len(top & agt) / k_eff)
             filt[key]["sel"].append(len(aidx) / n)
-            t_h, b_h, sh_h = auto_knobs["graph_rescore_high_recall"]
+            t_h, b_h, c_h, sh_h = auto_knobs["graph_rescore_high_recall"]
             top_a, _, _ = graph_search(
                 qi, t_h, sh_h, rescore_mat=None, allowed=allowed,
-                beam=b_h)
+                beam=b_h, c=c_h)
             filt_auto[key]["hit"].append(len(top_a & agt) / k_eff)
             filt_auto[key]["sel"].append(len(aidx) / n)
 
@@ -298,7 +299,8 @@ def main() -> None:
             m: {
                 "rounds": auto_knobs[m][0],
                 "beam": auto_knobs[m][1],
-                "shortlist": auto_knobs[m][2],
+                "c": auto_knobs[m][2],
+                "shortlist": auto_knobs[m][3],
                 "recall_at_10": round(float(np.mean(auto_hits[m])), 3),
                 "vec_equiv_read_fraction": vec_equiv_auto(m),
                 "avg_code_scan_fraction": round(

@@ -62,13 +62,14 @@ def make_graph_search(*, unit, books, codes, clusters, cent, cent_ids,
     structures) and return the replay callable.
 
     graph_search(qi, rounds, short, rescore_mat=None, entry='warm',
-                 beam=None, allowed=None)
+                 beam=None, allowed=None, c=None)
       -> (top-10 id set, codes ADC'd, edge rows read)
 
     `rescore_mat` overrides the matrix the shortlist is scored against
     (unit = exact, SQ8-dequantized = compact). `entry='coarse'` is the
     hierarchical-entry experiment (uniform 1/16 sample start). `beam`
-    overrides GRAPH_B (the engine's `beam` parameter). `allowed` (bool
+    overrides GRAPH_B and `c` overrides GRAPH_C (the engine's `beam`/`c`
+    parameters — r11's build-derived per-round width). `allowed` (bool
     mask over vec_ids) applies at the SHORTLIST stage — the engine's
     filtered-DiskANN post-filter placement."""
     n = len(unit)
@@ -77,8 +78,10 @@ def make_graph_search(*, unit, books, codes, clusters, cent, cent_ids,
                      rescore_mat: np.ndarray | None = None,
                      entry: str = "warm",
                      beam: int | None = None,
-                     allowed: np.ndarray | None = None):
+                     allowed: np.ndarray | None = None,
+                     c: int | None = None):
         b_width = beam or ann.GRAPH_B
+        c_width = c or ann.GRAPH_C
         q = unit[qi]
         luts = []
         for s in range(ann.GRAPH_PQ_S):
@@ -114,7 +117,7 @@ def make_graph_search(*, unit, books, codes, clusters, cent, cent_ids,
             new = set()
             for u_ in frontier:
                 expanded.add(u_)
-                nbrs = adj.get(u_, [])[:ann.GRAPH_C]
+                nbrs = adj.get(u_, [])[:c_width]
                 edge_rows += len(nbrs)
                 for v_ in nbrs:
                     if v_ not in evald and v_ != qi:
