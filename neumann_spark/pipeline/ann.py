@@ -1843,8 +1843,12 @@ def graph_auto_search(spark: SparkSession, sf_dir: str,
     preset semantics (`tensor_store/src/hnsw.rs:1434-1533`), where ef is
     a budget the search spends regardless of N. Works on session-built
     and disk-loaded indexes alike (both carry metadata; pre-r10 persisted
-    layouts fall back to one cardinality count at load). kw passes
-    through to `_graph_rescore_from` (anchor, k, allowed)."""
+    layouts fall back to one cardinality count at load). For disk-loaded
+    indexes the exact-rescore corpus validation runs ONCE per (loaded
+    index, sf_dir) and is then cached in the index's meta — an in-place
+    corpus rewrite at the same sf_dir needs a fresh load_graph_index
+    (see its staleness contract). kw passes through to
+    `_graph_rescore_from` (anchor, k, allowed)."""
     index = index if index is not None else knn_graph_index(spark, sf_dir)
     rounds_base, shortlist_base, sq = GRAPH_PRESETS[preset]
     meta = index[9] if len(index) > 9 else None
@@ -3519,7 +3523,17 @@ def load_graph_index(spark: SparkSession, path: str) -> tuple:
     `_graph_rescore_from` takes (the 9-tuple layout minus the unit frame,
     which stays None so searches re-derive it only if rescoring exactly);
     the edge frame keeps its `block` partition column so round probes
-    prune edge files."""
+    prune edge files.
+
+    Staleness contract (ADVICE r10): exact-rescore searches from this
+    index validate the sf_dir corpus against the persisted coverage +
+    XOR fingerprint ONCE per (loaded index, sf_dir) — the success is
+    cached in the returned meta dict, so a corpus REWRITTEN at the same
+    sf_dir later in the session is not re-checked through this same
+    tuple. Re-call load_graph_index (a fresh meta dict) after any
+    in-place corpus rewrite, or clear meta['validated']; corpora
+    maintained through knn_graph_insert/delete keep the fingerprint
+    current and never hit this."""
     edges = spark.read.parquet(f"{path}/graph_edges")
     warm_codes = spark.read.parquet(f"{path}/graph_warm_assign")
     warm_centroids = sorted(
@@ -3915,7 +3929,7 @@ FILTER_SELECTIVITY_CUTOFF = 0.1   # vector_engine/src/lib.rs:416
 FILTER_SAMPLE_N = 100             # vector_engine/src/lib.rs:1739
 
 
-_FILTER_SEL_CACHE: dict[tuple[int, str, str], str] = {}
+_FILTER_SEL_CACHE: dict[tuple[str, str, str], str] = {}
 
 
 def filtered_search_strategy(spark: SparkSession, sf_dir: str,
@@ -3938,9 +3952,16 @@ def filtered_search_strategy(spark: SparkSession, sf_dir: str,
     correlated with vec_id (`vec_id < 100`, `vec_id >= N-50`)
     systematically mis-estimates under id order, while hash order is
     uncorrelated with both id ranges and insertion time. Estimates are
-    cached per (session, sf_dir, predicate) so repeated dispatches of
-    the same filter spend zero jobs."""
-    key = (id(spark), sf_dir, str(pred))
+    cached per (application, sf_dir, predicate) — keyed by the session's
+    applicationId, which Spark never reuses across sessions, where the
+    previous id(spark) key could alias a new session to a GC'd one's
+    entries (ADVICE r10) — so repeated dispatches of the same filter
+    spend zero jobs. Staleness caveat (same contract as the loaded-index
+    validation cache): the estimate is per (application, sf_dir) — if
+    the corpus AT sf_dir is rewritten in-place mid-application, evict
+    via _FILTER_SEL_CACHE.clear() or use a new path (immutable-snapshot
+    layouts, the norm for curation runs, never hit this)."""
+    key = (spark.sparkContext.applicationId, sf_dir, str(pred))
     if key in _FILTER_SEL_CACHE:
         return _FILTER_SEL_CACHE[key]
     emb = load(spark, sf_dir, "embeddings")
@@ -4147,18 +4168,26 @@ def ann_graph_rescore_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≥0.9 recall at 20K/65K via derived (18,16,32)/(13,64,32) @300) is
     measured in ANN_RECALL.json scale_runs auto_presets. The compact
     (SQ8) tier is served entirely from persisted structures — the floats
-    are never read."""
-    import shutil
-    import tempfile
+    are never read.
 
-    path = tempfile.mkdtemp(prefix="neumann_graph_auto_")
+    The round-trip scratch lives under the session's warehouse dir —
+    a SPARK-visible location (executors read the persisted parquet
+    through it on any deployment), where a driver-local
+    tempfile.mkdtemp would break every non-local master (ADVICE r10) —
+    and is removed through the Hadoop FileSystem API for the same
+    reason."""
+    scratch = (spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
+               + "/_neumann_graph_auto_scratch")
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(scratch)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
     try:
-        save_graph_index(spark, sf_dir, path)
-        index = load_graph_index(spark, path)
+        save_graph_index(spark, sf_dir, scratch)
+        index = load_graph_index(spark, scratch)
         out = graph_auto_search(spark, sf_dir, index, preset="compact")
         rows = out.collect()  # materialize before the files vanish
     finally:
-        shutil.rmtree(path, ignore_errors=True)
+        fs.delete(jpath, True)
     return spark.createDataFrame(rows, out.schema)
 
 

@@ -700,6 +700,17 @@ def test_filtered_auto_dispatch_routes_by_selectivity(spark):
     pre_alt = filtered_search_auto(spark, SF_DIR, tight, anchor=3, k=5)
     assert len(pre_alt.collect()) == 5
 
+    # the estimate cache is keyed by the session's applicationId (never
+    # reused across sessions), NOT id(spark) — an id() key could alias a
+    # new session to a garbage-collected one's cached dispatch decisions
+    # (ADVICE r10); a fresh application therefore re-estimates
+    from neumann_spark.pipeline.ann import _FILTER_SEL_CACHE
+
+    app_id = spark.sparkContext.applicationId
+    assert any(k[0] == app_id and k[1] == SF_DIR
+               for k in _FILTER_SEL_CACHE), list(_FILTER_SEL_CACHE)
+    assert all(isinstance(k[0], str) for k in _FILTER_SEL_CACHE)
+
 
 def test_graph_churn_drift_bounded(spark):
     """Sustained-churn drift pin (VERDICT r8 item 5): cycle HALF the
