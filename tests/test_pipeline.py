@@ -793,3 +793,122 @@ def test_bm25_stats_churn_redelivery_versioned(spark):
             == {r["term"]: r["df"] for r in want4_df.collect()})
     g4, w4 = st4[1].head(), want4_tot.head()
     assert g4["n_docs"] == w4["n_docs"] and g4["sum_dl"] == w4["sum_dl"]
+
+
+def test_bm25_stats_update_without_delete_rejected(spark):
+    """ADVICE r10: an insert for a currently-ALIVE doc at a fresh seq
+    with DIFFERENT text is an update that lost its delete half — with
+    no stored text fingerprint the state would silently keep serving
+    the stale per-term df. The merge must raise (mirroring
+    knn_graph_insert's different-embeddings rejection), while an
+    IDENTICAL-text insert redelivery stays a silent no-op and a stale
+    redelivery (seq <= ver) drops whatever its text says."""
+    import pytest
+
+    from neumann_spark.pipeline.fulltext import (
+        bm25_stats_init,
+        bm25_stats_merge,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma")],
+        "doc_id bigint, text string")
+    empty = base.limit(0)
+    # materialize state between batches (what a foreachBatch consumer
+    # does per micro-batch) — otherwise the 5-deep merge plan chain
+    # re-analyzes the whole history at every action
+    ck = lambda t: tuple(x.localCheckpoint(eager=True) for x in t)  # noqa: E731
+    st = ck(bm25_stats_init(base))
+
+    # update-without-delete: alive doc, fresh seq, different text
+    upd = spark.createDataFrame(
+        [(1, "delta epsilon")], "doc_id bigint, text string")
+    with pytest.raises(Exception, match="update without its delete"):
+        bm25_stats_merge(*st, upd, empty, seq=0)
+
+    # identical-text redelivery of an applied insert: silent no-op
+    ins = spark.createDataFrame(
+        [(3, "zeta eta")], "doc_id bigint, text string")
+    st1 = ck(bm25_stats_merge(*st, ins, empty, seq=0))
+    st2 = ck(bm25_stats_merge(*st1, ins, empty, seq=0))   # same seq
+    want_df, want_tot, _ = bm25_stats_init(base.unionByName(ins))
+    assert ({r["term"]: r["df"] for r in st2[0].collect()}
+            == {r["term"]: r["df"] for r in want_df.collect()})
+    g, w = st2[1].head(), want_tot.head()
+    assert g["n_docs"] == w["n_docs"] and g["sum_dl"] == w["sum_dl"]
+
+    # stale redelivery with different text: doc 3 updated via
+    # delete(seq=1)+insert(seq=2); the ORIGINAL insert (seq=0, old
+    # text) redelivered afterwards must silently drop, not raise —
+    # the doc legitimately changed after that batch's first delivery
+    ins_v2 = spark.createDataFrame(
+        [(3, "theta iota")], "doc_id bigint, text string")
+    st3 = ck(bm25_stats_merge(*st2, empty, ins, seq=1))
+    st4 = ck(bm25_stats_merge(*st3, ins_v2, empty, seq=2))
+    st5 = ck(bm25_stats_merge(*st4, ins, empty, seq=0))  # stale redelivery
+    want5_df, want5_tot, _ = bm25_stats_init(base.unionByName(ins_v2))
+    assert ({r["term"]: r["df"] for r in st5[0].collect()}
+            == {r["term"]: r["df"] for r in want5_df.collect()})
+    g5, w5 = st5[1].head(), want5_tot.head()
+    assert g5["n_docs"] == w5["n_docs"] and g5["sum_dl"] == w5["sum_dl"]
+
+    # corrupt tombstone payload: deleting a live doc with text that
+    # differs from what the state indexed must raise, never subtract
+    # the wrong per-term counts
+    bad_tomb = spark.createDataFrame(
+        [(2, "totally other words")], "doc_id bigint, text string")
+    with pytest.raises(Exception, match="corrupt tombstone payload"):
+        bm25_stats_merge(*st5, empty, bad_tomb, seq=3)
+
+
+def test_bm25_stats_tombstone_compaction(spark):
+    """VERDICT r10 item 5: `bm25_stats_compact` drops tombstones below
+    the caller-supplied redelivery horizon, keeps everything else, is
+    idempotent, and — the safety contract — redelivered batches AT the
+    horizon edge (seq == horizon, the lowest the source may still send)
+    behave identically against the compacted and uncompacted state."""
+    from neumann_spark.pipeline.fulltext import (
+        bm25_stats_compact,
+        bm25_stats_init,
+        bm25_stats_merge,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma"), (3, "gamma delta")],
+        "doc_id bigint, text string")
+    empty = base.limit(0)
+    d1 = base.filter(F.col("doc_id") == 1)
+    d2 = base.filter(F.col("doc_id") == 2)
+
+    ck = lambda t: tuple(x.localCheckpoint(eager=True) for x in t)  # noqa: E731
+    st = ck(bm25_stats_merge(*ck(bm25_stats_init(base)), empty, d1, seq=0))
+    st = ck(bm25_stats_merge(*st, empty, d2, seq=1))
+    df_tbl, totals, state = st
+
+    # horizon 1: the ver=0 tombstone compacts away, the ver=1 one stays
+    comp = bm25_stats_compact(state, 1)
+    rows = {r["doc_id"]: (r["ver"], r["alive"]) for r in comp.collect()}
+    assert rows == {2: (1, False), 3: (-1, True)}
+    # idempotent at the same horizon
+    again = bm25_stats_compact(comp, 1)
+    assert {r["doc_id"] for r in again.collect()} == {2, 3}
+
+    # horizon-edge redelivery: batch seq=1 (== horizon) redelivered
+    # against the compacted state must equal the uncompacted replay —
+    # the kept ver=1 tombstone refuses the seq=1 delete both ways
+    want = bm25_stats_merge(df_tbl, totals, state, empty, d2, seq=1)
+    got = bm25_stats_merge(df_tbl, totals, comp, empty, d2, seq=1)
+    assert ({r["term"]: r["df"] for r in got[0].collect()}
+            == {r["term"]: r["df"] for r in want[0].collect()})
+    gw, ww = got[1].head(), want[1].head()
+    assert gw["n_docs"] == ww["n_docs"] and gw["sum_dl"] == ww["sum_dl"]
+
+    # a redelivered insert for the COMPACTED doc at seq >= horizon
+    # applies on the missing key exactly as it would have applied on
+    # its ver=0 tombstone (tombstone & ver < seq): same final stats
+    re1 = bm25_stats_merge(df_tbl, totals, comp, d1, empty, seq=1)
+    re1_unc = bm25_stats_merge(df_tbl, totals, state, d1, empty, seq=1)
+    assert ({r["term"]: r["df"] for r in re1[0].collect()}
+            == {r["term"]: r["df"] for r in re1_unc[0].collect()})
+    r1, r2 = re1[1].head(), re1_unc[1].head()
+    assert r1["n_docs"] == r2["n_docs"] and r1["sum_dl"] == r2["sum_dl"]
