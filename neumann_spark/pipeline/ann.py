@@ -1472,6 +1472,19 @@ def unit_embeddings(emb: DataFrame) -> DataFrame:
         "vec_id", F.transform(v, lambda x: x / nrm).alias("embedding"))
 
 
+def _unit_e6_raw_expr() -> Column:
+    """Round-6 UNIT values computed directly over a RAW `embedding`
+    column — the composition of `unit_embeddings`' normalization with
+    `_e6_expr`'s grid in one expression (bit-identical: the same
+    division rounded at 6), for call sites that must keep the raw row
+    beside its fingerprint values (the insert path's within-batch
+    collapse, where a join back through unit_embeddings would lose row
+    identity)."""
+    v = F.col("embedding").cast("array<double>")
+    nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    return F.transform(v, lambda x: F.round(x / nrm, 6))
+
+
 def _e6_expr() -> Column:
     """Round-6 double array over an `embedding` column — the ONE
     expression the corpus fingerprint hashes, shared by the build agg,
@@ -2165,27 +2178,40 @@ def knn_graph_insert(spark: SparkSession, index: tuple,
     # idempotence guard: an id already in the index (a CDC re-delivery,
     # or a foreachBatch retry under at-least-once semantics) must be a
     # no-op, not a second forward block + duplicate code rows that would
-    # double its ADC distance — anti-join makes redelivery safe. The
-    # full-row dropDuplicates collapses WITHIN-batch exact duplicates
-    # (at-least-once sources can emit one change twice inside a batch —
-    # the same case bm25_stats_merge collapses): without it, duplicate
-    # rows double the node's code rows AND self-cancel its XOR
-    # fingerprint contribution (h^h=0), making a correct persisted
-    # index fail validation later. CONFLICTING duplicates (same vec_id,
-    # different embedding — an insert+update compacted into one batch)
-    # are rejected loudly, mirroring bm25_stats_merge's same-batch-
-    # update contract: resolving them via an arbitrary winner would
-    # build nondeterministic codes/edges/fingerprints.
-    batch = (new_emb.select("vec_id", "embedding").dropDuplicates()
-             .localCheckpoint(eager=True))  # dedup shuffle computed once
-    crow = batch.agg(
-        F.count("*").alias("n"),
+    # double its ADC distance — anti-join makes redelivery safe.
+    # WITHIN-batch duplicates (at-least-once sources can emit one change
+    # twice inside a batch — the same case bm25_stats_merge collapses)
+    # collapse on round-6 UNIT values, the SAME equality the cross-batch
+    # check below applies (ADVICE r10: full-row bit-identity here made a
+    # redelivery that differs by representation or a pure rescaling
+    # raise CONFLICTING within a batch while passing as a no-op across
+    # batches — one redelivery, two verdicts). Without the collapse,
+    # duplicate rows double the node's code rows AND self-cancel its XOR
+    # fingerprint contribution (h^h=0), making a correct persisted index
+    # fail validation later. CONFLICTING duplicates (same vec_id,
+    # different round-6 unit values — an insert+update compacted into
+    # one batch) are rejected loudly, mirroring bm25_stats_merge's
+    # same-batch-update contract: resolving them via an arbitrary winner
+    # would build nondeterministic codes/edges/fingerprints. Among
+    # unit-equal representation variants the array-ascending raw row
+    # wins — a deterministic choice, and unit-inert by construction.
+    batch0 = (new_emb.select("vec_id", "embedding").dropDuplicates()
+              .withColumn("e6u", _unit_e6_raw_expr())
+              .localCheckpoint(eager=True))  # dedup shuffle computed once
+    crow = batch0.agg(
+        F.count_distinct("vec_id", "e6u").alias("n"),
         F.count_distinct("vec_id").alias("d")).collect()[0]
     if crow["n"] != crow["d"]:
         raise ValueError(
             f"{int(crow['n']) - int(crow['d'])} vec_ids appear with "
-            "CONFLICTING embeddings in one insert batch: split "
-            "same-batch updates into a delete batch then an insert batch")
+            "CONFLICTING embeddings (different round-6 unit values) in "
+            "one insert batch: split same-batch updates into a delete "
+            "batch then an insert batch")
+    wrep = Window.partitionBy("vec_id").orderBy(
+        F.col("embedding").cast("array<double>"))
+    batch = (batch0.withColumn("rn", F.row_number().over(wrep))
+             .filter(F.col("rn") == 1).select("vec_id", "embedding")
+             .localCheckpoint(eager=True))
     # cross-batch form of the same conflict: an insert row whose id is
     # ALREADY indexed with a different embedding is an UPDATE arriving
     # without its delete — silently anti-joining it away would keep

@@ -957,14 +957,28 @@ def test_graph_meta_advances_on_maintenance(spark):
     assert dup_cycled[9]["n"] == meta0["n"]
     assert dup_cycled[9]["fp"] == meta0["fp"]
     assert dup_cycled[3].count() == cycled[3].count()  # PQ code rows
-    # CONFLICTING duplicates (same id, different embedding — a compacted
-    # insert+update) must be rejected loudly, never resolved by an
-    # arbitrary winner (nondeterministic codes/edges/fingerprints)
+    # within-batch and cross-batch redeliveries share ONE equality:
+    # round-6 UNIT values (ADVICE r10 — full-row bit-identity made a
+    # same-batch rescaled redelivery raise while the cross-batch check
+    # passed the same row as a no-op). A pure rescaling (x*2: same
+    # direction, same unit values) therefore collapses as a duplicate —
+    # same structures and metadata as the clean cycle
     import pytest as _pytest
 
-    conflicting = batch.unionByName(
+    rescaled = batch.unionByName(
         batch.withColumn(
             "embedding", F.transform("embedding", lambda x: x * 2)))
+    resc_cycled = knn_graph_insert(spark, shrunk, rescaled)
+    assert resc_cycled[9]["n"] == meta0["n"]
+    assert resc_cycled[9]["fp"] == meta0["fp"]
+    assert resc_cycled[3].count() == cycled[3].count()
+    # CONFLICTING duplicates (same id, different DIRECTION — a compacted
+    # insert+update) must be rejected loudly, never resolved by an
+    # arbitrary winner (nondeterministic codes/edges/fingerprints)
+    conflicting = batch.unionByName(
+        batch.withColumn(
+            "embedding",
+            F.transform("embedding", lambda x: x + F.lit(1.0))))
     with _pytest.raises(ValueError, match="CONFLICTING"):
         knn_graph_insert(spark, shrunk, conflicting)
     # cross-batch form: an insert for an id ALREADY indexed with a
@@ -1082,5 +1096,58 @@ def test_graph_batch_scales_to_512_anchors_join_form(spark):
     for a in (11, 307):
         solo = _graph_batch_search(
             spark, sf01, (a,), GRAPH_T_LOW).collect()
+        assert [(int(r["vec_id"]), r["score"]) for r in solo] == \
+            sorted(per_q[a], key=lambda t: (-t[1], t[0]))
+
+
+def test_graph_batch_filtered_unhinted_regime(spark):
+    """VERDICT r10 item 4: the batched FILTERED shortlist above
+    GRAPH_BATCH_BROADCAST_MAX anchors — where the broadcast hint comes
+    off `evald` and AQE picks the allow-join strategy from measured
+    sizes — was designed in r10 but never exercised. Drive 300 filtered
+    anchors through the unhinted join: the plan must stay BNLJ- and
+    cartesian-free, every anchor's rows must pass the filter, and
+    sampled anchors must equal a filtered batch-of-one (which runs the
+    broadcast-hinted branch) exactly — the two regimes may differ only
+    in physical strategy, never in rows."""
+    import re
+
+    from neumann_spark.catalog import load
+    from neumann_spark.pipeline.ann import (
+        GRAPH_BATCH_BROADCAST_MAX,
+        GRAPH_T_LOW,
+        _graph_batch_search,
+    )
+
+    sf01 = "/root/testdata/sf0.1"
+    n_anchors = 300
+    assert n_anchors > GRAPH_BATCH_BROADCAST_MAX
+    anchors = tuple(range(n_anchors))
+    allowed_labels = (1, 2, 3)
+    allowed = load(spark, sf01, "embeddings").filter(
+        F.col("label").isin(*allowed_labels)).select("vec_id")
+    allowed_ids = {int(r["vec_id"]) for r in allowed.collect()}
+
+    out = _graph_batch_search(
+        spark, sf01, anchors, GRAPH_T_LOW, allowed=allowed)
+    jvm = out.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted")
+    plan = out._jdf.queryExecution().explainString(mode)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+    rows = out.collect()
+    per_q: dict[int, list] = {}
+    for r in rows:
+        assert int(r["vec_id"]) in allowed_ids
+        per_q.setdefault(int(r["qid"]), []).append(
+            (int(r["vec_id"]), r["score"]))
+    assert sorted(per_q) == list(range(n_anchors))
+    assert all(len(v) == 10 for v in per_q.values())
+    # differential vs the hinted batch-of-one branch
+    for a in (7, 299):
+        solo = _graph_batch_search(
+            spark, sf01, (a,), GRAPH_T_LOW, allowed=allowed).collect()
         assert [(int(r["vec_id"]), r["score"]) for r in solo] == \
             sorted(per_q[a], key=lambda t: (-t[1], t[0]))
