@@ -1342,7 +1342,18 @@ class NeumannSparkEngine:
         """`SIMILAR 'key'|[vec] [TOP k|LIMIT k] [COSINE|EUCLIDEAN|DOT_PRODUCT]
         [CONNECTED TO id] [IN coll] [WHERE expr]` (`neumann_parser`
         SimilarStmt: key-or-vector query, metric, limit, cross-engine
-        CONNECTED TO, collection scope, filtered search)."""
+        CONNECTED TO, collection scope, filtered search).
+
+        Serving shape: EXACT brute top-k over the session's mutable
+        string-keyed store — one map-side score + TakeOrderedAndProject,
+        correct at any metric and under arbitrary WHERE filters. This is
+        deliberate for the facade tier (a mutable per-session store,
+        fixture-to-moderate cardinality); a corpus that outgrows it
+        should be persisted as a (vec_id, embedding) table and served
+        through the graph auto presets (`pipeline.ann.graph_auto_search`
+        — budget ∝ N^0.85 with build-derived per-round width, the r11
+        scale path), whose maintenance contract (knn_graph_insert/
+        delete/CDC) covers the same mutability this store offers."""
         m = self._require(
             re.match(
                 r"SIMILAR\s+(?:'?([\w:]+)'?|\[(.+?)\])"

@@ -34,6 +34,15 @@ def get_spark(app_name: str = "neumann_spark") -> SparkSession:
         .config("spark.sql.shuffle.partitions", str(max(n, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # compute-dense stages (the ANN builds' pair-distance joins: tiny
+        # shuffle BYTES, heavy per-row array math) are mis-coalesced by
+        # byte-targeting AQE — at N=131K it folded the NN-descent joins
+        # to 4 partitions, idling 28 of 32 cores. The env knob lets such
+        # jobs pin a smaller advisory size (more post-AQE partitions)
+        # without changing the default plan shape of everything else.
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                os.environ.get("NEUMANN_SPARK_ADVISORY_PARTITION_BYTES",
+                               "67108864"))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
