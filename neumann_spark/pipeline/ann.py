@@ -1781,8 +1781,25 @@ def _build_graph_index(spark: SparkSession, emb: DataFrame) -> tuple:
     """Build the 9-element graph-index tuple over an arbitrary
     (vec_id, embedding) frame — `knn_graph_index` caches this over the
     fixture table; `ann_graph_insert_search` builds over a subset and
-    grows it incrementally via `knn_graph_insert`."""
-    u = unit_embeddings(emb).localCheckpoint(eager=True)
+    grows it incrementally via `knn_graph_insert`.
+
+    The unit frame is REPARTITIONED to the session parallelism before
+    checkpointing: every downstream build stage (the Lloyd/seed
+    broadcast fan-outs, whose zip_with distance lambdas evaluate
+    interpreted, and the NN-descent pair joins) inherits u's partition
+    count through the checkpoint, so a corpus parquet with few row
+    groups would otherwise pin the WHOLE build at scan parallelism
+    (measured at N=131K: 4 tasks on 32 cores, jstack showing the
+    fan-out stage in ZipWith.eval)."""
+    u = (unit_embeddings(emb)
+         # hash on vec_id, not round-robin: row placement then depends
+         # only on ids (deterministic across runs and input layouts),
+         # so centroid partial-sum orders — and with them the round-6
+         # Lloyd grids the oracles replay — cannot wobble with the
+         # corpus file layout
+         .repartition(emb.sparkSession.sparkContext.defaultParallelism,
+                      "vec_id")
+         .localCheckpoint(eager=True))
     n = u.count()
     warm_k = graph_auto_warm_k(n)
     warm_codes_w, warm_books = pq_build_joined(

@@ -71,7 +71,13 @@ def gen_corpus(n: int) -> str:
         "embedding": pa.array(list(x), type=pa.list_(pa.float32())),
         "label": pa.array(labels),
     })
-    pq.write_table(tbl, path)
+    # small row groups are load-bearing for build parallelism: parquet
+    # parallelizes by ROW GROUP, so the pyarrow default (one group for
+    # the whole table) makes every Spark scan stage effectively
+    # single-task regardless of split count — measured at N=131K, the
+    # Lloyd/NN-descent scan stages ran (8+1)/9 with one straggler doing
+    # all the work. 8K rows ≈ 2 MB groups → 16 groups at 131K.
+    pq.write_table(tbl, path, row_group_size=8192)
     return d
 
 
