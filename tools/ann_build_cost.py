@@ -35,7 +35,12 @@ def main() -> None:
     pts = sorted(
         {(int(r["n_vectors"]), float(r["build_sec"]))
          for r in doc.get("scale_runs", [])
-         if r.get("build_sec") is not None},
+         if r.get("build_sec") is not None
+         # the law is for the SHIPPED build path: auto warm-K policy
+         # only (override contrast runs measure a different pipeline —
+         # mixing the r10 20K/warm_k=45 override point in would corrupt
+         # the fit with a 2.8x-slower historical build)
+         and r.get("warm_k_policy") == "auto"},
     )
     if len(pts) < 3:
         print(f"only {len(pts)} measured build points: {pts} — need >= 3",
@@ -49,8 +54,8 @@ def main() -> None:
     resid = float(np.max(np.abs(np.log(fit) - np.log(secs))))
 
     churn = [
-        {"n_vectors": r["n_vectors"], "wall_sec": r.get("wall_sec")}
-        for r in doc.get("churn_scale_runs", []) if r.get("wall_sec")
+        {"n_vectors": r["n_vectors"], "wall_sec": r.get("churn_wall_s")}
+        for r in doc.get("churn_scale_runs", []) if r.get("churn_wall_s")
     ]
     block = {
         "points": [{"n_vectors": n, "build_sec": s} for n, s in pts],
