@@ -3739,9 +3739,10 @@ def ann_graph_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     Budget auto-scales with index cardinality (new r10,
     `graph_auto_budget`): at fixture N the derived knobs are exactly
     (T=6, beam=8) — the oracle replay pins that — while a 20K/65K corpus
-    derives (11, 32)/(30, 32) and holds the preset's band (measured
-    0.893 at 20K, 0.883 at 65K) instead of decaying to 0.41/0.26 under frozen knobs
-    (scale_runs auto_presets).
+    derives (rounds, beam, c) = (11,16,32)/(8,64,32) under the r11
+    build-provisioned width caps and holds the preset's band (measured
+    0.920 at 20K, 0.904 at 65K) instead of decaying to 0.41/0.29 under
+    frozen knobs (scale_runs auto_presets).
     Spark-first shape: see _graph_rescore_search."""
     return graph_auto_search(spark, sf_dir, preset="low")
 
@@ -3765,8 +3766,11 @@ def ann_graph_rescore_high_recall(spark: SparkSession,
     operating point from a graph index rather than cluster pruning.
     Budget auto-scales with index cardinality (new r10): fixture N
     derives exactly (T=10, beam=8) — oracle-pinned — while 20K/65K
-    derive (18, 32)/(49, 32), the measured ≥0.9-recall restorations
-    (0.94 @ 0.048 vec-equiv at 20K; scale_runs auto_presets)."""
+    derive (rounds, beam, c) = (18,16,32)/(13,64,32) under the r11
+    build-provisioned width caps, the measured ≥0.9-recall restorations
+    (0.956 @ 0.048 vec-equiv at 20K, 0.929 @ 0.035 at 65K;
+    scale_runs auto_presets — rounds, the sequential term, stay ~log N
+    where the r10 frozen-width law needed 49 at 65K)."""
     return graph_auto_search(spark, sf_dir, preset="high_recall")
 
 
