@@ -1288,11 +1288,15 @@ def ann_ivfpq_rescore_low_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ∝ N — at the fixture exactly the calibrated 200, so the oracle
     replays unchanged), because the frozen 200-row shortlist decayed
     0.903 at 2K → 0.745 at N=64K (scale_ivf_runs): a constant row
-    count is a vanishing candidate fraction. The ∝N shortlist keeps
-    recall in band at an EXPLICIT O(N) rescore cost — the honest price
-    of this family, vs the graph presets (`ann_graph_rescore*`,
-    auto-budget), whose sub-linear N^0.85 budget is the serving path
-    at scale."""
+    count is a vanishing candidate fraction. MEASURED (r11,
+    scale_ivf_runs `ivfpq_rescore_low_scan_auto`): the ∝N shortlist
+    holds 0.919/0.937/0.922 recall@10 at N=20K/65K/131K — where the
+    frozen knob decays 0.806/0.749/0.683 — at a CONSTANT 0.123
+    vector-equivalent read fraction, i.e. an EXPLICIT O(N) rescore
+    cost, the honest price of this family, vs the graph presets
+    (`ann_graph_rescore*`, auto-budget), whose sub-linear N^0.85
+    budget (falling fraction: 0.048→0.035→0.028 at the same Ns) is
+    the serving path at scale."""
     state, centroids = ivf_index(spark, sf_dir)
     codes, codebooks = pq_fine_index(spark, sf_dir)
     emb = load(spark, sf_dir, "embeddings")
