@@ -1613,6 +1613,56 @@ def _pair_distances(u: DataFrame, pairs: DataFrame) -> DataFrame:
     )
 
 
+def _grouped_pair_distances(u: DataFrame, keyed: DataFrame) -> DataFrame:
+    """(key, vec_id) group membership -> (src, dst, d) for every ordered
+    within-group pair (src != dst), distances computed INSIDE the group.
+
+    The build-scale twin of `_pair_distances`: that form attaches a
+    ~512 B float vector to EVERY candidate pair row, so the shuffle
+    carries O(pairs × dim) bytes — at N=262K the NN-descent rounds'
+    N·(2M)² pairs made that a ~0.5 TB sort-merge spill that exhausted
+    local disk (below ~131K the 64 MB-threshold auto-broadcast of the
+    unit frame masked the cost, which is exactly why it "worked" at
+    small N and is wrong at 100 TB). Here vectors travel once per
+    GROUP MEMBERSHIP instead: one equi-join attaches each member's
+    vector (O(memberships × dim) bytes), one groupBy collects the
+    (id, vec) structs per key, and the pair fan-out + dot product run
+    map-side via nested higher-order functions, emitting 24 B
+    (src, dst, d) rows. Same pair may arise under several keys —
+    callers `.distinct()` the result, which is sound because the
+    distance expression is the same zip_with→aggregate left fold as
+    `_pair_distances` (`dot_expr`) over the same operand order: equal
+    doubles in, bit-equal round-6 distance out. Per-key work is
+    |group|² in BOTH forms (the join shuffles the same multiplicity);
+    this form additionally holds one group's vectors in executor
+    memory — |group| is cluster occupancy at the seed (~N·probes/K,
+    K ∝ √N) and the 2M-bounded-out/in neighbourhood in NN-descent
+    rounds, both measured in the hundreds; a pathological super-hub
+    corpus would salt the key before grouping."""
+    from neumann_spark.functions.vector import dot_expr
+
+    memb = keyed.join(
+        u.select(F.col("vec_id"), F.col("embedding").alias("v")), "vec_id"
+    ).select("key", F.struct(F.col("vec_id").alias("id"), "v").alias("m"))
+    grouped = memb.groupBy("key").agg(F.collect_list("m").alias("nb"))
+    ex = grouped.select(F.explode("nb").alias("a"), "nb")
+    pair = F.explode(
+        F.transform(
+            "nb",
+            lambda y: F.struct(
+                y["id"].alias("dst"),
+                F.round(
+                    1.0 - dot_expr(F.col("a.v"), y["v"]), 6).alias("d"),
+            ),
+        )
+    )
+    return (
+        ex.select(F.col("a.id").alias("src"), pair.alias("p"))
+        .select("src", F.col("p.dst").alias("dst"), F.col("p.d").alias("d"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+
+
 def _top_m_edges(scored: DataFrame, m: int = GRAPH_M) -> DataFrame:
     """(src, dst, d) -> (src, pos, dst): per-source top-m by (d, dst)."""
     w = Window.partitionBy("src").orderBy("d", "dst")
@@ -1701,14 +1751,12 @@ def _nnd_seed(spark: SparkSession, u: DataFrame,
     cluster-mate pairs via a self equi-join on the cluster id, top-M."""
     seedcl = _nearest_clusters(
         spark, u, warm_centroids, GRAPH_SEED_PROBES).select("vec_id", "cl")
-    sp = (
-        seedcl.select(F.col("vec_id").alias("src"), "cl")
-        .join(seedcl.select(F.col("vec_id").alias("dst"), "cl"), "cl")
-        .filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
-        .distinct()
-    )
-    return _top_m_edges(_pair_distances(u, sp))
+    # cluster-mate pairs scored WITHIN each cluster group: a pair sharing
+    # two seed clusters arises twice with a bit-equal d — distinct folds
+    # them, exactly like the former pre-distance (src, dst) distinct
+    scored = _grouped_pair_distances(
+        u, seedcl.select(F.col("cl").alias("key"), "vec_id")).distinct()
+    return _top_m_edges(scored)
 
 
 def _nnd_round(u: DataFrame, nn: DataFrame) -> DataFrame:
@@ -1717,20 +1765,23 @@ def _nnd_round(u: DataFrame, nn: DataFrame) -> DataFrame:
     the direction-closed edge set with itself on the shared endpoint)
     plus the current edges, re-ranked to top-M."""
     # distinct matters: mutual edges appear in both directions and would
-    # double the NoN join's input multiplicity (the final distinct makes
-    # duplicates result-neutral, but not cost-neutral)
+    # double each node's undirected-neighbourhood multiplicity (the final
+    # distinct makes duplicates result-neutral, but not cost-neutral)
     nbdir = nn.select("src", "dst").union(
         nn.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
-    cand = (
-        nbdir.alias("a")
-        .join(nbdir.alias("b"), F.col("a.dst") == F.col("b.src"))
-        .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
-        .union(nn.select("src", "dst"))
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-    )
-    return _top_m_edges(_pair_distances(u, cand))
+    # neighbours-of-neighbours scored WITHIN each shared-endpoint group
+    # (nbdir is direction-closed, so {x : x->h} = {y : h->y} = nbh(h) and
+    # the per-h pair set is nbh x nbh — identical to the former
+    # self-equi-join on the shared endpoint, at O(edges x dim) instead of
+    # O(pairs x dim) shuffle bytes); current edges keep their
+    # narrow-frame scoring and the distinct folds the bit-equal overlaps
+    non = _grouped_pair_distances(
+        u, nbdir.select(F.col("src").alias("key"),
+                        F.col("dst").alias("vec_id")))
+    cur = _pair_distances(
+        u, nn.select("src", "dst").filter(F.col("src") != F.col("dst")))
+    return _top_m_edges(non.union(cur).distinct())
 
 
 def _exact_forward_edges(u: DataFrame) -> DataFrame:

@@ -204,6 +204,43 @@ def test_nnd_build_vs_exact(spark):
         assert not set(rev) & set(kept)    # deduped vs forward block
 
 
+def test_grouped_pair_distances_matches_pairwise(spark):
+    """`_grouped_pair_distances` (the O(memberships × dim)-shuffle build
+    kernel, r11) must emit exactly the rows `_pair_distances` computes
+    over the equivalent within-group pair expansion — same (src, dst)
+    set AND bit-equal round-6 distances (both run dot_expr's
+    zip_with→aggregate left fold over the same operand order), which is
+    the property that lets the seed/NN-descent stages fold multi-key
+    duplicates with a plain distinct."""
+    from neumann_spark.catalog import load
+    from neumann_spark.pipeline.ann import (
+        _grouped_pair_distances,
+        _pair_distances,
+        unit_embeddings,
+    )
+    from tests.conftest import SF_DIR
+
+    u = unit_embeddings(load(spark, SF_DIR, "embeddings"))
+    # overlapping groups: id%3 and id%5 memberships in one keyed frame,
+    # so some pairs arise under two keys and must fold to one row
+    keyed = u.select((F.col("vec_id") % 3).alias("key"), "vec_id").union(
+        u.select((F.col("vec_id") % 5 + 100).alias("key"), "vec_id"))
+    got = _grouped_pair_distances(u, keyed).distinct().collect()
+
+    pairs = (
+        keyed.alias("a")
+        .join(keyed.alias("b"), "key")
+        .select(F.col("a.vec_id").alias("src"),
+                F.col("b.vec_id").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    want = _pair_distances(u, pairs).collect()
+    key = lambda r: (r["src"], r["dst"], r["d"])
+    assert sorted(map(key, got)) == sorted(map(key, want))
+    assert len(got) == len(want) > 0
+
+
 def test_nnd_build_never_joins_embeddings_unblocked(spark):
     """The scale contract for the r8 build: NO stage of the NN-descent
     edge plan is a cartesian/nested-loop product — every embeddings x
