@@ -1634,31 +1634,46 @@ def _grouped_pair_distances(u: DataFrame, keyed: DataFrame) -> DataFrame:
     `_pair_distances` (`dot_expr`) over the same operand order: equal
     doubles in, bit-equal round-6 distance out. Per-key work is
     |group|² in BOTH forms (the join shuffles the same multiplicity);
-    this form additionally holds one group's vectors in executor
-    memory — |group| is cluster occupancy at the seed (~N·probes/K,
-    K ∝ √N) and the 2M-bounded-out/in neighbourhood in NN-descent
-    rounds, both measured in the hundreds; a pathological super-hub
-    corpus would salt the key before grouping."""
+    this form additionally materializes one group's vectors plus its
+    |group|²-struct pair array in executor memory — |group| is cluster
+    occupancy at the seed (~2·N/warm_k ≈ 2√N: ~1 K members / ~25 MB
+    pair array at N=262K) and the 2M-bounded-out + in-tail
+    neighbourhood in NN-descent rounds; a corpus whose groups outgrow
+    the heap (seed beyond N ≈ 10⁶, or a super-hub graph) salts the key
+    before grouping, which only re-introduces cross-key duplicate
+    pairs the distinct already folds."""
     from neumann_spark.functions.vector import dot_expr
 
     memb = keyed.join(
         u.select(F.col("vec_id"), F.col("embedding").alias("v")), "vec_id"
     ).select("key", F.struct(F.col("vec_id").alias("id"), "v").alias("m"))
     grouped = memb.groupBy("key").agg(F.collect_list("m").alias("nb"))
-    ex = grouped.select(F.explode("nb").alias("a"), "nb")
-    pair = F.explode(
+    # one flat |nb|^2 array of 24 B (src, dst, d) structs per group,
+    # exploded ONCE. Deliberately NOT `explode(nb)` + a transform over a
+    # carried `nb` column: a generator output row copies every carried
+    # column, so that shape duplicates the whole vector array per
+    # element — |nb| x |nb| x dim bytes of transient rows, which blew
+    # the 8 GB heap at the 262K seed (1024-member cluster groups).
+    # Here the vectors are read only inside the expression and the
+    # materialized value is the small pair array itself.
+    pairs_arr = F.flatten(
         F.transform(
             "nb",
-            lambda y: F.struct(
-                y["id"].alias("dst"),
-                F.round(
-                    1.0 - dot_expr(F.col("a.v"), y["v"]), 6).alias("d"),
+            lambda a: F.transform(
+                "nb",
+                lambda y: F.struct(
+                    a["id"].alias("src"),
+                    y["id"].alias("dst"),
+                    F.round(
+                        1.0 - dot_expr(a["v"], y["v"]), 6).alias("d"),
+                ),
             ),
         )
     )
     return (
-        ex.select(F.col("a.id").alias("src"), pair.alias("p"))
-        .select("src", F.col("p.dst").alias("dst"), F.col("p.d").alias("d"))
+        grouped.select(F.explode(pairs_arr).alias("p"))
+        .select(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"),
+                F.col("p.d").alias("d"))
         .filter(F.col("src") != F.col("dst"))
     )
 
