@@ -52,6 +52,16 @@ def main() -> None:
     slope, intercept = np.polyfit(np.log(ns), np.log(secs), 1)
     fit = np.exp(intercept) * ns ** slope
     resid = float(np.max(np.abs(np.log(fit) - np.log(secs))))
+    # adjacent-segment local exponents: a single global fit hides a
+    # regime change (a clean sub-linear law through one range, a knee
+    # past it) — publish both so the capacity plan uses the right slope
+    # for its N
+    local = [
+        {"from_n": int(ns[i]), "to_n": int(ns[i + 1]),
+         "exponent": round(float(
+             np.log(secs[i + 1] / secs[i]) / np.log(ns[i + 1] / ns[i])), 2)}
+        for i in range(len(ns) - 1)
+    ]
 
     churn = [
         {"n_vectors": r["n_vectors"], "wall_sec": r.get("churn_wall_s")}
@@ -61,13 +71,16 @@ def main() -> None:
         "points": [{"n_vectors": n, "build_sec": s} for n, s in pts],
         "wall_clock_exponent": round(float(slope), 3),
         "log_fit_max_residual": round(resid, 3),
+        "local_exponents": local,
         "design_bound": "O(N·(2M)^2) candidate pairs per NN-descent "
                         "round (M frozen at 32) — pairs linear in N",
         "churn_cycle_wall": churn,
         "note": "fresh local[32] builds through the registered "
-                "knn_graph_index path (auto warm-K, "
-                "advisory-partition override pinning the pair-distance "
-                "stages at full parallelism); reload runs excluded",
+                "knn_graph_index path at r11 HEAD (auto warm-K, "
+                "grouped pair-distance kernel — O(memberships x dim) "
+                "shuffle, advisory-partition override pinning the "
+                "distance stages at full parallelism); reload runs "
+                "excluded",
     }
     doc["build_cost"] = block
     with open(path, "w") as f:
