@@ -3055,18 +3055,27 @@ class NeumannSparkEngine:
         the reference's blob-backed checkpoint manager. Each checkpoint is
         a full parquet snapshot under this root (at 100 TB these would be
         incremental/ref-counted; a full copy keeps rollback O(swap) and is
-        the semantics the reference guarantees)."""
+        the semantics the reference guarantees). Lives under the
+        Spark-visible warehouse scratch (`scratch_dir`) — checkpoint
+        snapshots are written and re-read through Spark, so the store
+        must be executor-reachable on any master."""
         import atexit
-        import shutil
-        import tempfile
+
+        from neumann_spark.session import scratch_dir
 
         if not hasattr(self, "_cp_root"):
-            self._cp_root = tempfile.mkdtemp(prefix="neumann_checkpoints_")
+            self._cp_root, cp_cleanup = scratch_dir(
+                self.spark, "checkpoints_")
             # checkpoints are session-scoped (like the reference's
             # in-process checkpoint manager): reclaim the whole root at
             # interpreter exit so repeated sessions don't fill the disk;
             # superseded data-<nonce> dirs inside it go with it
-            atexit.register(shutil.rmtree, self._cp_root, ignore_errors=True)
+            def _cp_reap(cleanup=cp_cleanup) -> None:
+                import contextlib as _ctx
+                with _ctx.suppress(Exception):  # JVM may be gone at exit
+                    cleanup()
+
+            atexit.register(_cp_reap)
             self._cp_seq = 0
             self._cp_log: "OrderedDict[str, int]" = OrderedDict()
         return self._cp_root

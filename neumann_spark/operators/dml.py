@@ -160,10 +160,15 @@ def merge_into_partitioned(
     mid-swap restores the already-swapped partitions, so the target is
     never left half-merged or missing a partition. Untouched partitions:
     zero bytes read, zero bytes written, files byte-identical after
-    commit (asserted in tests)."""
-    import os
-    import shutil
+    commit (asserted in tests). Every directory operation goes through
+    the Hadoop FileSystem API (r12): the commit protocol must run on the
+    TABLE's filesystem — driver-local os.rename would corrupt nothing
+    but also rename nothing on an HDFS/S3 target; this is the same
+    portability contract as the snapshot manifest publisher
+    (engine._manifest_write)."""
     import uuid
+
+    from neumann_spark.session import hadoop_fs
 
     touched = sorted(
         r[0] for r in source.select(partition_col).distinct().collect()
@@ -218,42 +223,48 @@ def merge_into_partitioned(
         source.select(*keys).distinct(), keys, "left_anti")
     merged = survivors.select(*source.columns).unionByName(source)
 
-    stage = os.path.join(target_dir, f"_stage_{uuid.uuid4().hex[:12]}")
+    stage = f"{target_dir.rstrip('/')}/_stage_{uuid.uuid4().hex[:12]}"
     (merged.repartition(partition_col)
      .write.partitionBy(partition_col).parquet(stage))
+    fs, jvm = hadoop_fs(spark, target_dir)
+    Path = jvm.org.apache.hadoop.fs.Path
+
+    def _rename(src: str, dst: str) -> None:
+        if not fs.rename(Path(src), Path(dst)):
+            raise IOError(f"MERGE commit rename {src} -> {dst} failed")
+
     try:
         # validate EVERY staged partition before touching the target, so
         # a missing stage dir aborts with zero partitions swapped
         plan = []
         for v in touched:
             part = f"{partition_col}={v}"
-            new_dir = os.path.join(stage, part)
-            if not os.path.isdir(new_dir):
+            new_dir = f"{stage}/{part}"
+            if not fs.isDirectory(Path(new_dir)):
                 raise ValueError(f"staged partition missing: {part}")
-            plan.append((new_dir, os.path.join(target_dir, part)))
+            plan.append((new_dir, f"{target_dir.rstrip('/')}/{part}"))
         swapped = []  # (final_dir, trash_dir or None) in commit order
         try:
             for new_dir, final_dir in plan:
                 # underscore prefix: Spark/Hadoop readers skip _-prefixed
                 # dirs, so a crash between the two renames (or a failed
-                # rmtree) leaves trash that is invisible to
+                # delete) leaves trash that is invisible to
                 # spark.read.parquet(target_dir) instead of surfacing as
                 # a phantom partition value ('=' must not appear in the
                 # name or partition inference still parses it as a
                 # conflicting partition column)
-                trash = os.path.join(
-                    target_dir,
-                    f"_old_{os.path.basename(final_dir).replace('=', '-')}"
-                    f"_{uuid.uuid4().hex[:8]}")
-                if os.path.isdir(final_dir):
-                    os.rename(final_dir, trash)
+                base = final_dir.rsplit("/", 1)[-1].replace("=", "-")
+                trash = (f"{target_dir.rstrip('/')}/_old_{base}"
+                         f"_{uuid.uuid4().hex[:8]}")
+                if fs.isDirectory(Path(final_dir)):
+                    _rename(final_dir, trash)
                 else:
                     trash = None
                 try:
-                    os.rename(new_dir, final_dir)
+                    _rename(new_dir, final_dir)
                 except BaseException:
                     if trash is not None:
-                        os.rename(trash, final_dir)  # restore this one
+                        _rename(trash, final_dir)  # restore this one
                     raise
                 swapped.append((final_dir, trash))
         except BaseException:
@@ -261,16 +272,16 @@ def merge_into_partitioned(
             # directories back so the target is the pre-merge state
             for final_dir, trash in reversed(swapped):
                 if trash is not None:
-                    shutil.rmtree(final_dir, ignore_errors=True)
-                    os.rename(trash, final_dir)
+                    fs.delete(Path(final_dir), True)
+                    _rename(trash, final_dir)
                 else:
-                    shutil.rmtree(final_dir, ignore_errors=True)
+                    fs.delete(Path(final_dir), True)
             raise
         for _, trash in swapped:
             if trash is not None:
-                shutil.rmtree(trash, ignore_errors=True)
+                fs.delete(Path(trash), True)
     finally:
-        shutil.rmtree(stage, ignore_errors=True)
+        fs.delete(Path(stage), True)
     return touched
 
 
@@ -310,13 +321,15 @@ def dml_merge_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     new 5-LOW keys), then aggregate the post-merge table read back from
     disk — so the hash verifies the COMMITTED state, not an in-memory
     view. Only the 2-HIGH and 5-LOW partition directories are rewritten;
-    the other three are untouched on disk (unit-tested by mtime/bytes)."""
-    import shutil
-    import tempfile
+    the other three are untouched on disk (unit-tested by mtime/bytes).
+    The target lives under the Spark-visible warehouse scratch
+    (`scratch_dir`) and the merge commits through the Hadoop FS API —
+    the MERGE story holds on any master."""
+    from neumann_spark.session import scratch_dir
 
     o = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_totalprice")
-    tdir = tempfile.mkdtemp(prefix="neumann_merge_")
+    tdir, cleanup = scratch_dir(spark, "merge_")
     try:
         o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(tdir)
         updates = (
@@ -344,7 +357,7 @@ def dml_merge_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return out.localCheckpoint(eager=True)
     finally:
-        shutil.rmtree(tdir, ignore_errors=True)
+        cleanup()
 
 
 @register(
@@ -374,13 +387,12 @@ def dml_merge_key_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
     state — the hashed row signs the full final table contents, so either
     a silent duplicate (the moved key landing in both partitions) or a
     partial apply flips the hash."""
-    import shutil
-    import tempfile
+    from neumann_spark.session import scratch_dir
 
     target = spark.createDataFrame(
         [(1, "A", 10), (2, "B", 20), (3, "A", 30), (4, "B", 40)],
         "id int, part string, v int")
-    tdir = tempfile.mkdtemp(prefix="neumann_mergekey_")
+    tdir, cleanup = scratch_dir(spark, "mergekey_")
     try:
         target.write.mode("overwrite").partitionBy("part").parquet(tdir)
         clean = spark.createDataFrame(
@@ -410,4 +422,4 @@ def dml_merge_key_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).withColumn("moved_key_rejected", F.lit(moved_rejected))
         return out.localCheckpoint(eager=True)
     finally:
-        shutil.rmtree(tdir, ignore_errors=True)
+        cleanup()

@@ -510,16 +510,16 @@ def snapshot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     a FRESH engine LOADs it and serves the table. Post-save mutations are
     discarded by the load, pinning the whole-state-swap semantics. The
     result is eagerly materialized so the scratch directory can be
-    deleted before return."""
-    import shutil
-    import tempfile
-
+    deleted before return. The snapshot scratch is a Spark-visible
+    warehouse dir (`scratch_dir`): SAVE/LOAD write and read it through
+    Spark + the Hadoop FS API, so the round-trip holds on any master."""
     from neumann_spark.engine import NeumannSparkEngine
+    from neumann_spark.session import scratch_dir
 
     eng = NeumannSparkEngine(spark, sf_dir)
     eng.execute("CREATE TABLE snapq_t (id INT, tag TEXT)")
     eng.execute("INSERT INTO snapq_t VALUES (1, 'x'), (2, 'y')")
-    d = tempfile.mkdtemp(prefix="neumann_snapshot_")
+    d, cleanup = scratch_dir(spark, "snapshot_")
     other = None
     try:
         eng.execute(f"SAVE '{d}'")
@@ -539,7 +539,8 @@ def snapshot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 other.execute("DROP TABLE snapq_t")
         with contextlib.suppress(Exception):
             eng.execute("DROP TABLE snapq_t")
-        shutil.rmtree(d, ignore_errors=True)
+        with contextlib.suppress(Exception):
+            cleanup()
 
 
 @register(
@@ -558,16 +559,15 @@ def snapshot_wal_recover(spark: SparkSession, sf_dir: str) -> DataFrame:
     journal, post-save mutating commands append to it, and
     `LOAD … RECOVER` in a FRESH engine restores snapshot + replay — the
     driver hash pins that BOTH journaled inserts survive recovery while
-    a plain LOAD (snapshot_roundtrip) discards them."""
-    import shutil
-    import tempfile
-
+    a plain LOAD (snapshot_roundtrip) discards them. Snapshot + journal
+    scratch is Spark-visible (`scratch_dir`), as on a real master."""
     from neumann_spark.engine import NeumannSparkEngine
+    from neumann_spark.session import scratch_dir
 
     eng = NeumannSparkEngine(spark, sf_dir)
     eng.execute("CREATE TABLE walq_t (id INT, tag TEXT)")
     eng.execute("INSERT INTO walq_t VALUES (1, 'base')")
-    d = tempfile.mkdtemp(prefix="neumann_wal_")
+    d, cleanup = scratch_dir(spark, "wal_")
     other = None
     try:
         eng.execute(f"SAVE '{d}'")
@@ -587,7 +587,8 @@ def snapshot_wal_recover(spark: SparkSession, sf_dir: str) -> DataFrame:
                 other.execute("DROP TABLE walq_t")
         with contextlib.suppress(Exception):
             eng.execute("DROP TABLE walq_t")
-        shutil.rmtree(d, ignore_errors=True)
+        with contextlib.suppress(Exception):
+            cleanup()
 
 
 @register(
@@ -612,16 +613,15 @@ def tx_wal_recover_abort(spark: SparkSession, sf_dir: str) -> DataFrame:
     replayed uncommitted insert (id 3) or a replayed uncommitted update
     ('clobbered' tag on id 1) flips the driver hash; `replayed == 2`
     pins that exactly the non-tx insert and the committed-tx insert are
-    journaled."""
-    import shutil
-    import tempfile
-
+    journaled. Snapshot + journal scratch is Spark-visible
+    (`scratch_dir`), as on a real master."""
     from neumann_spark.engine import NeumannSparkEngine
+    from neumann_spark.session import scratch_dir
 
     eng = NeumannSparkEngine(spark, sf_dir)
     eng.execute("CREATE TABLE txwq_t (id INT, tag TEXT)")
     eng.execute("INSERT INTO txwq_t VALUES (1, 'base')")
-    d = tempfile.mkdtemp(prefix="neumann_txwal_")
+    d, cleanup = scratch_dir(spark, "txwal_")
     other = None
     try:
         eng.execute(f"SAVE '{d}'")
@@ -649,7 +649,8 @@ def tx_wal_recover_abort(spark: SparkSession, sf_dir: str) -> DataFrame:
                 other.execute("DROP TABLE txwq_t")
         with contextlib.suppress(Exception):
             eng.execute("DROP TABLE txwq_t")
-        shutil.rmtree(d, ignore_errors=True)
+        with contextlib.suppress(Exception):
+            cleanup()
 
 
 @register(

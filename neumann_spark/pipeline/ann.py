@@ -26,6 +26,8 @@ from pyspark.sql import functions as F
 
 from neumann_spark.catalog import load
 from neumann_spark.registry import register
+from neumann_spark.session import scratch_dir as _scratch_dir
+from neumann_spark.session import stage_move_part as _stage_move_part
 
 LSH_PLANES = 4
 DIM = 64
@@ -1342,7 +1344,9 @@ GRAPH_T_HIGH = 10      # rounds: high-recall preset (~0.92 recall @ 0.44)
 GRAPH_SHORTLIST = 100  # exact-rescore budget (0.05 of the 2K fixture)
 GRAPH_EDGE_BLOCKS = 32  # persisted edge-table partitions (src % blocks)
 GRAPH_SEED_PROBES = 2  # NN-descent seed: per-node nearest warm clusters
-GRAPH_NND_ROUNDS = 2   # NN-descent refinement rounds over the seeded graph
+GRAPH_NND_ROUNDS = 2   # NN-descent refinement rounds at fixture scale; the
+#                        build derives depth from N via graph_nnd_rounds()
+GRAPH_SEED_SHARD = 512  # max members per salted seed pair-group shard
 # compact preset: SQ8 rescore (64 B rows, not 512 B floats) affords a wider
 # shortlist at ~1/8 the rescore read cost — measured 0.908 recall@10 at
 # 0.057 vector-equivalents (tools/ann_recall.py), the first >=0.9 point
@@ -1428,6 +1432,35 @@ def graph_build_caps(n: int) -> tuple[int, int]:
     while beam_cap < want and beam_cap * 2 <= GRAPH_BEAM_ABS_MAX:
         beam_cap *= 2
     return GRAPH_M, beam_cap
+
+
+GRAPH_NND_REF_N = 65536  # largest N where 2 NND rounds hold the 0.9 band
+
+
+def graph_nnd_rounds(n: int) -> int:
+    """NN-descent refinement depth for an N-vector build, persisted in
+    graph_meta beside the width caps (the build-side half of the r11
+    serving law). GRAPH_NND_ROUNDS=2 — frozen since r7 — converges the
+    graph through 131K (auto-preset recall ≥0.9, ANN_RECALL.json
+    scale_runs) but UNDER-converges at 262K: auto presets measure
+    0.878/0.874 there and the budget-saturation probe is FLAT at ~0.87
+    under 1×→4× serving-budget widening (262K `budget_saturation_probe`)
+    — a graph-quality ceiling only build depth can lift. Depth grows a
+    round per doubling past the last N where 2 rounds verifiably hold
+    the band: 2 @ ≤65K, 3 @ 131K, 4 @ 262K, 5 @ 524K — O(log N) rounds,
+    so with the salted seed (O(N) pair work, `_nnd_seed`) and the
+    O(N·(2M)²)-per-round refinement the whole build is O(N log N).
+    Reference bound: HNSW's bounded per-insert candidate work
+    (`tensor_store/src/hnsw.rs:1554-2118`) — its bulk equivalent is
+    exactly a convergence-depth NN-descent. N ≤ 65536 returns the
+    frozen constant, so every driver fixture and the ≤65K ladder
+    replays are unchanged."""
+    import math
+
+    if n <= GRAPH_NND_REF_N:
+        return GRAPH_NND_ROUNDS
+    return GRAPH_NND_ROUNDS + int(
+        math.ceil(round(math.log2(int(n) / GRAPH_NND_REF_N), 6)))
 
 
 def graph_auto_budget(n: int, rounds_base: int = GRAPH_T_HIGH,
@@ -1635,13 +1668,15 @@ def _grouped_pair_distances(u: DataFrame, keyed: DataFrame) -> DataFrame:
     doubles in, bit-equal round-6 distance out. Per-key work is
     |group|² in BOTH forms (the join shuffles the same multiplicity);
     this form additionally materializes one group's vectors plus its
-    |group|²-struct pair array in executor memory — |group| is cluster
-    occupancy at the seed (~2·N/warm_k ≈ 2√N: ~1 K members / ~25 MB
-    pair array at N=262K) and the 2M-bounded-out + in-tail
-    neighbourhood in NN-descent rounds; a corpus whose groups outgrow
-    the heap (seed beyond N ≈ 10⁶, or a super-hub graph) salts the key
-    before grouping, which only re-introduces cross-key duplicate
-    pairs the distinct already folds."""
+    |group|²-struct pair array in executor memory. Callers bound
+    |group|: the seed salts its cluster key into ≤GRAPH_SEED_SHARD-
+    member shards before calling (`_nnd_seed`, the r12 knee fix —
+    ≤512 members / ~6 MB pair array at ANY N), and NN-descent rounds
+    group on the 2M-bounded-out + in-tail neighbourhood (~2M for the
+    near-regular graphs NND maintains). The one unbounded residual is
+    a super-hub NND group (in-degree ≫ M, which the top-M re-rank
+    structurally resists); such a graph would salt its endpoint key
+    the same way — NOT implemented, a documented limit."""
     from neumann_spark.functions.vector import dot_expr
 
     memb = keyed.join(
@@ -1689,7 +1724,8 @@ def _top_m_edges(scored: DataFrame, m: int = GRAPH_M) -> DataFrame:
 
 
 def _nnd_forward_edges(spark: SparkSession, u: DataFrame,
-                       warm_centroids: list) -> DataFrame:
+                       warm_centroids: list,
+                       rounds: int = GRAPH_NND_ROUNDS) -> DataFrame:
     """Scale-correct kNN-graph build: Lloyd-cluster-blocked seeding +
     NN-descent refinement (Dong et al., WWW'11), replacing the former
     all-pairs broadcast join. Reference insert-path analog:
@@ -1697,18 +1733,22 @@ def _nnd_forward_edges(spark: SparkSession, u: DataFrame,
     selection); this is its bulk-join form.
 
     Seed: each node pairs with members of its GRAPH_SEED_PROBES nearest
-    warm clusters (an equi-join on the cluster id — O(N * avg_cluster)
-    pairs, never N^2); keep the top-M per source. Refine: GRAPH_NND_ROUNDS
-    rounds of the NN-descent step — candidates = neighbours-of-neighbours
-    over the current graph taken in BOTH directions, O(N * (2M)^2) pairs
-    per round — re-ranked to top-M by (rounded cosine distance, dst).
-    Measured on the 2K fixture: 0.926 of the exact forward edges after 2
-    rounds, 0.980 after 3, with END-TO-END search recall indistinguishable
-    from the exact build (0.931 vs 0.926 @ T=10); the differential test
-    pins the overlap. Every stage is an equi-join or a per-source window —
-    no stage joins embeddings x embeddings unblocked (plan-asserted)."""
+    warm clusters, salted into ≤GRAPH_SEED_SHARD-member shards (an
+    equi-join on the sharded cluster key — O(N · min(avg_cluster, 512))
+    pairs, never N^2 and never the unsalted N^1.5 the √N-occupancy
+    clusters cost past 131K); keep the top-M per source. Refine:
+    `rounds` NN-descent steps (the caller derives depth from N via
+    `graph_nnd_rounds`; default = the frozen fixture constant) —
+    candidates = neighbours-of-neighbours over the current graph taken
+    in BOTH directions, O(N * (2M)^2) pairs per round — re-ranked to
+    top-M by (rounded cosine distance, dst). Measured on the 2K fixture:
+    0.926 of the exact forward edges after 2 rounds, 0.980 after 3, with
+    END-TO-END search recall indistinguishable from the exact build
+    (0.931 vs 0.926 @ T=10); the differential test pins the overlap.
+    Every stage is an equi-join or a per-source window — no stage joins
+    embeddings x embeddings unblocked (plan-asserted)."""
     nn = _nnd_seed(spark, u, warm_centroids).localCheckpoint(eager=True)
-    for _ in range(GRAPH_NND_ROUNDS):
+    for _ in range(rounds):
         nn = _nnd_round(u, nn).localCheckpoint(eager=True)
     return nn
 
@@ -1763,14 +1803,45 @@ def _nnd_seed(spark: SparkSession, u: DataFrame,
     """Seed edges: per-node GRAPH_SEED_PROBES nearest warm clusters
     (equi-join on a constant key against the broadcast k-row centroid
     frame — a hash join, not a nested loop — then a per-node window),
-    cluster-mate pairs via a self equi-join on the cluster id, top-M."""
+    cluster-mate pairs via a self equi-join on the cluster id — SALTED
+    into ≤GRAPH_SEED_SHARD-member shards — then top-M.
+
+    The salt is the r12 knee fix (VERDICT r11 item 1): warm clusters
+    under the √N grow-K policy hold ~2√N members, so unsalted per-group
+    pair work is |group|² ≈ 4N/K·N = Θ(N^1.5) — the measured 1.83 local
+    build exponent at 131K→262K (2,077 s at 262K). Sharding the group
+    key by `pmod(xxhash64(vec_id), ceil(occ/512))` caps |group| at
+    ~GRAPH_SEED_SHARD so seed pair work is O(N·512) = O(N). Occupancy
+    comes from one map-side-combined count over the membership frame
+    (warm_k rows, broadcast back). A pair split across shards is simply
+    not seeded — NN-descent's neighbours-of-neighbours rounds recover
+    it, exactly the repair NND exists for — while a pair sharing a
+    shard in two probe clusters arises twice with a bit-equal d and the
+    existing distinct folds it. Fixture-scale occupancy (~89 at N=2K,
+    K=45) is under the shard cap, so every shard count is 1 and the
+    seeded pair set — hence every oracle replay — is bit-identical to
+    the unsalted form (pinned by test_nnd_seed_salting_fixture_neutral)."""
     seedcl = _nearest_clusters(
         spark, u, warm_centroids, GRAPH_SEED_PROBES).select("vec_id", "cl")
-    # cluster-mate pairs scored WITHIN each cluster group: a pair sharing
-    # two seed clusters arises twice with a bit-equal d — distinct folds
-    # them, exactly like the former pre-distance (src, dst) distinct
-    scored = _grouped_pair_distances(
-        u, seedcl.select(F.col("cl").alias("key"), "vec_id")).distinct()
+    occ = seedcl.groupBy("cl").agg(F.count("*").alias("occ"))
+    keyed = (
+        seedcl.join(F.broadcast(occ), "cl")
+        .select(
+            F.struct(
+                F.col("cl"),
+                F.pmod(
+                    F.xxhash64("vec_id"),
+                    F.ceil(F.col("occ") / F.lit(GRAPH_SEED_SHARD))
+                ).cast("int").alias("sh"),
+            ).alias("key"),
+            "vec_id",
+        )
+    )
+    # cluster-mate pairs scored WITHIN each (cluster, shard) group: a
+    # pair sharing two seed clusters arises twice with a bit-equal d —
+    # distinct folds them, exactly like the former pre-distance
+    # (src, dst) distinct
+    scored = _grouped_pair_distances(u, keyed).distinct()
     return _top_m_edges(scored)
 
 
@@ -1878,7 +1949,8 @@ def _build_graph_index(spark: SparkSession, emb: DataFrame) -> tuple:
         "vec_id", F.col("code_0").alias("cluster"))
     warm_centroids = warm_books[0]
 
-    fwd = _nnd_forward_edges(spark, u, warm_centroids)
+    nnd_rounds = graph_nnd_rounds(n)
+    fwd = _nnd_forward_edges(spark, u, warm_centroids, rounds=nnd_rounds)
     edges = fwd.unionByName(_reverse_edges(fwd)).localCheckpoint(eager=True)
 
     codes_w, codebooks = pq_build_joined(
@@ -1934,6 +2006,7 @@ def _build_graph_index(spark: SparkSession, emb: DataFrame) -> tuple:
     meta = {"n": n, "warm_k": warm_k,
             "fp": int(srow["fp"]) if srow["fp"] is not None else 0,
             "c_cap": c_cap, "beam_cap": beam_cap,
+            "nnd_rounds": nnd_rounds,
             "validated": {}}
     return (edges, warm_codes.localCheckpoint(eager=True), warm_centroids,
             codes_long, codebooks, u, sq_codes, sq_lo, sq_hi, meta)
@@ -2251,6 +2324,10 @@ def _meta_advance(meta: dict | None, u_batch: DataFrame,
             # them (the documented rebuild trigger)
             "c_cap": meta.get("c_cap"),
             "beam_cap": meta.get("beam_cap"),
+            # the refinement depth the BUILD converged at — a churn
+            # fact about the persisted edges, carried unchanged like
+            # the caps; a rebuild re-derives it from the new N
+            "nnd_rounds": meta.get("nnd_rounds"),
             "validated": {}}
 
 
@@ -3651,8 +3728,11 @@ def save_graph_index_frames(spark: SparkSession, index: tuple,
                 else None,
                 int(meta["beam_cap"]) if meta.get("beam_cap") is not None
                 else None,
+                int(meta["nnd_rounds"])
+                if meta.get("nnd_rounds") is not None else None,
             )],
-            "n bigint, warm_k int, fp bigint, c_cap int, beam_cap int",
+            "n bigint, warm_k int, fp bigint, c_cap int, beam_cap int, "
+            "nnd_rounds int",
         ).write.mode("overwrite").parquet(f"{path}/graph_meta")
 
 
@@ -3705,6 +3785,12 @@ def load_graph_index(spark: SparkSession, path: str) -> tuple:
             if mrow["warm_k"] is not None else None,
             "fp": int(mrow["fp"]) if mrow["fp"] is not None else None,
             "c_cap": caps[0], "beam_cap": caps[1],
+            # pre-r12 layouts persist no refinement depth: re-derive
+            # from the stored cardinality (exact for every layout so
+            # far — depth was the frozen constant below 131K builds)
+            "nnd_rounds": int(mrow["nnd_rounds"])
+            if mrow.get("nnd_rounds") is not None
+            else graph_nnd_rounds(int(mrow["n"])),
             "validated": {},
         }
     except Exception as exc:  # narrow: ONLY a missing path may fall back
@@ -3736,7 +3822,8 @@ def load_graph_index(spark: SparkSession, path: str) -> tuple:
         n_loaded = sq_codes.count()
         c_cap, beam_cap = graph_build_caps(n_loaded)
         meta = {"n": n_loaded, "warm_k": None, "fp": None,
-                "c_cap": c_cap, "beam_cap": beam_cap, "validated": {}}
+                "c_cap": c_cap, "beam_cap": beam_cap,
+                "nnd_rounds": graph_nnd_rounds(n_loaded), "validated": {}}
     return (edges, warm_codes, warm_centroids, codes_long, codebooks,
             None, sq_codes, sq_lo, sq_hi, meta)
 
@@ -3751,18 +3838,17 @@ def ann_graph_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     `ann_graph_rescore`, so a lossy save/load (dropped edges, reordered
     positions, truncated centroids) hash-mismatches. The loaded edge
     scan carries PartitionFilters from the frontier block IN-list
-    (plan-asserted in tests/test_plans.py)."""
-    import shutil
-    import tempfile
-
-    path = tempfile.mkdtemp(prefix="neumann_graph_index_")
+    (plan-asserted in tests/test_plans.py). Scratch lives under the
+    Spark-visible warehouse dir (`_scratch_dir`) — executors re-read
+    the persisted parquet on any deployment."""
+    path, cleanup = _scratch_dir(spark, "graph_index_")
     try:
         save_graph_index(spark, sf_dir, path)
         index = load_graph_index(spark, path)
         out = _graph_rescore_from(spark, sf_dir, index, GRAPH_T_LOW)
         rows = out.collect()  # materialize before the files vanish
     finally:
-        shutil.rmtree(path, ignore_errors=True)
+        cleanup()
     return spark.createDataFrame(rows, out.schema)
 
 
@@ -3777,9 +3863,6 @@ def ann_graph_insert_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     reordered grown edge block, a truncated new-cluster partition)
     hash-mismatches. Completes the lifecycle matrix: build / insert /
     delete / stream-ingest / CDC, each × in-memory and (here) on-disk."""
-    import shutil
-    import tempfile
-
     emb = load(spark, sf_dir, "embeddings")
     max_id = int(emb.agg(F.max("vec_id")).head()[0])
     cut = max_id - (GRAPH_INSERT_BATCH - 1)
@@ -3787,14 +3870,14 @@ def ann_graph_insert_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         _build_graph_index(spark, emb.filter(F.col("vec_id") < cut)),
         emb.filter(F.col("vec_id") >= cut))
-    path = tempfile.mkdtemp(prefix="neumann_graph_grown_")
+    path, cleanup = _scratch_dir(spark, "graph_grown_")
     try:
         save_graph_index_frames(spark, grown, path)
         index = load_graph_index(spark, path)
         out = _graph_rescore_from(spark, sf_dir, index, GRAPH_T_LOW)
         rows = out.collect()  # materialize before the files vanish
     finally:
-        shutil.rmtree(path, ignore_errors=True)
+        cleanup()
     return spark.createDataFrame(rows, out.schema)
 
 
@@ -3880,10 +3963,10 @@ def ann_graph_stream_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapsing, reordering, or state leakage across batches
     hash-mismatches. Every per-batch structure is eagerly
     localCheckpointed inside the batch, so the returned search plan never
-    re-reads the (deleted) staging files."""
-    import os
-    import shutil
-    import tempfile
+    re-reads the (deleted) staging files. Staging + checkpoint live
+    under the Spark-visible warehouse scratch (`_scratch_dir`), moved
+    through the Hadoop FS API — the layout a real deployment needs (a
+    file-source dir must be executor-readable)."""
     import time as _time
 
     emb = load(spark, sf_dir, "embeddings")
@@ -3893,15 +3976,14 @@ def ann_graph_stream_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = emb.filter(F.col("vec_id") < cut)
     state = {"index": _build_graph_index(spark, base), "batches": 0}
 
-    tdir = tempfile.mkdtemp(prefix="neumann_graph_stream_")
-    cpdir = tempfile.mkdtemp(prefix="neumann_graph_stream_cp_")
+    tdir, cleanup = _scratch_dir(spark, "graph_stream_")
     try:
-        src_dir = os.path.join(tdir, "incoming")
-        os.makedirs(src_dir)
+        src_dir = f"{tdir}/incoming"
+        cpdir = f"{tdir}/checkpoint"
         now = _time.time()
         for b in range(GRAPH_STREAM_BATCHES):
             lo = cut + b * GRAPH_INSERT_BATCH
-            stage = os.path.join(tdir, f"stage{b}")
+            stage = f"{tdir}/stage{b}"
             (
                 emb.filter((F.col("vec_id") >= lo)
                            & (F.col("vec_id") < lo + GRAPH_INSERT_BATCH))
@@ -3909,13 +3991,10 @@ def ann_graph_stream_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .coalesce(1)
                 .write.mode("overwrite").parquet(stage)
             )
-            part = next(f for f in sorted(os.listdir(stage))
-                        if f.endswith(".parquet"))
-            dst = os.path.join(src_dir, f"batch{b}.parquet")
-            shutil.move(os.path.join(stage, part), dst)
             # the file source orders files by modification time; pin
             # strictly increasing mtimes so micro-batch order == id order
-            os.utime(dst, (now - 60 + 30 * b, now - 60 + 30 * b))
+            _stage_move_part(spark, stage, f"{src_dir}/batch{b}.parquet",
+                             now - 60 + 30 * b)
 
         def grow(batch_df, _batch_id):
             if not batch_df.head(1):
@@ -3945,8 +4024,7 @@ def ann_graph_stream_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _graph_rescore_from(spark, sf_dir, state["index"],
                                    GRAPH_T_LOW)
     finally:
-        shutil.rmtree(tdir, ignore_errors=True)
-        shutil.rmtree(cpdir, ignore_errors=True)
+        cleanup()
 
 
 @register("ann_graph_cdc_stream", oracle=_graph_cdc_stream_sql())
@@ -3962,10 +4040,9 @@ def ann_graph_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     delete + HNSW link-through repair `tensor_store/src/hnsw.rs`). The
     oracle chains the insert replay THEN the delete replay over the
     grown state, so wrong batch order, a collapsed batch, or repair
-    against the wrong index generation all hash-mismatch."""
-    import os
-    import shutil
-    import tempfile
+    against the wrong index generation all hash-mismatch. Staging +
+    checkpoint live under the Spark-visible warehouse scratch
+    (`_scratch_dir`), moved through the Hadoop FS API."""
     import time as _time
 
     emb = load(spark, sf_dir, "embeddings")
@@ -3983,20 +4060,16 @@ def ann_graph_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast(etype).alias("embedding")),
     ]
 
-    tdir = tempfile.mkdtemp(prefix="neumann_graph_cdc_")
-    cpdir = tempfile.mkdtemp(prefix="neumann_graph_cdc_cp_")
+    tdir, cleanup = _scratch_dir(spark, "graph_cdc_")
     try:
-        src_dir = os.path.join(tdir, "incoming")
-        os.makedirs(src_dir)
+        src_dir = f"{tdir}/incoming"
+        cpdir = f"{tdir}/checkpoint"
         now = _time.time()
         for b, batch in enumerate(events):
-            stage = os.path.join(tdir, f"stage{b}")
+            stage = f"{tdir}/stage{b}"
             batch.coalesce(1).write.mode("overwrite").parquet(stage)
-            part = next(f for f in sorted(os.listdir(stage))
-                        if f.endswith(".parquet"))
-            dst = os.path.join(src_dir, f"batch{b}.parquet")
-            shutil.move(os.path.join(stage, part), dst)
-            os.utime(dst, (now - 60 + 30 * b, now - 60 + 30 * b))
+            _stage_move_part(spark, stage, f"{src_dir}/batch{b}.parquet",
+                             now - 60 + 30 * b)
 
         def apply_cdc(batch_df, _batch_id):
             ins = batch_df.filter(F.col("op") == "I")
@@ -4029,8 +4102,7 @@ def ann_graph_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _graph_rescore_from(spark, sf_dir, state["index"],
                                    GRAPH_T_LOW)
     finally:
-        shutil.rmtree(tdir, ignore_errors=True)
-        shutil.rmtree(cpdir, ignore_errors=True)
+        cleanup()
 
 
 @register("ann_graph_filtered", oracle=_graph_filtered_sql())
@@ -4318,26 +4390,22 @@ def ann_graph_rescore_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     tempfile.mkdtemp would break every non-local master (ADVICE r10) —
     and is removed through the Hadoop FileSystem API for the same
     reason."""
-    scratch = (spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
-               + "/_neumann_graph_auto_scratch")
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(scratch)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    scratch, cleanup = _scratch_dir(spark, "graph_auto_")
     try:
         save_graph_index(spark, sf_dir, scratch)
         index = load_graph_index(spark, scratch)
         out = graph_auto_search(spark, sf_dir, index, preset="compact")
         rows = out.collect()  # materialize before the files vanish
     finally:
-        fs.delete(jpath, True)
+        cleanup()
     return spark.createDataFrame(rows, out.schema)
 
 
 # the scale points the law query pins beyond the fixture cardinality:
-# the two measured restorations (20K, 65K — ANN_RECALL.json scale_runs),
-# the r11 build target (131K), and the 1M point where the r10 law's
-# ~490 sequential rounds motivated the build-derived caps
-GRAPH_LAW_NS = (20000, 65536, 131072, 1048576)
+# the measured restorations (20K, 65K — ANN_RECALL.json scale_runs),
+# the r11/r12 build ladder (131K, 262K, 524K), and the 1M point where
+# the r10 law's ~490 sequential rounds motivated the build-derived caps
+GRAPH_LAW_NS = (20000, 65536, 131072, 262144, 524288, 1048576)
 
 
 def _autobudget_law_sql() -> str:
@@ -4400,7 +4468,11 @@ def _autobudget_law_sql() -> str:
       CAST(c AS BIGINT) AS c,
       CAST(GREATEST({GRAPH_SHORTLIST}, LEAST({GRAPH_AUTO_SHORTLIST_MAX},
            CEIL(ROUND({GRAPH_SHORTLIST} * SQRT(scale), 6)))) AS BIGINT)
-        AS shortlist
+        AS shortlist,
+      CAST(CASE WHEN n <= {GRAPH_NND_REF_N} THEN {GRAPH_NND_ROUNDS}
+           ELSE {GRAPH_NND_ROUNDS}
+             + CEIL(ROUND(LOG2(n / {GRAPH_NND_REF_N}.0), 6))
+           END AS BIGINT) AS nnd_rounds
     FROM spent
     ORDER BY n
     """
@@ -4409,13 +4481,15 @@ def _autobudget_law_sql() -> str:
 @register("ann_graph_autobudget_law", oracle=_autobudget_law_sql())
 def ann_graph_autobudget_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pin the build-derived auto-budget LAW itself (r11, VERDICT r10
-    item 1): for the fixture cardinality plus the measured/targeted scale
-    ladder (20K, 65K, 131K, 1M), emit the knobs an index built at that N
-    would provision (graph_build_caps → c_cap, beam_cap) and the
-    high-recall preset's derived spend (graph_auto_budget → rounds,
-    beam, c, shortlist). The oracle recomputes the law in SQL from the
-    same constants, so ANY drift in the derivation — exponent, rounds
-    target, cap clamps, spend order, rounding guards — hash-mismatches.
+    item 1; build-depth law added r12): for the fixture cardinality plus
+    the measured/targeted scale ladder (20K, 65K, 131K, 262K, 524K, 1M),
+    emit the knobs an index built at that N would provision
+    (graph_build_caps → c_cap, beam_cap; graph_nnd_rounds → nnd_rounds,
+    the NN-descent convergence depth) and the high-recall preset's
+    derived spend (graph_auto_budget → rounds, beam, c, shortlist). The
+    oracle recomputes the law in SQL from the same constants, so ANY
+    drift in the derivation — exponent, rounds target, cap clamps,
+    spend order, rounding guards, depth thresholds — hash-mismatches.
     The pinned ladder IS the serving-latency contract: rounds (the only
     sequential term, one Spark job each) stay 10/18/13/22/17 across
     2K→1M where the r10 frozen-width law needed 10/18/49/88/~490; the
@@ -4432,11 +4506,12 @@ def ann_graph_autobudget_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         rounds, beam, c, shortlist = graph_auto_budget(
             n, GRAPH_T_HIGH, GRAPH_B, GRAPH_SHORTLIST,
             caps=(c_cap, beam_cap))
-        rows.append((n, c_cap, beam_cap, rounds, beam, c, shortlist))
+        rows.append((n, c_cap, beam_cap, rounds, beam, c, shortlist,
+                     graph_nnd_rounds(n)))
     return spark.createDataFrame(
         rows,
         "n bigint, c_cap bigint, beam_cap bigint, rounds bigint, "
-        "beam bigint, c bigint, shortlist bigint")
+        "beam bigint, c bigint, shortlist bigint, nnd_rounds bigint")
 
 
 # --- index persistence (`save_index`/`load_index`,
@@ -4527,13 +4602,10 @@ def ann_index_persist_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the loaded structures — checked against the identical oracle as
     `ann_ivfpq_rescore`, so a lossy save/load (dropped clusters, reordered
     codebooks, truncated floats) hash-mismatches."""
-    import shutil
-    import tempfile
-
-    # per-run private dir: a fixed shared path would let two concurrent
-    # runs (selfcheck + bench on the same fixtures) overwrite each other's
-    # parquet mid-read
-    path = tempfile.mkdtemp(prefix="neumann_ann_index_")
+    # per-run private Spark-visible dir (`_scratch_dir`): a fixed shared
+    # path would let two concurrent runs (selfcheck + bench on the same
+    # fixtures) overwrite each other's parquet mid-read
+    path, cleanup = _scratch_dir(spark, "ann_index_")
     try:
         save_ann_index(spark, sf_dir, path)
         assign, centroids, codes, codebooks = load_ann_index(spark, path)
@@ -4542,7 +4614,7 @@ def ann_index_persist_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         # materialize before the temp dir can be removed
         return out.localCheckpoint(eager=True)
     finally:
-        shutil.rmtree(path, ignore_errors=True)
+        cleanup()
 
 
 @register("ann_pq_rescore", oracle=_pq_rescore_sql())

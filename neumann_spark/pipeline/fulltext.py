@@ -377,54 +377,61 @@ def bm25_stats_merge(df_tbl: DataFrame, totals: DataFrame,
 
     added = _collapse(added, "added")
     removed = _collapse(removed, "removed")
-    # a same-batch UPDATE (one doc_id in both legs) cannot be applied
-    # redelivery-safely from aggregate state (on redelivery the tombstone
-    # text no longer matches the stored doc) — require the caller to
-    # split it into a delete batch then an insert batch, the CDC
-    # stream's I/D micro-batch shape; enforced loudly, never silently
-    n_both = added.join(removed, "doc_id", "semi").count()
-    if n_both:
-        raise ValueError(
-            f"{n_both} doc_ids appear in both added and removed: split "
-            "same-batch updates into a delete batch then an insert batch")
     st = docs_state.select("doc_id", "ver", "alive", "th")
-    # cross-batch update-without-delete detection (ADVICE r10): an
-    # insert for a currently-ALIVE doc at a FRESH seq is either an
-    # identical-text redelivery (th matches — a legal no-op, dropped
-    # below) or an UPDATE that lost its delete half — with no text
-    # fingerprint that condition is undetectable and the state silently
-    # serves stale per-term df. Reject it loudly, the same contract as
-    # knn_graph_insert's DIFFERENT-embeddings rejection. Stale
-    # redeliveries (ver >= seq) stay silent drops whatever their text:
-    # the doc legitimately changed after that batch's original delivery.
     added_j = added.join(st, "doc_id", "left")
-    n_upd = added_j.filter(
-        F.col("alive") & (F.col("ver") < seq)
-        & (F.col("th") != F.xxhash64("text"))).count()
-    if n_upd:
+    removed_j = removed.join(st, "doc_id", "inner")
+    # three loud-rejection contracts, ONE validation action (r12,
+    # VERDICT r11 item 8 — previously three .count() jobs per batch):
+    #  'both': a same-batch UPDATE (one doc_id in both legs) cannot be
+    #    applied redelivery-safely from aggregate state (on redelivery
+    #    the tombstone text no longer matches the stored doc) — callers
+    #    split it into a delete batch then an insert batch, the CDC
+    #    stream's I/D micro-batch shape;
+    #  'upd': cross-batch update-without-delete (ADVICE r10) — an
+    #    insert for a currently-ALIVE doc at a FRESH seq with DIFFERENT
+    #    text (identical text is a legal redelivery no-op, dropped
+    #    below; stale ver >= seq redeliveries stay silent drops
+    #    whatever their text). Without the fingerprint this is
+    #    undetectable and the state silently serves stale per-term df —
+    #    the same contract as knn_graph_insert's rejection;
+    #  'bad': the symmetric payload check on the delete leg —
+    #    un-indexing text that differs from what the state indexed
+    #    would subtract the wrong per-term counts (a corrupt tombstone
+    #    payload, never a legal CDC shape).
+    mismatch = (F.col("alive") & (F.col("ver") < seq)
+                & (F.col("th") != F.xxhash64("text")))
+    viol = (
+        added.join(removed, "doc_id", "semi")
+        .select(F.lit("both").alias("kind"))
+        .unionByName(added_j.filter(mismatch)
+                     .select(F.lit("upd").alias("kind")))
+        .unionByName(removed_j.filter(mismatch)
+                     .select(F.lit("bad").alias("kind")))
+    )
+    counts = {r["kind"]: int(r["n"]) for r in
+              viol.groupBy("kind").agg(F.count("*").alias("n")).collect()}
+    if counts.get("both"):
         raise ValueError(
-            f"{n_upd} inserts target currently-ALIVE doc_ids with "
+            f"{counts['both']} doc_ids appear in both added and removed: "
+            "split same-batch updates into a delete batch then an insert "
+            "batch")
+    if counts.get("upd"):
+        raise ValueError(
+            f"{counts['upd']} inserts target currently-ALIVE doc_ids with "
             "DIFFERENT text at a fresh seq (an update without its "
             "delete): split updates into a delete batch then an insert "
             "batch")
+    if counts.get("bad"):
+        raise ValueError(
+            f"{counts['bad']} deletes carry text that differs from the "
+            "indexed text of their live doc_ids (corrupt tombstone "
+            "payload)")
     added = (
         added_j
         .filter(F.col("alive").isNull()
                 | ((~F.col("alive")) & (F.col("ver") < seq)))
         .drop("ver", "alive", "th")
     )
-    # the symmetric payload check on the delete leg: un-indexing text
-    # that differs from what the state indexed would subtract the wrong
-    # per-term counts — a corrupt tombstone payload, never a legal CDC
-    # shape (redeliveries carry the original text; updates are split)
-    removed_j = removed.join(st, "doc_id", "inner")
-    n_bad = removed_j.filter(
-        F.col("alive") & (F.col("ver") < seq)
-        & (F.col("th") != F.xxhash64("text"))).count()
-    if n_bad:
-        raise ValueError(
-            f"{n_bad} deletes carry text that differs from the indexed "
-            "text of their live doc_ids (corrupt tombstone payload)")
     removed = (
         removed_j
         .filter(F.col("alive") & (F.col("ver") < seq))

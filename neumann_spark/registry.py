@@ -43,75 +43,79 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 # every round. Each round the list is rotated toward never-driver-sampled
 # queries; queries not listed keep their registration order after these.
 #
-# Round-11 rotation (per the r10 ROTATION NOTE): there are no r10 reds,
-# so position 1 is the new round-11 surface (the build-derived
-# (beam-cap, C) auto-budget law, VERDICT r10 item 1), then the ENTIRE
-# r7-evidence tier (the 49 names whose newest driver evidence is r7 by
-# the CORRECTNESS_r* union: the ANN LSH/PQ/SQ/IVF-PQ search family +
-# graph-index persist/batch/high-recall serving, graph CRUD/degrees/
-# neighbors/traversals/similarity/motif, fulltext search surfaces,
-# facade mutations, cursor streaming, approx aggregates, multimodal,
-# result cache, tx visibility) fills the ~50-query driver budget.
-# After this round the evidence floor rises to r8.
+# Round-12 rotation (per the r11 ROTATION NOTE): there are no r11 reds,
+# so the head is the ENTIRE r8-evidence tier — the 50 names whose
+# newest driver evidence is r8 by the CORRECTNESS_r* union (relational
+# core, joins incl. the Q5 flagship, windows, set ops, facade surfaces,
+# the ann_graph serve/insert/delete/stream/churn family, hybrid RRF,
+# graph algorithm suite, snapshot/tx pins) — exactly filling the ~50
+# driver budget so the evidence floor rises to r9. Position 51 is
+# ann_graph_autobudget_law: its surface CHANGED this round (the
+# nnd_rounds build-depth column + the 262K/524K ladder points), so it
+# re-queues immediately behind the tier (it is selfcheck-verified at
+# both SFs this round either way).
 #
-# ROTATION NOTE (next round, r12): front-load any r11 reds, then the
-# 50-name r8 tier (newest evidence r8 by the CORRECTNESS_r* union:
-# rel_* relational surfaces, joins, windows, facade_*, hybrid_*,
-# streaming windows, text_* pipeline queries), then the r9 names in
-# r13.
+# ROTATION NOTE (next round, r13): front-load any r12 reds, then
+# ann_graph_autobudget_law if r12's budget cut before it, then the
+# 47-name r9 tier (newest evidence r9 by the CORRECTNESS_r* union:
+# text_* pipeline queries, geo, vector brute/filtered kNN family,
+# CSV/JSON/ORC sinks, curation ×4, joins inner/left/right/full/cross/
+# natural/semi/anti, asof, streaming windows), then the r10 names in
+# r14.
 _PRIORITY: list[str] = [
-    # (a) new round-11 surfaces
+    # (a) the full r8-evidence tier (alphabetical)
+    "ann_graph_cdc_stream",
+    "ann_graph_delete_search",
+    "ann_graph_filtered",
+    "ann_graph_insert_persist",
+    "ann_graph_insert_search",
+    "ann_graph_rescore",
+    "ann_graph_rescore_compact",
+    "ann_graph_stream_insert",
+    "dml_delete",
+    "dml_merge_key_stability",
+    "dml_update",
+    "events_gap_fill",
+    "facade_neighbors",
+    "facade_path",
+    "facade_similar",
+    "graph_connected_components",
+    "graph_eigenvector",
+    "graph_kcore",
+    "graph_label_propagation",
+    "graph_node_similarity_jaccard",
+    "graph_pagerank",
+    "graph_triangle_count",
+    "hybrid_rrf_ann",
+    "hybrid_rrf_search",
+    "join_multi_q5",
+    "join_salted_skew",
+    "join_theta",
+    "q1_pricing_summary",
+    "rel_agg_distinct",
+    "rel_agg_global",
+    "rel_agg_group_having",
+    "rel_cast_types",
+    "rel_count_star",
+    "rel_distinct_subset",
+    "rel_filter_condition_tree",
+    "rel_filter_expr_superset",
+    "rel_json_extract",
+    "rel_null_ordering",
+    "rel_order_limit_offset",
+    "rel_percentiles",
+    "rel_pivot",
+    "rel_rollup",
+    "rel_scan_projection",
+    "rel_select_distinct",
+    "rel_set_ops",
+    "sql_api_q1",
+    "tx_wal_recover_abort",
+    "win_rank_lag",
+    "win_running_sum",
+    "win_topk_per_group",
+    # (b) changed-this-round surface, immediately behind the tier
     "ann_graph_autobudget_law",
-    # (b) the full r7-evidence tier (alphabetical)
-    "ann_binary_hamming",
-    "ann_graph_index_persist",
-    "ann_graph_rescore_batch",
-    "ann_graph_rescore_high_recall",
-    "ann_ivf_clusters",
-    "ann_ivfpq_search",
-    "ann_lsh_buckets",
-    "ann_lsh_multiprobe",
-    "ann_pq_search",
-    "ann_sq_search",
-    "cursor_stream_batches",
-    "dml_entity_mutation",
-    "dml_graph_mutation",
-    "dml_vector_mutation",
-    "fulltext_bm25",
-    "fulltext_fuzzy_search",
-    "fulltext_prefix_search",
-    "fulltext_search",
-    "graph_adamic_adar",
-    "graph_aggregate_verbs",
-    "graph_all_weighted_paths",
-    "graph_articulation_points",
-    "graph_bfs_levels",
-    "graph_bridges",
-    "graph_closeness_sampled",
-    "graph_constraint_check",
-    "graph_degrees",
-    "graph_find_edges_by_type",
-    "graph_find_nodes_by_label",
-    "graph_most_similar",
-    "graph_motif_pattern",
-    "graph_neighbors",
-    "graph_neighbors_by_type",
-    "graph_node_similarity_common",
-    "graph_node_similarity_cosine",
-    "graph_preferential_attachment",
-    "graph_resource_allocation",
-    "graph_scc_tarjan",
-    "graph_variable_paths",
-    "graph_weighted_shortest_path",
-    "multimodal_features",
-    "multimodal_metadata",
-    "multimodal_mp4_frames",
-    "rel_approx_distinct",
-    "rel_approx_percentiles",
-    "rel_cube",
-    "result_cache_semantics",
-    "tx_atomic_visibility",
-    "win_distribution_functions",
 ]
 
 

@@ -492,14 +492,15 @@ def stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     (at-least-once delivery, effectively-once state); only the click/view
     partitions are ever rewritten — the other three partition
     directories are untouched by the whole streaming run. The query
-    returns the final COMMITTED table read back from disk."""
-    import shutil
-    import tempfile
-
+    returns the final COMMITTED table read back from disk. Target +
+    checkpoint live under the Spark-visible warehouse scratch
+    (`scratch_dir`); the merge commits through the Hadoop FS API."""
     from neumann_spark.operators.dml import merge_into_partitioned
+    from neumann_spark.session import scratch_dir
 
-    tdir = tempfile.mkdtemp(prefix="neumann_stream_merge_")
-    cpdir = tempfile.mkdtemp(prefix="neumann_stream_merge_cp_")
+    root, cleanup = scratch_dir(spark, "stream_merge_")
+    tdir = f"{root}/target"
+    cpdir = f"{root}/checkpoint"
     try:
         ev = load(spark, sf_dir, "events")
         (
@@ -579,5 +580,4 @@ def stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", "event_type", "n", "stream_wm")
         return out.localCheckpoint(eager=True)
     finally:
-        shutil.rmtree(tdir, ignore_errors=True)
-        shutil.rmtree(cpdir, ignore_errors=True)
+        cleanup()

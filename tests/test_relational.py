@@ -156,11 +156,15 @@ def test_merge_into_rejects_unsafe_partition_values(spark, tmp_path):
 
 def test_merge_into_rolls_back_on_midswap_failure(spark, tmp_path, monkeypatch):
     """A rename failure mid-commit restores every already-swapped
-    partition: the target reads back as the exact pre-merge state."""
+    partition: the target reads back as the exact pre-merge state.
+    The failure is injected at the Hadoop FileSystem seam the commit
+    protocol actually uses (r12: the swap runs on the TABLE's
+    filesystem, never driver-local os.rename)."""
     import os
 
     import pytest as _pt
 
+    import neumann_spark.session as nsession
     from neumann_spark.operators.dml import merge_into_partitioned
 
     tdir = str(tmp_path / "t")
@@ -173,19 +177,29 @@ def test_merge_into_rolls_back_on_midswap_failure(spark, tmp_path, monkeypatch):
 
     src = spark.createDataFrame(
         [(0, "a", 99.0), (1, "b", 88.0)], "k bigint, p string, v double")
-    real_rename = os.rename
-    calls = {"n": 0}
+    real_hfs = nsession.hadoop_fs
 
-    def failing_rename(a, b):
+    class FailingFS:
         # fail the COMMIT rename (stage -> final) of the LAST partition,
         # so 'a' is already fully swapped when 'b' aborts; restore
         # renames (trash -> final) must still succeed for the rollback
-        if ("_stage_" in str(a) and f"{os.sep}p=b" in str(b)
-                and str(tdir) in str(b)):
-            raise OSError("injected rename failure")
-        return real_rename(a, b)
+        def __init__(self, real):
+            self._real = real
 
-    monkeypatch.setattr(os, "rename", failing_rename)
+        def __getattr__(self, name):
+            return getattr(self._real, name)
+
+        def rename(self, a, b):
+            if ("_stage_" in a.toString()
+                    and b.toString().endswith("/p=b")):
+                raise OSError("injected rename failure")
+            return self._real.rename(a, b)
+
+    def patched(spark_, path):
+        fs, jvm = real_hfs(spark_, path)
+        return FailingFS(fs), jvm
+
+    monkeypatch.setattr(nsession, "hadoop_fs", patched)
     with _pt.raises(OSError, match="injected"):
         merge_into_partitioned(spark, tdir, src, ["k"], "p")
     monkeypatch.undo()
@@ -264,8 +278,8 @@ def test_merge_trash_dirs_invisible_to_readers(spark, tmp_path, monkeypatch):
     a kill between the two renames) must never surface as a phantom
     partition: trash dirs are _-prefixed, which parquet readers skip."""
     import os
-    import shutil
 
+    import neumann_spark.session as nsession
     from neumann_spark.operators.dml import merge_into_partitioned
 
     tdir = str(tmp_path / "t")
@@ -274,14 +288,25 @@ def test_merge_trash_dirs_invisible_to_readers(spark, tmp_path, monkeypatch):
         rows, "k bigint, p string, v double"
     ).write.partitionBy("p").parquet(tdir)
 
-    real_rmtree = shutil.rmtree
+    real_hfs = nsession.hadoop_fs
 
-    def keep_trash(path, *a, **kw):
-        if os.path.basename(str(path)).startswith("_old_"):
-            return  # simulate a failed cleanup: the trash dir survives
-        return real_rmtree(path, *a, **kw)
+    class TrashKeepingFS:
+        def __init__(self, real):
+            self._real = real
 
-    monkeypatch.setattr(shutil, "rmtree", keep_trash)
+        def __getattr__(self, name):
+            return getattr(self._real, name)
+
+        def delete(self, p, recursive=True):
+            if p.getName().startswith("_old_"):
+                return True  # simulate a failed cleanup: trash survives
+            return self._real.delete(p, recursive)
+
+    def patched(spark_, path):
+        fs, jvm = real_hfs(spark_, path)
+        return TrashKeepingFS(fs), jvm
+
+    monkeypatch.setattr(nsession, "hadoop_fs", patched)
     src = spark.createDataFrame(
         [(0, "a", 99.0)], "k bigint, p string, v double")
     merge_into_partitioned(spark, tdir, src, ["k"], "p")

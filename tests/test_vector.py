@@ -241,6 +241,100 @@ def test_grouped_pair_distances_matches_pairwise(spark):
     assert len(got) == len(want) > 0
 
 
+def test_nnd_seed_salting_fixture_neutral(spark):
+    """The r12 seed salt (≤GRAPH_SEED_SHARD-member shards) must be a
+    no-op below the shard cap: at fixture occupancy (~20 members per
+    warm cluster at sf0.001) every shard count is 1, so the shipped
+    salted seed's top-M edges are BIT-EQUAL to the unsalted replay —
+    every existing build oracle replays unchanged."""
+    from neumann_spark.catalog import load
+    from neumann_spark.pipeline.ann import (
+        GRAPH_SEED_PROBES,
+        _grouped_pair_distances,
+        _nearest_clusters,
+        _nnd_seed,
+        _top_m_edges,
+        knn_graph_index,
+        unit_embeddings,
+    )
+    from tests.conftest import SF_DIR
+
+    warm_centroids = knn_graph_index(spark, SF_DIR)[2]
+    u = unit_embeddings(load(spark, SF_DIR, "embeddings"))
+    got = _nnd_seed(spark, u, warm_centroids).collect()
+    # the pre-r12 unsalted form: group pairs on the raw cluster id
+    seedcl = _nearest_clusters(
+        spark, u, warm_centroids, GRAPH_SEED_PROBES).select("vec_id", "cl")
+    want = _top_m_edges(
+        _grouped_pair_distances(
+            u, seedcl.select(F.col("cl").alias("key"), "vec_id"))
+        .distinct()).collect()
+    key = lambda r: (r["src"], r["pos"], r["dst"])
+    assert sorted(map(key, got)) == sorted(map(key, want))
+    assert len(got) > 0
+
+
+def test_nnd_seed_salting_bounds_groups(spark, monkeypatch):
+    """With the shard cap forced below fixture occupancy, salting must
+    actually engage: the seeded pair set becomes a strict SUBSET of the
+    unsalted cluster-mate pairs (cross-shard pairs are not seeded — NND
+    rounds recover them), distances on surviving pairs stay bit-equal,
+    and no (cluster, shard) group exceeds ~2× the cap (hash sharding is
+    uneven but bounded in expectation)."""
+    import neumann_spark.pipeline.ann as ann
+    from neumann_spark.catalog import load
+    from tests.conftest import SF_DIR
+
+    warm_centroids = ann.knn_graph_index(spark, SF_DIR)[2]
+    u = ann.unit_embeddings(load(spark, SF_DIR, "embeddings"))
+    seedcl = ann._nearest_clusters(
+        spark, u, warm_centroids, ann.GRAPH_SEED_PROBES
+    ).select("vec_id", "cl")
+    unsalted = ann._grouped_pair_distances(
+        u, seedcl.select(F.col("cl").alias("key"), "vec_id")
+    ).distinct().collect()
+
+    monkeypatch.setattr(ann, "GRAPH_SEED_SHARD", 8)
+    occ = seedcl.groupBy("cl").agg(F.count("*").alias("occ"))
+    keyed = (
+        seedcl.join(F.broadcast(occ), "cl")
+        .select(
+            F.struct(
+                F.col("cl"),
+                F.pmod(F.xxhash64("vec_id"),
+                       F.ceil(F.col("occ") / F.lit(ann.GRAPH_SEED_SHARD))
+                       ).cast("int").alias("sh"),
+            ).alias("key"),
+            "vec_id",
+        )
+    )
+    sizes = [r["c"] for r in
+             keyed.groupBy("key").agg(F.count("*").alias("c")).collect()]
+    assert max(sizes) <= 4 * ann.GRAPH_SEED_SHARD  # slack for hash skew
+    assert len(sizes) > seedcl.select("cl").distinct().count()  # sharded
+    salted = ann._grouped_pair_distances(u, keyed).distinct().collect()
+    key = lambda r: (r["src"], r["dst"], r["d"])
+    sset, uset = set(map(key, salted)), set(map(key, unsalted))
+    assert sset < uset  # strict subset, bit-equal distances where kept
+    assert len(sset) > 0
+
+
+def test_graph_nnd_rounds_law():
+    """Build-depth law (r12): the frozen 2 rounds through 65K — every
+    fixture and the ≤65K ladder replays unchanged — then one round per
+    doubling: 3 @ 131K, 4 @ 262K, 5 @ 524K, 6 @ 1M. Persisted in
+    graph_meta and pinned by the ann_graph_autobudget_law oracle."""
+    from neumann_spark.pipeline.ann import graph_nnd_rounds
+
+    for n in (20, 500, 2000, 20000, 65536):
+        assert graph_nnd_rounds(n) == 2, n
+    assert graph_nnd_rounds(65537) == 3
+    assert graph_nnd_rounds(131072) == 3
+    assert graph_nnd_rounds(262144) == 4
+    assert graph_nnd_rounds(524288) == 5
+    assert graph_nnd_rounds(1_048_576) == 6
+
+
 def test_nnd_build_never_joins_embeddings_unblocked(spark):
     """The scale contract for the r8 build: NO stage of the NN-descent
     edge plan is a cartesian/nested-loop product — every embeddings x
@@ -954,6 +1048,7 @@ def test_graph_index_meta_roundtrip_and_validation_cache(spark):
     meta = session[9]
     assert meta["n"] == 500 and meta["warm_k"] == 45
     assert isinstance(meta["fp"], int)
+    assert meta["nnd_rounds"] == 2  # fixture N: the frozen depth
 
     path = tempfile.mkdtemp(prefix="neumann_meta_rt_")
     try:
@@ -963,6 +1058,7 @@ def test_graph_index_meta_roundtrip_and_validation_cache(spark):
         assert lmeta["n"] == meta["n"]
         assert lmeta["warm_k"] == meta["warm_k"]
         assert lmeta["fp"] == meta["fp"]
+        assert lmeta["nnd_rounds"] == meta["nnd_rounds"]
         assert lmeta["validated"] == {}
         out1 = _graph_rescore_from(
             spark, SF_DIR, loaded, GRAPH_T_LOW).collect()

@@ -50,10 +50,18 @@ def measure(spark, ann, sf_dir: str, index, knobs, anchors, sq: bool):
 
 
 def main() -> None:
-    ns = [int(a) for a in sys.argv[1:] if a.isdigit()] or [65536]
-    n_q = 6  # 1 warmup + 5 timed per arm
-    if "--queries" in sys.argv:
-        n_q = int(sys.argv[sys.argv.index("--queries") + 1]) + 1
+    # flags parse FIRST (ADVICE r11: the old isdigit() sweep captured
+    # the --queries VALUE into the corpus-size list), then positionals
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("ns", nargs="*", type=int, default=[65536],
+                    metavar="N", help="corpus sizes (default 65536)")
+    ap.add_argument("--queries", type=int, default=5,
+                    help="timed queries per arm (default 5)")
+    args = ap.parse_args()
+    ns = args.ns or [65536]
+    n_q = args.queries + 1  # +1: first query per arm is untimed warmup
 
     import neumann_spark.pipeline.ann as ann
     from neumann_spark.session import get_spark
