@@ -1346,7 +1346,9 @@ GRAPH_EDGE_BLOCKS = 32  # persisted edge-table partitions (src % blocks)
 GRAPH_SEED_PROBES = 2  # NN-descent seed: per-node nearest warm clusters
 GRAPH_NND_ROUNDS = 2   # NN-descent refinement rounds at fixture scale; the
 #                        build derives depth from N via graph_nnd_rounds()
-GRAPH_SEED_SHARD = 512  # max members per salted seed pair-group shard
+GRAPH_PAIR_SHARD = 512  # max members per pair-group shard inside
+#                         _grouped_pair_distances (seed clusters AND
+#                         NND neighbourhoods — both can exceed it)
 # compact preset: SQ8 rescore (64 B rows, not 512 B floats) affords a wider
 # shortlist at ~1/8 the rescore read cost — measured 0.908 recall@10 at
 # 0.057 vector-equivalents (tools/ann_recall.py), the first >=0.9 point
@@ -1448,7 +1450,7 @@ def graph_nnd_rounds(n: int) -> int:
     — a graph-quality ceiling only build depth can lift. Depth grows a
     round per doubling past the last N where 2 rounds verifiably hold
     the band: 2 @ ≤65K, 3 @ 131K, 4 @ 262K, 5 @ 524K — O(log N) rounds,
-    so with the salted seed (O(N) pair work, `_nnd_seed`) and the
+    so with the sharded pair kernel (O(N) seed pair work) and the
     O(N·(2M)²)-per-round refinement the whole build is O(N log N).
     Reference bound: HNSW's bounded per-insert candidate work
     (`tensor_store/src/hnsw.rs:1554-2118`) — its bulk equivalent is
@@ -1668,21 +1670,48 @@ def _grouped_pair_distances(u: DataFrame, keyed: DataFrame) -> DataFrame:
     doubles in, bit-equal round-6 distance out. Per-key work is
     |group|² in BOTH forms (the join shuffles the same multiplicity);
     this form additionally materializes one group's vectors plus its
-    |group|²-struct pair array in executor memory. Callers bound
-    |group|: the seed salts its cluster key into ≤GRAPH_SEED_SHARD-
-    member shards before calling (`_nnd_seed`, the r12 knee fix —
-    ≤512 members / ~6 MB pair array at ANY N), and NN-descent rounds
-    group on the 2M-bounded-out + in-tail neighbourhood (~2M for the
-    near-regular graphs NND maintains). The one unbounded residual is
-    a super-hub NND group (in-degree ≫ M, which the top-M re-rank
-    structurally resists); such a graph would salt its endpoint key
-    the same way — NOT implemented, a documented limit."""
+    |group|²-struct pair array in executor memory — so the kernel
+    BOUNDS |group| itself (r12, VERDICT r11 item 1): every key is
+    salted into ≤GRAPH_PAIR_SHARD-member shards via
+    pmod(xxhash64(vec_id), ceil(occ/512)) before grouping, capping the
+    per-group array at ~6 MB at ANY N and ANY caller. This is both the
+    build-cost knee fix (seed groups are √N-occupancy warm clusters:
+    unsalted per-group work is Θ(N^1.5), the measured 1.83 local
+    exponent at 131K→262K) and the heap bound (an NND-round
+    neighbourhood with a long in-degree tail materialized a
+    |group|²-array that OOMed the 131K round-3 build when only the
+    seed was salted). Sharding makes the pair set per group
+    APPROXIMATE — cross-shard pairs are not emitted — which both
+    callers tolerate by construction: they feed a top-M re-rank whose
+    candidates the next NN-descent round re-expands (the exact repair
+    NND exists for). Below the cap the shard count is 1 and the output
+    is bit-identical to the unsharded expansion (every fixture replay:
+    occupancies ≤ ~90 at sf0.001; pinned by
+    test_grouped_pair_distances_matches_pairwise and
+    test_nnd_seed_salting_fixture_neutral). The occupancy aggregate is
+    one map-side-combined count over the membership frame, joined back
+    on the group key."""
     from neumann_spark.functions.vector import dot_expr
 
-    memb = keyed.join(
-        u.select(F.col("vec_id"), F.col("embedding").alias("v")), "vec_id"
-    ).select("key", F.struct(F.col("vec_id").alias("id"), "v").alias("m"))
-    grouped = memb.groupBy("key").agg(F.collect_list("m").alias("nb"))
+    occ = keyed.groupBy("key").agg(F.count("*").alias("occ"))
+    memb = (
+        keyed.join(occ, "key")
+        .select(
+            F.struct(
+                F.col("key"),
+                F.pmod(
+                    F.xxhash64("vec_id"),
+                    F.ceil(F.col("occ") / F.lit(GRAPH_PAIR_SHARD))
+                ).cast("int").alias("sh"),
+            ).alias("gkey"),
+            "vec_id",
+        )
+        .join(u.select(F.col("vec_id"), F.col("embedding").alias("v")),
+              "vec_id")
+        .select("gkey",
+                F.struct(F.col("vec_id").alias("id"), "v").alias("m"))
+    )
+    grouped = memb.groupBy("gkey").agg(F.collect_list("m").alias("nb"))
     # one flat |nb|^2 array of 24 B (src, dst, d) structs per group,
     # exploded ONCE. Deliberately NOT `explode(nb)` + a transform over a
     # carried `nb` column: a generator output row copies every carried
@@ -1733,10 +1762,11 @@ def _nnd_forward_edges(spark: SparkSession, u: DataFrame,
     selection); this is its bulk-join form.
 
     Seed: each node pairs with members of its GRAPH_SEED_PROBES nearest
-    warm clusters, salted into ≤GRAPH_SEED_SHARD-member shards (an
-    equi-join on the sharded cluster key — O(N · min(avg_cluster, 512))
-    pairs, never N^2 and never the unsalted N^1.5 the √N-occupancy
-    clusters cost past 131K); keep the top-M per source. Refine:
+    warm clusters, sharded to ≤GRAPH_PAIR_SHARD members inside the pair
+    kernel (an equi-join on the sharded cluster key —
+    O(N · min(avg_cluster, 512)) pairs, never N^2 and never the
+    unsharded N^1.5 the √N-occupancy clusters cost past 131K); keep the
+    top-M per source. Refine:
     `rounds` NN-descent steps (the caller derives depth from N via
     `graph_nnd_rounds`; default = the frozen fixture constant) —
     candidates = neighbours-of-neighbours over the current graph taken
@@ -1803,45 +1833,27 @@ def _nnd_seed(spark: SparkSession, u: DataFrame,
     """Seed edges: per-node GRAPH_SEED_PROBES nearest warm clusters
     (equi-join on a constant key against the broadcast k-row centroid
     frame — a hash join, not a nested loop — then a per-node window),
-    cluster-mate pairs via a self equi-join on the cluster id — SALTED
-    into ≤GRAPH_SEED_SHARD-member shards — then top-M.
+    cluster-mate pairs via a self equi-join on the cluster id, top-M.
 
-    The salt is the r12 knee fix (VERDICT r11 item 1): warm clusters
-    under the √N grow-K policy hold ~2√N members, so unsalted per-group
-    pair work is |group|² ≈ 4N/K·N = Θ(N^1.5) — the measured 1.83 local
-    build exponent at 131K→262K (2,077 s at 262K). Sharding the group
-    key by `pmod(xxhash64(vec_id), ceil(occ/512))` caps |group| at
-    ~GRAPH_SEED_SHARD so seed pair work is O(N·512) = O(N). Occupancy
-    comes from one map-side-combined count over the membership frame
-    (warm_k rows, broadcast back). A pair split across shards is simply
-    not seeded — NN-descent's neighbours-of-neighbours rounds recover
-    it, exactly the repair NND exists for — while a pair sharing a
-    shard in two probe clusters arises twice with a bit-equal d and the
-    existing distinct folds it. Fixture-scale occupancy (~89 at N=2K,
-    K=45) is under the shard cap, so every shard count is 1 and the
-    seeded pair set — hence every oracle replay — is bit-identical to
-    the unsalted form (pinned by test_nnd_seed_salting_fixture_neutral)."""
+    Warm clusters under the √N grow-K policy hold ~2√N members, so an
+    UNSHARDED within-cluster pair expansion is Θ(N^1.5) — the measured
+    1.83 local build exponent at 131K→262K (2,077 s at 262K, VERDICT
+    r11 item 1). The bound lives inside `_grouped_pair_distances`
+    (r12): the kernel shards every pair group to ≤GRAPH_PAIR_SHARD
+    members, making seed pair work O(N·512) = O(N); a pair split
+    across shards is simply not seeded — NN-descent's
+    neighbours-of-neighbours rounds recover it, exactly the repair NND
+    exists for. Fixture-scale occupancy (~89 at N=2K, K=45) is under
+    the cap, so the seeded pair set — hence every oracle replay — is
+    bit-identical to the unsharded form (pinned by
+    test_nnd_seed_salting_fixture_neutral)."""
     seedcl = _nearest_clusters(
         spark, u, warm_centroids, GRAPH_SEED_PROBES).select("vec_id", "cl")
-    occ = seedcl.groupBy("cl").agg(F.count("*").alias("occ"))
-    keyed = (
-        seedcl.join(F.broadcast(occ), "cl")
-        .select(
-            F.struct(
-                F.col("cl"),
-                F.pmod(
-                    F.xxhash64("vec_id"),
-                    F.ceil(F.col("occ") / F.lit(GRAPH_SEED_SHARD))
-                ).cast("int").alias("sh"),
-            ).alias("key"),
-            "vec_id",
-        )
-    )
-    # cluster-mate pairs scored WITHIN each (cluster, shard) group: a
-    # pair sharing two seed clusters arises twice with a bit-equal d —
-    # distinct folds them, exactly like the former pre-distance
-    # (src, dst) distinct
-    scored = _grouped_pair_distances(u, keyed).distinct()
+    # cluster-mate pairs scored WITHIN each cluster group: a pair sharing
+    # two seed clusters arises twice with a bit-equal d — distinct folds
+    # them, exactly like the former pre-distance (src, dst) distinct
+    scored = _grouped_pair_distances(
+        u, seedcl.select(F.col("cl").alias("key"), "vec_id")).distinct()
     return _top_m_edges(scored)
 
 

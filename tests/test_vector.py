@@ -242,17 +242,18 @@ def test_grouped_pair_distances_matches_pairwise(spark):
 
 
 def test_nnd_seed_salting_fixture_neutral(spark):
-    """The r12 seed salt (≤GRAPH_SEED_SHARD-member shards) must be a
-    no-op below the shard cap: at fixture occupancy (~20 members per
-    warm cluster at sf0.001) every shard count is 1, so the shipped
-    salted seed's top-M edges are BIT-EQUAL to the unsalted replay —
-    every existing build oracle replays unchanged."""
+    """The r12 pair-group shard (<=GRAPH_PAIR_SHARD members, applied
+    inside _grouped_pair_distances) must be a no-op below the cap: at
+    fixture occupancy (~20 members per warm cluster at sf0.001) every
+    shard count is 1, so the shipped seed's top-M edges are BIT-EQUAL
+    to an unsharded _pair_distances replay of the full cluster-mate
+    expansion -- every existing build oracle replays unchanged."""
     from neumann_spark.catalog import load
     from neumann_spark.pipeline.ann import (
         GRAPH_SEED_PROBES,
-        _grouped_pair_distances,
         _nearest_clusters,
         _nnd_seed,
+        _pair_distances,
         _top_m_edges,
         knn_graph_index,
         unit_embeddings,
@@ -262,61 +263,55 @@ def test_nnd_seed_salting_fixture_neutral(spark):
     warm_centroids = knn_graph_index(spark, SF_DIR)[2]
     u = unit_embeddings(load(spark, SF_DIR, "embeddings"))
     got = _nnd_seed(spark, u, warm_centroids).collect()
-    # the pre-r12 unsalted form: group pairs on the raw cluster id
+    # unsharded reference: the explicit self-join pair expansion scored
+    # through the narrow-frame kernel (which never shards)
     seedcl = _nearest_clusters(
         spark, u, warm_centroids, GRAPH_SEED_PROBES).select("vec_id", "cl")
-    want = _top_m_edges(
-        _grouped_pair_distances(
-            u, seedcl.select(F.col("cl").alias("key"), "vec_id"))
-        .distinct()).collect()
+    pairs = (
+        seedcl.alias("a")
+        .join(seedcl.alias("b"), "cl")
+        .select(F.col("a.vec_id").alias("src"),
+                F.col("b.vec_id").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    want = _top_m_edges(_pair_distances(u, pairs).distinct()).collect()
     key = lambda r: (r["src"], r["pos"], r["dst"])
     assert sorted(map(key, got)) == sorted(map(key, want))
     assert len(got) > 0
 
 
-def test_nnd_seed_salting_bounds_groups(spark, monkeypatch):
-    """With the shard cap forced below fixture occupancy, salting must
-    actually engage: the seeded pair set becomes a strict SUBSET of the
-    unsalted cluster-mate pairs (cross-shard pairs are not seeded — NND
-    rounds recover them), distances on surviving pairs stay bit-equal,
-    and no (cluster, shard) group exceeds ~2× the cap (hash sharding is
-    uneven but bounded in expectation)."""
+def test_grouped_pair_distances_shards_oversize_groups(spark, monkeypatch):
+    """With the shard cap forced below group size, the kernel must
+    engage its salt: the emitted pair set becomes a strict SUBSET of
+    the full within-group expansion (cross-shard pairs are not emitted
+    -- NND rounds recover them), distances on surviving pairs stay
+    bit-equal, and the same-shard relation is symmetric (src->dst kept
+    implies dst->src kept)."""
     import neumann_spark.pipeline.ann as ann
     from neumann_spark.catalog import load
     from tests.conftest import SF_DIR
 
-    warm_centroids = ann.knn_graph_index(spark, SF_DIR)[2]
     u = ann.unit_embeddings(load(spark, SF_DIR, "embeddings"))
-    seedcl = ann._nearest_clusters(
-        spark, u, warm_centroids, ann.GRAPH_SEED_PROBES
-    ).select("vec_id", "cl")
-    unsalted = ann._grouped_pair_distances(
-        u, seedcl.select(F.col("cl").alias("key"), "vec_id")
-    ).distinct().collect()
-
-    monkeypatch.setattr(ann, "GRAPH_SEED_SHARD", 8)
-    occ = seedcl.groupBy("cl").agg(F.count("*").alias("occ"))
-    keyed = (
-        seedcl.join(F.broadcast(occ), "cl")
-        .select(
-            F.struct(
-                F.col("cl"),
-                F.pmod(F.xxhash64("vec_id"),
-                       F.ceil(F.col("occ") / F.lit(ann.GRAPH_SEED_SHARD))
-                       ).cast("int").alias("sh"),
-            ).alias("key"),
-            "vec_id",
-        )
+    keyed = u.select((F.col("vec_id") % 3).alias("key"), "vec_id")
+    pairs = (
+        keyed.alias("a")
+        .join(keyed.alias("b"), "key")
+        .select(F.col("a.vec_id").alias("src"),
+                F.col("b.vec_id").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
     )
-    sizes = [r["c"] for r in
-             keyed.groupBy("key").agg(F.count("*").alias("c")).collect()]
-    assert max(sizes) <= 4 * ann.GRAPH_SEED_SHARD  # slack for hash skew
-    assert len(sizes) > seedcl.select("cl").distinct().count()  # sharded
-    salted = ann._grouped_pair_distances(u, keyed).distinct().collect()
-    key = lambda r: (r["src"], r["dst"], r["d"])
-    sset, uset = set(map(key, salted)), set(map(key, unsalted))
-    assert sset < uset  # strict subset, bit-equal distances where kept
+    full = {(r["src"], r["dst"], r["d"])
+            for r in ann._pair_distances(u, pairs).collect()}
+
+    monkeypatch.setattr(ann, "GRAPH_PAIR_SHARD", 8)  # groups are ~167
+    sharded = ann._grouped_pair_distances(u, keyed).distinct().collect()
+    sset = {(r["src"], r["dst"], r["d"]) for r in sharded}
+    assert sset < full  # strict subset, bit-equal distances where kept
     assert len(sset) > 0
+    kept = {(s, d) for s, d, _ in sset}
+    assert all((d, s) in kept for s, d in kept)  # shard symmetry
 
 
 def test_graph_nnd_rounds_law():
