@@ -1688,20 +1688,28 @@ def _grouped_pair_distances(u: DataFrame, keyed: DataFrame) -> DataFrame:
     is bit-identical to the unsharded expansion (every fixture replay:
     occupancies ≤ ~90 at sf0.001; pinned by
     test_grouped_pair_distances_matches_pairwise and
-    test_nnd_seed_salting_fixture_neutral). The occupancy aggregate is
-    one map-side-combined count over the membership frame, joined back
-    on the group key."""
+    test_nnd_seed_salting_fixture_neutral). Cost shape: the occupancy
+    pass is one map-side-combined count, and only the OVERSIZE groups'
+    shard counts travel back — a frame of ≤ memberships/512 rows,
+    explicitly broadcast — so attaching the salt is a map-side left
+    join, never a second shuffle of the membership frame."""
     from neumann_spark.functions.vector import dot_expr
 
-    occ = keyed.groupBy("key").agg(F.count("*").alias("occ"))
+    oversize = (
+        keyed.groupBy("key").agg(F.count("*").alias("occ"))
+        .filter(F.col("occ") > GRAPH_PAIR_SHARD)
+        .select("key", F.ceil(
+            F.col("occ") / F.lit(GRAPH_PAIR_SHARD)).alias("shards"))
+    )
     memb = (
-        keyed.join(occ, "key")
+        keyed.join(F.broadcast(oversize), "key", "left")
         .select(
             F.struct(
                 F.col("key"),
-                F.pmod(
-                    F.xxhash64("vec_id"),
-                    F.ceil(F.col("occ") / F.lit(GRAPH_PAIR_SHARD))
+                F.when(
+                    F.col("shards").isNull(), F.lit(0)
+                ).otherwise(
+                    F.pmod(F.xxhash64("vec_id"), F.col("shards"))
                 ).cast("int").alias("sh"),
             ).alias("gkey"),
             "vec_id",
