@@ -1383,7 +1383,19 @@ GRAPH_COMPACT_SHORTLIST = 150
 GRAPH_AUTO_REF_N = 2000     # calibration corpus size (the measured fixture)
 GRAPH_AUTO_EXP = 0.85       # measured power-law exponent (see above)
 GRAPH_BEAM_MAX = 32         # fixture-scale beam cap (pre-r11 serving law)
-GRAPH_AUTO_SHORTLIST_MAX = 300  # the measured scale-sweep shortlist
+# r12: the shortlist grows ∝ √scale UNCAPPED. The former hard 300-row
+# cap (the r10 scale-sweep setting, calibrated at 20K/65K where 300
+# sufficed) was the ACTUAL 262K recall ceiling: on the same persisted
+# index at the same traversal knobs (20 rounds, beam 128, C 32), recall
+# is 0.865 @ shortlist 300 but 0.918 @ 600 / 0.947 @ 1200 / 0.962 @
+# 2400 (60-anchor probe) — the ADC traversal already finds the true
+# neighbours; a cap that shrinks from 5% of the 2K fixture to 0.11% of
+# 262K buries them below the exact-rescore boundary as ADC near-tie
+# density grows with N. Neither axis of the r11 saturation probe
+# (rounds × beam at the capped shortlist) nor doubled NND build depth
+# moved the number — this is why. Cost: the rescore reads
+# shortlist/N ≈ base·√((N/2000)^0.85)/N rows — a FALLING fraction
+# (0.3% at 262K, 0.01% at 10^8), one bounded semi-join.
 # --- build-derived per-round width (r11, VERDICT r10 item 1) ---------------
 # The r10 law froze beam at 32 and C at 16, so past the cap ROUNDS carried
 # the whole N^0.85 budget growth — ~490 SEQUENTIAL Spark jobs per single
@@ -1436,33 +1448,25 @@ def graph_build_caps(n: int) -> tuple[int, int]:
     return GRAPH_M, beam_cap
 
 
-GRAPH_NND_REF_N = 65536  # largest N where 2 NND rounds hold the 0.9 band
-
-
 def graph_nnd_rounds(n: int) -> int:
     """NN-descent refinement depth for an N-vector build, persisted in
-    graph_meta beside the width caps (the build-side half of the r11
-    serving law). GRAPH_NND_ROUNDS=2 — frozen since r7 — converges the
-    graph through 131K (auto-preset recall ≥0.9, ANN_RECALL.json
-    scale_runs) but UNDER-converges at 262K: auto presets measure
-    0.878/0.874 there and the budget-saturation probe is FLAT at ~0.87
-    under 1×→4× serving-budget widening (262K `budget_saturation_probe`)
-    — a graph-quality ceiling only build depth can lift. Depth grows a
-    round per doubling past the last N where 2 rounds verifiably hold
-    the band: 2 @ ≤65K, 3 @ 131K, 4 @ 262K, 5 @ 524K — O(log N) rounds,
-    so with the sharded pair kernel (O(N) seed pair work) and the
-    O(N·(2M)²)-per-round refinement the whole build is O(N log N).
-    Reference bound: HNSW's bounded per-insert candidate work
-    (`tensor_store/src/hnsw.rs:1554-2118`) — its bulk equivalent is
-    exactly a convergence-depth NN-descent. N ≤ 65536 returns the
-    frozen constant, so every driver fixture and the ≤65K ladder
-    replays are unchanged."""
-    import math
-
-    if n <= GRAPH_NND_REF_N:
-        return GRAPH_NND_ROUNDS
-    return GRAPH_NND_ROUNDS + int(
-        math.ceil(round(math.log2(int(n) / GRAPH_NND_REF_N), 6)))
+    graph_meta beside the width caps. FROZEN at GRAPH_NND_ROUNDS=2 for
+    every N — by measurement, not omission (r12): the 262K recall
+    ceiling the r11 verdict attributed to NND under-convergence was
+    actually the serving shortlist cap. Doubling depth (2 → 4 rounds,
+    a full extra log2 step past the derivation's threshold) on a fresh
+    262K build moved auto-preset recall NOT AT ALL (0.873 vs the
+    2-round 0.878 at the capped shortlist), while uncapping the
+    shortlist on the same index moved it 0.865 → 0.918 → 0.947
+    (300 → 600 → 1200 rows at fixed traversal knobs). Depth costs
+    log2((r+1)/r) of build exponent per doubling — 0.41 at the
+    131K→262K segment — so it stays frozen until some ladder point
+    measures an actual graph-quality ceiling at the UNCAPPED
+    shortlist; the derivation hook, the graph_meta `nnd_rounds`
+    column, and the law-oracle column keep the plumbing ready for
+    that day. Reference bound: HNSW's bounded per-insert candidate
+    work (`tensor_store/src/hnsw.rs:1554-2118`)."""
+    return GRAPH_NND_ROUNDS
 
 
 def graph_auto_budget(n: int, rounds_base: int = GRAPH_T_HIGH,
@@ -1479,8 +1483,10 @@ def graph_auto_budget(n: int, rounds_base: int = GRAPH_T_HIGH,
     then adding rounds. `caps` is the index's build-provisioned
     (c_cap, beam_cap) from graph_meta; None derives them from n (exact
     for any GRAPH_M=32 build — pre-r11 persisted layouts). Shortlist
-    widens ∝ √scale toward the measured 300-row scale setting. N ≤ 2000
-    returns the base knobs exactly (oracle-stable at fixture).
+    widens ∝ √scale UNCAPPED (r12: the former 300-row cap was the
+    measured 262K recall ceiling; the rescore fraction still FALLS with
+    N — see the law constants block). N ≤ 2000 returns the base knobs
+    exactly (oracle-stable at fixture).
 
     With the build-derived caps, rounds — the only sequential term, one
     Spark job each — grow ~log N instead of the r10 law's N^0.85/32:
@@ -1505,11 +1511,12 @@ def graph_auto_budget(n: int, rounds_base: int = GRAPH_T_HIGH,
     rounds = max(rounds_base, int(math.ceil(budget / (beam * c))))
     # round-6 before ceil, like the budget: absorbs last-ulp sqrt/pow
     # differences so the DuckDB replay of this law (the
-    # ann_graph_autobudget_law oracle) computes bit-identical knobs
+    # ann_graph_autobudget_law oracle) computes bit-identical knobs.
+    # UNCAPPED √scale growth (r12): the former 300-row cap was the
+    # measured 262K recall ceiling — see the law constants block.
     shortlist = max(shortlist_base,
-                    min(GRAPH_AUTO_SHORTLIST_MAX,
-                        int(math.ceil(round(
-                            shortlist_base * math.sqrt(scale), 6)))))
+                    int(math.ceil(round(
+                        shortlist_base * math.sqrt(scale), 6))))
     return rounds, beam, c, shortlist
 
 
@@ -4399,7 +4406,8 @@ def ann_graph_rescore_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     tripped and the derivation reproduced the calibrated budget — a lost
     meta table, a miscounted build, or a derivation drift all change the
     traversal and hash-mismatch. The scale story (the same preset names
-    ≥0.9 recall at 20K/65K via derived (18,16,32)/(13,64,32) @300) is
+    ≥0.9 recall at 20K/65K via derived (18,16,32)/(13,64,32) at the
+    √scale shortlist) is
     measured in ANN_RECALL.json scale_runs auto_presets. The compact
     (SQ8) tier is served entirely from persisted structures — the floats
     are never read.
@@ -4486,13 +4494,10 @@ def _autobudget_law_sql() -> str:
         AS rounds,
       CAST(beam AS BIGINT) AS beam,
       CAST(c AS BIGINT) AS c,
-      CAST(GREATEST({GRAPH_SHORTLIST}, LEAST({GRAPH_AUTO_SHORTLIST_MAX},
-           CEIL(ROUND({GRAPH_SHORTLIST} * SQRT(scale), 6)))) AS BIGINT)
+      CAST(GREATEST({GRAPH_SHORTLIST},
+           CEIL(ROUND({GRAPH_SHORTLIST} * SQRT(scale), 6))) AS BIGINT)
         AS shortlist,
-      CAST(CASE WHEN n <= {GRAPH_NND_REF_N} THEN {GRAPH_NND_ROUNDS}
-           ELSE {GRAPH_NND_ROUNDS}
-             + CEIL(ROUND(LOG2(n / {GRAPH_NND_REF_N}.0), 6))
-           END AS BIGINT) AS nnd_rounds
+      CAST({GRAPH_NND_ROUNDS} AS BIGINT) AS nnd_rounds
     FROM spent
     ORDER BY n
     """

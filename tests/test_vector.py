@@ -315,19 +315,15 @@ def test_grouped_pair_distances_shards_oversize_groups(spark, monkeypatch):
 
 
 def test_graph_nnd_rounds_law():
-    """Build-depth law (r12): the frozen 2 rounds through 65K — every
-    fixture and the ≤65K ladder replays unchanged — then one round per
-    doubling: 3 @ 131K, 4 @ 262K, 5 @ 524K, 6 @ 1M. Persisted in
-    graph_meta and pinned by the ann_graph_autobudget_law oracle."""
+    """Build depth is FROZEN at 2 by measurement (r12): doubled depth
+    at 262K moved recall not at all (the ceiling was the shortlist
+    cap), so the derivation returns the constant at every N; the hook
+    + graph_meta column + law-oracle column keep the plumbing ready
+    for a ladder point that measures real under-convergence."""
     from neumann_spark.pipeline.ann import graph_nnd_rounds
 
-    for n in (20, 500, 2000, 20000, 65536):
+    for n in (20, 500, 2000, 20000, 65536, 131072, 262144, 1_048_576):
         assert graph_nnd_rounds(n) == 2, n
-    assert graph_nnd_rounds(65537) == 3
-    assert graph_nnd_rounds(131072) == 3
-    assert graph_nnd_rounds(262144) == 4
-    assert graph_nnd_rounds(524288) == 5
-    assert graph_nnd_rounds(1_048_576) == 6
 
 
 def test_nnd_build_never_joins_embeddings_unblocked(spark):
@@ -981,13 +977,19 @@ def test_graph_auto_budget_law():
     # same total candidate budget as the r10 measured restorations,
     # split into build-provisioned width instead of rounds
     assert graph_build_caps(20000) == (GRAPH_M, 16)
+    # shortlist grows ∝ √scale UNCAPPED (r12: the 300-row cap was the
+    # measured 262K recall ceiling — 0.865 @ 300 vs 0.947 @ 1200 on
+    # the same index at the same traversal knobs)
     assert graph_auto_budget(
         20000, GRAPH_T_HIGH, shortlist_base=GRAPH_COMPACT_SHORTLIST
-    ) == (18, 16, 32, 300)
+    ) == (18, 16, 32, 400)
     assert graph_build_caps(65536) == (GRAPH_M, 64)
     assert graph_auto_budget(
         65536, GRAPH_T_HIGH, shortlist_base=GRAPH_COMPACT_SHORTLIST
-    ) == (13, 64, 32, 300)
+    ) == (13, 64, 32, 661)
+    assert graph_auto_budget(
+        262144, GRAPH_T_HIGH, shortlist_base=GRAPH_COMPACT_SHORTLIST
+    ) == (20, 128, 32, 1192)
     # the headline: rounds — the only sequential term — stay ~log N;
     # at 131K rounds ≤ 1.5× the 65K r10 setting (49), at 1M they are
     # ~17 vs the r10 law's ~490 sequential Spark jobs

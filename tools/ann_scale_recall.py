@@ -360,6 +360,18 @@ def main() -> None:
     path = os.path.join(root, "ANN_RECALL.json")
     with open(path) as f:
         doc = json.load(f)
+    # a reload run re-measures SERVING (recall, fractions, knobs) on the
+    # same persisted artifact — its build cost is a property of that
+    # artifact, so carry the prior fresh-build number forward instead of
+    # nulling the ladder point every time a serving law is re-measured
+    if block["build_sec"] is None:
+        for r in doc.get("scale_runs", []):
+            if (r["n_vectors"] == n and r["warm_k"] == block["warm_k"]
+                    and r.get("build_sec") is not None):
+                block["build_sec"] = r["build_sec"]
+                print(f"build_sec {r['build_sec']} carried from the "
+                      "prior fresh build of this persisted index",
+                      file=sys.stderr)
     runs = [r for r in doc.get("scale_runs", [])
             if not (r["n_vectors"] == n
                     and r["warm_k"] == block["warm_k"])]
