@@ -612,8 +612,70 @@ PQ_FINE_K = 64
 _PQ_FINE_CACHE: dict[tuple[int, str], tuple[DataFrame, list]] = {}
 
 
+def _super_split(centroids: list, k2: int | None = None,
+                 iters: int | None = None):
+    """Deterministic driver-side mini-Lloyd over a CODEBOOK — the K
+    centroids themselves — yielding the two-level routing tables for the
+    warm-stage assignment (VERDICT r12 item 1). The flat Lloyd assignment
+    joins every row to all K = √N centroids, an O(N·K) = O(N^1.5) fan-out
+    per iteration (the measured residual build exponent, DESIGN.md); here
+    rows route through ~√K super-centroids and score only the probed
+    supers' member centroids — O(N·√K) = O(N^1.25) worst case. The
+    codebook is K ≤ ~1000 rows even at N = 1M, so clustering it on the
+    driver is microseconds and adds no Spark stage. Reference bound:
+    HNSW's layered entry (upper layers route to a bounded lower-layer
+    neighbourhood, `tensor_store/src/hnsw.rs:1554-2118`).
+
+    Deterministic by construction: centroids sorted by code, index % k2
+    init (mirroring the vec_id % k row init), round-6 distances with
+    first-min (= lowest live sid) tie-breaks, float64 throughout.
+
+    Returns (supers, members): supers = [(sid, vec)] — the vectors that
+    PRODUCED the final assignment (the same produced-by discipline as the
+    PQ LUT oracle); members = [(sid, code, vec)] with every centroid in
+    exactly one super. Supers left empty by the final assignment are
+    dropped from BOTH (probing one could never yield a candidate)."""
+    import math
+
+    import numpy as np
+
+    cents = sorted((int(c), [float(x) for x in v]) for c, v in centroids)
+    K = len(cents)
+    if k2 is None:
+        k2 = max(1, int(round(math.sqrt(K))))
+    if iters is None:
+        iters = GRAPH_SUPER_ITERS
+    V = np.array([v for _, v in cents], dtype=np.float64)
+    assign = np.arange(K) % k2
+    live = np.unique(assign)
+    sup = np.stack([V[assign == s].mean(axis=0) for s in live])
+    for _ in range(iters):
+        live = np.unique(assign)
+        sup = np.stack([V[assign == s].mean(axis=0) for s in live])
+        d = ((V[:, None, :] - sup[None, :, :]) ** 2).sum(axis=2).round(6)
+        assign = live[np.argmin(d, axis=1)]  # first min = lowest live sid
+    kept = {int(s) for s in np.unique(assign)}
+    sid_pos = {int(s): i for i, s in enumerate(live)}
+    supers = [(int(s), [float(x) for x in sup[sid_pos[int(s)]]])
+              for s in sorted(kept)]
+    members = [(int(assign[i]), code, vec)
+               for i, (code, vec) in enumerate(cents)]
+    return supers, members
+
+
+def _super_probe_expr(vec: Column, supers: list, p: int) -> Column:
+    """Ids of the `p` nearest super-centroids to `vec` by (round-6
+    squared distance, sid) — an inline argsort over ~√K literal structs,
+    plannable and codegen-cheap where the K-literal form is not."""
+    arr = F.array_sort(F.array(*[
+        F.struct(_sq_dist_expr(vec, v).alias("d"),
+                 F.lit(int(sid)).alias("sid"))
+        for sid, v in supers]))
+    return F.transform(F.slice(arr, 1, p), lambda s: s["sid"])
+
+
 def pq_build_joined(emb: DataFrame, S: int, subdim: int, k: int,
-                    iters: int = PQ_ITERS):
+                    iters: int = PQ_ITERS, two_level: bool | None = None):
     """Deterministic Lloyd identical in semantics to `pq_build`, but built
     for LARGE codebooks (S x k in the hundreds+): candidates come from a
     broadcast join against a (s, code, centroid) frame instead of S*k
@@ -625,7 +687,18 @@ def pq_build_joined(emb: DataFrame, S: int, subdim: int, k: int,
     groupBy is the same single shuffle the literal form avoids only by
     being unplannable. Tie-breaks, rounding, and empty-cell handling match
     `pq_build` (and the SQL oracle) exactly: ROUND(d, 6), lexicographic
-    (d, code) min, codes vanish when their cell empties."""
+    (d, code) min, codes vanish when their cell empties.
+
+    `two_level` routes each iteration's assignment through ~√k
+    super-centroids (see `_super_split`) — O(N·√k) candidate rows per
+    iteration instead of O(N·k), the fix for the warm stage's residual
+    O(N^1.5) at warm-k = √N (VERDICT r12 item 1). None = auto: only the
+    single-subspace warm quantizer above GRAPH_TWO_LEVEL_MIN_K clusters
+    (fixture builds, k = 45 ≤ the gate, stay on the flat join — every
+    oracle replay bit-identical); the multi-subspace PQ codebooks
+    (k ≤ 64) never route."""
+    use_two_level = (two_level if two_level is not None
+                     else (S == 1 and k > GRAPH_TWO_LEVEL_MIN_K))
     emb_d = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -665,14 +738,47 @@ def pq_build_joined(emb: DataFrame, S: int, subdim: int, k: int,
                 F.lit(0.0), lambda a, x: a + x),
             6,
         )
-        codes_long = (
-            subs.join(F.broadcast(cent), "s")
-            .select("vec_id", "s", d.alias("d"), "code")
-            .groupBy("vec_id", "s")
-            .agg(F.min(F.struct("d", "code")).alias("m"))
-            .select("vec_id", "s", F.col("m.code").alias("code"))
-            .localCheckpoint(eager=False)
-        )
+        if use_two_level:
+            # two-level assignment (VERDICT r12 item 1): route each row
+            # through its GRAPH_SUPER_PROBES nearest super-centroids and
+            # score ONLY their member centroids — O(N·√k) candidate rows
+            # per iteration instead of the flat join's O(N·k), which at
+            # warm-k = √N is the build's residual O(N^1.5) term. The
+            # argmin semantics inside the candidate set are unchanged
+            # (round-6 d, lexicographic (d, code) min); a row whose true
+            # nearest centroid lives in an unprobed super lands in its
+            # best PROBED cell — a clustering approximation the ladder
+            # recall gate bounds end-to-end, exactly like the pair-shard
+            # kernel's cross-shard loss. Exhaustive probes (p ≥ #supers)
+            # are bit-equal to the flat join — pinned by
+            # test_two_level_assignment_exhaustive_matches_flat.
+            cent_list = sorted(
+                (int(r["code"]), [float(x) for x in r["cent"]])
+                for r in cent.collect())
+            supers, member_rows = _super_split(cent_list)
+            members = emb.sparkSession.createDataFrame(
+                member_rows, "sid int, code int, cent array<double>")
+            probes = _super_probe_expr(
+                F.col("sub"), supers, GRAPH_SUPER_PROBES)
+            codes_long = (
+                subs.select("vec_id", "s", "sub",
+                            F.explode(probes).alias("sid"))
+                .join(F.broadcast(members), "sid")
+                .select("vec_id", "s", d.alias("d"), "code")
+                .groupBy("vec_id", "s")
+                .agg(F.min(F.struct("d", "code")).alias("m"))
+                .select("vec_id", "s", F.col("m.code").alias("code"))
+                .localCheckpoint(eager=False)
+            )
+        else:
+            codes_long = (
+                subs.join(F.broadcast(cent), "s")
+                .select("vec_id", "s", d.alias("d"), "code")
+                .groupBy("vec_id", "s")
+                .agg(F.min(F.struct("d", "code")).alias("m"))
+                .select("vec_id", "s", F.col("m.code").alias("code"))
+                .localCheckpoint(eager=False)
+            )
     cent_rows = cent.collect()
     codebooks: list[list[tuple[int, list[float]]]] = [
         sorted(
@@ -1349,6 +1455,20 @@ GRAPH_NND_ROUNDS = 2   # NN-descent refinement rounds at fixture scale; the
 GRAPH_PAIR_SHARD = 512  # max members per pair-group shard inside
 #                         _grouped_pair_distances (seed clusters AND
 #                         NND neighbourhoods — both can exceed it)
+# --- two-level (super-centroid) warm assignment (r13) -----------------------
+# The warm Lloyd assignment and the seed-probe ranking both fan every row
+# out to ALL K = √N warm centroids — O(N^1.5), the residual build term the
+# r12 ladder measured drifting toward (segment exponents 0.96 → 1.21).
+# Above the gate, rows route through ~√K super-centroids (driver-side
+# mini-Lloyd over the codebook, `_super_split`) and score only the probed
+# supers' members: O(N·√K) = O(N^1.25) worst case. Fixture builds
+# (warm-K = 45) stay below the gate on the flat exact path, so every
+# oracle replay is bit-identical; the first activation is N > 16,384.
+GRAPH_TWO_LEVEL_MIN_K = 128
+GRAPH_SUPER_PROBES = 4   # supers probed per row (≥ any caller's top-p; a
+#                          probed super contributes ~√K member candidates)
+GRAPH_SUPER_ITERS = 3    # driver-side mini-Lloyd iterations over the K
+#                          centroids (matches GRAPH_WARM_ITERS' depth)
 # compact preset: SQ8 rescore (64 B rows, not 512 B floats) affords a wider
 # shortlist at ~1/8 the rescore read cost — measured 0.908 recall@10 at
 # 0.057 vector-equivalents (tools/ann_recall.py), the first >=0.9 point
@@ -1655,7 +1775,8 @@ def _pair_distances(u: DataFrame, pairs: DataFrame) -> DataFrame:
     )
 
 
-def _grouped_pair_distances(u: DataFrame, keyed: DataFrame) -> DataFrame:
+def _grouped_pair_distances(u: DataFrame, keyed: DataFrame,
+                            telemetry: dict | None = None) -> DataFrame:
     """(key, vec_id) group membership -> (src, dst, d) for every ordered
     within-group pair (src != dst), distances computed INSIDE the group.
 
@@ -1679,9 +1800,15 @@ def _grouped_pair_distances(u: DataFrame, keyed: DataFrame) -> DataFrame:
     this form additionally materializes one group's vectors plus its
     |group|²-struct pair array in executor memory — so the kernel
     BOUNDS |group| itself (r12, VERDICT r11 item 1): every key is
-    salted into ≤GRAPH_PAIR_SHARD-member shards via
-    pmod(xxhash64(vec_id), ceil(occ/512)) before grouping, capping the
-    per-group array at ~6 MB at ANY N and ANY caller. This is both the
+    salted into shards of ≤GRAPH_PAIR_SHARD EXPECTED members via
+    pmod(xxhash64(vec_id), ceil(occ/512)) before grouping — an expected
+    (not hard) bound: hash variance lets a shard exceed the cap, worst
+    in relative terms at 2 shards where a ~±2% multinomial tail puts
+    ~530 of 1024 members in one shard (~6.6 MB array vs the ~6 MB
+    expectation — far inside the heap headroom the cap provisions). A
+    hard cap would need a row_number() % shards split, i.e. a second
+    window shuffle of the membership frame, which the broadcast salt
+    exists to avoid (ADVICE r12). This is both the
     build-cost knee fix (seed groups are √N-occupancy warm clusters:
     unsalted per-group work is Θ(N^1.5), the measured 1.83 local
     exponent at 131K→262K) and the heap bound (an NND-round
@@ -1699,15 +1826,40 @@ def _grouped_pair_distances(u: DataFrame, keyed: DataFrame) -> DataFrame:
     pass is one map-side-combined count, and only the OVERSIZE groups'
     shard counts travel back — a frame of ≤ memberships/512 rows,
     explicitly broadcast — so attaching the salt is a map-side left
-    join, never a second shuffle of the membership frame."""
+    join, never a second shuffle of the membership frame.
+
+    `telemetry` (a mutable dict, VERDICT r12 item 7) accumulates
+    (pair_groups_sharded, pair_max_shards, pair_dropped_est — the
+    Σ occ²·(1−1/shards) count of cross-shard pairs not seeded) across
+    kernel calls via one extra 1-row aggregate on the oversize frame,
+    checkpointed so the plan isn't computed twice. The build threads it
+    into graph_meta, making any future ladder recall drop attributable
+    to shard loss in one read."""
     from neumann_spark.functions.vector import dot_expr
 
     oversize = (
         keyed.groupBy("key").agg(F.count("*").alias("occ"))
         .filter(F.col("occ") > GRAPH_PAIR_SHARD)
-        .select("key", F.ceil(
+        .select("key", "occ", F.ceil(
             F.col("occ") / F.lit(GRAPH_PAIR_SHARD)).alias("shards"))
     )
+    if telemetry is not None:
+        oversize = oversize.localCheckpoint(eager=True)
+        trow = oversize.agg(
+            F.count("*").alias("g"),
+            F.coalesce(F.max("shards"), F.lit(0)).alias("mx"),
+            F.coalesce(
+                F.sum(F.col("occ") * F.col("occ")
+                      * (1.0 - 1.0 / F.col("shards"))),
+                F.lit(0.0)).alias("dropped"),
+        ).collect()[0]
+        telemetry["pair_groups_sharded"] = (
+            telemetry.get("pair_groups_sharded", 0) + int(trow["g"]))
+        telemetry["pair_max_shards"] = max(
+            telemetry.get("pair_max_shards", 0), int(trow["mx"]))
+        telemetry["pair_dropped_est"] = (
+            telemetry.get("pair_dropped_est", 0) + int(trow["dropped"]))
+    oversize = oversize.drop("occ")
     memb = (
         keyed.join(F.broadcast(oversize), "key", "left")
         .select(
@@ -1769,7 +1921,8 @@ def _top_m_edges(scored: DataFrame, m: int = GRAPH_M) -> DataFrame:
 
 def _nnd_forward_edges(spark: SparkSession, u: DataFrame,
                        warm_centroids: list,
-                       rounds: int = GRAPH_NND_ROUNDS) -> DataFrame:
+                       rounds: int = GRAPH_NND_ROUNDS,
+                       telemetry: dict | None = None) -> DataFrame:
     """Scale-correct kNN-graph build: Lloyd-cluster-blocked seeding +
     NN-descent refinement (Dong et al., WWW'11), replacing the former
     all-pairs broadcast join. Reference insert-path analog:
@@ -1792,9 +1945,10 @@ def _nnd_forward_edges(spark: SparkSession, u: DataFrame,
     (0.931 vs 0.926 @ T=10); the differential test pins the overlap.
     Every stage is an equi-join or a per-source window — no stage joins
     embeddings x embeddings unblocked (plan-asserted)."""
-    nn = _nnd_seed(spark, u, warm_centroids).localCheckpoint(eager=True)
+    nn = _nnd_seed(
+        spark, u, warm_centroids, telemetry).localCheckpoint(eager=True)
     for _ in range(rounds):
-        nn = _nnd_round(u, nn).localCheckpoint(eager=True)
+        nn = _nnd_round(u, nn, telemetry).localCheckpoint(eager=True)
     return nn
 
 
@@ -1815,17 +1969,27 @@ def _reverse_edges(fwd: DataFrame) -> DataFrame:
 
 
 def _nearest_clusters(spark: SparkSession, u: DataFrame,
-                      warm_centroids: list, p: int) -> DataFrame:
+                      warm_centroids: list, p: int,
+                      two_level: bool | None = None) -> DataFrame:
     """(vec_id, cl, rn): each node's `p` nearest warm clusters by (round6
     squared distance, cl), rn = 1-based nearness rank. The constant join
     key is computed per-row
     (pmod) rather than a literal: a lit(0) key constant-folds to `true`
     and Catalyst plans a BroadcastNestedLoopJoin, while the data-borne
     key keeps this a BroadcastHashJoin — same fan-out, assertable plan
-    shape."""
-    cent_df = spark.createDataFrame(
-        [(0, int(c), [float(x) for x in v]) for c, v in warm_centroids],
-        "j int, cl int, cent array<double>")
+    shape.
+
+    Above GRAPH_TWO_LEVEL_MIN_K clusters the flat form fans every row to
+    all K = √N centroids AND drags the N·K candidate rows through the
+    rank window — the seed stage's own O(N^1.5) (VERDICT r12 item 1).
+    There rows route through their GRAPH_SUPER_PROBES nearest
+    super-centroids (`_super_split` over the codebook) and rank only the
+    probed supers' ~√K members each: O(N·√K) candidates. Ranks within
+    the candidate set keep the exact (d, cl) order; a cluster outside
+    every probed super is unseen — the same bounded approximation as the
+    pair-shard kernel, repaired by the NND rounds and gated end-to-end
+    by the ladder recall. Fixture indexes (K = 45) stay flat/exact;
+    exhaustive probes are bit-equal to flat (differential-tested)."""
     dcl = F.round(
         F.aggregate(
             F.zip_with("embedding", "cent", lambda x, c: (x - c) * (x - c)),
@@ -1833,6 +1997,25 @@ def _nearest_clusters(spark: SparkSession, u: DataFrame,
         6,
     )
     wc = Window.partitionBy("vec_id").orderBy("d", "cl")
+    use2 = (two_level if two_level is not None
+            else len(warm_centroids) > GRAPH_TWO_LEVEL_MIN_K)
+    if use2:
+        supers, member_rows = _super_split(warm_centroids)
+        members = spark.createDataFrame(
+            member_rows, "sid int, cl int, cent array<double>")
+        probes = _super_probe_expr(
+            F.col("embedding"), supers, max(GRAPH_SUPER_PROBES, p))
+        return (
+            u.select("vec_id", "embedding", F.explode(probes).alias("sid"))
+            .join(F.broadcast(members), "sid")
+            .select("vec_id", "cl", dcl.alias("d"))
+            .withColumn("rn", F.row_number().over(wc))
+            .filter(F.col("rn") <= p)
+            .select("vec_id", "cl", "rn")
+        )
+    cent_df = spark.createDataFrame(
+        [(0, int(c), [float(x) for x in v]) for c, v in warm_centroids],
+        "j int, cl int, cent array<double>")
     return (
         u.withColumn("j", F.pmod(F.col("vec_id"), F.lit(1)).cast("int"))
         .join(F.broadcast(cent_df), "j")
@@ -1844,7 +2027,8 @@ def _nearest_clusters(spark: SparkSession, u: DataFrame,
 
 
 def _nnd_seed(spark: SparkSession, u: DataFrame,
-              warm_centroids: list) -> DataFrame:
+              warm_centroids: list,
+              telemetry: dict | None = None) -> DataFrame:
     """Seed edges: per-node GRAPH_SEED_PROBES nearest warm clusters
     (equi-join on a constant key against the broadcast k-row centroid
     frame — a hash join, not a nested loop — then a per-node window),
@@ -1868,11 +2052,13 @@ def _nnd_seed(spark: SparkSession, u: DataFrame,
     # two seed clusters arises twice with a bit-equal d — distinct folds
     # them, exactly like the former pre-distance (src, dst) distinct
     scored = _grouped_pair_distances(
-        u, seedcl.select(F.col("cl").alias("key"), "vec_id")).distinct()
+        u, seedcl.select(F.col("cl").alias("key"), "vec_id"),
+        telemetry).distinct()
     return _top_m_edges(scored)
 
 
-def _nnd_round(u: DataFrame, nn: DataFrame) -> DataFrame:
+def _nnd_round(u: DataFrame, nn: DataFrame,
+               telemetry: dict | None = None) -> DataFrame:
     """One NN-descent refinement round: candidates = neighbours-of-
     neighbours over the current graph in both directions (an equi-join of
     the direction-closed edge set with itself on the shared endpoint)
@@ -1891,7 +2077,7 @@ def _nnd_round(u: DataFrame, nn: DataFrame) -> DataFrame:
     # narrow-frame scoring and the distinct folds the bit-equal overlaps
     non = _grouped_pair_distances(
         u, nbdir.select(F.col("src").alias("key"),
-                        F.col("dst").alias("vec_id")))
+                        F.col("dst").alias("vec_id")), telemetry)
     cur = _pair_distances(
         u, nn.select("src", "dst").filter(F.col("src") != F.col("dst")))
     return _top_m_edges(non.union(cur).distinct())
@@ -1977,7 +2163,9 @@ def _build_graph_index(spark: SparkSession, emb: DataFrame) -> tuple:
     warm_centroids = warm_books[0]
 
     nnd_rounds = graph_nnd_rounds(n)
-    fwd = _nnd_forward_edges(spark, u, warm_centroids, rounds=nnd_rounds)
+    shard_tel: dict = {}
+    fwd = _nnd_forward_edges(spark, u, warm_centroids, rounds=nnd_rounds,
+                             telemetry=shard_tel)
     edges = fwd.unionByName(_reverse_edges(fwd)).localCheckpoint(eager=True)
 
     codes_w, codebooks = pq_build_joined(
@@ -2034,6 +2222,14 @@ def _build_graph_index(spark: SparkSession, emb: DataFrame) -> tuple:
             "fp": int(srow["fp"]) if srow["fp"] is not None else 0,
             "c_cap": c_cap, "beam_cap": beam_cap,
             "nnd_rounds": nnd_rounds,
+            # pair-kernel shard telemetry (VERDICT r12 item 7): how many
+            # groups the ≤512-member shard touched across seed + NND
+            # rounds, the widest split, and the estimated cross-shard
+            # pair count not seeded — zero at fixture scale, and the
+            # one-read diagnostic if a ladder point's recall ever drops
+            "shard_groups": int(shard_tel.get("pair_groups_sharded", 0)),
+            "shard_max": int(shard_tel.get("pair_max_shards", 0)),
+            "shard_dropped_est": int(shard_tel.get("pair_dropped_est", 0)),
             "validated": {}}
     return (edges, warm_codes.localCheckpoint(eager=True), warm_centroids,
             codes_long, codebooks, u, sq_codes, sq_lo, sq_hi, meta)
@@ -2355,6 +2551,11 @@ def _meta_advance(meta: dict | None, u_batch: DataFrame,
             # fact about the persisted edges, carried unchanged like
             # the caps; a rebuild re-derives it from the new N
             "nnd_rounds": meta.get("nnd_rounds"),
+            # build-time shard telemetry is a fact about the persisted
+            # edges, carried unchanged like the caps
+            "shard_groups": meta.get("shard_groups"),
+            "shard_max": meta.get("shard_max"),
+            "shard_dropped_est": meta.get("shard_dropped_est"),
             "validated": {}}
 
 
@@ -3757,9 +3958,16 @@ def save_graph_index_frames(spark: SparkSession, index: tuple,
                 else None,
                 int(meta["nnd_rounds"])
                 if meta.get("nnd_rounds") is not None else None,
+                int(meta["shard_groups"])
+                if meta.get("shard_groups") is not None else None,
+                int(meta["shard_max"])
+                if meta.get("shard_max") is not None else None,
+                int(meta["shard_dropped_est"])
+                if meta.get("shard_dropped_est") is not None else None,
             )],
             "n bigint, warm_k int, fp bigint, c_cap int, beam_cap int, "
-            "nnd_rounds int",
+            "nnd_rounds int, shard_groups int, shard_max int, "
+            "shard_dropped_est bigint",
         ).write.mode("overwrite").parquet(f"{path}/graph_meta")
 
 
@@ -3818,6 +4026,15 @@ def load_graph_index(spark: SparkSession, path: str) -> tuple:
             "nnd_rounds": int(mrow["nnd_rounds"])
             if mrow.get("nnd_rounds") is not None
             else graph_nnd_rounds(int(mrow["n"])),
+            # pre-r13 layouts persist no shard telemetry: ride through
+            # as None (re-persisting keeps the columns null — "unknown",
+            # distinct from a measured 0)
+            "shard_groups": int(mrow["shard_groups"])
+            if mrow.get("shard_groups") is not None else None,
+            "shard_max": int(mrow["shard_max"])
+            if mrow.get("shard_max") is not None else None,
+            "shard_dropped_est": int(mrow["shard_dropped_est"])
+            if mrow.get("shard_dropped_est") is not None else None,
             "validated": {},
         }
     except Exception as exc:  # narrow: ONLY a missing path may fall back

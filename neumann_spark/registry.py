@@ -43,79 +43,82 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 # every round. Each round the list is rotated toward never-driver-sampled
 # queries; queries not listed keep their registration order after these.
 #
-# Round-12 rotation (per the r11 ROTATION NOTE): there are no r11 reds,
-# so the head is the ENTIRE r8-evidence tier — the 50 names whose
-# newest driver evidence is r8 by the CORRECTNESS_r* union (relational
-# core, joins incl. the Q5 flagship, windows, set ops, facade surfaces,
-# the ann_graph serve/insert/delete/stream/churn family, hybrid RRF,
-# graph algorithm suite, snapshot/tx pins) — exactly filling the ~50
-# driver budget so the evidence floor rises to r9. Position 51 is
-# ann_graph_autobudget_law: its surface CHANGED this round (the
-# nnd_rounds build-depth column + the 262K/524K ladder points), so it
-# re-queues immediately behind the tier (it is selfcheck-verified at
-# both SFs this round either way).
+# Round-13 rotation (per the r12 ROTATION NOTE): there are no r12 reds.
+# Position 1 is ann_graph_autobudget_law — its surface changed in r12
+# (nnd_rounds column + uncapped shortlist) and the r12 driver budget cut
+# before its slot 51, so it front-loads. Then the ENTIRE 47-name
+# r9-evidence tier (newest driver evidence r9 by the CORRECTNESS_r*
+# union: text_* pipeline queries, geo, the vector brute/filtered kNN
+# family, CSV/JSON/ORC sinks, curation, joins core incl. as-of,
+# streaming windows, the batch/churn ANN serving family) — the ~50
+# driver budget covers 1+47 with ~2 slots of spill, so the evidence
+# floor rises to r10. The spill tail is r10 names whose surface this
+# round TOUCHED (persist layout gained shard-telemetry columns; the
+# auto-serving family reads graph_meta): ann_index_persist_roundtrip
+# first, then the auto/IVF serving names.
 #
-# ROTATION NOTE (next round, r13): front-load any r12 reds, then
-# ann_graph_autobudget_law if r12's budget cut before it, then the
-# 47-name r9 tier (newest evidence r9 by the CORRECTNESS_r* union:
-# text_* pipeline queries, geo, vector brute/filtered kNN family,
-# CSV/JSON/ORC sinks, curation ×4, joins inner/left/right/full/cross/
-# natural/semi/anti, asof, streaming windows), then the r10 names in
-# r14.
+# ROTATION NOTE (next round, r14): front-load any r13 reds, then the
+# remaining r10-evidence tier (~45 names after the r13 spill: dedup ×7,
+# cypher ×4, unified ×4, graph distributed twins + Louvain/Boruvka/
+# betweenness, snapshots/WAL, DDL/FK/cursor/checkpoint, IVF-PQ presets,
+# multimodal, pipeline curation), then r11 names in r15.
 _PRIORITY: list[str] = [
-    # (a) the full r8-evidence tier (alphabetical)
-    "ann_graph_cdc_stream",
-    "ann_graph_delete_search",
-    "ann_graph_filtered",
-    "ann_graph_insert_persist",
-    "ann_graph_insert_search",
-    "ann_graph_rescore",
-    "ann_graph_rescore_compact",
-    "ann_graph_stream_insert",
-    "dml_delete",
-    "dml_merge_key_stability",
-    "dml_update",
-    "events_gap_fill",
-    "facade_neighbors",
-    "facade_path",
-    "facade_similar",
-    "graph_connected_components",
-    "graph_eigenvector",
-    "graph_kcore",
-    "graph_label_propagation",
-    "graph_node_similarity_jaccard",
-    "graph_pagerank",
-    "graph_triangle_count",
-    "hybrid_rrf_ann",
-    "hybrid_rrf_search",
-    "join_multi_q5",
-    "join_salted_skew",
-    "join_theta",
-    "q1_pricing_summary",
-    "rel_agg_distinct",
-    "rel_agg_global",
-    "rel_agg_group_having",
-    "rel_cast_types",
-    "rel_count_star",
-    "rel_distinct_subset",
-    "rel_filter_condition_tree",
-    "rel_filter_expr_superset",
-    "rel_json_extract",
-    "rel_null_ordering",
-    "rel_order_limit_offset",
-    "rel_percentiles",
-    "rel_pivot",
-    "rel_rollup",
-    "rel_scan_projection",
-    "rel_select_distinct",
-    "rel_set_ops",
-    "sql_api_q1",
-    "tx_wal_recover_abort",
-    "win_rank_lag",
-    "win_running_sum",
-    "win_topk_per_group",
-    # (b) changed-this-round surface, immediately behind the tier
+    # (a) changed-surface + budget-cut carryover, first
     "ann_graph_autobudget_law",
+    # (b) the full r9-evidence tier (alphabetical)
+    "ann_filtered_auto_loose",
+    "ann_filtered_auto_tight",
+    "ann_graph_batch_compact",
+    "ann_graph_batch_filtered",
+    "ann_graph_churn_search",
+    "geo_bbox_search",
+    "geo_knn",
+    "geo_radius_search",
+    "graph_geo_distance",
+    "hybrid_rrf_connected",
+    "join_anti",
+    "join_cross",
+    "join_full",
+    "join_inner",
+    "join_left",
+    "join_natural",
+    "join_right",
+    "join_semi",
+    "pipeline_chunk_documents",
+    "pipeline_length_buckets",
+    "pipeline_sequence_packing",
+    "pipeline_stratified_sample",
+    "rel_asof_join",
+    "source_csv_roundtrip",
+    "source_json_roundtrip",
+    "source_orc_roundtrip",
+    "stream_dedup",
+    "stream_live_windowed_counts",
+    "stream_session_window",
+    "stream_sliding_window",
+    "stream_stateful_counts",
+    "stream_stream_join",
+    "stream_tumbling_window",
+    "text_fingerprint",
+    "text_gopher_quality_rules",
+    "text_language_id",
+    "text_quality_score",
+    "text_repetition_signals",
+    "text_token_count",
+    "text_unigram_logprob",
+    "vector_collection_stats",
+    "vector_filtered_knn",
+    "vector_knn_cosine",
+    "vector_knn_dot",
+    "vector_knn_euclidean",
+    "vector_pairwise_similarity",
+    "vector_sparse_similarity",
+    # (c) touched-surface r10 spill (persist layout + auto serving)
+    "ann_index_persist_roundtrip",
+    "ann_graph_batch_auto",
+    "ann_graph_rescore_auto",
+    "ann_ivf_search",
+    "ann_ivfpq_rescore",
 ]
 
 

@@ -57,7 +57,40 @@ def get_spark(app_name: str = "neumann_spark") -> SparkSession:
         return active
     spark = builder.master(master).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _sweep_stale_scratch(spark)
     return spark
+
+
+# Scratch entries older than this are presumed orphaned (ADVICE r12: the
+# checkpoint root's atexit reaper no-ops when the JVM is already down at
+# interpreter exit, so full parquet snapshots otherwise accumulate under
+# the persistent warehouse forever — nothing reaps it the way the OS
+# reaped /tmp). One day is >> any run's lifetime while CONCURRENT runs
+# (selfcheck + bench share the warehouse) stay hours-fresh and untouched.
+SCRATCH_TTL_MS = 24 * 3600 * 1000
+
+
+def _sweep_stale_scratch(spark: SparkSession) -> None:
+    """Best-effort reap of day-old `_neumann_scratch/` entries at fresh-
+    session startup; any failure (missing root, racing delete) is inert."""
+    import time
+
+    try:
+        root = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
+        path = f"{root}/_neumann_scratch"
+        fs, jvm = hadoop_fs(spark, path)
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        if not fs.exists(jpath):
+            return
+        cutoff = int(time.time() * 1000) - SCRATCH_TTL_MS
+        for st in fs.listStatus(jpath):
+            if st.getModificationTime() < cutoff:
+                try:
+                    fs.delete(st.getPath(), True)
+                except Exception:
+                    pass
+    except Exception:
+        pass
 
 
 def hadoop_fs(spark: SparkSession, path: str):
@@ -91,7 +124,16 @@ def scratch_dir(spark: SparkSession, prefix: str):
     fs.mkdirs(jpath)
 
     def cleanup() -> None:
-        fs.delete(jpath, True)
+        # Suppressed by construction (ADVICE r12): nearly every caller
+        # invokes this thunk in a bare `finally:` mid-exception, where
+        # the old shutil.rmtree(ignore_errors=True) could never throw —
+        # a Py4J/IOException from fs.delete here would MASK the original
+        # query failure. Scratch is uuid-scoped under the warehouse, so
+        # a leaked dir is inert; the startup sweep reclaims stragglers.
+        try:
+            fs.delete(jpath, True)
+        except Exception:
+            pass
 
     return path, cleanup
 

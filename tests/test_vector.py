@@ -1294,3 +1294,125 @@ def test_graph_batch_filtered_unhinted_regime(spark):
             spark, sf01, (a,), GRAPH_T_LOW, allowed=allowed).collect()
         assert [(int(r["vec_id"]), r["score"]) for r in solo] == \
             sorted(per_q[a], key=lambda t: (-t[1], t[0]))
+
+
+def test_two_level_warm_assignment_exhaustive_matches_flat(
+        spark, monkeypatch):
+    """The two-level (super-centroid) warm assignment (r13) must be an
+    exact-candidate machine: with probes covering EVERY super, each row
+    sees all K centroids and the Lloyd codes are BIT-EQUAL to the flat
+    broadcast-join assignment — the routing only ever narrows the
+    candidate set, never re-scores or re-orders it."""
+    import neumann_spark.pipeline.ann as ann
+    from neumann_spark.catalog import load
+    from tests.conftest import SF_DIR
+
+    u = ann.unit_embeddings(load(spark, SF_DIR, "embeddings"))
+    flat, flat_books = ann.pq_build_joined(
+        u, S=1, subdim=ann.DIM, k=ann.GRAPH_WARM_K,
+        iters=ann.GRAPH_WARM_ITERS, two_level=False)
+    monkeypatch.setattr(ann, "GRAPH_SUPER_PROBES", 10_000)  # ≥ #supers
+    two, two_books = ann.pq_build_joined(
+        u, S=1, subdim=ann.DIM, k=ann.GRAPH_WARM_K,
+        iters=ann.GRAPH_WARM_ITERS, two_level=True)
+    assert two_books == flat_books
+    key = lambda r: (r["vec_id"], r["code_0"])
+    assert sorted(map(key, two.collect())) == \
+        sorted(map(key, flat.collect()))
+
+
+def test_two_level_warm_assignment_default_probes(spark):
+    """With the shipped GRAPH_SUPER_PROBES the two-level assignment is an
+    approximation (a row whose best centroid lives in an unprobed super
+    lands in its best probed cell): on the fixture it must still agree
+    with the flat assignment on the large majority of rows and keep
+    every code inside the flat codebook's live cells — the clustering-
+    quality floor the ladder recall gate then bounds end-to-end."""
+    import neumann_spark.pipeline.ann as ann
+    from neumann_spark.catalog import load
+    from tests.conftest import SF_DIR
+
+    u = ann.unit_embeddings(load(spark, SF_DIR, "embeddings"))
+    flat, _ = ann.pq_build_joined(
+        u, S=1, subdim=ann.DIM, k=ann.GRAPH_WARM_K,
+        iters=ann.GRAPH_WARM_ITERS, two_level=False)
+    two, _ = ann.pq_build_joined(
+        u, S=1, subdim=ann.DIM, k=ann.GRAPH_WARM_K,
+        iters=ann.GRAPH_WARM_ITERS, two_level=True)
+    f = {r["vec_id"]: r["code_0"] for r in flat.collect()}
+    t = {r["vec_id"]: r["code_0"] for r in two.collect()}
+    assert set(f) == set(t)
+    agree = sum(f[i] == t[i] for i in f) / len(f)
+    assert agree >= 0.6, agree
+
+
+def test_nearest_clusters_two_level_exhaustive_matches_flat(
+        spark, monkeypatch):
+    """`_nearest_clusters`' two-level branch with exhaustive probes must
+    reproduce the flat ranking bit-exactly (same (d, cl) order over the
+    same full candidate set) — the seed/insert paths' routing is pure
+    candidate narrowing."""
+    import neumann_spark.pipeline.ann as ann
+    from neumann_spark.catalog import load
+    from tests.conftest import SF_DIR
+
+    warm_centroids = ann.knn_graph_index(spark, SF_DIR)[2]
+    u = ann.unit_embeddings(load(spark, SF_DIR, "embeddings"))
+    flat = ann._nearest_clusters(
+        spark, u, warm_centroids, ann.GRAPH_SEED_PROBES,
+        two_level=False).collect()
+    monkeypatch.setattr(ann, "GRAPH_SUPER_PROBES", 10_000)
+    two = ann._nearest_clusters(
+        spark, u, warm_centroids, ann.GRAPH_SEED_PROBES,
+        two_level=True).collect()
+    key = lambda r: (r["vec_id"], r["rn"], r["cl"])
+    assert sorted(map(key, two)) == sorted(map(key, flat))
+    assert len(two) > 0
+
+
+def test_pair_kernel_shard_telemetry(spark, monkeypatch):
+    """The kernel's telemetry dict (VERDICT r12 item 7) must count the
+    sharded groups, the widest split, and the dropped-pair estimate —
+    zero/absent at fixture occupancy, populated when the cap forces a
+    split — and the build threads it into graph_meta, where it
+    round-trips through persist/load."""
+    import neumann_spark.pipeline.ann as ann
+    from neumann_spark.catalog import load
+    from tests.conftest import SF_DIR
+
+    u = ann.unit_embeddings(load(spark, SF_DIR, "embeddings"))
+    keyed = u.select((F.col("vec_id") % 3).alias("key"), "vec_id")
+    tel: dict = {}
+    ann._grouped_pair_distances(u, keyed, tel).count()
+    assert tel == {"pair_groups_sharded": 0, "pair_max_shards": 0,
+                   "pair_dropped_est": 0}
+
+    monkeypatch.setattr(ann, "GRAPH_PAIR_SHARD", 64)  # groups are ~167
+    tel2: dict = {}
+    ann._grouped_pair_distances(u, keyed, tel2).count()
+    assert tel2["pair_groups_sharded"] == 3
+    assert tel2["pair_max_shards"] == 3  # ceil(167/64)
+    # dropped ≈ Σ occ²·(1−1/shards) over the three ~167-member groups
+    assert 0 < tel2["pair_dropped_est"] < 3 * 167 * 167
+    # accumulation across calls (seed + NND rounds share one dict)
+    ann._grouped_pair_distances(u, keyed, tel2).count()
+    assert tel2["pair_groups_sharded"] == 6
+    monkeypatch.undo()
+
+    # fixture build records all-zero telemetry in graph_meta and the
+    # persisted layout round-trips it
+    import shutil
+    import tempfile
+
+    meta = ann.knn_graph_index(spark, SF_DIR)[9]
+    assert (meta["shard_groups"], meta["shard_max"],
+            meta["shard_dropped_est"]) == (0, 0, 0)
+    path = tempfile.mkdtemp(prefix="nspk_shardtel_")
+    try:
+        ann.save_graph_index_frames(
+            spark, ann.knn_graph_index(spark, SF_DIR), path)
+        lmeta = ann.load_graph_index(spark, path)[9]
+        assert (lmeta["shard_groups"], lmeta["shard_max"],
+                lmeta["shard_dropped_est"]) == (0, 0, 0)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

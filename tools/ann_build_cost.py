@@ -76,11 +76,11 @@ def main() -> None:
                         "round (M frozen at 32) — pairs linear in N",
         "churn_cycle_wall": churn,
         "note": "fresh local[32] builds through the registered "
-                "knn_graph_index path at r11 HEAD (auto warm-K, "
-                "grouped pair-distance kernel — O(memberships x dim) "
-                "shuffle, advisory-partition override pinning the "
-                "distance stages at full parallelism); reload runs "
-                "excluded",
+                "knn_graph_index path at r13 HEAD (auto warm-K, "
+                "grouped pair-distance kernel with the <=512-member "
+                "group shard, two-level super-centroid warm/seed "
+                "assignment — O(N*sqrt(K)) candidate rows); reload "
+                "runs excluded",
     }
     doc["build_cost"] = block
     with open(path, "w") as f:
