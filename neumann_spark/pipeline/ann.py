@@ -1775,8 +1775,25 @@ def _pair_distances(u: DataFrame, pairs: DataFrame) -> DataFrame:
     )
 
 
+def _pair_agg_partitions(rows: int, dim: int = DIM) -> int | None:
+    """Shuffle-partition hint for `_grouped_pair_distances`' collect_list
+    stage over an estimated `rows` memberships: partitions sized so each
+    task holds ~32 MB of SERIALIZED member structs (id + dim doubles).
+    Byte-targeting AQE coalescing under-partitions this stage — the
+    shuffle bytes are modest but each task must hold its groups' vector
+    lists DESERIALIZED on heap through the aggregation, a 3-5×
+    expansion that OOMed the 262K round-2 aggregation at the 64 MB
+    advisory size (r13). None when the estimate needs no more than the
+    session default — fixture plans stay untouched."""
+    import math
+
+    part = int(math.ceil(rows * (dim * 8 + 24) / (32 << 20)))
+    return part if part > 0 else None
+
+
 def _grouped_pair_distances(u: DataFrame, keyed: DataFrame,
-                            telemetry: dict | None = None) -> DataFrame:
+                            telemetry: dict | None = None,
+                            agg_partitions: int | None = None) -> DataFrame:
     """(key, vec_id) group membership -> (src, dst, d) for every ordered
     within-group pair (src != dst), distances computed INSIDE the group.
 
@@ -1860,6 +1877,7 @@ def _grouped_pair_distances(u: DataFrame, keyed: DataFrame,
         telemetry["pair_dropped_est"] = (
             telemetry.get("pair_dropped_est", 0) + int(trow["dropped"]))
     oversize = oversize.drop("occ")
+    spark_defpar = u.sparkSession.sparkContext.defaultParallelism
     memb = (
         keyed.join(F.broadcast(oversize), "key", "left")
         .select(
@@ -1878,6 +1896,15 @@ def _grouped_pair_distances(u: DataFrame, keyed: DataFrame,
         .select("gkey",
                 F.struct(F.col("vec_id").alias("id"), "v").alias("m"))
     )
+    # heap bound for the aggregation itself (r13): each task holds its
+    # groups' vector lists DESERIALIZED through collect_list, so the
+    # caller's membership-volume hint pins MORE post-shuffle partitions
+    # than byte-targeting AQE would keep (the explicit numPartitions is
+    # exempt from coalescing, and groupBy reuses the same hash
+    # partitioning — one shuffle either way). Applied only above the
+    # session default: fixture plans are bit-identical without it.
+    if agg_partitions is not None and agg_partitions > spark_defpar:
+        memb = memb.repartition(agg_partitions, "gkey")
     grouped = memb.groupBy("gkey").agg(F.collect_list("m").alias("nb"))
     # one flat |nb|^2 array of 24 B (src, dst, d) structs per group,
     # exploded ONCE. Deliberately NOT `explode(nb)` + a transform over a
@@ -1945,10 +1972,19 @@ def _nnd_forward_edges(spark: SparkSession, u: DataFrame,
     (0.931 vs 0.926 @ T=10); the differential test pins the overlap.
     Every stage is an equi-join or a per-source window — no stage joins
     embeddings x embeddings unblocked (plan-asserted)."""
-    nn = _nnd_seed(
-        spark, u, warm_centroids, telemetry).localCheckpoint(eager=True)
+    # membership-volume partition hints for the pair kernel's
+    # aggregation (see _pair_agg_partitions): the seed groups hold one
+    # membership per (node, probe); a round's direction-closed
+    # neighbourhoods hold up to 2·(M+R) per node. u is eagerly
+    # checkpointed by the caller, so the count reads cached blocks.
+    n_rows = u.count()
+    ap_seed = _pair_agg_partitions(n_rows * GRAPH_SEED_PROBES)
+    ap_round = _pair_agg_partitions(2 * n_rows * (GRAPH_M + GRAPH_R))
+    nn = _nnd_seed(spark, u, warm_centroids, telemetry,
+                   ap_seed).localCheckpoint(eager=True)
     for _ in range(rounds):
-        nn = _nnd_round(u, nn, telemetry).localCheckpoint(eager=True)
+        nn = _nnd_round(
+            u, nn, telemetry, ap_round).localCheckpoint(eager=True)
     return nn
 
 
@@ -2028,7 +2064,8 @@ def _nearest_clusters(spark: SparkSession, u: DataFrame,
 
 def _nnd_seed(spark: SparkSession, u: DataFrame,
               warm_centroids: list,
-              telemetry: dict | None = None) -> DataFrame:
+              telemetry: dict | None = None,
+              agg_partitions: int | None = None) -> DataFrame:
     """Seed edges: per-node GRAPH_SEED_PROBES nearest warm clusters
     (equi-join on a constant key against the broadcast k-row centroid
     frame — a hash join, not a nested loop — then a per-node window),
@@ -2053,12 +2090,13 @@ def _nnd_seed(spark: SparkSession, u: DataFrame,
     # them, exactly like the former pre-distance (src, dst) distinct
     scored = _grouped_pair_distances(
         u, seedcl.select(F.col("cl").alias("key"), "vec_id"),
-        telemetry).distinct()
+        telemetry, agg_partitions).distinct()
     return _top_m_edges(scored)
 
 
 def _nnd_round(u: DataFrame, nn: DataFrame,
-               telemetry: dict | None = None) -> DataFrame:
+               telemetry: dict | None = None,
+               agg_partitions: int | None = None) -> DataFrame:
     """One NN-descent refinement round: candidates = neighbours-of-
     neighbours over the current graph in both directions (an equi-join of
     the direction-closed edge set with itself on the shared endpoint)
@@ -2077,7 +2115,8 @@ def _nnd_round(u: DataFrame, nn: DataFrame,
     # narrow-frame scoring and the distinct folds the bit-equal overlaps
     non = _grouped_pair_distances(
         u, nbdir.select(F.col("src").alias("key"),
-                        F.col("dst").alias("vec_id")), telemetry)
+                        F.col("dst").alias("vec_id")),
+        telemetry, agg_partitions)
     cur = _pair_distances(
         u, nn.select("src", "dst").filter(F.col("src") != F.col("dst")))
     return _top_m_edges(non.union(cur).distinct())
