@@ -1469,6 +1469,13 @@ GRAPH_SUPER_PROBES = 4   # supers probed per row (≥ any caller's top-p; a
 #                          probed super contributes ~√K member candidates)
 GRAPH_SUPER_ITERS = 3    # driver-side mini-Lloyd iterations over the K
 #                          centroids (matches GRAPH_WARM_ITERS' depth)
+# Builds at N ≥ this gate temporarily lower the AQE advisory partition
+# size to GRAPH_BUILD_ADVISORY_BYTES (see _build_graph_index): the NND
+# rounds' distinct/window stages cost far more HEAP per byte than the
+# coalescer's 64 MB target assumes. The gate sits just above the 262K
+# ladder point so every measured-at-default number stays comparable.
+GRAPH_ADVISORY_GATE_N = 300_000
+GRAPH_BUILD_ADVISORY_BYTES = 16 << 20
 # compact preset: SQ8 rescore (64 B rows, not 512 B floats) affords a wider
 # shortlist at ~1/8 the rescore read cost — measured 0.908 recall@10 at
 # 0.057 vector-equivalents (tools/ann_recall.py), the first >=0.9 point
@@ -2194,18 +2201,40 @@ def _build_graph_index(spark: SparkSession, emb: DataFrame) -> tuple:
                       "vec_id")
          .localCheckpoint(eager=True))
     n = u.count()
-    warm_k = graph_auto_warm_k(n)
-    warm_codes_w, warm_books = pq_build_joined(
-        u, S=1, subdim=DIM, k=warm_k, iters=GRAPH_WARM_ITERS)
-    warm_codes = warm_codes_w.select(
-        "vec_id", F.col("code_0").alias("cluster"))
-    warm_centroids = warm_books[0]
+    # Above the measured-ladder envelope the build TEMPORARILY lowers
+    # the AQE advisory partition size (runtime-settable): the NN-descent
+    # rounds push ~N·(2M)² 24 B candidate rows through distinct/window
+    # stages whose per-task HEAP cost is dominated by deserialization,
+    # so the 64 MB byte target implies ≥200 MB live heap per task — 32
+    # concurrent tasks OOMed the 8 g single-JVM harness at N = 524K
+    # (r13). 16 MB keeps those stages at ~4× the partitions. Gated at
+    # GRAPH_ADVISORY_GATE_N so every ladder point ≤ 262K (and every
+    # fixture plan) runs exactly the session default; restored in
+    # `finally` so serving stages in the same session are untouched.
+    conf_key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    prior_advisory = spark.conf.get(conf_key, None)
+    if n >= GRAPH_ADVISORY_GATE_N:
+        spark.conf.set(conf_key, str(GRAPH_BUILD_ADVISORY_BYTES))
+    try:
+        warm_k = graph_auto_warm_k(n)
+        warm_codes_w, warm_books = pq_build_joined(
+            u, S=1, subdim=DIM, k=warm_k, iters=GRAPH_WARM_ITERS)
+        warm_codes = warm_codes_w.select(
+            "vec_id", F.col("code_0").alias("cluster"))
+        warm_centroids = warm_books[0]
 
-    nnd_rounds = graph_nnd_rounds(n)
-    shard_tel: dict = {}
-    fwd = _nnd_forward_edges(spark, u, warm_centroids, rounds=nnd_rounds,
-                             telemetry=shard_tel)
-    edges = fwd.unionByName(_reverse_edges(fwd)).localCheckpoint(eager=True)
+        nnd_rounds = graph_nnd_rounds(n)
+        shard_tel: dict = {}
+        fwd = _nnd_forward_edges(spark, u, warm_centroids,
+                                 rounds=nnd_rounds, telemetry=shard_tel)
+        edges = fwd.unionByName(
+            _reverse_edges(fwd)).localCheckpoint(eager=True)
+    finally:
+        if n >= GRAPH_ADVISORY_GATE_N:
+            if prior_advisory is not None:
+                spark.conf.set(conf_key, prior_advisory)
+            else:
+                spark.conf.unset(conf_key)
 
     codes_w, codebooks = pq_build_joined(
         u, S=GRAPH_PQ_S, subdim=GRAPH_PQ_SUBDIM, k=GRAPH_PQ_K, iters=PQ_ITERS)
