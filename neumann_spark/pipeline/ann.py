@@ -2637,11 +2637,23 @@ def knn_graph_insert(spark: SparkSession, index: tuple,
     codebooks, SQ grid), as in any incremental ANN index; only the edge
     table and per-node code tables grow.
 
-    Steps, all equi-joins and per-source windows (no stage touches more
-    than O(batch * avg_cluster + batch * M^2) pair rows — and since the
-    r10 auto warm-K policy builds with K ~ sqrt(N), avg_cluster is
-    ~sqrt(N), so the cluster-member candidate join is O(batch * sqrt(N))
-    rather than the frozen-K O(batch * N/45) the r9 verdict carried):
+    Steps, all equi-joins and per-source windows. The candidate SCORING
+    for steps 1-2 runs through `_grouped_pair_distances` (r13): the
+    former shape attached a ~512 B float vector to every candidate pair
+    row via `_pair_distances`, so a 50%-of-N churn batch shuffled
+    O(batch · √N · dim) bytes — ~190 GB at the 131K churn point, which
+    OOMed the 8 g harness (the same per-pair-vector pathology the bulk
+    build shed in r11/r12). Vectors now travel once per group
+    MEMBERSHIP (probed-cluster groups for the seed, nn0-endpoint groups
+    for the refinement hop) and the kernel emits 24 B (src, dst, d)
+    rows: O((batch·probes + touched_memberships) · dim) shuffle bytes,
+    heap-bounded by the kernel's ≤GRAPH_PAIR_SHARD shards like every
+    build stage. At fixture scale (groups under the shard cap) the
+    scored pair sets are BIT-IDENTICAL to the former joins — pinned by
+    test_insert_seed_hop_matches_pair_form — and under sharding a
+    dropped cross-shard seed candidate is re-expanded by the hop
+    re-rank, the same repair story as the build seed, gated end-to-end
+    by the churn recall drift bound:
       1. new nodes' GRAPH_SEED_PROBES nearest warm clusters -> candidate
          pairs against those clusters' existing members + same-cluster
          batch mates; top-M.
@@ -2725,37 +2737,68 @@ def knn_graph_insert(spark: SparkSession, index: tuple,
     new_warm = ncl.filter(F.col("rn") == 1).select(
         "vec_id", F.col("cl").alias("cluster"))
 
-    # 1-2. forward edges for the batch
-    members = (
-        ncl.select(F.col("vec_id").alias("src"), F.col("cl").alias("cluster"))
-        .join(warm_codes.select(F.col("vec_id").alias("dst"), "cluster"),
-              "cluster")
-        .select("src", "dst")
+    # 1-2. forward edges for the batch, scored through the grouped pair
+    # kernel (see the docstring's cost paragraph). Seed groups: each
+    # probed warm cluster's existing members plus the new nodes probing
+    # it — within-group pairs with src in the batch are exactly the
+    # former members ∪ newnew candidate set; the semi-join keeps only
+    # those, and distinct folds multi-probe repeats just as the former
+    # cand0.distinct() did. Membership-volume hints mirror the build's
+    # (_pair_agg_partitions): n comes from meta when present so no
+    # extra count job runs on a persisted index.
+    n_batch = int(crow["d"])
+    n_idx = int(meta["n"]) if meta is not None else u.count()
+    probed = ncl.select(F.col("cl").alias("key")).distinct()
+    keyed0 = (
+        warm_codes.select(F.col("cluster").alias("key"), "vec_id")
+        .join(probed, "key", "semi")
+        .union(ncl.select(F.col("cl").alias("key"), "vec_id"))
     )
-    newnew = (
-        ncl.select(F.col("vec_id").alias("src"), "cl")
-        .join(ncl.select(F.col("vec_id").alias("dst"), "cl"), "cl")
-        .filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
+    bsrc = un.select(F.col("vec_id").alias("src"))
+    scored0 = (
+        _grouped_pair_distances(
+            u_all, keyed0,
+            agg_partitions=_pair_agg_partitions(
+                n_idx + n_batch * GRAPH_SEED_PROBES))
+        .join(bsrc, "src", "semi")
+        .distinct()
+        # reused twice (nn0 ranking + the hop-union re-rank) — without
+        # the checkpoint the kernel's collect_list stage runs twice
+        .localCheckpoint(eager=True)
     )
-    cand0 = members.union(newnew).distinct()
-    nn0 = _top_m_edges(_pair_distances(u_all, cand0)).localCheckpoint(
-        eager=True)
+    nn0 = _top_m_edges(scored0).localCheckpoint(eager=True)
+    fwd_ex = edges.filter(F.col("pos") < GRAPH_M)
     hop = (
         nn0.select("src", F.col("dst").alias("mid"))
-        .join(
-            edges.filter(F.col("pos") < GRAPH_M)
-            .select(F.col("src").alias("mid"), F.col("dst").alias("dst")),
-            "mid")
+        .join(fwd_ex.select(F.col("src").alias("mid"),
+                            F.col("dst").alias("dst")), "mid")
         .select("src", "dst")
     )
-    cand1 = (
-        cand0.union(hop)
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
+    # hop pairs scored within nn0-endpoint groups: group(mid) = {batch
+    # srcs pointing at mid} ∪ {mid's forward targets} — every hop pair
+    # lies within one group; the (src, dst) semi-join restricts the
+    # kernel's clique output to exactly the former hop set, so the
+    # re-ranked candidate set scored0 ∪ scored_hop equals the former
+    # cand1 pair-for-pair with bit-equal distances.
+    # no distinct on keyed1: the arms are disjoint (batch srcs vs
+    # pre-insert edge targets, and the batch is anti-joined fresh) and
+    # each is unique by construction of nn0/edges
+    mids = nn0.select(F.col("dst").alias("key")).distinct()
+    keyed1 = (
+        nn0.select(F.col("dst").alias("key"), F.col("src").alias("vec_id"))
+        .union(fwd_ex.select(F.col("src").alias("key"),
+                             F.col("dst").alias("vec_id"))
+               .join(mids, "key", "semi"))
     )
-    nn_new = _top_m_edges(_pair_distances(u_all, cand1)).localCheckpoint(
-        eager=True)
+    scored_hop = (
+        _grouped_pair_distances(
+            u_all, keyed1,
+            agg_partitions=_pair_agg_partitions(
+                (min(n_idx, n_batch * GRAPH_M) + n_batch) * GRAPH_M))
+        .join(hop, ["src", "dst"], "semi")
+    )
+    nn_new = _top_m_edges(scored_hop.union(scored0).distinct()
+                          ).localCheckpoint(eager=True)
 
     # 3. bounded neighbour re-selection on affected EXISTING nodes only:
     # a new node targeted by a batch-mate already saw that mate through

@@ -472,6 +472,71 @@ def test_graph_insert_vs_full_build(spark):
     assert len(got & ref) >= 8
 
 
+def test_insert_seed_hop_matches_pair_form(spark):
+    """The r13 kernel-routed insert scoring must be BIT-IDENTICAL to the
+    former per-pair-vector form at fixture scale (every seed/hop group
+    under GRAPH_PAIR_SHARD, shard count 1): re-derive the former
+    members/newnew/hop candidate joins, score them with the narrow-frame
+    _pair_distances, and check the batch nodes' forward blocks in the
+    grown index equal the re-derived top-M exactly, (src, pos, dst) for
+    (src, pos, dst) — so every existing insert/churn/CDC oracle replays
+    unchanged."""
+    from neumann_spark.catalog import load
+    from neumann_spark.pipeline.ann import (
+        GRAPH_INSERT_BATCH,
+        GRAPH_M,
+        GRAPH_SEED_PROBES,
+        _build_graph_index,
+        _nearest_clusters,
+        _pair_distances,
+        _top_m_edges,
+        knn_graph_insert,
+        unit_embeddings,
+    )
+    from tests.conftest import SF_DIR
+
+    emb = load(spark, SF_DIR, "embeddings")
+    cut = int(emb.agg(F.max("vec_id")).head()[0]) - (GRAPH_INSERT_BATCH - 1)
+    base = _build_graph_index(spark, emb.filter(F.col("vec_id") < cut))
+    batch = emb.filter(F.col("vec_id") >= cut)
+    edges, warm_codes, warm_centroids, u = base[0], base[1], base[2], base[5]
+    un = unit_embeddings(batch.select("vec_id", "embedding"))
+    u_all = u.unionByName(un)
+    ncl = _nearest_clusters(spark, un, warm_centroids, GRAPH_SEED_PROBES)
+    members = (
+        ncl.select(F.col("vec_id").alias("src"), F.col("cl").alias("cluster"))
+        .join(warm_codes.select(F.col("vec_id").alias("dst"), "cluster"),
+              "cluster")
+        .select("src", "dst")
+    )
+    newnew = (
+        ncl.select(F.col("vec_id").alias("src"), "cl")
+        .join(ncl.select(F.col("vec_id").alias("dst"), "cl"), "cl")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+    )
+    cand0 = members.union(newnew).distinct()
+    nn0 = _top_m_edges(_pair_distances(u_all, cand0))
+    hop = (
+        nn0.select("src", F.col("dst").alias("mid"))
+        .join(edges.filter(F.col("pos") < GRAPH_M)
+              .select(F.col("src").alias("mid"), F.col("dst").alias("dst")),
+              "mid")
+        .select("src", "dst")
+    )
+    cand1 = cand0.union(hop).filter(F.col("src") != F.col("dst")).distinct()
+    expected = {(int(r["src"]), int(r["pos"]), int(r["dst"]))
+                for r in _top_m_edges(
+                    _pair_distances(u_all, cand1)).collect()}
+    grown = knn_graph_insert(spark, base, batch)
+    got = {(int(r["src"]), int(r["pos"]), int(r["dst"]))
+           for r in grown[0]
+           .filter((F.col("pos") < GRAPH_M) & (F.col("src") >= cut))
+           .collect()}
+    assert got == expected
+    assert len(got) > 0
+
+
 def test_graph_delete_repairs_index(spark):
     """knn_graph_delete invariants (r8): after deleting the 8 highest-id
     vectors, NO structure of the shrunk index contains a deleted id (edge
