@@ -50,6 +50,14 @@ def get_spark(app_name: str = "neumann_spark") -> SparkSession:
         .config("spark.driver.memory", os.environ.get("NEUMANN_SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.crossJoin.enabled", "true")
+        # long multi-stage jobs (the graph-ANN builds: dozens of
+        # checkpoint-truncated shuffles) only release shuffle files when
+        # driver GC collects the unreferenced shuffle handles — at the
+        # default 30 min interval a 1M-row build accumulated >200 GB of
+        # dead spill and exhausted local disk (r13). 5 min caps retained
+        # spill near one round's working set; the periodic System.gc()
+        # costs milliseconds on fixture-scale heaps.
+        .config("spark.cleaner.periodicGC.interval", "5min")
     )
     master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{n}]")
     active = SparkSession.getActiveSession()
