@@ -76,9 +76,13 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- n-gram (bigram) Jaccard ---------------------------------------------
 
 
-def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct bigram shingles per doc (doc_id % 5 block): index-transform
-    over the word array — a map-only expression, no window shuffle."""
+def _shingles(spark: SparkSession, sf_dir: str, distinct: bool = True) -> DataFrame:
+    """Bigram shingles per doc (doc_id % 5 block): index-transform over the
+    word array — a map-only expression, no window shuffle. `distinct=True`
+    (the set semantics Jaccard needs) costs one shuffle; consumers whose
+    aggregate is duplicate-insensitive (MinHash's MIN) pass False and skip
+    it (optimization guide §2.4 "a distinct on data that is already
+    unique" — here: a distinct whose consumer doesn't need it)."""
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
     w = F.split("text", " ")
     bigrams = F.when(
@@ -88,10 +92,8 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return (
-        d.select("doc_id", "source", F.explode(bigrams).alias("sh"))
-        .distinct()
-    )
+    sh = d.select("doc_id", "source", F.explode(bigrams).alias("sh"))
+    return sh.distinct() if distinct else sh
 
 _SHINGLES_SQL = """
     words AS MATERIALIZED (
@@ -216,30 +218,40 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature computation is map-only; the only shuffle keys are (band,
     band_sig), uniform by construction. Hash functions are md5-derived so
     the oracle reproduces them exactly (no approximation slack needed)."""
-    sh = _shingles(spark, sf_dir).select(
+    # One groupBy(doc_id) computes all 8 seeded minima as parallel agg
+    # expressions (guide §2.3 "aggregate before you shuffle"): the shuffle
+    # carries |docs| rows of partial minima instead of 8x-exploded
+    # (doc, seed) rows, and the former second (doc_id, band) aggregation
+    # becomes a map-only expression. MIN is duplicate-insensitive, so the
+    # shingle distinct's shuffle is skipped too: 5 exchanges -> 3
+    # (plan diff in plans/r13/dedup_minhash_lsh_{before,after}.txt; the
+    # same md5-xor hash family, bit-identical sigs — oracle unchanged).
+    sh = _shingles(spark, sf_dir, distinct=False).select(
         "doc_id", md5_int64(F.col("sh")).alias("h")  # one md5 per shingle
     )
-    seeds = spark.createDataFrame(
-        list(enumerate(_seed_constants())), "j int, c bigint"
+    consts = _seed_constants()
+    sigs = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.col("h").bitwiseXOR(F.lit(c))).alias(f"s{j}")
+            for j, c in enumerate(consts)
+        ]
     )
-    sigs = (
-        sh.crossJoin(F.broadcast(seeds))
-        .groupBy("doc_id", "j")
-        .agg(F.min(F.col("h").bitwiseXOR(F.col("c"))).alias("sig"))
-    )
-    bands = (
-        sigs.withColumn("band", (F.col("j") / MINHASH_BAND_ROWS).cast("bigint"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("j", "sig"))),
-                    lambda x: x.sig.cast("string"),
-                ),
+    band_structs = [
+        F.struct(
+            F.lit(b).cast("bigint").alias("band"),
+            F.concat_ws(
                 ",",
-            ).alias("band_sig")
+                *[
+                    F.col(f"s{b * MINHASH_BAND_ROWS + r}").cast("string")
+                    for r in range(MINHASH_BAND_ROWS)
+                ],
+            ).alias("band_sig"),
         )
-    )
+        for b in range(MINHASH_SEEDS // MINHASH_BAND_ROWS)
+    ]
+    bands = sigs.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bs")
+    ).select("doc_id", "bs.band", "bs.band_sig")
     a = bands.select(F.col("doc_id").alias("id_a"), "band", "band_sig")
     b = bands.select(
         F.col("doc_id").alias("id_b"),

@@ -112,6 +112,44 @@ def test_lsh_same_vector_same_bucket(spark):
     assert rows[0]["b"] == rows[1]["b"]
 
 
+def test_minhash_single_pass_sigs_match_exploded_form(spark):
+    """The r13 single-groupBy signature stage (8 parallel MIN aggregates
+    over the raw shingle stream) must be bit-equal to the old exploded
+    form (distinct shingles x seed crossJoin x per-(doc, seed) MIN) on
+    the fixture corpus — the rewrite may only change the plan shape."""
+    from neumann_spark.functions.text import md5_int64
+    from neumann_spark.pipeline.dedup import _seed_constants, _shingles
+
+    sh_old = _shingles(spark, SF_DIR).select(
+        "doc_id", md5_int64(F.col("sh")).alias("h")
+    )
+    seeds = spark.createDataFrame(
+        list(enumerate(_seed_constants())), "j int, c bigint"
+    )
+    old = {
+        (r["doc_id"], r["j"]): r["sig"]
+        for r in (
+            sh_old.crossJoin(F.broadcast(seeds))
+            .groupBy("doc_id", "j")
+            .agg(F.min(F.col("h").bitwiseXOR(F.col("c"))).alias("sig"))
+            .collect()
+        )
+    }
+    sh_new = _shingles(spark, SF_DIR, distinct=False).select(
+        "doc_id", md5_int64(F.col("sh")).alias("h")
+    )
+    new_rows = sh_new.groupBy("doc_id").agg(
+        *[
+            F.min(F.col("h").bitwiseXOR(F.lit(c))).alias(f"s{j}")
+            for j, c in enumerate(_seed_constants())
+        ]
+    ).collect()
+    assert new_rows
+    for r in new_rows:
+        for j in range(len(_seed_constants())):
+            assert r[f"s{j}"] == old[(r["doc_id"], j)]
+
+
 def test_cluster_canonical_invariants(spark):
     """Every cluster keeps exactly one canonical (min-id) doc and its id is
     a member: cluster_id must appear among the pair endpoints, and n_docs
