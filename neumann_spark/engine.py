@@ -685,19 +685,25 @@ class NeumannSparkEngine:
             for c in fk["columns"]:
                 probe = probe.filter(F.col(c).isNotNull())
             probe_keys = probe.select(*fk["columns"]).distinct()
-            n_keys = probe_keys.count()
-            if not n_keys:
-                continue
-            found = ref.select(
-                *[F.col(rc).alias(c)
-                  for c, rc in zip(fk["columns"], fk["ref_columns"])]
-            ).join(F.broadcast(probe_keys), fk["columns"], "semi").select(
-                *fk["columns"]
-            ).distinct().count()
-            if found < n_keys:
+            found = (
+                ref.select(
+                    *[F.col(rc).alias(c)
+                      for c, rc in zip(fk["columns"], fk["ref_columns"])]
+                ).join(F.broadcast(probe_keys), fk["columns"], "semi")
+                .select(*fk["columns"]).distinct()
+                .agg(F.count("*").alias("found"))
+            )
+            # ONE action (was two: a batch-key count + a found-key count):
+            # both 1-row aggregates cross-joined and collected together —
+            # the referenced table stays the probe side of a broadcast
+            # semi-join, never shuffled (r13; guide §1.2: per-statement
+            # validation latency is action-count-dominated)
+            row = probe_keys.agg(F.count("*").alias("n_keys")).crossJoin(
+                found).collect()[0]
+            if row["found"] < row["n_keys"]:
                 raise ValueError(
                     f"foreign key violation: constraint {fk['name']!r} — "
-                    f"{n_keys - found} key(s) reference missing "
+                    f"{row['n_keys'] - row['found']} key(s) reference missing "
                     f"{fk['ref_table']}({', '.join(fk['ref_columns'])})")
 
     def _check_table_constraints(
@@ -719,36 +725,55 @@ class NeumannSparkEngine:
         tc = self._table_constraints.get(name)
         if not tc:
             return
-        if tc["not_null"]:
-            nulls = new.agg(
-                *[
-                    F.sum(F.col(c).isNull().cast("int")).alias(c)
-                    for c in tc["not_null"]
-                ]
-            ).collect()[0]
-            for col in tc["not_null"]:
-                if nulls[col]:
-                    raise ValueError(
-                        f"not-null violation: column {col!r} of {name!r} "
-                        f"({nulls[col]} row(s))")
         if existing is None:
             existing = self._tables[name]
-        for u in tc["uniques"]:
+        # ALL checks fold into ONE collected row (r13; was 1 + 2/unique
+        # actions — guide §1.2: small-write validation is action-count-
+        # dominated). Over the batch: per-NOT-NULL null counts, and per-
+        # unique "rows with a fully non-null key" minus "distinct keys"
+        # (> 0 iff some key repeats in the batch — same predicate the old
+        # groupBy/filter/count answered). Per-unique stored-side clashes
+        # join as broadcast-semi 1-row aggregates: the stored table stays
+        # the probe side, never shuffled.
+        aggs = [
+            F.sum(F.col(c).isNull().cast("int")).alias(f"nn_{i}")
+            for i, c in enumerate(tc["not_null"])
+        ]
+        for i, u in enumerate(tc["uniques"]):
+            ucols = u["columns"]
+            keyed = None
+            for c in ucols:
+                nn = F.col(c).isNotNull()
+                keyed = nn if keyed is None else (keyed & nn)
+            aggs.append(
+                (F.sum(keyed.cast("long"))
+                 - F.count_distinct(*[F.col(c) for c in ucols])
+                 ).alias(f"dup_{i}")
+            )
+        if not aggs:
+            return
+        row = new.agg(*aggs)
+        for i, u in enumerate(tc["uniques"]):
             ucols = u["columns"]
             probe = new
             for c in ucols:
                 probe = probe.filter(F.col(c).isNotNull())
-            dup_in_batch = (
-                probe.groupBy(*ucols).count().filter(F.col("count") > 1).count()
-            )
             clash = existing.join(
                 F.broadcast(probe.select(*ucols).distinct()), ucols, "semi"
-            ).count()
-            if dup_in_batch or clash:
+            ).agg(F.count("*").alias(f"clash_{i}"))
+            row = row.crossJoin(clash)
+        vals = row.collect()[0]
+        for i, col in enumerate(tc["not_null"]):
+            if vals[f"nn_{i}"]:
+                raise ValueError(
+                    f"not-null violation: column {col!r} of {name!r} "
+                    f"({vals[f'nn_{i}']} row(s))")
+        for i, u in enumerate(tc["uniques"]):
+            if (vals[f"dup_{i}"] or 0) or vals[f"clash_{i}"]:
                 kind = "primary key" if u["pk"] else "unique"
                 raise ValueError(
                     f"{kind} violation: constraint {u['name']!r} on "
-                    f"{name}({', '.join(ucols)})")
+                    f"{name}({', '.join(u['columns'])})")
 
     MAX_FK_CASCADE_DEPTH = 32
 

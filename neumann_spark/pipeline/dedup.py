@@ -333,7 +333,7 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = e.select(F.col("src").alias("id")).distinct().select(
         "id", F.col("id").alias("comp")
     )
-    for _ in range(DEDUP_CC_ROUNDS):
+    for rnd in range(DEDUP_CC_ROUNDS):
         nb = (
             e.join(comp, e.dst == comp.id)
             .groupBy("src")
@@ -345,6 +345,15 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "comp"
             ),
         )
+        # comp feeds TWO consumers per round (the message join and the
+        # update join), so the lazy plan doubles per round — 2^5 = 32 leaf
+        # copies, 62 sort-merge joins, a 21 s cold run at sf0.1 dominated
+        # by Catalyst planning (measured r13). A checkpoint every 2 rounds
+        # caps the fan-out at 4 leaves, same as graph CC's every-3-rounds
+        # truncation (optimization guide §3.3 "very large plans: planning
+        # time itself can become the bottleneck — truncate the plan").
+        if rnd % 2 == 1:
+            comp = comp.localCheckpoint(eager=True)
     return comp.groupBy(F.col("comp").alias("cluster_id")).agg(
         F.count("*").alias("n_docs"),
         (F.count("*") - F.lit(1)).cast("bigint").alias("n_removed"),

@@ -23,18 +23,19 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# match the numbered detail headers ("(12) Exchange") so each physical
+# node counts exactly once (formatted mode also shows it in the tree)
 PATTERNS = {
-    "exchange": re.compile(r"\bExchange (hashpartitioning|rangepartitioning|"
-                           r"RoundRobinPartitioning|SinglePartition)", re.I),
-    "bhj": re.compile(r"\bBroadcastHashJoin\b"),
-    "shj": re.compile(r"\bShuffledHashJoin\b"),
-    "smj": re.compile(r"\bSortMergeJoin\b"),
-    "bnlj": re.compile(r"\bBroadcastNestedLoopJoin\b"),
-    "cartesian": re.compile(r"\bCartesianProduct\b"),
-    "batch_py": re.compile(r"\bBatchEvalPython\b"),
-    "arrow_py": re.compile(r"\b(ArrowEvalPython|MapInPandas|MapInArrow|"
-                           r"FlatMapGroupsInPandas)\b"),
-    "scan": re.compile(r"\bScan parquet\b"),
+    "exchange": re.compile(r"^\(\d+\) Exchange", re.M),
+    "bhj": re.compile(r"^\(\d+\) BroadcastHashJoin", re.M),
+    "shj": re.compile(r"^\(\d+\) ShuffledHashJoin", re.M),
+    "smj": re.compile(r"^\(\d+\) SortMergeJoin", re.M),
+    "bnlj": re.compile(r"^\(\d+\) BroadcastNestedLoopJoin", re.M),
+    "cartesian": re.compile(r"^\(\d+\) CartesianProduct", re.M),
+    "batch_py": re.compile(r"^\(\d+\) BatchEvalPython", re.M),
+    "arrow_py": re.compile(r"^\(\d+\) (ArrowEvalPython|MapInPandas|MapInArrow|"
+                           r"FlatMapGroupsInPandas)", re.M),
+    "scan": re.compile(r"^\(\d+\) Scan parquet", re.M),
 }
 
 
