@@ -524,10 +524,21 @@ def fulltext_bm25_cdc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("doc_id") % 5 != 0) & (F.col("doc_id") % 7 == 0)))
     empty = docs.limit(0)
 
-    state = bm25_stats_init(base)
-    state = bm25_stats_merge(*state, empty, del0, seq=0)
-    state = bm25_stats_merge(*state, ins1, empty, seq=1)
-    state = bm25_stats_merge(*state, empty, del0, seq=0)  # redelivery
+    # lazy-checkpoint the state frames between micro-batches: each merge's
+    # one-action validation executes the chain-so-far, so without the
+    # truncation the 4-step replay re-tokenized the corpus quadratically
+    # (38 parquet scans in the final plan, measured r13; guide §3.3
+    # "materialise an intermediate to truncate the plan"). eager=False
+    # adds no extra job — the next validation materializes and caches.
+    # A real foreachBatch pipeline gets this for free: committed state is
+    # re-read from storage each batch.
+    def _ck(st):
+        return tuple(f.localCheckpoint(eager=False) for f in st)
+
+    state = _ck(bm25_stats_init(base))
+    state = _ck(bm25_stats_merge(*state, empty, del0, seq=0))
+    state = _ck(bm25_stats_merge(*state, ins1, empty, seq=1))
+    state = _ck(bm25_stats_merge(*state, empty, del0, seq=0))  # redelivery
 
     df_tbl, totals, _ = state
     return (
