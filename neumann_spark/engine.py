@@ -31,6 +31,7 @@ from neumann_spark.catalog import TABLES, load
 from neumann_spark.functions.vector import knn
 from neumann_spark.graph.model import edges_df, nodes_df, undirected_edges
 from neumann_spark.graph.traversal import bfs_levels
+from neumann_spark.session import local_df
 
 
 class NeumannSparkEngine:
@@ -71,18 +72,18 @@ class NeumannSparkEngine:
         # secondary label set (`add_label`/`remove_label`, lib.rs:3641-3730 —
         # the reference's nodes carry a label SET; the primary label column
         # stays single-valued for the derived-graph queries)
-        self._extra_labels = spark.createDataFrame([], "id bigint, label string")
+        self._extra_labels = local_df(spark, [], "id bigint, label string")
         # per-key embedding metadata (`vector_engine/src/lib.rs:3320,3346`)
-        self._emb_meta = spark.createDataFrame(
+        self._emb_meta = local_df(spark,
             [], "key string, meta_key string, meta_value string"
         )
         # embedding collections (`vector_engine/src/lib.rs:1369-1585`):
         # session membership overlay; fixture vectors are uncollected
-        self._emb_coll = spark.createDataFrame([], "key string, collection string")
+        self._emb_coll = local_df(spark, [], "key string, collection string")
         # unified entity property store (`tensor_unified/src/lib.rs:475`:
         # key → table fields; the node/embedding halves live in the
         # overlays above, joined by the derived id / the key string)
-        self._entity_props = spark.createDataFrame(
+        self._entity_props = local_df(spark,
             [], "key string, label string, props string"
         )
         # graph constraints (`graph_engine` constraint registry; enforced
@@ -448,7 +449,7 @@ class NeumannSparkEngine:
             # sort-order concern is noted in SURVEY.md §2.1), like GRAPH INDEX
             self._graph_indexes[f"sql:{im.group(1)}"] = (
                 f"{im.group(2)}({im.group(3)})")
-            return self.spark.createDataFrame(
+            return local_df(self.spark,
                 [(im.group(1), "created")], "index string, status string")
         m = re.match(r"CREATE\s+TABLE\s+(\w+)\s*\((.+)\)\s*$", cmd, re.I | re.S)
         if not m:
@@ -540,7 +541,7 @@ class NeumannSparkEngine:
                 })
 
         schema = ", ".join(col_defs)
-        df = self.spark.createDataFrame([], schema)
+        df = local_df(self.spark, [], schema)
         self._tables[name] = df
         if fks:
             self._fks[name] = fks
@@ -551,7 +552,7 @@ class NeumannSparkEngine:
                 "defaults": defaults,
             }
         df.createOrReplaceTempView(name)
-        return self.spark.createDataFrame([(name, "created")], "table string, status string")
+        return local_df(self.spark, [(name, "created")], "table string, status string")
 
     @staticmethod
     def _parse_default_literal(tok: str):
@@ -642,12 +643,12 @@ class NeumannSparkEngine:
                 row = tuple(
                     props[c] if c in props else defaults.get(c) for c in cols
                 )
-                new = self.spark.createDataFrame([row], self._tables[name].schema)
+                new = local_df(self.spark, [row], self._tables[name].schema)
                 self._check_fk_inserts(name, new)
                 self._check_table_constraints(name, new)
                 self._tables[name] = self._tables[name].unionAll(new)
                 self._tables[name].createOrReplaceTempView(name)
-                return self.spark.createDataFrame(
+                return local_df(self.spark,
                     [(name, 1)], "table string, inserted bigint"
                 )
             raise ValueError(
@@ -656,12 +657,12 @@ class NeumannSparkEngine:
         if name not in self._tables:
             raise KeyError(f"unknown session table {name!r}")
         rows = self._parse_values(m.group(2))
-        new = self.spark.createDataFrame(list(rows), self._tables[name].schema)
+        new = local_df(self.spark, list(rows), self._tables[name].schema)
         self._check_fk_inserts(name, new)
         self._check_table_constraints(name, new)
         self._tables[name] = self._tables[name].unionAll(new)
         self._tables[name].createOrReplaceTempView(name)
-        return self.spark.createDataFrame(
+        return local_df(self.spark,
             [(name, len(rows))], "table string, inserted bigint"
         )
 
@@ -788,7 +789,7 @@ class NeumannSparkEngine:
         rewritten subset joined against the untouched rows."""
         if not self._table_constraints.get(child):
             return
-        empty = self.spark.createDataFrame([], new_df.schema)
+        empty = local_df(self.spark, [], new_df.schema)
         self._check_table_constraints(child, new_df, existing=empty)
 
     def _apply_fk_on_delete(
@@ -894,7 +895,7 @@ class NeumannSparkEngine:
         im = re.match(r"DROP\s+INDEX\s+(\w+)\s*$", cmd, re.I)
         if im:
             self._graph_indexes.pop(f"sql:{im.group(1)}", None)
-            return self.spark.createDataFrame(
+            return local_df(self.spark,
                 [(im.group(1), "dropped")], "index string, status string")
         m = self._require(re.match(r"DROP\s+TABLE\s+(\w+)", cmd, re.I),
                           "DROP TABLE name")
@@ -908,7 +909,7 @@ class NeumannSparkEngine:
             # fixture view (same un-shadow the LOAD path performs) instead
             # of leaving the name session-globally unresolvable
             load(self.spark, self.sf_dir, name).createOrReplaceTempView(name)
-        return self.spark.createDataFrame([(name, "dropped")], "table string, status string")
+        return local_df(self.spark, [(name, "dropped")], "table string, status string")
 
     def _exec_alter(self, cmd: str) -> DataFrame:
         """ALTER TABLE add/drop/rename column on session tables
@@ -948,14 +949,14 @@ class NeumannSparkEngine:
             action = f"renamed {old} to {new}"
         self._tables[name] = df
         df.createOrReplaceTempView(name)
-        return self.spark.createDataFrame(
+        return local_df(self.spark,
             [(name, action)], "table string, status string"
         )
 
     def _exec_show(self, cmd: str) -> DataFrame:
         if re.match(r"SHOW\s+TABLES", cmd, re.I):
             names = sorted(set(TABLES) | set(self._tables))
-            return self.spark.createDataFrame([(n,) for n in names], "table string")
+            return local_df(self.spark, [(n,) for n in names], "table string")
         m = re.match(r"SHOW\s+EMBEDDINGS(?:\s+LIMIT\s+(\d+))?\s*$", cmd, re.I)
         if m:
             # `SHOW EMBEDDINGS [LIMIT n]` (`neumann_parser` ShowEmbeddings)
@@ -1082,7 +1083,7 @@ class NeumannSparkEngine:
             props_body = m.group(2) or (m.group(3) or "").replace("=", ":")
             props = self._parse_props(props_body)
             nid = int(props.get("id", self._next_node_id()))
-            new = self.spark.createDataFrame([(nid, label)], "id bigint, label string")
+            new = local_df(self.spark, [(nid, label)], "id bigint, label string")
             self._add_nodes(new)
             self._checkpoint_overlays()
             return new
@@ -1095,7 +1096,7 @@ class NeumannSparkEngine:
                               "NODE DELETE id")
             nid = int(m.group(1))
             self.delete_node(nid, detach=True)
-            return self.spark.createDataFrame(
+            return local_df(self.spark,
                 [(nid, "deleted")], "id bigint, status string")
         if sub in ("LIST", "QUERY"):
             # NODE QUERY label (`examples/graph_traversal.rs`) = NODE LIST
@@ -1117,7 +1118,7 @@ class NeumannSparkEngine:
         m = self._require(re.match(r"NODE\s+(\d+)(?:\s+(\w+))?", cmd, re.I),
                           "NODE id [label]")
         nid, label = int(m.group(1)), m.group(2) or "node"
-        new = self.spark.createDataFrame([(nid, label)], "id bigint, label string")
+        new = local_df(self.spark, [(nid, label)], "id bigint, label string")
         self._add_nodes(new)
         return new
 
@@ -1143,7 +1144,7 @@ class NeumannSparkEngine:
                 "EDGE CREATE a -> b [:] type {props}")
             src, dst, etype = int(m.group(1)), int(m.group(2)), m.group(3)
             w = float(self._parse_props(m.group(4)).get("weight", 1.0))
-            new = self.spark.createDataFrame(
+            new = local_df(self.spark,
                 [(src, dst, etype, w)],
                 "src bigint, dst bigint, edge_type string, weight double")
             self._add_edges(new)
@@ -1155,7 +1156,7 @@ class NeumannSparkEngine:
                          cmd, re.I),
                 "EDGE DELETE a -> b [: type]")
             self.delete_edge(int(m.group(1)), int(m.group(2)), m.group(3))
-            return self.spark.createDataFrame(
+            return local_df(self.spark,
                 [(int(m.group(1)), int(m.group(2)), "deleted")],
                 "src bigint, dst bigint, status string")
         if sub == "LIST":
@@ -1179,7 +1180,7 @@ class NeumannSparkEngine:
             "EDGE src dst [type] [weight]")
         src, dst = int(m.group(1)), int(m.group(2))
         etype, w = m.group(3) or "edge", float(m.group(4) or 1.0)
-        new = self.spark.createDataFrame(
+        new = local_df(self.spark,
             [(src, dst, etype, w)], "src bigint, dst bigint, edge_type string, weight double"
         )
         self._add_edges(new)
@@ -1257,7 +1258,7 @@ class NeumannSparkEngine:
             out = dist.filter(F.col("node") == b).select(
                 "node", F.round("dist", 6).alias("dist"))
         elif algo == "ALL":
-            src = self.spark.createDataFrame([(a, a)], "source bigint, node bigint")
+            src = local_df(self.spark, [(a, a)], "source bigint, node bigint")
             # count simple shortest-path-length-d arrivals per hop count:
             # re-run BFS per depth bound (bounded enumeration, SURVEY §2.9)
             levels = bfs_levels(ue, src, max_d)
@@ -1266,7 +1267,7 @@ class NeumannSparkEngine:
                 .select(F.col("node"), F.col("dist").alias("hops"))
             )
         else:
-            src = self.spark.createDataFrame([(a, a)], "source bigint, node bigint")
+            src = local_df(self.spark, [(a, a)], "source bigint, node bigint")
             levels = bfs_levels(ue, src, max_d)
             out = levels.filter(F.col("node") == b).select("node", "dist")
         if m.group(5):
@@ -1285,13 +1286,13 @@ class NeumannSparkEngine:
                 f"dimension mismatch: store holds {first['d']}-d vectors, "
                 f"got {len(vals)}"
             )
-        new = self.spark.createDataFrame(
+        new = local_df(self.spark,
             [(key, vals)], "key string, embedding array<float>")
         self._embeddings = (
             self._embeddings.join(new.select("key"), "key", "left_anti").unionAll(new)
         )
         if collection:
-            row = self.spark.createDataFrame(
+            row = local_df(self.spark,
                 [(key, collection)], "key string, collection string")
             self._emb_coll = (
                 self._emb_coll.join(row.select("key"), "key", "left_anti")
@@ -1313,7 +1314,7 @@ class NeumannSparkEngine:
                 "EMBED STORE 'key' [v1, v2, ...]")
             vals = [float(x) for x in m.group(2).split(",") if x.strip()]
             self._store_embedding(m.group(1), vals, coll)
-            return self.spark.createDataFrame(
+            return local_df(self.spark,
                 [(m.group(1), "stored")], "key string, status string")
         if sub == "GET":
             m = self._require(
@@ -1325,7 +1326,7 @@ class NeumannSparkEngine:
                 re.match(r"EMBED\s+DELETE\s+'?([\w:]+)'?\s*$", cmd, re.I),
                 "EMBED DELETE 'key'")
             self.delete_embedding(m.group(1))
-            return self.spark.createDataFrame(
+            return local_df(self.spark,
                 [(m.group(1), "deleted")], "key string, status string")
         if sub == "BUILD":
             # EMBED BUILD INDEX — index construction is declarative here:
@@ -1335,7 +1336,7 @@ class NeumannSparkEngine:
             self._require(re.match(r"EMBED\s+BUILD\s+INDEX\s*$", cmd, re.I),
                           "EMBED BUILD INDEX")
             n = self._embeddings.count()
-            return self.spark.createDataFrame(
+            return local_df(self.spark,
                 [("built", n)], "status string, vectors bigint")
         if sub == "BATCH":
             m = self._require(
@@ -1352,7 +1353,7 @@ class NeumannSparkEngine:
                     ) from e
             for key, vec in items:
                 self._store_embedding(str(key), [float(x) for x in vec], coll)
-            return self.spark.createDataFrame([(len(items),)], "stored bigint")
+            return local_df(self.spark, [(len(items),)], "stored bigint")
         # bracketed `EMBED key [v, ...]` and the integration tests' bare
         # `EMBED key v, v, ...` form (`integration_tests/tests/find_command.rs:63`)
         m = self._require(
@@ -1361,7 +1362,7 @@ class NeumannSparkEngine:
             "EMBED key [v1, v2, ...]")
         vals = [float(x) for x in m.group(2).split(",")]
         self._store_embedding(m.group(1), vals, coll)
-        return self.spark.createDataFrame([(m.group(1),)], "key string")
+        return local_df(self.spark, [(m.group(1),)], "key string")
 
     def _exec_similar(self, cmd: str) -> DataFrame:
         """`SIMILAR 'key'|[vec] [TOP k|LIMIT k] [COSINE|EUCLIDEAN|DOT_PRODUCT]
@@ -1415,7 +1416,7 @@ class NeumannSparkEngine:
             return knn(base, "embedding", qv, k, metric, id_cols=("key",))
         # SIMILAR … CONNECTED TO: restrict to ≤2-hop reachability of anchor
         conn = int(conn_s)
-        src = self.spark.createDataFrame([(conn, conn)], "source bigint, node bigint")
+        src = local_df(self.spark, [(conn, conn)], "source bigint, node bigint")
         reach = bfs_levels(undirected_edges(self._edges), src, 2).select("node")
         # try_cast: non-numeric session keys (e.g. 'q:1') are simply
         # unreachable rather than an ANSI cast error
@@ -1742,7 +1743,7 @@ class NeumannSparkEngine:
     def add_label(self, node_id: int, label: str) -> None:
         """Add a secondary label (`add_label`, lib.rs:3641)."""
         self._cache_clear()
-        new = self.spark.createDataFrame([(node_id, label)], "id bigint, label string")
+        new = local_df(self.spark, [(node_id, label)], "id bigint, label string")
         self._extra_labels = (
             self._extra_labels.unionAll(new).dropDuplicates(["id", "label"])
         )
@@ -1832,7 +1833,7 @@ class NeumannSparkEngine:
         """Merge metadata key/values for an embedding
         (`update_metadata`, vector_engine/src/lib.rs:3320,3346)."""
         self._cache_clear()
-        new = self.spark.createDataFrame(
+        new = local_df(self.spark,
             [(key, k, str(v)) for k, v in meta.items()],
             "key string, meta_key string, meta_value string",
         )
@@ -1921,7 +1922,7 @@ class NeumannSparkEngine:
             src = int(self._parse_props(a_props)["id"])
             dst = int(self._parse_props(b_props)["id"])
             w = float(self._parse_props(e_props).get("weight", 1.0))
-            new = self.spark.createDataFrame(
+            new = local_df(self.spark,
                 [(src, dst, etype or "edge", w)],
                 "src bigint, dst bigint, edge_type string, weight double",
             )
@@ -1936,7 +1937,7 @@ class NeumannSparkEngine:
             )
         _, label, props = nm.groups()
         nid = int(self._parse_props(props)["id"])
-        new = self.spark.createDataFrame(
+        new = local_df(self.spark,
             [(nid, label or "node")], "id bigint, label string"
         )
         self._add_nodes(new)
@@ -2011,11 +2012,11 @@ class NeumannSparkEngine:
                 # scope the relabel to the matched (id, label) row — other
                 # labels sharing this id must survive untouched
                 self.update_node(nid, new_label, only_label=row["label"])
-            return self.spark.createDataFrame(
+            return local_df(self.spark,
                 [(row["id"], new_label, "matched")],
                 "id bigint, label string, status string",
             )
-        new = self.spark.createDataFrame(
+        new = local_df(self.spark,
             [(nid, create_sets.get("label", label or "node"))],
             "id bigint, label string",
         )
@@ -2049,7 +2050,7 @@ class NeumannSparkEngine:
                 hits, ["src", "dst", "edge_type"], "left_anti"
             )
             self._checkpoint_overlays()
-            return self.spark.createDataFrame(
+            return local_df(self.spark,
                 [(n,)], "deleted_edges bigint"
             )
         m = self._require(
@@ -2086,7 +2087,7 @@ class NeumannSparkEngine:
         self._nodes = self._nodes.join(hit_ids, "id", "left_anti")
         self._extra_labels = self._extra_labels.join(hit_ids, "id", "left_anti")
         self._checkpoint_overlays()
-        return self.spark.createDataFrame([(n,)], "deleted_nodes bigint")
+        return local_df(self.spark, [(n,)], "deleted_nodes bigint")
 
     # -- unified FIND -----------------------------------------------------
 
@@ -2227,7 +2228,7 @@ class NeumannSparkEngine:
         for tbl, tdf in staged.items():
             self._tables[tbl] = tdf
             tdf.createOrReplaceTempView(tbl)
-        return self.spark.createDataFrame(
+        return local_df(self.spark,
             [(name, before)], "table string, scanned bigint")
 
     def _apply_fk_on_update(
@@ -2399,7 +2400,7 @@ class NeumannSparkEngine:
         for tbl, tdf in staged.items():
             self._tables[tbl] = tdf
             tdf.createOrReplaceTempView(tbl)
-        return self.spark.createDataFrame(
+        return local_df(self.spark,
             [(name, n)], "table string, deleted bigint")
 
     # -- ENTITY verbs (`neumann_parser` EntityOp;
@@ -2422,14 +2423,14 @@ class NeumannSparkEngine:
         import json
 
         label = str(props.get("label", "entity"))
-        row = self.spark.createDataFrame(
+        row = local_df(self.spark,
             [(key, label, json.dumps(props, sort_keys=True))],
             "key string, label string, props string")
         self._entity_props = (
             self._entity_props.join(row.select("key"), "key", "left_anti")
             .unionAll(row))
         nid = self._entity_id(key)
-        node = self.spark.createDataFrame([(nid, label)], "id bigint, label string")
+        node = local_df(self.spark, [(nid, label)], "id bigint, label string")
         # upsert = replace: validate against the store minus this entity's
         # node half, like update_node (constraint parity, lib.rs:3549)
         self._check_graph_write_constraints(
@@ -2437,7 +2438,7 @@ class NeumannSparkEngine:
         self._nodes = (
             self._nodes.filter(F.col("id") != nid).unionAll(node))
         if embedding is not None:
-            new = self.spark.createDataFrame(
+            new = local_df(self.spark,
                 [(key, [float(x) for x in embedding])],
                 "key string, embedding array<float>")
             self._embeddings = (
@@ -2459,7 +2460,7 @@ class NeumannSparkEngine:
             key, props_s, emb_s = m.groups()
             emb = [float(x) for x in emb_s.split(",")] if emb_s else None
             self._entity_upsert(key, self._parse_props(props_s), emb)
-            return self.spark.createDataFrame(
+            return local_df(self.spark,
                 [(key, sub.lower() + "d")], "key string, status string")
         if sub == "GET":
             m = self._require(
@@ -2482,7 +2483,7 @@ class NeumannSparkEngine:
             self._entity_props = self._entity_props.filter(F.col("key") != key)
             self.delete_node(self._entity_id(key), detach=True)
             self.delete_embedding(key)
-            return self.spark.createDataFrame(
+            return local_df(self.spark,
                 [(key, "deleted")], "key string, status string")
         if sub == "CONNECT":
             m = self._require(
@@ -2491,7 +2492,7 @@ class NeumannSparkEngine:
                     r"\s*:\s*(\w+)\s*$", cmd, re.I),
                 "ENTITY CONNECT 'from' -> 'to' : type")
             a, b, etype = m.groups()
-            new = self.spark.createDataFrame(
+            new = local_df(self.spark,
                 [(self._entity_id(a), self._entity_id(b), etype, 1.0)],
                 "src bigint, dst bigint, edge_type string, weight double")
             self._add_edges(new)
@@ -2506,7 +2507,7 @@ class NeumannSparkEngine:
                 key = str(props.pop("key"))
                 self._entity_upsert(key, props)
             n = len(re.findall(r"\{", m.group(1)))
-            return self.spark.createDataFrame([(n,)], "created bigint")
+            return local_df(self.spark, [(n,)], "created bigint")
         raise ValueError(
             "expected ENTITY CREATE|GET|UPDATE|DELETE|CONNECT|BATCH CREATE")
 
@@ -2592,14 +2593,14 @@ class NeumannSparkEngine:
             else:
                 key = "edge:type"
             self._graph_indexes[key] = "created"
-            return self.spark.createDataFrame(
+            return local_df(self.spark,
                 [(key, "created")], "index string, status string")
         m = re.match(r"INDEX\s+DROP\s+ON\s+(NODE|EDGE)\s+PROPERTY\s+(\w+)\s*$",
                      rest, re.I)
         if m:
             key = f"{m.group(1).lower()}:{m.group(2)}"
             self._graph_indexes.pop(key, None)
-            return self.spark.createDataFrame(
+            return local_df(self.spark,
                 [(key, "dropped")], "index string, status string")
         m = self._require(
             re.match(r"INDEX\s+SHOW\s+ON\s+(NODE|EDGE)\s*$", rest, re.I),
@@ -2608,7 +2609,7 @@ class NeumannSparkEngine:
         kind = m.group(1).lower()
         rows = [(k, v) for k, v in sorted(self._graph_indexes.items())
                 if k.startswith(kind)]
-        return self.spark.createDataFrame(rows, "index string, status string")
+        return local_df(self.spark, rows, "index string, status string")
 
     # -- CONSTRAINT verbs (`neumann_parser` parse_constraint;
     #    GraphConstraintOp) ------------------------------------------------
@@ -2637,18 +2638,18 @@ class NeumannSparkEngine:
                     f"constraint {name!r} violated by {violations} existing "
                     f"{target.lower()}s")
             self._constraints[name] = (target, label, prop, ctype)
-            return self.spark.createDataFrame(
+            return local_df(self.spark,
                 [(name, "created")], "constraint string, status string")
         if sub == "DROP":
             m = self._require(re.match(r"CONSTRAINT\s+DROP\s+(\w+)\s*$", cmd, re.I),
                               "CONSTRAINT DROP name")
             self._constraints.pop(m.group(1), None)
-            return self.spark.createDataFrame(
+            return local_df(self.spark,
                 [(m.group(1), "dropped")], "constraint string, status string")
         if sub == "LIST":
             rows = [(n, t, l, p, c) for n, (t, l, p, c)
                     in sorted(self._constraints.items())]
-            return self.spark.createDataFrame(
+            return local_df(self.spark,
                 rows,
                 "constraint string, target string, label string, "
                 "property string, type string")
@@ -2658,7 +2659,7 @@ class NeumannSparkEngine:
         if name not in self._constraints:
             raise KeyError(f"no constraint {name!r}")
         t, l, p, c = self._constraints[name]
-        return self.spark.createDataFrame(
+        return local_df(self.spark,
             [(name, t, l, p, c)],
             "constraint string, target string, label string, "
             "property string, type string")
@@ -2700,17 +2701,17 @@ class NeumannSparkEngine:
                 base = self._next_node_id()
                 rows = [(int(d.get("id", base + i)), str(d.get("label", "node")))
                         for i, d in enumerate(defs)]
-                new = self.spark.createDataFrame(rows, "id bigint, label string")
+                new = local_df(self.spark, rows, "id bigint, label string")
                 self._add_nodes(new)
             else:
                 rows = [(int(d["from"]), int(d["to"]),
                          str(d.get("type", "edge")),
                          float(d.get("weight", 1.0))) for d in defs]
-                new = self.spark.createDataFrame(
+                new = local_df(self.spark,
                     rows, "src bigint, dst bigint, edge_type string, weight double")
                 self._add_edges(new)
             self._checkpoint_overlays()
-            return self.spark.createDataFrame([(len(rows),)], "created bigint")
+            return local_df(self.spark, [(len(rows),)], "created bigint")
         if verb == "DELETE":
             ids = [int(x) for x in re.findall(r"\d+", body)]
             if is_node:
@@ -2720,7 +2721,7 @@ class NeumannSparkEngine:
                 # edge ids are (src, dst) pairs flattened
                 for a, b in zip(ids[::2], ids[1::2]):
                     self.delete_edge(a, b)
-            return self.spark.createDataFrame(
+            return local_df(self.spark,
                 [(len(ids) if is_node else len(ids) // 2,)], "deleted bigint")
         if not is_node:
             raise ValueError("BATCH UPDATE supports NODES only")
@@ -2730,7 +2731,7 @@ class NeumannSparkEngine:
             if "label" in d:
                 self.update_node(int(d["id"]), str(d["label"]))
             n += 1
-        return self.spark.createDataFrame([(n,)], "updated bigint")
+        return local_df(self.spark, [(n,)], "updated bigint")
 
     # -- AGGREGATE graph verbs (`neumann_parser` parse_aggregate_stmt;
     #    GraphAggregateOp) -------------------------------------------------
@@ -2822,7 +2823,7 @@ class NeumannSparkEngine:
         self._wal_path, self._wal_entries = path, []
         self._wal_epoch = self._last_manifest_data_dir
         self._wal_write()
-        return self.spark.createDataFrame(
+        return local_df(self.spark,
             [(path, n, bool(compressed))],
             "path string, stores bigint, compressed boolean",
         )
@@ -2988,7 +2989,7 @@ class NeumannSparkEngine:
         epoch = self._last_manifest_data_dir
         self._wal_path, self._wal_entries = None, []
         if not recover:
-            return self.spark.createDataFrame(
+            return local_df(self.spark,
                 [(path, n)], "path string, stores bigint")
         self._wal_replaying = True
         try:
@@ -3008,7 +3009,7 @@ class NeumannSparkEngine:
             self._wal_replaying = False
         self._wal_path, self._wal_entries = path, entries
         self._wal_epoch = epoch
-        return self.spark.createDataFrame(
+        return local_df(self.spark,
             [(path, n, len(entries))],
             "path string, stores bigint, replayed bigint")
 
@@ -3139,7 +3140,7 @@ class NeumannSparkEngine:
         # state the checkpoint originally captured, so re-saving under
         # the same name reproduces it even in a fresh session
         self._wal_append(f"CHECKPOINT '{name}'")
-        return self.spark.createDataFrame(
+        return local_df(self.spark,
             [(name, "created")], "checkpoint string, status string")
 
     def _exec_rollback(self, cmd: str) -> DataFrame:
@@ -3166,7 +3167,7 @@ class NeumannSparkEngine:
         # the restored state no longer matches any armed snapshot+log
         # epoch — disarm (same reasoning as a plain LOAD)
         self._wal_path, self._wal_entries = None, []
-        return self.spark.createDataFrame(
+        return local_df(self.spark,
             [(name, "rolled_back")], "checkpoint string, status string")
 
     # -- BEGIN / COMMIT / ROLLBACK transactions (`relational_engine/src/
@@ -3209,7 +3210,7 @@ class NeumannSparkEngine:
             fork[a] = _copy.deepcopy(getattr(self, a))
         self._tx_fork = fork
         self._tx_wal_buffer = []
-        return self.spark.createDataFrame(
+        return local_df(self.spark,
             [("begin", "ok")], "tx string, status string")
 
     def _exec_commit(self, cmd: str) -> DataFrame:
@@ -3226,7 +3227,7 @@ class NeumannSparkEngine:
             self._wal_entries.extend(self._tx_wal_buffer)
             self._wal_write()
         self._tx_wal_buffer = []
-        return self.spark.createDataFrame(
+        return local_df(self.spark,
             [("commit", "ok")], "tx string, status string")
 
     def _exec_tx_rollback(self) -> DataFrame:
@@ -3248,7 +3249,7 @@ class NeumannSparkEngine:
         for name, df in self._tables.items():
             df.createOrReplaceTempView(name)
         self._mutations += 1
-        return self.spark.createDataFrame(
+        return local_df(self.spark,
             [("rollback", "ok")], "tx string, status string")
 
     def _exec_checkpoints(self, cmd: str) -> DataFrame:
@@ -3261,5 +3262,5 @@ class NeumannSparkEngine:
             rows = [(n, s) for n, s in reversed(self._cp_log.items())]
         if m.group(1):
             rows = rows[: int(m.group(1))]
-        return self.spark.createDataFrame(
+        return local_df(self.spark,
             rows, "checkpoint string, seq bigint")

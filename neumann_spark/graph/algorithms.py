@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from neumann_spark.graph.model import GRAPH_SQL_CTE, edges_df, nodes_df, undirected_edges
 from neumann_spark.registry import register
+from neumann_spark.session import local_df
 
 DAMPING = 0.85
 PR_ITERS = 10
@@ -581,7 +582,7 @@ def graph_scc_tarjan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 low[parent] = min(low[parent], low[v])
     rows = [(int(n), int(comp[n])) for n in nodes_all]
     multi = {c for c in comp.values() if sum(1 for x in comp.values() if x == c) > 1}
-    out = spark.createDataFrame(rows, "id bigint, scc bigint")
+    out = local_df(spark, rows, "id bigint, scc bigint")
     return out.filter(F.col("scc").isin([int(c) for c in multi]) if multi else F.lit(False))
 
 
@@ -722,7 +723,7 @@ def betweenness_driver_side(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((int(v), round(x, 6)) for v, x in bc.items() if x > 0),
         key=lambda t: (-t[1], t[0]),
     )[:50]
-    return spark.createDataFrame(rows, "id bigint, betweenness double")
+    return local_df(spark, rows, "id bigint, betweenness double")
 
 
 def _mst_oracle_sql() -> str:
@@ -822,7 +823,7 @@ def graph_mst_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
         if rs != rd:
             parent[max(rs, rd)] = min(rs, rd)
             chosen.append((int(s), int(d), float(round(w, 2))))
-    return spark.createDataFrame(chosen, "src bigint, dst bigint, weight double")
+    return local_df(spark, chosen, "src bigint, dst bigint, weight double")
 
 
 LOUVAIN_ROUNDS = 4
@@ -1116,7 +1117,7 @@ def graph_astar_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _collect_edges(ue)
     dist, path, _ = astar_search(edges, 1, 17, "zero")
     rows = [(i, int(n), float(round(dist[n], 4))) for i, n in enumerate(path)]
-    return spark.createDataFrame(rows, "step int, node bigint, cum_weight double")
+    return local_df(spark, rows, "step int, node bigint, cum_weight double")
 
 
 @register("graph_astar_distributed", oracle=_ASTAR_ORACLE)
@@ -1143,7 +1144,7 @@ def graph_astar_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("dst").alias("node"), "p")
         .localCheckpoint(eager=True)
     )
-    cur = spark.createDataFrame([(17, 0)], "node bigint, back_idx int")
+    cur = local_df(spark, [(17, 0)], "node bigint, back_idx int")
     back = cur
     for _ in range(ASTAR_HOPS):
         head = cur.head()
@@ -1538,7 +1539,7 @@ def betweenness_distributed(
 
     # backward accumulation, deepest level first
     spark = uedges.sparkSession
-    delta = spark.createDataFrame([], "source bigint, node bigint, delta double")
+    delta = local_df(spark, [], "source bigint, node bigint, delta double")
     bc_parts = []
     for d in range(len(levels) - 2, 0, -1):
         lv = levels[d].select("source", "node", "sigma")
@@ -1574,7 +1575,7 @@ def betweenness_distributed(
         delta = contrib
         bc_parts.append(contrib)
     if not bc_parts:
-        return spark.createDataFrame([], "id bigint, betweenness double")
+        return local_df(spark, [], "id bigint, betweenness double")
     allc = bc_parts[0]
     for p in bc_parts[1:]:
         allc = allc.unionAll(p)
@@ -1735,7 +1736,7 @@ def graph_articulation_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     ue = undirected_edges(edges_df(spark, sf_dir)).select("src", "dst")
     art, _, _ = biconnected(_collect_edges(ue, cols=("src", "dst")))
     rows = [(int(v), int(v in art)) for v in ART_CANDIDATES]
-    return spark.createDataFrame(rows, "id bigint, is_articulation int")
+    return local_df(spark, rows, "id bigint, is_articulation int")
 
 
 def _bridges_oracle_sql() -> str:
@@ -1797,7 +1798,7 @@ def graph_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [
         (int(s), int(d), int((min(s, d), max(s, d)) in bridges)) for s, d in cand
     ]
-    return spark.createDataFrame(rows, "src bigint, dst bigint, is_bridge int")
+    return local_df(spark, rows, "src bigint, dst bigint, is_bridge int")
 
 
 # --------------------------------------------------------------------------
@@ -1845,7 +1846,7 @@ def scc_distributed(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    assigned = spark.createDataFrame([], "id bigint, scc bigint")
+    assigned = local_df(spark, [], "id bigint, scc bigint")
     # TRIM: peel nodes that cannot be in a cycle of the remaining subgraph
     e_t = e_all
     for _ in range(max_outer):
@@ -1954,7 +1955,7 @@ def mst_boruvka_distributed(
         .select("id", F.col("id").alias("comp"))
         .localCheckpoint(eager=True)
     )
-    chosen = spark.createDataFrame([], "src bigint, dst bigint, weight double")
+    chosen = local_df(spark, [], "src bigint, dst bigint, weight double")
     for _ in range(max_rounds):
         e2 = (
             ce.join(
@@ -2127,7 +2128,7 @@ def bcc_distributed(
     # an EMPTY round, so a node at depth exactly max_depth is still valid)
     visited = roots.localCheckpoint(eager=True)
     frontier = visited
-    forest = spark.createDataFrame([], "child bigint, parent bigint, depth int")
+    forest = local_df(spark, [], "child bigint, parent bigint, depth int")
     for depth in range(1, max_depth + 2):
         nxt = (
             e.join(frontier.withColumnRenamed("id", "src"), "src")
@@ -2178,8 +2179,8 @@ def bcc_distributed(
         )
         .localCheckpoint(eager=True)
     )
-    coverage = spark.createDataFrame([], "child bigint")
-    aux = spark.createDataFrame([], "x bigint, y bigint")
+    coverage = local_df(spark, [], "child bigint")
+    aux = local_df(spark, [], "x bigint, y bigint")
     pa = forest.select(F.col("child").alias("a"), F.col("parent").alias("p_a"))
     pb = forest.select(F.col("child").alias("b"), F.col("parent").alias("p_b"))
     for _ in range(2 * max_depth + 2):
@@ -2359,7 +2360,7 @@ def graph_articulation_distributed(spark: SparkSession, sf_dir: str) -> DataFram
     guarded `graph_articulation_points` fast path — joins + groupBy only. Full-set equality
     vs Hopcroft-Tarjan asserted in tests/test_graph.py."""
     _, _, art = _bcc_index(spark, sf_dir)
-    cand = spark.createDataFrame([(int(v),) for v in ART_CANDIDATES], "id bigint")
+    cand = local_df(spark, [(int(v),) for v in ART_CANDIDATES], "id bigint")
     return (
         cand.join(
             F.broadcast(art.withColumn("hit", F.lit(1))), "id", "left"

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from neumann_spark.graph.model import GRAPH_SQL_CTE, edges_df, undirected_edges
 from neumann_spark.registry import register
+from neumann_spark.session import local_df
 
 # recursive-CTE-enabled variant of the shared graph derivation
 RECURSIVE_CTE = GRAPH_SQL_CTE.replace("WITH nodes", "WITH RECURSIVE nodes", 1)
@@ -98,7 +99,7 @@ def bounded_dijkstra(
     hops) — the data-flow form of `find_weighted_path` Dijkstra
     (`graph_engine/src/lib.rs:4933`). Returns (node, dist)."""
     e = edges.select("src", "dst", "weight")
-    dist = e.sparkSession.createDataFrame(
+    dist = local_df(e.sparkSession,
         [(source_id, 0.0)], "node bigint, dist double"
     )
     for _ in range(max_hops):
@@ -214,7 +215,7 @@ def graph_variable_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = undirected_edges(edges_df(spark, sf_dir)).select("src", "dst").localCheckpoint(
         eager=True
     )
-    frontier = spark.createDataFrame([(1, [1], 0)], "node bigint, path array<bigint>, hops int")
+    frontier = local_df(spark, [(1, [1], 0)], "node bigint, path array<bigint>, hops int")
     out_parts = []
     for depth in range(1, 4):
         frontier = (
@@ -268,7 +269,7 @@ def graph_all_weighted_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst", "weight")
         .localCheckpoint(eager=True)
     )
-    frontier = spark.createDataFrame(
+    frontier = local_df(spark,
         [(1, [1], 0.0, 0)],
         "node bigint, path array<bigint>, w double, hops int",
     )

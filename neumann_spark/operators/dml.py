@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from neumann_spark.catalog import load
 from neumann_spark.registry import register
 from neumann_spark.sqlutil import dsum, sql_dsum
+from neumann_spark.session import local_df
 
 
 def update_where(df: DataFrame, cond, assignments: dict) -> DataFrame:
@@ -389,13 +390,13 @@ def dml_merge_key_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial apply flips the hash."""
     from neumann_spark.session import scratch_dir
 
-    target = spark.createDataFrame(
+    target = local_df(spark,
         [(1, "A", 10), (2, "B", 20), (3, "A", 30), (4, "B", 40)],
         "id int, part string, v int")
     tdir, cleanup = scratch_dir(spark, "mergekey_")
     try:
         target.write.mode("overwrite").partitionBy("part").parquet(tdir)
-        clean = spark.createDataFrame(
+        clean = local_df(spark,
             [(3, "A", 99), (5, "A", 50)], "id int, part string, v int")
         merge_into_partitioned(
             spark, tdir, clean, keys=["id"], partition_col="part",
@@ -404,7 +405,7 @@ def dml_merge_key_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
         try:
             merge_into_partitioned(
                 spark, tdir,
-                spark.createDataFrame(
+                local_df(spark,
                     [(2, "A", 21)], "id int, part string, v int"),
                 keys=["id"], partition_col="part",
                 verify_key_stability=True)

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from neumann_spark.graph.model import GRAPH_SQL_CTE
 from neumann_spark.registry import register
+from neumann_spark.session import local_df
 
 
 @register(
@@ -259,7 +260,7 @@ def cursor_stream_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch_size=1000)
     rows = [(i, len(b), sum(r["o_orderkey"] for r in b))
             for i, b in enumerate(it)]
-    return spark.createDataFrame(
+    return local_df(spark,
         rows, "batch_id bigint, n_rows bigint, key_sum bigint")
 
 
@@ -293,7 +294,7 @@ def result_cache_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     recompute_matches = (
         sorted(map(tuple, eng.execute(q).collect())) == before_rows)
     eng.execute("DROP TABLE cache_poke")
-    return spark.createDataFrame(
+    return local_df(spark,
         [(hit_is_cached, cached_before, cached_after,
           len(before_rows), recompute_matches)],
         "hit_is_cached boolean, cached_before_write bigint, "

@@ -28,6 +28,7 @@ from neumann_spark.catalog import load
 from neumann_spark.registry import register
 from neumann_spark.session import scratch_dir as _scratch_dir
 from neumann_spark.session import stage_move_part as _stage_move_part
+from neumann_spark.session import local_df
 
 LSH_PLANES = 4
 DIM = 64
@@ -756,7 +757,7 @@ def pq_build_joined(emb: DataFrame, S: int, subdim: int, k: int,
                 (int(r["code"]), [float(x) for x in r["cent"]])
                 for r in cent.collect())
             supers, member_rows = _super_split(cent_list)
-            members = emb.sparkSession.createDataFrame(
+            members = local_df(emb.sparkSession,
                 member_rows, "sid int, code int, cent array<double>")
             probes = _super_probe_expr(
                 F.col("sub"), supers, GRAPH_SUPER_PROBES)
@@ -2044,7 +2045,7 @@ def _nearest_clusters(spark: SparkSession, u: DataFrame,
             else len(warm_centroids) > GRAPH_TWO_LEVEL_MIN_K)
     if use2:
         supers, member_rows = _super_split(warm_centroids)
-        members = spark.createDataFrame(
+        members = local_df(spark,
             member_rows, "sid int, cl int, cent array<double>")
         probes = _super_probe_expr(
             F.col("embedding"), supers, max(GRAPH_SUPER_PROBES, p))
@@ -2056,7 +2057,7 @@ def _nearest_clusters(spark: SparkSession, u: DataFrame,
             .filter(F.col("rn") <= p)
             .select("vec_id", "cl", "rn")
         )
-    cent_df = spark.createDataFrame(
+    cent_df = local_df(spark,
         [(0, int(c), [float(x) for x in v]) for c, v in warm_centroids],
         "j int, cl int, cent array<double>")
     return (
@@ -2452,7 +2453,7 @@ def _graph_rescore_from(spark: SparkSession, sf_dir: str, index: tuple,
     # traversal LUT: (s, code, d) — query-to-centroid distance per cell,
     # rounded in Spark (HALF_UP matches DuckDB ROUND) not in Python
     # (banker's rounding would drift from the oracle)
-    cent_df = spark.createDataFrame(
+    cent_df = local_df(spark,
         [(s, int(code), [float(x) for x in vals])
          for s, cb in enumerate(codebooks) for code, vals in cb],
         "s int, code int, cent array<double>")
@@ -2571,7 +2572,7 @@ def _pq_assign_long(u_new: DataFrame, codebooks: list,
             ])
         ).alias("x"),
     ).select("vec_id", F.col("x.s").alias("s"), F.col("x.sub").alias("sub"))
-    cent = spark.createDataFrame(
+    cent = local_df(spark,
         [(s, int(code), [float(x) for x in vals])
          for s, cb in enumerate(codebooks) for code, vals in cb],
         "s int, code int, cent array<double>")
@@ -3775,11 +3776,11 @@ def _graph_batch_search(spark: SparkSession, sf_dir: str,
         int(r["vec_id"]): [float(x) for x in r["embedding"]]
         for r in u.filter(F.col("vec_id").isin(list(anchors))).collect()
     }
-    cent_df = spark.createDataFrame(
+    cent_df = local_df(spark,
         [(s, int(code), [float(x) for x in vals])
          for s, cb in enumerate(codebooks) for code, vals in cb],
         "s int, code int, cent array<double>")
-    qdf = spark.createDataFrame(
+    qdf = local_df(spark,
         [(int(a), qvs[int(a)]) for a in anchors],
         "qid bigint, qv array<double>")
     luts = _batch_luts(qdf, cent_df).localCheckpoint(eager=True)
@@ -3809,7 +3810,7 @@ def _graph_batch_search(spark: SparkSession, sf_dir: str,
             (_d2(qvs[int(a)], vals), int(cid))
             for cid, vals in warm_centroids)[:GRAPH_WARM_PROBES]
     ]
-    probe_df = spark.createDataFrame(probe_rows, "qid bigint, cluster int")
+    probe_df = local_df(spark, probe_rows, "qid bigint, cluster int")
     warm = (
         warm_codes.join(F.broadcast(probe_df), "cluster")
         .filter(F.col("vec_id") != F.col("qid"))
@@ -3835,7 +3836,7 @@ def _graph_batch_search(spark: SparkSession, sf_dir: str,
         if not fr_pairs:
             break
         srcs = sorted({v for _, v in fr_pairs})
-        fr_df = spark.createDataFrame(
+        fr_df = local_df(spark,
             [(q, v) for q, v in fr_pairs], "qid bigint, src bigint")
         probe = edges.filter(F.col("pos") < c)
         # source-id pruning: below GRAPH_PROBE_INLIST_MAX distinct
@@ -3888,7 +3889,7 @@ def _graph_batch_search(spark: SparkSession, sf_dir: str,
     )
     from neumann_spark.functions.vector import dot_expr
 
-    qdf = spark.createDataFrame(
+    qdf = local_df(spark,
         [(a, qvs[a]) for a in anchors], "qid bigint, qv array<double>")
     if sq_rescore:
         # compact tier, batched: rank every query's shortlist against the
@@ -4038,14 +4039,14 @@ def save_graph_index_frames(spark: SparkSession, index: tuple,
         warm_codes.write.mode("overwrite").partitionBy("cluster")
         .parquet(f"{path}/graph_warm_assign")
     )
-    spark.createDataFrame(
+    local_df(spark,
         [(int(c), [float(x) for x in v]) for c, v in warm_centroids],
         "cluster int, centroid array<double>",
     ).write.mode("overwrite").parquet(f"{path}/graph_warm_centroids")
     codes_long.write.mode("overwrite").parquet(f"{path}/graph_codes")
     _write_codebooks(spark, codebooks, f"{path}/graph_codebooks")
     sq_codes.write.mode("overwrite").parquet(f"{path}/graph_sq_codes")
-    spark.createDataFrame(
+    local_df(spark,
         [(i, float(lo), float(hi))
          for i, (lo, hi) in enumerate(zip(sq_lo, sq_hi))],
         "i int, lo double, hi double",
@@ -4057,7 +4058,7 @@ def save_graph_index_frames(spark: SparkSession, index: tuple,
         # fingerprint the loaded-index validation checks. warm_k/fp stay
         # nullable so re-persisting an index loaded from a pre-r10
         # layout (which has neither) migrates cleanly instead of raising
-        spark.createDataFrame(
+        local_df(spark,
             [(
                 int(meta["n"]),
                 int(meta["warm_k"]) if meta.get("warm_k") is not None
@@ -4204,7 +4205,7 @@ def ann_graph_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = out.collect()  # materialize before the files vanish
     finally:
         cleanup()
-    return spark.createDataFrame(rows, out.schema)
+    return local_df(spark, rows, out.schema)
 
 
 @register("ann_graph_insert_persist", oracle=_graph_insert_sql())
@@ -4233,7 +4234,7 @@ def ann_graph_insert_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = out.collect()  # materialize before the files vanish
     finally:
         cleanup()
-    return spark.createDataFrame(rows, out.schema)
+    return local_df(spark, rows, out.schema)
 
 
 @register("ann_graph_rescore", oracle=_graph_rescore_sql(GRAPH_T_LOW))
@@ -4754,7 +4755,7 @@ def ann_graph_rescore_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = out.collect()  # materialize before the files vanish
     finally:
         cleanup()
-    return spark.createDataFrame(rows, out.schema)
+    return local_df(spark, rows, out.schema)
 
 
 # the scale points the law query pins beyond the fixture cardinality:
@@ -4861,7 +4862,7 @@ def ann_graph_autobudget_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             caps=(c_cap, beam_cap))
         rows.append((n, c_cap, beam_cap, rounds, beam, c, shortlist,
                      graph_nnd_rounds(n)))
-    return spark.createDataFrame(
+    return local_df(spark,
         rows,
         "n bigint, c_cap bigint, beam_cap bigint, rounds bigint, "
         "beam bigint, c bigint, shortlist bigint, nnd_rounds bigint")
@@ -4872,7 +4873,7 @@ def ann_graph_autobudget_law(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _write_codebooks(spark: SparkSession, codebooks: list, path: str) -> None:
-    spark.createDataFrame(
+    local_df(spark,
         [
             (s, int(code), [float(x) for x in vals])
             for s, cb in enumerate(codebooks)
@@ -4910,7 +4911,7 @@ def save_ann_index(spark: SparkSession, sf_dir: str, path: str) -> None:
         .write.mode("overwrite").partitionBy("cluster")
         .parquet(f"{path}/ivf_assign")
     )
-    spark.createDataFrame(
+    local_df(spark,
         [(int(c), [float(x) for x in v]) for c, v in centroids],
         "cluster int, centroid array<double>",
     ).write.mode("overwrite").parquet(f"{path}/ivf_centroids")

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from neumann_spark.catalog import load
 from neumann_spark.registry import register
+from neumann_spark.session import local_df
 
 SEARCH_TERMS = ("hash", "merge", "stream")
 
@@ -47,7 +48,7 @@ def fulltext_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     list broadcasts."""
     d = load(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-    terms = spark.createDataFrame([(t,) for t in SEARCH_TERMS], "term string")
+    terms = local_df(spark, [(t,) for t in SEARCH_TERMS], "term string")
     hits = (
         tok.join(F.broadcast(terms), "term")
         .groupBy("doc_id", "term")
@@ -213,7 +214,7 @@ def fulltext_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id total."""
     d = load(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-    terms = spark.createDataFrame([(t,) for t in SEARCH_TERMS], "term string")
+    terms = local_df(spark, [(t,) for t in SEARCH_TERMS], "term string")
     dl = d.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
     stats = dl.agg(
         F.count("*").cast("double").alias("n_docs"),

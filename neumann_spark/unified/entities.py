@@ -33,6 +33,7 @@ from neumann_spark.functions.vector import cosine_expr
 from neumann_spark.graph.model import SUPPLIER_BASE, edges_df, undirected_edges
 from neumann_spark.graph.traversal import RECURSIVE_CTE, bfs_levels
 from neumann_spark.registry import register
+from neumann_spark.session import local_df
 
 EMB_SUPPLIER_SPLIT = 250
 
@@ -208,7 +209,7 @@ def unified_similar_connected(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("embedding").alias("qv"))
     )
     e = undirected_edges(edges_df(spark, sf_dir))
-    src = e.sparkSession.createDataFrame([(17, 17)], "source bigint, node bigint")
+    src = local_df(e.sparkSession, [(17, 17)], "source bigint, node bigint")
     reach = bfs_levels(e, src, 2).select("node", "dist")
     cand = emb.filter(F.col("vec_id") != 0).join(
         F.broadcast(reach), emb.node_id == reach.node

@@ -41,6 +41,7 @@ from neumann_spark.pipeline.fulltext import (  # noqa: E402
     BM25_SCORE_SQL,
     fulltext_bm25,
 )
+from neumann_spark.session import local_df  # noqa: E402
 
 
 def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -335,7 +336,7 @@ def hybrid_rrf_connected(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neumann_spark.unified.entities import entity_embeddings
 
     e = undirected_edges(edges_df(spark, sf_dir))
-    src = spark.createDataFrame(
+    src = local_df(spark,
         [(CONNECTED_ANCHOR_NODE, CONNECTED_ANCHOR_NODE)],
         "source bigint, node bigint")
     reach = bfs_levels(e, src, CONNECTED_HOPS).select("node")

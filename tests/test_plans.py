@@ -368,3 +368,31 @@ def test_batch_probe_join_form_is_hash_join(spark, tmp_path):
                     if "PartitionFilters" in ln and "block" in ln)
         # Catalyst renders long literal lists as INSET, short ones as IN
         assert (" IN (" in scan) or (" INSET " in scan), scan
+
+
+def test_local_df_one_slice_and_empty_local_relation(spark):
+    """The driver-local batch helpers (§5): `local_df` must carry a handful
+    of statement rows in ONE partition (plain createDataFrame spreads them
+    over defaultParallelism — 32 no-op tasks per action on every mutation
+    chain), produce values/schema identical to createDataFrame, and
+    `empty_df` must be a true LocalRelation so PropagateEmptyRelation can
+    prune it out of the overlay union chains entirely."""
+    from neumann_spark.session import empty_df, local_df
+
+    rows = [(1, "a", [1.0, 2.0]), (2, None, [3.0])]
+    schema = "id bigint, s string, v array<double>"
+    ours = local_df(spark, rows, schema)
+    ref = spark.createDataFrame(rows, schema)
+    assert ours.rdd.getNumPartitions() == 1
+    assert ref.rdd.getNumPartitions() > 1  # the cost local_df removes
+    assert ours.schema == ref.schema
+    assert sorted(map(tuple, ours.collect())) == sorted(map(tuple, ref.collect()))
+
+    # empty frame: zero partitions, pruned from a union at optimize time
+    emp = emp0 = empty_df(spark, schema)
+    assert emp.schema == ref.schema
+    assert emp.count() == 0
+    assert emp.rdd.getNumPartitions() == 0
+    unioned = emp.unionAll(ref).unionAll(emp0)
+    opt = unioned._jdf.queryExecution().optimizedPlan().toString()
+    assert "Union" not in opt, opt  # both empty legs pruned
