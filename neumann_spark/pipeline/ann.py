@@ -28,7 +28,7 @@ from neumann_spark.catalog import load
 from neumann_spark.registry import register
 from neumann_spark.session import scratch_dir as _scratch_dir
 from neumann_spark.session import stage_move_part as _stage_move_part
-from neumann_spark.session import local_df
+from neumann_spark.session import empty_df, local_df, run_actions_parallel
 
 LSH_PLANES = 4
 DIM = 64
@@ -720,19 +720,31 @@ def pq_build_joined(emb: DataFrame, S: int, subdim: int, k: int,
         "vec_id", "s", (F.col("vec_id") % k).cast("int").alias("code"))
     avgs = [F.avg(F.element_at("sub", i)).alias(f"c{i}")
             for i in range(1, subdim + 1)]
-    cent = None
+    cent_rows: list = []
     for _ in range(iters):
-        cent = (
-            subs.join(codes_long, ["vec_id", "s"])
-            .groupBy("s", "code")
-            .agg(*avgs)
-            .select(
-                "s", "code",
-                F.array(*[F.col(f"c{i}") for i in range(1, subdim + 1)]
-                        ).alias("cent"),
-            )
-            .localCheckpoint(eager=True)
+        # ONE job per iteration: collect the S*k centroid rows (bounded —
+        # the codebook is broadcast-size by contract) and rebuild them as
+        # a LocalRelation, so the broadcast join below never schedules a
+        # separate checkpoint job or broadcast-exchange job per iteration
+        # (guide §5: driver actions are sequential barriers). Doubles
+        # round-trip the driver exactly (IEEE754 both ways), so the
+        # round-6 argmin is bit-identical to the checkpointed form —
+        # pinned by the two-level/flat differential tests.
+        cent_rows = sorted(
+            (int(r["s"]), int(r["code"]), [float(x) for x in r["cent"]])
+            for r in (
+                subs.join(codes_long, ["vec_id", "s"])
+                .groupBy("s", "code")
+                .agg(*avgs)
+                .select(
+                    "s", "code",
+                    F.array(*[F.col(f"c{i}") for i in range(1, subdim + 1)]
+                            ).alias("cent"),
+                )
+            ).collect()
         )
+        cent = local_df(emb.sparkSession, cent_rows,
+                        "s int, code int, cent array<double>")
         d = F.round(
             F.aggregate(
                 F.zip_with("sub", "cent", lambda x, c: (x - c) * (x - c)),
@@ -753,9 +765,7 @@ def pq_build_joined(emb: DataFrame, S: int, subdim: int, k: int,
             # kernel's cross-shard loss. Exhaustive probes (p ≥ #supers)
             # are bit-equal to the flat join — pinned by
             # test_two_level_assignment_exhaustive_matches_flat.
-            cent_list = sorted(
-                (int(r["code"]), [float(x) for x in r["cent"]])
-                for r in cent.collect())
+            cent_list = [(code, vals) for _, code, vals in cent_rows]
             supers, member_rows = _super_split(cent_list)
             members = local_df(emb.sparkSession,
                 member_rows, "sid int, code int, cent array<double>")
@@ -780,13 +790,8 @@ def pq_build_joined(emb: DataFrame, S: int, subdim: int, k: int,
                 .select("vec_id", "s", F.col("m.code").alias("code"))
                 .localCheckpoint(eager=False)
             )
-    cent_rows = cent.collect()
     codebooks: list[list[tuple[int, list[float]]]] = [
-        sorted(
-            (int(r["code"]), [float(x) for x in r["cent"]])
-            for r in cent_rows
-            if int(r["s"]) == s
-        )
+        [(code, vals) for rs, code, vals in cent_rows if rs == s]
         for s in range(S)
     ]
     codes = (
@@ -1869,7 +1874,10 @@ def _grouped_pair_distances(u: DataFrame, keyed: DataFrame,
             F.col("occ") / F.lit(GRAPH_PAIR_SHARD)).alias("shards"))
     )
     if telemetry is not None:
-        oversize = oversize.localCheckpoint(eager=True)
+        # lazy: the telemetry collect right below materializes it in the
+        # same job, so the checkpoint costs no job of its own; the
+        # broadcast join further down reuses the materialized blocks
+        oversize = oversize.localCheckpoint(eager=False)
         trow = oversize.agg(
             F.count("*").alias("g"),
             F.coalesce(F.max("shards"), F.lit(0)).alias("mx"),
@@ -2300,7 +2308,11 @@ def _build_graph_index(spark: SparkSession, emb: DataFrame) -> tuple:
             "shard_max": int(shard_tel.get("pair_max_shards", 0)),
             "shard_dropped_est": int(shard_tel.get("pair_dropped_est", 0)),
             "validated": {}}
-    return (edges, warm_codes.localCheckpoint(eager=True), warm_centroids,
+    # warm_codes is a narrow 2-column select over codes_w, which
+    # pq_build_joined already checkpointed eagerly — re-checkpointing the
+    # projection would copy the blocks and pay one more job per build for
+    # nothing (guide §5)
+    return (edges, warm_codes, warm_centroids,
             codes_long, codebooks, u, sq_codes, sq_lo, sq_hi, meta)
 
 
@@ -2459,6 +2471,10 @@ def _graph_rescore_from(spark: SparkSession, sf_dir: str, index: tuple,
         "s int, code int, cent array<double>")
     qslice = F.slice(
         F.lit(qv), F.col("s") * GRAPH_PQ_SUBDIM + 1, GRAPH_PQ_SUBDIM)
+    # no checkpoint: cent_df is a LocalRelation and this projection
+    # collapses into one (ConvertToLocalRelation), so every broadcast of
+    # lut below is driver-local and job-free — checkpointing it would
+    # CREATE the only job this frame ever costs (guide §5)
     lut = cent_df.select(
         "s", "code",
         F.round(
@@ -2467,7 +2483,7 @@ def _graph_rescore_from(spark: SparkSession, sf_dir: str, index: tuple,
                 F.lit(0.0), lambda a, x: a + x),
             6,
         ).alias("d"),
-    ).localCheckpoint(eager=True)
+    )
 
     def adc(ids: DataFrame) -> DataFrame:
         return (
@@ -2477,11 +2493,15 @@ def _graph_rescore_from(spark: SparkSession, sf_dir: str, index: tuple,
             .agg(F.round(F.sum("d"), 6).alias("d"))
         )
 
+    # lazy checkpoints throughout the round loop: each round's frontier
+    # collect is the next action to touch evald, so it materializes the
+    # truncated plan inside that same job — one job per round instead of
+    # two (guide §5: the round loop is the only sequential chain here)
     evald = adc(
         warm_codes.filter(
             F.col("cluster").isin(probe_ids) & (F.col("vec_id") != anchor)
         ).select("vec_id")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     expanded: set = set()
     for _ in range(rounds):
         unexp = evald if not expanded else evald.filter(
@@ -2506,7 +2526,7 @@ def _graph_rescore_from(spark: SparkSession, sf_dir: str, index: tuple,
             .distinct()
             .join(evald.select("vec_id"), "vec_id", "left_anti")
         )
-        evald = evald.unionByName(adc(new_ids)).localCheckpoint(eager=True)
+        evald = evald.unionByName(adc(new_ids)).localCheckpoint(eager=False)
         expanded.update(frontier)
     # optional metadata filter, applied at the SHORTLIST stage (the
     # filtered-DiskANN strategy): traversal routes through every node so
@@ -2592,7 +2612,8 @@ def _pq_assign_long(u_new: DataFrame, codebooks: list,
 
 
 def _meta_advance(meta: dict | None, u_batch: DataFrame,
-                  sign: int) -> dict | None:
+                  sign: int,
+                  agg: tuple[int, int | None] | None = None) -> dict | None:
     """Advance index metadata by one maintenance batch: cardinality moves
     by ±|batch| and the XOR corpus fingerprint folds the batch rows in or
     out (XOR is its own inverse, so insert and delete use the same fold).
@@ -2600,10 +2621,13 @@ def _meta_advance(meta: dict | None, u_batch: DataFrame,
     `_e6_expr`, the same round-6 values the build fingerprinted. One
     bounded (batch-sized) aggregate. Meta-less indexes (or those loaded
     from a pre-r10 layout, whose fp is None) advance what they can:
-    cardinality always, fingerprint only when the build recorded one."""
+    cardinality always, fingerprint only when the build recorded one.
+    `agg` lets a caller that already folded the batch (count, fp) into
+    another action (the insert path's single validation job) pass the
+    values through instead of paying a second aggregate here."""
     if meta is None:
         return None
-    bn, bfp = _fp_agg(u_batch)
+    bn, bfp = agg if agg is not None else _fp_agg(u_batch)
     return {"n": meta["n"] + sign * bn,
             "warm_k": meta["warm_k"],
             "fp": (meta["fp"] ^ (bfp or 0)) if meta.get("fp") is not None
@@ -2695,21 +2719,12 @@ def knn_graph_insert(spark: SparkSession, index: tuple,
     # wins — a deterministic choice, and unit-inert by construction.
     batch0 = (new_emb.select("vec_id", "embedding").dropDuplicates()
               .withColumn("e6u", _unit_e6_raw_expr())
-              .localCheckpoint(eager=True))  # dedup shuffle computed once
-    crow = batch0.agg(
-        F.count_distinct("vec_id", "e6u").alias("n"),
-        F.count_distinct("vec_id").alias("d")).collect()[0]
-    if crow["n"] != crow["d"]:
-        raise ValueError(
-            f"{int(crow['n']) - int(crow['d'])} vec_ids appear with "
-            "CONFLICTING embeddings (different round-6 unit values) in "
-            "one insert batch: split same-batch updates into a delete "
-            "batch then an insert batch")
+              .localCheckpoint(eager=False))  # dedup shuffle computed once
     wrep = Window.partitionBy("vec_id").orderBy(
         F.col("embedding").cast("array<double>"))
     batch = (batch0.withColumn("rn", F.row_number().over(wrep))
              .filter(F.col("rn") == 1).select("vec_id", "embedding")
-             .localCheckpoint(eager=True))
+             .localCheckpoint(eager=False))
     # cross-batch form of the same conflict: an insert row whose id is
     # ALREADY indexed with a different embedding is an UPDATE arriving
     # without its delete — silently anti-joining it away would keep
@@ -2718,21 +2733,41 @@ def knn_graph_insert(spark: SparkSession, index: tuple,
     # redeliveries with equal round-6 UNIT values (the fingerprint's
     # own grid) pass as no-ops — the engine is cosine-only, so a pure
     # rescaling is the same vector and correctly counts as identical.
-    # One batch-bounded join.
     bu = unit_embeddings(batch)
-    n_stale = (
-        bu.select("vec_id", _e6_expr().alias("e6b"))
-        .join(u.select("vec_id", _e6_expr().alias("e6i")), "vec_id")
-        .filter(F.col("e6b") != F.col("e6i"))
-        .count())
-    if n_stale:
-        raise ValueError(
-            f"{n_stale} vec_ids are already indexed with DIFFERENT "
-            "embeddings: updates must arrive as a delete batch then an "
-            "insert batch (knn_graph_delete -> knn_graph_insert)")
     fresh = batch.join(u.select("vec_id"), "vec_id", "left_anti")
-    un = unit_embeddings(fresh).localCheckpoint(eager=True)
-    u_all = u.unionByName(un).localCheckpoint(eager=True)
+    un = unit_embeddings(fresh).localCheckpoint(eager=False)
+    u_all = u.unionByName(un).localCheckpoint(eager=False)
+    # ONE validation/metadata action per insert batch (the r12 BM25
+    # pattern, §5): the within-batch conflict counts, the cross-batch
+    # stale count, and the batch fingerprint/cardinality advance combine
+    # via a crossJoin of 1-row scalar aggregates — three jobs become one,
+    # and the lazy checkpoints above (batch0, batch, un) materialize
+    # inside this same job. Precedence of the two loud rejections is
+    # enforced driver-side below, identical to the former sequential form.
+    vrow = (
+        batch0.agg(
+            F.count_distinct("vec_id", "e6u").alias("n"),
+            F.count_distinct("vec_id").alias("d"))
+        .crossJoin(
+            bu.select("vec_id", _e6_expr().alias("e6b"))
+            .join(u.select("vec_id", _e6_expr().alias("e6i")), "vec_id")
+            .filter(F.col("e6b") != F.col("e6i"))
+            .agg(F.count("*").alias("n_stale")))
+        .crossJoin(
+            un.agg(F.count("*").alias("bn"),
+                   F.bit_xor(F.xxhash64("vec_id", _e6_expr())).alias("bfp")))
+    ).collect()[0]
+    if vrow["n"] != vrow["d"]:
+        raise ValueError(
+            f"{int(vrow['n']) - int(vrow['d'])} vec_ids appear with "
+            "CONFLICTING embeddings (different round-6 unit values) in "
+            "one insert batch: split same-batch updates into a delete "
+            "batch then an insert batch")
+    if vrow["n_stale"]:
+        raise ValueError(
+            f"{int(vrow['n_stale'])} vec_ids are already indexed with "
+            "DIFFERENT embeddings: updates must arrive as a delete batch "
+            "then an insert batch (knn_graph_delete -> knn_graph_insert)")
 
     ncl = _nearest_clusters(spark, un, warm_centroids, GRAPH_SEED_PROBES)
     new_warm = ncl.filter(F.col("rn") == 1).select(
@@ -2747,7 +2782,7 @@ def knn_graph_insert(spark: SparkSession, index: tuple,
     # cand0.distinct() did. Membership-volume hints mirror the build's
     # (_pair_agg_partitions): n comes from meta when present so no
     # extra count job runs on a persisted index.
-    n_batch = int(crow["d"])
+    n_batch = int(vrow["d"])
     n_idx = int(meta["n"]) if meta is not None else u.count()
     probed = ncl.select(F.col("cl").alias("key")).distinct()
     keyed0 = (
@@ -2764,10 +2799,13 @@ def knn_graph_insert(spark: SparkSession, index: tuple,
         .join(bsrc, "src", "semi")
         .distinct()
         # reused twice (nn0 ranking + the hop-union re-rank) — without
-        # the checkpoint the kernel's collect_list stage runs twice
-        .localCheckpoint(eager=True)
+        # the checkpoint the kernel's collect_list stage runs twice.
+        # Lazy (like every checkpoint on this path, §5): the whole
+        # insert chain materializes inside the first job that consumes
+        # it — the checkpoint cache still guarantees single computation
+        .localCheckpoint(eager=False)
     )
-    nn0 = _top_m_edges(scored0).localCheckpoint(eager=True)
+    nn0 = _top_m_edges(scored0).localCheckpoint(eager=False)
     fwd_ex = edges.filter(F.col("pos") < GRAPH_M)
     hop = (
         nn0.select("src", F.col("dst").alias("mid"))
@@ -2799,7 +2837,7 @@ def knn_graph_insert(spark: SparkSession, index: tuple,
         .join(hop, ["src", "dst"], "semi")
     )
     nn_new = _top_m_edges(scored_hop.union(scored0).distinct()
-                          ).localCheckpoint(eager=True)
+                          ).localCheckpoint(eager=False)
 
     # 3. bounded neighbour re-selection on affected EXISTING nodes only:
     # a new node targeted by a batch-mate already saw that mate through
@@ -2832,9 +2870,9 @@ def knn_graph_insert(spark: SparkSession, index: tuple,
     # three times (swap, self-anti-join, union) — uncheckpointed, the
     # triple-replayed union lineage ships multi-MiB task binaries
     fwd2 = untouched.unionByName(fwd_aff).unionByName(
-        nn_new).localCheckpoint(eager=True)
+        nn_new).localCheckpoint(eager=False)
     edges2 = fwd2.unionByName(_reverse_edges(fwd2)).localCheckpoint(
-        eager=True)
+        eager=False)
 
     new_codes = _pq_assign_long(un, codebooks, spark)
 
@@ -2848,15 +2886,18 @@ def knn_graph_insert(spark: SparkSession, index: tuple,
             for i in range(1, DIM + 1)]).alias("qc"))
     return (
         edges2,
-        warm_codes.unionByName(new_warm).localCheckpoint(eager=True),
+        warm_codes.unionByName(new_warm).localCheckpoint(eager=False),
         warm_centroids,
-        codes_long.unionByName(new_codes).localCheckpoint(eager=True),
+        codes_long.unionByName(new_codes).localCheckpoint(eager=False),
         codebooks,
         u_all,
-        sq_codes.unionByName(new_sq).localCheckpoint(eager=True),
+        sq_codes.unionByName(new_sq).localCheckpoint(eager=False),
         sq_lo,
         sq_hi,
-        _meta_advance(meta, un, +1),
+        _meta_advance(meta, un, +1,
+                      agg=(int(vrow["bn"]),
+                           int(vrow["bfp"]) if vrow["bfp"] is not None
+                           else None)),
     )
 
 
@@ -2878,11 +2919,11 @@ def knn_graph_delete(spark: SparkSession, index: tuple,
     (edges, warm_codes, warm_centroids, codes_long, codebooks, u,
      sq_codes, sq_lo, sq_hi) = index[:9]
     meta = index[9] if len(index) > 9 else None
-    dels = del_ids.select("vec_id").distinct().localCheckpoint(eager=True)
+    dels = del_ids.select("vec_id").distinct().localCheckpoint(eager=False)
     # fingerprint folds OUT exactly the rows the index actually holds
     # (ids not in the index are no-ops, mirroring the insert anti-join)
     removed_u = u.join(dels, "vec_id", "semi")
-    u_d = u.join(dels, "vec_id", "left_anti").localCheckpoint(eager=True)
+    u_d = u.join(dels, "vec_id", "left_anti").localCheckpoint(eager=False)
     fwd_surv = (
         edges.filter(F.col("pos") < GRAPH_M)
         .join(dels.select(F.col("vec_id").alias("src")), "src", "left_anti")
@@ -2916,19 +2957,19 @@ def knn_graph_delete(spark: SparkSession, index: tuple,
         fwd_surv.join(affected, "src", "left_anti")
         .select("src", "pos", "dst")
         .unionByName(repaired)
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     edges_d = fwd_d.unionByName(_reverse_edges(fwd_d)).localCheckpoint(
-        eager=True)
+        eager=False)
     anti = lambda df: df.join(dels, "vec_id", "left_anti")  # noqa: E731
     return (
         edges_d,
-        anti(warm_codes).localCheckpoint(eager=True),
+        anti(warm_codes).localCheckpoint(eager=False),
         warm_centroids,
-        anti(codes_long).localCheckpoint(eager=True),
+        anti(codes_long).localCheckpoint(eager=False),
         codebooks,
         u_d,
-        anti(sq_codes).localCheckpoint(eager=True),
+        anti(sq_codes).localCheckpoint(eager=False),
         sq_lo,
         sq_hi,
         _meta_advance(meta, removed_u, -1),
@@ -3816,14 +3857,20 @@ def _graph_batch_search(spark: SparkSession, sf_dir: str,
         .filter(F.col("vec_id") != F.col("qid"))
         .select("qid", "vec_id")
     )
-    evald = adc(warm).localCheckpoint(eager=True)
+    # lazy checkpoints in the round loop (same rationale as the
+    # single-query form): each round's frontier collect materializes the
+    # truncated evald plan inside its own job — one job per round, not
+    # three (evald checkpoint + expanded checkpoint + collect)
+    evald = adc(warm).localCheckpoint(eager=False)
     # the expanded set stays a KEYED DATAFRAME accumulated by union —
     # never a driver-side dict: at a 10k-query batch the per-round driver
     # state is ONLY the collected frontier (B * |anchors| pairs, needed
     # anyway as the static src IN-list that prunes edge blocks at the
-    # source); the anti-join against expanded_df runs executor-side
-    expanded_df = (
-        evald.select("qid", "vec_id").limit(0).localCheckpoint(eager=True))
+    # source); the anti-join against expanded_df runs executor-side.
+    # Seeded with a true empty LocalRelation (zero partitions, pruned
+    # from the union at optimization time) instead of an RDD-backed
+    # limit(0) checkpoint that cost a job to build
+    expanded_df = empty_df(spark, "qid bigint, vec_id bigint")
     wnd = Window.partitionBy("qid").orderBy("d", "vec_id")
     for _ in range(rounds):
         unexp = evald.join(expanded_df, ["qid", "vec_id"], "left_anti")
@@ -3861,11 +3908,11 @@ def _graph_batch_search(spark: SparkSession, sf_dir: str,
             .join(evald.select("qid", "vec_id"),
                   ["qid", "vec_id"], "left_anti")
         )
-        evald = evald.unionByName(adc(new_ids)).localCheckpoint(eager=True)
+        evald = evald.unionByName(adc(new_ids)).localCheckpoint(eager=False)
         expanded_df = (
             expanded_df.unionByName(
                 fr_df.select("qid", F.col("src").alias("vec_id")))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     # optional metadata filter at the shortlist stage (the filtered-
     # DiskANN strategy, same placement as the single-query form). The
@@ -4029,28 +4076,37 @@ def save_graph_index_frames(spark: SparkSession, index: tuple,
     (edges, warm_codes, warm_centroids, codes_long, codebooks, _u,
      sq_codes, sq_lo, sq_hi) = index[:9]
     meta = index[9] if len(index) > 9 else None
-    (
-        edges.withColumn(
-            "block", (F.col("src") % GRAPH_EDGE_BLOCKS).cast("int"))
-        .write.mode("overwrite").partitionBy("block")
-        .parquet(f"{path}/graph_edges")
-    )
-    (
-        warm_codes.write.mode("overwrite").partitionBy("cluster")
-        .parquet(f"{path}/graph_warm_assign")
-    )
-    local_df(spark,
-        [(int(c), [float(x) for x in v]) for c, v in warm_centroids],
-        "cluster int, centroid array<double>",
-    ).write.mode("overwrite").parquet(f"{path}/graph_warm_centroids")
-    codes_long.write.mode("overwrite").parquet(f"{path}/graph_codes")
-    _write_codebooks(spark, codebooks, f"{path}/graph_codebooks")
-    sq_codes.write.mode("overwrite").parquet(f"{path}/graph_sq_codes")
-    local_df(spark,
-        [(i, float(lo), float(hi))
-         for i, (lo, hi) in enumerate(zip(sq_lo, sq_hi))],
-        "i int, lo double, hi double",
-    ).write.mode("overwrite").parquet(f"{path}/graph_sq_grid")
+    # the component tables are independent outputs of already-materialized
+    # (checkpointed) frames — write them concurrently from driver threads
+    # so the seven write jobs' scheduling + commit barriers overlap
+    # instead of serializing (§5)
+    writes = [
+        lambda: (
+            edges.withColumn(
+                "block", (F.col("src") % GRAPH_EDGE_BLOCKS).cast("int"))
+            .write.mode("overwrite").partitionBy("block")
+            .parquet(f"{path}/graph_edges")
+        ),
+        lambda: (
+            warm_codes.write.mode("overwrite").partitionBy("cluster")
+            .parquet(f"{path}/graph_warm_assign")
+        ),
+        lambda: local_df(spark,
+            [(int(c), [float(x) for x in v]) for c, v in warm_centroids],
+            "cluster int, centroid array<double>",
+        ).write.mode("overwrite").parquet(f"{path}/graph_warm_centroids"),
+        lambda: codes_long.write.mode("overwrite").parquet(
+            f"{path}/graph_codes"),
+        lambda: _write_codebooks(spark, codebooks, f"{path}/graph_codebooks"),
+        lambda: sq_codes.write.mode("overwrite").parquet(
+            f"{path}/graph_sq_codes"),
+        lambda: local_df(spark,
+            [(i, float(lo), float(hi))
+             for i, (lo, hi) in enumerate(zip(sq_lo, sq_hi))],
+            "i int, lo double, hi double",
+        ).write.mode("overwrite").parquet(f"{path}/graph_sq_grid"),
+    ]
+    run_actions_parallel(writes)
     if meta is not None:
         # 1-row metadata: cardinality (the auto-budget presets derive
         # rounds/beam/shortlist from it at serve time — the HNSW-preset
@@ -4906,23 +4962,29 @@ def save_ann_index(spark: SparkSession, sf_dir: str, path: str) -> None:
     centroids/codebooks are k x dim tables (tiny)."""
     state, centroids = ivf_index(spark, sf_dir)
     codes, codebooks = pq_index(spark, sf_dir)
-    (
-        state.select("vec_id", "cluster")
-        .write.mode("overwrite").partitionBy("cluster")
-        .parquet(f"{path}/ivf_assign")
-    )
-    local_df(spark,
-        [(int(c), [float(x) for x in v]) for c, v in centroids],
-        "cluster int, centroid array<double>",
-    ).write.mode("overwrite").parquet(f"{path}/ivf_centroids")
-    codes.write.mode("overwrite").parquet(f"{path}/pq_codes")
-    _write_codebooks(spark, codebooks, f"{path}/pq_codebooks")
     # the fine table serving the low_scan preset persists alongside, so a
     # deployment can serve 0.9-recall@0.1-scan searches from the saved
     # index without re-training either quantizer
     fine_codes, fine_codebooks = pq_fine_index(spark, sf_dir)
-    fine_codes.write.mode("overwrite").parquet(f"{path}/pq_fine_codes")
-    _write_codebooks(spark, fine_codebooks, f"{path}/pq_fine_codebooks")
+    # six independent writes of already-materialized session indexes —
+    # concurrent driver threads overlap their job + commit barriers (§5)
+    run_actions_parallel([
+        lambda: (
+            state.select("vec_id", "cluster")
+            .write.mode("overwrite").partitionBy("cluster")
+            .parquet(f"{path}/ivf_assign")
+        ),
+        lambda: local_df(spark,
+            [(int(c), [float(x) for x in v]) for c, v in centroids],
+            "cluster int, centroid array<double>",
+        ).write.mode("overwrite").parquet(f"{path}/ivf_centroids"),
+        lambda: codes.write.mode("overwrite").parquet(f"{path}/pq_codes"),
+        lambda: _write_codebooks(spark, codebooks, f"{path}/pq_codebooks"),
+        lambda: fine_codes.write.mode("overwrite").parquet(
+            f"{path}/pq_fine_codes"),
+        lambda: _write_codebooks(
+            spark, fine_codebooks, f"{path}/pq_fine_codebooks"),
+    ])
 
 
 def load_ann_index(spark: SparkSession, path: str):

@@ -135,6 +135,35 @@ def local_df(spark: SparkSession, data, schema) -> DataFrame:
     return df
 
 
+def run_actions_parallel(thunks) -> list:
+    """Run independent Spark actions (e.g. sibling parquet writes of one
+    index persist) concurrently from driver threads, returning their
+    results in input order. Spark schedules jobs from separate driver
+    threads concurrently, so k sibling writes of already-materialized
+    frames cost ~max(write) wall instead of Σ(write) — and on a cluster
+    the per-job commit barriers overlap instead of serializing (§5). The
+    first exception (if any) re-raises in the caller after all threads
+    finish, so no thunk is left running against a torn-down session."""
+    thunks = list(thunks)
+    if len(thunks) <= 1:
+        return [t() for t in thunks]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(len(thunks), 8)) as ex:
+        futures = [ex.submit(t) for t in thunks]
+        results, first_err = [], None
+        for f in futures:
+            try:
+                results.append(f.result())
+            except Exception as e:  # keep draining: session must stay sane
+                results.append(None)
+                if first_err is None:
+                    first_err = e
+        if first_err is not None:
+            raise first_err
+        return results
+
+
 # Scratch entries older than this are presumed orphaned (ADVICE r12: the
 # checkpoint root's atexit reaper no-ops when the JVM is already down at
 # interpreter exit, so full parquet snapshots otherwise accumulate under
