@@ -31,7 +31,7 @@ from neumann_spark.catalog import TABLES, load
 from neumann_spark.functions.vector import knn
 from neumann_spark.graph.model import edges_df, nodes_df, undirected_edges
 from neumann_spark.graph.traversal import bfs_levels
-from neumann_spark.session import local_df
+from neumann_spark.session import local_df, run_actions_parallel
 
 
 class NeumannSparkEngine:
@@ -2937,9 +2937,16 @@ class NeumannSparkEngine:
         for name, df in self._tables.items():
             tables[name] = df.schema.json()
             writes.append((df, f"tables/{name}"))
-        for df, sub in writes:
-            (df.write.mode("overwrite").option("compression", codec)
-             .parquet(_os.path.join(path, data_dir, sub)))
+        # independent store/table outputs into a fresh data_dir — write
+        # them concurrently from driver threads so the per-store job +
+        # commit barriers overlap instead of serializing (§5); the
+        # manifest still publishes only after every write returned
+        run_actions_parallel([
+            (lambda d=df, s=sub: (
+                d.write.mode("overwrite").option("compression", codec)
+                .parquet(_os.path.join(path, data_dir, s))))
+            for df, sub in writes
+        ])
 
         manifest = {
             "format": "neumann_spark_snapshot/1",

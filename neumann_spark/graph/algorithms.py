@@ -61,14 +61,14 @@ def pagerank(
     `spark.sql.adaptive` to coalesce the small pr side automatically."""
     n_total = nodes.count()
     outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    e = edges.select("src", "dst").join(outdeg, "src").localCheckpoint(eager=True)
-    nodes_c = nodes.select("id").localCheckpoint(eager=True)
+    e = edges.select("src", "dst").join(outdeg, "src").localCheckpoint(eager=False)
+    nodes_c = nodes.select("id").localCheckpoint(eager=False)
     # nodes with no in-edges keep pr = base every round — a STATIC set, so
     # the per-round "restore missing nodes" left join (a third shuffle per
     # iteration) is replaced by a shuffle-free union with this frame
     no_in = nodes_c.join(
         e.select(F.col("dst").alias("id")).distinct(), "id", "left_anti"
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     pr = nodes_c.select("id", F.lit(1.0 / n_total).alias("pr"))
     base = (1.0 - damping) / n_total
     for it in range(iters):
@@ -87,7 +87,7 @@ def pagerank(
         # chained shuffles. A mid-loop checkpoint every 6 rounds caps
         # optimizer time on very long runs without a job per round.
         if it % 6 == 5:
-            pr = pr.localCheckpoint(eager=True)
+            pr = pr.localCheckpoint(eager=False)
     return pr
 
 
@@ -134,7 +134,7 @@ def connected_components(
     min-id propagation; `rounds` must exceed the graph diameter (asserted by
     convergence tests). Scale path: GraphFrames/GraphX use the same HCC idea
     with large-star/small-star acceleration; one shuffle per round here."""
-    e = uedges.select("src", "dst").localCheckpoint(eager=True)
+    e = uedges.select("src", "dst").localCheckpoint(eager=False)
     comp = nodes.select("id", F.col("id").alias("comp"))
     prev_sig = None
     for rnd in range(rounds):
@@ -148,7 +148,7 @@ def connected_components(
             F.least(F.col("comp"), F.coalesce("nb_comp", F.col("comp"))).alias("comp"),
         )
         if rnd % 3 == 2 or rnd == rounds - 1:
-            comp = comp.localCheckpoint(eager=True)
+            comp = comp.localCheckpoint(eager=False)
             # labels only ever decrease, so an unchanged sum IS the fixpoint —
             # early exit returns exactly the fixed-round oracle's answer
             sig = comp.agg(F.sum("comp")).collect()[0][0]
@@ -198,7 +198,7 @@ def label_propagation(
     frequent label (ties → min label). Deterministic by construction."""
     from pyspark.sql import Window
 
-    e = uedges.select("src", "dst").localCheckpoint(eager=True)
+    e = uedges.select("src", "dst").localCheckpoint(eager=False)
     lbl = nodes.select("id", F.col("id").alias("lbl"))
     for _ in range(rounds):
         counts = (
@@ -215,7 +215,7 @@ def label_propagation(
         lbl = (
             lbl.join(best, lbl.id == best.bid, "left")
             .select("id", F.coalesce("best_lbl", F.col("lbl")).alias("lbl"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return lbl
 
@@ -261,8 +261,8 @@ def kcore(
     repeatedly drop nodes with in-core degree < k. Each round = one groupBy
     + two semi-joins; at scale the edge table shrinks monotonically so later
     rounds are cheap. Returns surviving node ids."""
-    e = uedges.select("src", "dst").localCheckpoint(eager=True)
-    surv = e.select(F.col("src").alias("id")).distinct().localCheckpoint(eager=True)
+    e = uedges.select("src", "dst").localCheckpoint(eager=False)
+    surv = e.select(F.col("src").alias("id")).distinct().localCheckpoint(eager=False)
     prev_n = surv.count()
     for _ in range(rounds):
         e_in = e.join(surv.withColumnRenamed("id", "src"), "src", "left_semi").join(
@@ -273,7 +273,7 @@ def kcore(
             .agg(F.count("*").alias("deg"))
             .filter(F.col("deg") >= k)
             .select(F.col("src").alias("id"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         n = surv.count()
         # survivors shrink monotonically: stable count ⇒ fixpoint ⇒ identical
@@ -317,13 +317,13 @@ def eigenvector_centrality(
     """Eigenvector centrality by power iteration
     (`graph_engine/src/lib.rs:7278`): ev ← A·ev, normalized by max each
     round. One shuffle per round + a scalar max (driver aggregate)."""
-    e = uedges.select("src", "dst").localCheckpoint(eager=True)
-    nodes_c = nodes.select("id").localCheckpoint(eager=True)
+    e = uedges.select("src", "dst").localCheckpoint(eager=False)
+    nodes_c = nodes.select("id").localCheckpoint(eager=False)
     ev = nodes_c.select("id", F.lit(1.0).alias("ev"))
     for _ in range(iters):
         raw = (
             e.join(ev, e.dst == ev.id).groupBy("src").agg(F.sum("ev").alias("raw"))
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         mx = raw.agg(F.max("raw")).collect()[0][0] or 1.0
         ev = nodes_c.join(raw, nodes_c.id == raw.src, "left").select(
             "id", (F.coalesce("raw", F.lit(0.0)) / F.lit(mx)).alias("ev")
@@ -920,11 +920,11 @@ def louvain_communities(ue: DataFrame, rounds: int = LOUVAIN_ROUNDS) -> DataFram
     """DataFrame-level synchronous Louvain over symmetric (src, dst, weight)
     edges — the primitive behind `graph_louvain`, also runnable on the
     engine facade's session overlay graph (GRAPH LOUVAIN COMMUNITIES)."""
-    ue = ue.select("src", "dst", "weight").localCheckpoint(eager=True)
+    ue = ue.select("src", "dst", "weight").localCheckpoint(eager=False)
     kdeg = (
         ue.groupBy(F.col("src").alias("v"))
         .agg(F.sum(F.col("weight").cast("decimal(18,2)")).cast("double").alias("k"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     m2 = float(
         ue.agg(
@@ -970,7 +970,7 @@ def louvain_communities(ue: DataFrame, rounds: int = LOUVAIN_ROUNDS) -> DataFram
         cm = (
             cm.join(moves, "v", "left")
             .select("v", F.coalesce("new_c", "c").alias("c"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     cmin = cm.groupBy("c").agg(F.min("v").alias("community"))
     return cm.join(cmin, "c").select(F.col("v").alias("id"), "community")
@@ -1134,7 +1134,7 @@ def graph_astar_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neumann_spark.graph.traversal import bounded_dijkstra
 
     ue = undirected_edges(edges_df(spark, sf_dir)).select("src", "dst", "weight")
-    dist = bounded_dijkstra(ue, 1, ASTAR_HOPS).localCheckpoint(eager=True)
+    dist = bounded_dijkstra(ue, 1, ASTAR_HOPS).localCheckpoint(eager=False)
     pred = (
         ue.join(dist.select(F.col("node").alias("src"), F.col("dist").alias("sdist")), "src")
         .join(dist.select(F.col("node").alias("dst"), F.col("dist").alias("ddist")), "dst")
@@ -1142,7 +1142,7 @@ def graph_astar_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("dst")
         .agg(F.min("src").alias("p"))
         .select(F.col("dst").alias("node"), "p")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     cur = local_df(spark, [(17, 0)], "node bigint, back_idx int")
     back = cur
@@ -1153,7 +1153,7 @@ def graph_astar_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
         cur = (
             pred.join(F.broadcast(cur), "node")
             .select(F.col("p").alias("node"), (F.col("back_idx") + 1).alias("back_idx"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         back = back.unionAll(cur)
     mx = back.agg(F.max("back_idx").alias("mx"))
@@ -1509,10 +1509,10 @@ def betweenness_distributed(
     Every phase is joins + groupBy keyed on (source, node) — no driver
     collect; identical math to the driver-side Tarjan-style loop (equality
     asserted in tests). `sources` needs columns (source, node)."""
-    e = uedges.select("src", "dst").localCheckpoint(eager=True)
+    e = uedges.select("src", "dst").localCheckpoint(eager=False)
     visited = sources.select(
         "source", "node", F.lit(0).alias("dist"), F.lit(1.0).alias("sigma")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     frontier = visited
     levels = [frontier]
     for depth in range(1, max_depth + 1):
@@ -1527,7 +1527,7 @@ def betweenness_distributed(
                 "sigma",
             )
             .join(visited.select("source", "node"), ["source", "node"], "left_anti")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         if nxt.isEmpty():
             break
@@ -1570,7 +1570,7 @@ def betweenness_distributed(
             )
             .groupBy("source", "node")
             .agg(F.sum("c").alias("delta"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         delta = contrib
         bc_parts.append(contrib)
@@ -1838,13 +1838,13 @@ def scc_distributed(
     cheap semi-join rounds, leaving coloring to run on the small cyclic
     core — the same reason trim is the first phase of every production
     distributed-SCC implementation."""
-    e_all = dedges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    e_all = dedges.select("src", "dst").distinct().localCheckpoint(eager=False)
     spark = dedges.sparkSession
     remaining = (
         e_all.select(F.col("src").alias("id"))
         .unionAll(e_all.select(F.col("dst").alias("id")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     assigned = local_df(spark, [], "id bigint, scc bigint")
     # TRIM: peel nodes that cannot be in a cycle of the remaining subgraph
@@ -1852,7 +1852,7 @@ def scc_distributed(
     for _ in range(max_outer):
         srcs = e_t.select(F.col("src").alias("id")).distinct()
         dsts = e_t.select(F.col("dst").alias("id")).distinct()
-        core = srcs.join(dsts, "id", "left_semi").localCheckpoint(eager=True)
+        core = srcs.join(dsts, "id", "left_semi").localCheckpoint(eager=False)
         trimmed = remaining.join(core, "id", "left_anti")
         if trimmed.isEmpty():
             break
@@ -1862,16 +1862,16 @@ def scc_distributed(
         e_t = (
             e_t.join(core.withColumnRenamed("id", "src"), "src", "left_semi")
             .join(core.withColumnRenamed("id", "dst"), "dst", "left_semi")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-    assigned = assigned.localCheckpoint(eager=True)
+    assigned = assigned.localCheckpoint(eager=False)
     for _ in range(max_outer):
         if remaining.isEmpty():
             break
         e = (
             e_all.join(remaining.withColumnRenamed("id", "src"), "src", "left_semi")
             .join(remaining.withColumnRenamed("id", "dst"), "dst", "left_semi")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         # 1. forward min propagation
         color = remaining.select("id", F.col("id").alias("color"))
@@ -1892,12 +1892,12 @@ def scc_distributed(
                 )
             )
             if rnd % 3 == 2:
-                color = color.localCheckpoint(eager=True)
+                color = color.localCheckpoint(eager=False)
                 sig = color.agg(F.sum("color")).collect()[0][0]
                 if sig == prev_sig:
                     break
                 prev_sig = sig
-        color = color.localCheckpoint(eager=True)
+        color = color.localCheckpoint(eager=False)
         # 2. backward marking within each color class from the pivot
         marked = color.filter(F.col("id") == F.col("color")).select(
             "id", F.col("color").alias("scc")
@@ -1914,13 +1914,13 @@ def scc_distributed(
                     "left_semi",
                 )
                 .join(marked.select("id"), "id", "left_anti")
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
             if nxt.isEmpty():
                 break
             marked = marked.unionAll(nxt)
             frontier = nxt
-        marked = marked.localCheckpoint(eager=True)
+        marked = marked.localCheckpoint(eager=False)
         assigned = assigned.unionAll(marked)
         remaining = remaining.join(marked.select("id"), "id", "left_anti").localCheckpoint(
             eager=True
@@ -1945,7 +1945,7 @@ def mst_boruvka_distributed(
         uedges.filter(F.col("src") < F.col("dst"))
         .select("src", "dst", "weight")
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     spark = uedges.sparkSession
     comp = (
@@ -1953,7 +1953,7 @@ def mst_boruvka_distributed(
         .unionAll(ce.select(F.col("dst").alias("id")))
         .distinct()
         .select("id", F.col("id").alias("comp"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     chosen = local_df(spark, [], "src bigint, dst bigint, weight double")
     for _ in range(max_rounds):
@@ -1967,7 +1967,11 @@ def mst_boruvka_distributed(
                 "dst",
             )
             .filter(F.col("cs") != F.col("cd"))
-            .localCheckpoint(eager=True)
+            # lazy checkpoints throughout this loop (guide §5): the next
+            # action (isEmpty here, the per-round convergence collect for
+            # lbl) materializes the truncated plan inside its own job, so
+            # each round costs one driver action, not two
+            .localCheckpoint(eager=False)
         )
         if e2.isEmpty():
             break
@@ -1981,7 +1985,7 @@ def mst_boruvka_distributed(
             .agg(F.min("k").alias("k"))
             .select("k.s", "k.d", "k.w")
             .dropDuplicates(["s", "d"])
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         chosen = chosen.unionAll(
             picks.select(
@@ -1999,7 +2003,7 @@ def mst_boruvka_distributed(
         )
         cpairs = cpairs.unionAll(
             cpairs.select(F.col("cb").alias("ca"), F.col("ca").alias("cb"))
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         lbl = (
             cpairs.select(F.col("ca").alias("c"))
             .distinct()
@@ -2015,7 +2019,7 @@ def mst_boruvka_distributed(
             lbl = (
                 lbl.join(upd, lbl.c == upd.ca, "left")
                 .select("c", F.least(F.col("l"), F.coalesce("l2", F.col("l"))).alias("l"))
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
             sig = lbl.agg(F.sum("l")).collect()[0][0]
             if sig == prev_sig:
@@ -2024,7 +2028,7 @@ def mst_boruvka_distributed(
         comp = (
             comp.join(lbl, comp.comp == lbl.c, "left")
             .select("id", F.coalesce("l", F.col("comp")).alias("comp"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return chosen
 
@@ -2105,7 +2109,7 @@ def bcc_distributed(
         uedges.select("src", "dst")
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     nodes = e.select(F.col("src").alias("id")).distinct()
     comp = connected_components(nodes, e, rounds=max_depth)
@@ -2126,7 +2130,7 @@ def bcc_distributed(
 
     # 1. BFS forest (max_depth+1 rounds: completion is only observable as
     # an EMPTY round, so a node at depth exactly max_depth is still valid)
-    visited = roots.localCheckpoint(eager=True)
+    visited = roots.localCheckpoint(eager=False)
     frontier = visited
     forest = local_df(spark, [], "child bigint, parent bigint, depth int")
     for depth in range(1, max_depth + 2):
@@ -2137,7 +2141,7 @@ def bcc_distributed(
             .groupBy("child")
             .agg(F.min("parent").alias("parent"))
             .withColumn("depth", F.lit(depth))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         if nxt.isEmpty():
             break
@@ -2147,9 +2151,9 @@ def bcc_distributed(
         forest = forest.unionAll(nxt)
         visited = visited.unionAll(
             nxt.select(F.col("child").alias("id"))
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         frontier = nxt.select(F.col("child").alias("id"))
-    forest = forest.localCheckpoint(eager=True)
+    forest = forest.localCheckpoint(eager=False)
 
     # 2. fundamental-cycle walks
     canon = e.filter(F.col("src") < F.col("dst"))
@@ -2177,7 +2181,7 @@ def bcc_distributed(
             F.lit(None).cast("bigint").alias("la"),
             F.lit(None).cast("bigint").alias("lb"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     coverage = local_df(spark, [], "child bigint")
     aux = local_df(spark, [], "x bigint, y bigint")
@@ -2212,20 +2216,20 @@ def bcc_distributed(
                 F.when(lift_a, F.col("a")).otherwise(F.col("la")).alias("la"),
                 F.when(lift_b, F.col("b")).otherwise(F.col("lb")).alias("lb"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         arrived = state.filter(F.col("a") == F.col("b"))
         aux = aux.unionAll(
             arrived.filter(F.col("la").isNotNull() & F.col("lb").isNotNull())
             .select(F.col("la").alias("x"), F.col("lb").alias("y"))
-        ).localCheckpoint(eager=True)
-        coverage = coverage.localCheckpoint(eager=True)
-        state = state.filter(F.col("a") != F.col("b")).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
+        coverage = coverage.localCheckpoint(eager=False)
+        state = state.filter(F.col("a") != F.col("b")).localCheckpoint(eager=False)
     else:
         raise ValueError(f"LCA walks did not converge in {2 * max_depth + 2} rounds")
 
     # 3. BCC labels = CC over the aux graph; uncovered edges are singletons
-    covered = coverage.distinct().localCheckpoint(eager=True)
+    covered = coverage.distinct().localCheckpoint(eager=False)
     aux_ue = (
         aux.unionAll(aux.select(F.col("y").alias("x"), F.col("x").alias("y")))
         .select(F.col("x").alias("src"), F.col("y").alias("dst"))
@@ -2263,7 +2267,7 @@ def bcc_distributed(
             "left",
         )
         .select("child", F.coalesce("bcc", F.col("child")).alias("bcc"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     bridges = (
@@ -2304,8 +2308,8 @@ def _bcc_index(spark: SparkSession, sf_dir: str):
         forest, bridges, art = bcc_distributed(ue)
         _BCC_CACHE[key] = (
             forest,
-            bridges.localCheckpoint(eager=True),
-            art.localCheckpoint(eager=True),
+            bridges.localCheckpoint(eager=False),
+            art.localCheckpoint(eager=False),
         )
     return _BCC_CACHE[key]
 
@@ -2392,13 +2396,13 @@ def core_decomposition(
     which returns exactly the fixed-round oracle's answer."""
     from pyspark.sql import Window
 
-    e = uedges.select("src", "dst").localCheckpoint(eager=True)
+    e = uedges.select("src", "dst").localCheckpoint(eager=False)
     deg = e.groupBy("src").agg(F.count("*").alias("deg"))
     core = (
         nodes.select("id")
         .join(deg.withColumnRenamed("src", "id"), "id", "left")
         .select("id", F.coalesce("deg", F.lit(0)).cast("bigint").alias("core"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     prev_sig = None
     w = Window.partitionBy("src").orderBy(F.col("nc").desc())

@@ -44,7 +44,7 @@ def bfs_levels(
     deep = max_depth > 4
     e = edges.select("src", "dst")
     if deep:
-        e = e.localCheckpoint(eager=True)
+        e = e.localCheckpoint(eager=False)
     for depth in range(1, max_depth + 1):
         # shallow traversals broadcast the frontier/visited sides: the
         # expansion join and the anti-join become map-side over the edge
@@ -60,10 +60,10 @@ def bfs_levels(
             .join(seen if deep else F.broadcast(seen), [src_col, "node"], "left_anti")
         )
         if deep:
-            nxt = nxt.localCheckpoint(eager=True)
+            nxt = nxt.localCheckpoint(eager=False)
         visited = visited.unionAll(nxt)
         frontier = nxt
-        if deep and nxt.isEmpty():  # cheap: nxt is already materialized
+        if deep and nxt.isEmpty():  # materializes the lazy checkpoint (one job/level)
             break
     return visited
 
@@ -115,7 +115,7 @@ def bounded_dijkstra(
             dist.unionAll(relaxed)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return dist
 
@@ -226,7 +226,7 @@ def graph_variable_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.concat(F.col("path"), F.array(F.col("dst"))).alias("path"),
                 F.lit(depth).alias("hops"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         if depth >= 2:
             out_parts.append(frontier.select("node", "hops"))
@@ -267,7 +267,7 @@ def graph_all_weighted_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (
         undirected_edges(edges_df(spark, sf_dir))
         .select("src", "dst", "weight")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     frontier = local_df(spark,
         [(1, [1], 0.0, 0)],
@@ -285,7 +285,7 @@ def graph_all_weighted_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("w") + F.col("weight")).alias("w"),
                 F.lit(depth).alias("hops"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         hits.append(frontier.filter(F.col("node") == 13))
     out = hits[0]

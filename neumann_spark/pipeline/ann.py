@@ -225,7 +225,7 @@ def ivf_build(emb: DataFrame, k: int = IVF_K, iters: int = IVF_ITERS):
     a k-row collect, and a map-only literal-argmin reassignment."""
     emb_d = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     state = emb_d.withColumn("cluster", (F.col("vec_id") % k).cast("int"))
     avgs = [F.avg(F.element_at("v", i)).alias(f"c{i}") for i in range(1, DIM + 1)]
     centroids: list[tuple[int, list[float]]] = []
@@ -526,7 +526,7 @@ def pq_build(emb: DataFrame, S: int = PQ_S, subdim: int = PQ_SUBDIM,
     loop of actions, no S-way join at the end."""
     emb_d = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     state = emb_d.select(
         "vec_id",
         "v",
@@ -588,7 +588,7 @@ def pq_build(emb: DataFrame, S: int = PQ_S, subdim: int = PQ_SUBDIM,
         state = emb_d.select("vec_id", "v", *assigns).localCheckpoint(eager=False)
     codes = state.select(
         "vec_id", *[f"code_{s}" for s in range(S)]
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     return codes, codebooks
 
 
@@ -715,7 +715,7 @@ def pq_build_joined(emb: DataFrame, S: int, subdim: int, k: int,
             ])
         ).alias("x"),
     ).select("vec_id", F.col("x.s").alias("s"), F.col("x.sub").alias("sub")
-             ).localCheckpoint(eager=True)
+             ).localCheckpoint(eager=False)
     codes_long = subs.select(
         "vec_id", "s", (F.col("vec_id") % k).cast("int").alias("code"))
     avgs = [F.avg(F.element_at("sub", i)).alias(f"c{i}")
@@ -799,7 +799,7 @@ def pq_build_joined(emb: DataFrame, S: int, subdim: int, k: int,
         .pivot("s", list(range(S)))
         .agg(F.first("code"))
         .select("vec_id", *[F.col(str(s)).alias(f"code_{s}") for s in range(S)])
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     return codes, codebooks
 
@@ -2208,7 +2208,7 @@ def _build_graph_index(spark: SparkSession, emb: DataFrame) -> tuple:
          # corpus file layout
          .repartition(emb.sparkSession.sparkContext.defaultParallelism,
                       "vec_id")
-         .localCheckpoint(eager=True))
+         .localCheckpoint(eager=False))
     n = u.count()
     # Above the measured-ladder envelope the build TEMPORARILY lowers
     # the AQE advisory partition size (runtime-settable): the NN-descent
@@ -2254,7 +2254,7 @@ def _build_graph_index(spark: SparkSession, emb: DataFrame) -> tuple:
     codes_long = (
         codes_w.select("vec_id", melt)
         .select("vec_id", "x.s", "x.code")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # SQ8 refinement codes over round6 unit values: the compact preset's
     # 64 B/row rescore tier (the DiskANN/refinement-quantizer pattern —
@@ -2264,7 +2264,7 @@ def _build_graph_index(spark: SparkSession, emb: DataFrame) -> tuple:
     # and DuckDB (unrounded unit values differ in the last ulps across
     # engines, and floor has no rounding grid to absorb that).
     u6 = u.select(
-        "vec_id", _e6_expr().alias("e6")).localCheckpoint(eager=True)
+        "vec_id", _e6_expr().alias("e6")).localCheckpoint(eager=False)
     srow = u6.agg(
         *[F.min(F.element_at("e6", i)).alias(f"lo{i}")
           for i in range(1, DIM + 1)],
@@ -2284,7 +2284,7 @@ def _build_graph_index(spark: SparkSession, emb: DataFrame) -> tuple:
         "vec_id", F.array(*[
             _sq_cell_expr(F.element_at("e6", i), sq_lo[i - 1], sq_hi[i - 1])
             for i in range(1, DIM + 1)]).alias(
-            "qc")).localCheckpoint(eager=True)
+            "qc")).localCheckpoint(eager=False)
     # the unit frame rides along (6th element) so searches reuse the
     # eagerly-checkpointed normalization instead of re-deriving it per
     # query; 5-element tuples (the persisted-index loader) stay valid;
@@ -2403,7 +2403,7 @@ def _graph_rescore_from(spark: SparkSession, sf_dir: str, index: tuple,
     from_disk = not (len(index) > 5 and index[5] is not None)
     u = (index[5] if not from_disk else
          unit_embeddings(load(spark, sf_dir, "embeddings"))
-         .localCheckpoint(eager=True))
+         .localCheckpoint(eager=False))
     qv = [float(x) for x in u.filter(
         F.col("vec_id") == anchor).select("embedding").head()[0]]
 

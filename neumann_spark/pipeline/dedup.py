@@ -328,7 +328,7 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(
             pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     comp = e.select(F.col("src").alias("id")).distinct().select(
         "id", F.col("id").alias("comp")
@@ -353,7 +353,7 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         # truncation (optimization guide §3.3 "very large plans: planning
         # time itself can become the bottleneck — truncate the plan").
         if rnd % 2 == 1:
-            comp = comp.localCheckpoint(eager=True)
+            comp = comp.localCheckpoint(eager=False)
     return comp.groupBy(F.col("comp").alias("cluster_id")).agg(
         F.count("*").alias("n_docs"),
         (F.count("*") - F.lit(1)).cast("bigint").alias("n_removed"),
