@@ -170,7 +170,9 @@ def main() -> None:
     cold: dict[str, float] = {}
     for name in HEADLINE:
         samples = []
-        for _ in range(2):
+        for i in range(2):
+            spark.sparkContext.setJobDescription(
+                f"bench:singlelayout:{name}:run{i}")  # guide §1.4: label jobs
             t0 = time.time()
             queries[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
@@ -187,13 +189,16 @@ def main() -> None:
     for name in HEADLINE:
         fn = queries[name]
         samples = []
-        for _ in range(RUNS):
+        for i in range(RUNS):
+            spark.sparkContext.setJobDescription(
+                f"bench:primary:{name}:run{i}")
             t0 = time.time()
             fn(spark, primary_dir).write.format("noop").mode(
                 "overwrite").save()
             samples.append(round(time.time() - t0, 3))
             _release_query_state(keep_ids)
         timings[name] = sorted(samples)[RUNS // 2]
+    spark.sparkContext.setJobDescription(None)
 
     # scaling evidence: the same top queries at 10x less data, BOTH sides
     # on the raw fixture layout (the sf0.01 fixtures are single-row-group,

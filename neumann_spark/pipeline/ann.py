@@ -4157,17 +4157,24 @@ def load_graph_index(spark: SparkSession, path: str) -> tuple:
     current and never hit this."""
     edges = spark.read.parquet(f"{path}/graph_edges")
     warm_codes = spark.read.parquet(f"{path}/graph_warm_assign")
+    codes_long = spark.read.parquet(f"{path}/graph_codes")
+    sq_codes = spark.read.parquet(f"{path}/graph_sq_codes")
+    # the three bounded driver-side tables (warm centroids, codebooks, SQ
+    # grid) load concurrently — independent small collects whose job
+    # barriers otherwise serialize (§5)
+    cent_rows, codebooks, grid_rows = run_actions_parallel([
+        lambda: spark.read.parquet(
+            f"{path}/graph_warm_centroids").collect(),
+        lambda: _read_codebooks(spark, f"{path}/graph_codebooks"),
+        lambda: spark.read.parquet(f"{path}/graph_sq_grid").collect(),
+    ])
     warm_centroids = sorted(
         (int(r["cluster"]), [float(x) for x in r["centroid"]])
-        for r in spark.read.parquet(
-            f"{path}/graph_warm_centroids").collect()
+        for r in cent_rows
     )
-    codes_long = spark.read.parquet(f"{path}/graph_codes")
-    codebooks = _read_codebooks(spark, f"{path}/graph_codebooks")
-    sq_codes = spark.read.parquet(f"{path}/graph_sq_codes")
     grid = sorted(
         (int(r["i"]), float(r["lo"]), float(r["hi"]))
-        for r in spark.read.parquet(f"{path}/graph_sq_grid").collect()
+        for r in grid_rows
     )
     sq_lo = [lo for _, lo, _ in grid]
     sq_hi = [hi for _, _, hi in grid]
@@ -4994,12 +5001,17 @@ def load_ann_index(spark: SparkSession, path: str):
     the builders produce (MLlib-equivalent); assignments and codes stay
     distributed."""
     assign = spark.read.parquet(f"{path}/ivf_assign")
+    codes = spark.read.parquet(f"{path}/pq_codes")
+    # centroid + codebook collects run concurrently (§5)
+    cent_rows, codebooks = run_actions_parallel([
+        lambda: spark.read.parquet(f"{path}/ivf_centroids").collect(),
+        lambda: _read_codebooks(spark, f"{path}/pq_codebooks"),
+    ])
     centroids = sorted(
         (int(r["cluster"]), [float(x) for x in r["centroid"]])
-        for r in spark.read.parquet(f"{path}/ivf_centroids").collect()
+        for r in cent_rows
     )
-    codes = spark.read.parquet(f"{path}/pq_codes")
-    return assign, centroids, codes, _read_codebooks(spark, f"{path}/pq_codebooks")
+    return assign, centroids, codes, codebooks
 
 
 def load_ann_fine(spark: SparkSession, path: str):
