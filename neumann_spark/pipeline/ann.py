@@ -779,7 +779,11 @@ def pq_build_joined(emb: DataFrame, S: int, subdim: int, k: int,
                 .groupBy("vec_id", "s")
                 .agg(F.min(F.struct("d", "code")).alias("m"))
                 .select("vec_id", "s", F.col("m.code").alias("code"))
-                .localCheckpoint(eager=False)
+                # no checkpoint: the driver-collected centroid rows break
+                # the lineage chain each iteration, so this plan is
+                # constant-depth (subs is checkpointed, cent is local) and
+                # has exactly one consumer — the next iteration's collect
+                # (or the final pivot) computes it in place
             )
         else:
             codes_long = (
@@ -788,7 +792,6 @@ def pq_build_joined(emb: DataFrame, S: int, subdim: int, k: int,
                 .groupBy("vec_id", "s")
                 .agg(F.min(F.struct("d", "code")).alias("m"))
                 .select("vec_id", "s", F.col("m.code").alias("code"))
-                .localCheckpoint(eager=False)
             )
     codebooks: list[list[tuple[int, list[float]]]] = [
         [(code, vals) for rs, code, vals in cent_rows if rs == s]
