@@ -28,7 +28,8 @@ from neumann_spark.catalog import load
 from neumann_spark.registry import register
 from neumann_spark.session import scratch_dir as _scratch_dir
 from neumann_spark.session import stage_move_part as _stage_move_part
-from neumann_spark.session import empty_df, local_df, run_actions_parallel
+from neumann_spark.session import (bounded_actions as _bounded_actions,
+                                   empty_df, local_df, run_actions_parallel)
 
 LSH_PLANES = 4
 DIM = 64
@@ -716,15 +717,22 @@ def pq_build_joined(emb: DataFrame, S: int, subdim: int, k: int,
         ).alias("x"),
     ).select("vec_id", F.col("x.s").alias("s"), F.col("x.sub").alias("sub")
              ).localCheckpoint(eager=False)
+    # the assignment frame CARRIES each row's own sub-vector through the
+    # argmin (functionally dependent on (vec_id, s), picked up by
+    # first()), so the centroid update below consumes (s, code, sub)
+    # directly — the former subs ⋈ codes_long re-attachment join cost two
+    # exchanges of the N·S sub-vector rows per iteration (§2.3/§2.4: the
+    # join existed only to re-attach a column the plan had just dropped)
     codes_long = subs.select(
-        "vec_id", "s", (F.col("vec_id") % k).cast("int").alias("code"))
+        "vec_id", "s", "sub",
+        (F.col("vec_id") % k).cast("int").alias("code"))
     avgs = [F.avg(F.element_at("sub", i)).alias(f"c{i}")
             for i in range(1, subdim + 1)]
     cent_rows: list = []
     for _ in range(iters):
-        # ONE job per iteration: collect the S*k centroid rows (bounded —
-        # the codebook is broadcast-size by contract) and rebuild them as
-        # a LocalRelation, so the broadcast join below never schedules a
+        # ONE collect per iteration: the S*k centroid rows (bounded —
+        # the codebook is broadcast-size by contract) rebuild as a
+        # LocalRelation, so the broadcast join below never schedules a
         # separate checkpoint job or broadcast-exchange job per iteration
         # (guide §5: driver actions are sequential barriers). Doubles
         # round-trip the driver exactly (IEEE754 both ways), so the
@@ -733,7 +741,7 @@ def pq_build_joined(emb: DataFrame, S: int, subdim: int, k: int,
         cent_rows = sorted(
             (int(r["s"]), int(r["code"]), [float(x) for x in r["cent"]])
             for r in (
-                subs.join(codes_long, ["vec_id", "s"])
+                codes_long
                 .groupBy("s", "code")
                 .agg(*avgs)
                 .select(
@@ -775,23 +783,30 @@ def pq_build_joined(emb: DataFrame, S: int, subdim: int, k: int,
                 subs.select("vec_id", "s", "sub",
                             F.explode(probes).alias("sid"))
                 .join(F.broadcast(members), "sid")
-                .select("vec_id", "s", d.alias("d"), "code")
+                .select("vec_id", "s", "sub", d.alias("d"), "code")
                 .groupBy("vec_id", "s")
-                .agg(F.min(F.struct("d", "code")).alias("m"))
-                .select("vec_id", "s", F.col("m.code").alias("code"))
+                .agg(F.min(F.struct("d", "code")).alias("m"),
+                     F.first("sub").alias("sub"))
+                .select("vec_id", "s", "sub",
+                        F.col("m.code").alias("code"))
                 # no checkpoint: the driver-collected centroid rows break
                 # the lineage chain each iteration, so this plan is
                 # constant-depth (subs is checkpointed, cent is local) and
                 # has exactly one consumer — the next iteration's collect
-                # (or the final pivot) computes it in place
+                # (or the final pivot) computes it in place. Partial
+                # aggregation collapses the ×k candidate rows map-side, so
+                # the shuffle carries one (min-struct, sub) state per
+                # (vec_id, s) — never k × sub bytes.
             )
         else:
             codes_long = (
                 subs.join(F.broadcast(cent), "s")
-                .select("vec_id", "s", d.alias("d"), "code")
+                .select("vec_id", "s", "sub", d.alias("d"), "code")
                 .groupBy("vec_id", "s")
-                .agg(F.min(F.struct("d", "code")).alias("m"))
-                .select("vec_id", "s", F.col("m.code").alias("code"))
+                .agg(F.min(F.struct("d", "code")).alias("m"),
+                     F.first("sub").alias("sub"))
+                .select("vec_id", "s", "sub",
+                        F.col("m.code").alias("code"))
             )
     codebooks: list[list[tuple[int, list[float]]]] = [
         [(code, vals) for rs, code, vals in cent_rows if rs == s]
@@ -2383,15 +2398,15 @@ def _graph_rescore_from(spark: SparkSession, sf_dir: str, index: tuple,
                         k: int = PQ_TOPK, c: int = GRAPH_C) -> DataFrame:
     """Round-synchronous graph search core: warm-start with the
     GRAPH_WARM_PROBES nearest Lloyd lists, then `rounds` bulk rounds —
-    frontier = ADC-top-B unexpanded (collected as a STATIC B-int IN-list,
-    like the k-row centroid collects: on a block-partitioned edge layout
-    the literal filter prunes unprobed edge files at the source, where a
-    joined frontier frame would read everything), expand their top-C
-    edges, ADC-rank the new candidates via a broadcast (s, code, d)
+    frontier = ADC-top-B unexpanded (a STATIC B-int IN-list selected
+    from the driver-held evaluated map: on a block-partitioned edge
+    layout the literal filter prunes unprobed edge files at the source,
+    where a joined frontier frame would read everything), expand their
+    top-C edges, ADC-rank the new candidates via a broadcast (s, code, d)
     lookup join — then exact-cosine rescore of the ADC-top-SHORTLIST.
-    Every step is a join/filter over bounded frames (frontier `beam`
-    rows, evaluated <= warm + beam*C*T rows), so the same plan runs
-    against partition-pruned edge and code tables at 100 TB; nothing
+    The evaluated set is bounded (warm + beam*C*T rows for one query) so
+    it lives on the driver; every Spark action is a single bounded job
+    over partition-pruned edge and code tables at 100 TB; nothing
     sequential but the T-round driver loop, mirroring Pregel-style
     iteration. `rounds` and `beam` are the budget knobs a larger corpus
     raises (the HNSW ef analog): the fixture presets hold at N=2K; the
@@ -2474,10 +2489,6 @@ def _graph_rescore_from(spark: SparkSession, sf_dir: str, index: tuple,
         "s int, code int, cent array<double>")
     qslice = F.slice(
         F.lit(qv), F.col("s") * GRAPH_PQ_SUBDIM + 1, GRAPH_PQ_SUBDIM)
-    # no checkpoint: cent_df is a LocalRelation and this projection
-    # collapses into one (ConvertToLocalRelation), so every broadcast of
-    # lut below is driver-local and job-free — checkpointing it would
-    # CREATE the only job this frame ever costs (guide §5)
     lut = cent_df.select(
         "s", "code",
         F.round(
@@ -2487,50 +2498,89 @@ def _graph_rescore_from(spark: SparkSession, sf_dir: str, index: tuple,
             6,
         ).alias("d"),
     )
+    # The per-cell distances are computed IN SPARK (HALF_UP round6, the
+    # oracle grid) but collected ONCE (bounded: S·K rows) and re-embedded
+    # as a flat literal array — `local_df` frames are 1-slice RDDs, so a
+    # per-action F.broadcast(lut) join paid one broadcast-build job per
+    # serve round; the element_at lookup is join-free and bit-exact (the
+    # collected doubles round-trip the driver unchanged). Codes always
+    # hit a populated cell: they were argmin-assigned over these same
+    # codebooks, so the inner-join and lookup forms agree row-for-row.
+    lut_flat: list = [None] * (GRAPH_PQ_S * GRAPH_PQ_K)
+    for r in lut.collect():
+        lut_flat[r["s"] * GRAPH_PQ_K + r["code"]] = r["d"]
+    lut_d = F.element_at(
+        F.lit(lut_flat),
+        (F.col("s") * GRAPH_PQ_K + F.col("code") + 1).cast("int"))
 
-    def adc(ids: DataFrame) -> DataFrame:
-        return (
-            ids.join(codes_long, "vec_id")
-            .join(F.broadcast(lut), ["s", "code"])
-            .groupBy("vec_id")
-            .agg(F.round(F.sum("d"), 6).alias("d"))
-        )
-
-    # lazy checkpoints throughout the round loop: each round's frontier
-    # collect is the next action to touch evald, so it materializes the
-    # truncated plan inside that same job — one job per round instead of
-    # two (guide §5: the round loop is the only sequential chain here)
-    evald = adc(
-        warm_codes.filter(
+    # serve state lives on the DRIVER (r13, guide §5): `evald` is bounded
+    # by construction for ONE query — warm members (p·N/warm_K ≈ p·√N
+    # rows) plus ≤ beam·c newly scored candidates per round — so the
+    # running {vec_id: round6-d} map is driver-sized at ANY corpus N,
+    # and each round costs exactly TWO bounded single-job actions (edge
+    # probe collect, new-candidate ADC collect). The former shape kept
+    # evald as a growing union-of-checkpoints frame: every round
+    # re-planned it, and each lazy localCheckpoint still materialized one
+    # job per AQE shuffle stage plus broadcast builds — ~8 jobs/round
+    # measured (tools/job_probe.py) vs 2 here, with rounds the only
+    # sequential term at 100 TB. ADC scoring stays IN SPARK with the
+    # exact same expressions (lut join + round6 sum), so every d value
+    # is bit-identical to the joined form — frontier selection and dedup
+    # are order-stable (d, vec_id) sorts over exact doubles either side.
+    # AQE is scoped OFF for the loop's actions: every plan here is
+    # bounded by construction (≤ p·√N warm rows, ≤ beam·c candidates),
+    # so adaptive re-planning buys nothing while its per-exchange query
+    # stages cost one job each — measured 4 jobs/round with AQE vs 2
+    # without on identical plans. Join strategies are pinned explicitly
+    # (broadcast hints on the bounded sides), so no plan degrades to a
+    # sort-merge without AQE's runtime rewrites; the returned rescore
+    # frame executes AFTER the scope exits, under the session default.
+    with _bounded_actions(spark):
+        warm_ids = warm_codes.filter(
             F.col("cluster").isin(probe_ids) & (F.col("vec_id") != anchor)
         ).select("vec_id")
-    ).localCheckpoint(eager=False)
-    expanded: set = set()
-    for _ in range(rounds):
-        unexp = evald if not expanded else evald.filter(
-            ~F.col("vec_id").isin(sorted(expanded)))
-        # bounded B-row collect: the frontier becomes a literal IN-list,
-        # so a block-partitioned persisted edge table serves each round
-        # with static partition pruning (PartitionFilters, plan-asserted)
-        frontier = [
-            int(r["vec_id"])
-            for r in unexp.orderBy("d", "vec_id").limit(beam).collect()
-        ]
-        if not frontier:
-            break
-        probe = edges.filter(
-            F.col("src").isin(frontier) & (F.col("pos") < c))
-        if "block" in edges.columns:  # persisted layout: prune edge files
-            probe = probe.filter(F.col("block").isin(
-                sorted({v % GRAPH_EDGE_BLOCKS for v in frontier})))
-        new_ids = (
-            probe.select(F.col("dst").alias("vec_id"))
-            .filter(F.col("vec_id") != anchor)
-            .distinct()
-            .join(evald.select("vec_id"), "vec_id", "left_anti")
-        )
-        evald = evald.unionByName(adc(new_ids)).localCheckpoint(eager=False)
-        expanded.update(frontier)
+        warm_scored = (
+            codes_long.join(F.broadcast(warm_ids), "vec_id")
+            .select("vec_id", lut_d.alias("d"))
+            .groupBy("vec_id")
+            .agg(F.round(F.sum("d"), 6).alias("d"))
+        ).collect()
+        evald: dict = {int(r["vec_id"]): r["d"] for r in warm_scored}
+        expanded: set = set()
+        for _ in range(rounds):
+            frontier = [
+                vid for _, vid in sorted(
+                    (d, vid)
+                    for vid, d in evald.items() if vid not in expanded
+                )[:beam]
+            ]
+            if not frontier:
+                break
+            # bounded probe: the frontier is a literal IN-list, so a
+            # block-partitioned persisted edge table serves each round
+            # with static partition pruning (plan-asserted)
+            probe = edges.filter(
+                F.col("src").isin(frontier) & (F.col("pos") < c))
+            if "block" in edges.columns:  # persisted: prune edge files
+                probe = probe.filter(F.col("block").isin(
+                    sorted({v % GRAPH_EDGE_BLOCKS for v in frontier})))
+            new_ids = sorted(
+                {int(r["dst"]) for r in probe.select("dst").collect()}
+                - evald.keys() - {anchor})
+            expanded.update(frontier)
+            if not new_ids:
+                continue
+            # literal candidate IN-list: on a persisted index this
+            # reaches the code table's parquet scan as a pushed filter
+            # (row-group pruning); the in-memory form scans the
+            # checkpointed blocks
+            scored = (
+                codes_long.filter(F.col("vec_id").isin(new_ids))
+                .select("vec_id", lut_d.alias("d"))
+                .groupBy("vec_id")
+                .agg(F.round(F.sum("d"), 6).alias("d"))
+            ).collect()
+            evald.update((int(r["vec_id"]), r["d"]) for r in scored)
     # optional metadata filter, applied at the SHORTLIST stage (the
     # filtered-DiskANN strategy): traversal routes through every node so
     # restrictive filters cannot stall the frontier; only candidates
@@ -2538,13 +2588,20 @@ def _graph_rescore_from(spark: SparkSession, sf_dir: str, index: tuple,
     # brute-force path's strategy (vector_filtered_knn) — the graph form
     # deliberately post-filters because a 10%-selective filter leaves a
     # 10%-subgraph whose kNN edges mostly exit the filtered set. The
-    # BROADCAST side is evald (bounded by warm + B*C*rounds rows by
-    # construction); the allow list is a corpus fraction and may not fit
-    # a broadcast at scale.
-    short_src = evald if allowed is None else (
-        allowed.select("vec_id").join(F.broadcast(evald), "vec_id"))
-    short_df = (short_src.orderBy("d", "vec_id").limit(shortlist)
-                .select("vec_id"))
+    # BROADCAST side is evald (bounded, driver-held); the allow list is
+    # a corpus fraction and may not fit a broadcast at scale.
+    evald_sorted = sorted((d, vid) for vid, d in evald.items())
+    if allowed is None:
+        short_df = local_df(
+            spark, [(int(vid),) for _, vid in evald_sorted[:shortlist]],
+            "vec_id bigint")
+    else:
+        evald_df = local_df(
+            spark, [(int(vid), float(d)) for d, vid in evald_sorted],
+            "vec_id bigint, d double")
+        short_df = (
+            allowed.select("vec_id").join(F.broadcast(evald_df), "vec_id")
+            .orderBy("d", "vec_id").limit(shortlist).select("vec_id"))
     from neumann_spark.functions.vector import dot_expr
 
     q = F.lit(qv)
@@ -3797,6 +3854,11 @@ GRAPH_BATCH_ANCHORS = (0, 3, 7)
 # broadcast(evald) (the batch-wide evald frame scales with |anchors|)
 GRAPH_PROBE_INLIST_MAX = 1024
 GRAPH_BATCH_BROADCAST_MAX = 256
+# at or below this anchor count the batch serve keeps its evaluated maps
+# on the DRIVER (bounded: |anchors| · (warm + beam·c·T) entries — tens of
+# MB at the widest caps) and pays 2 bounded jobs/round; above it the
+# frame-state regime below scales to arbitrary batch sizes
+GRAPH_BATCH_DRIVER_STATE_MAX = 32
 
 
 def _graph_batch_search(spark: SparkSession, sf_dir: str,
@@ -3827,15 +3889,7 @@ def _graph_batch_search(spark: SparkSession, sf_dir: str,
     qdf = local_df(spark,
         [(int(a), qvs[int(a)]) for a in anchors],
         "qid bigint, qv array<double>")
-    luts = _batch_luts(qdf, cent_df).localCheckpoint(eager=True)
-
-    def adc(ids: DataFrame) -> DataFrame:  # ids: (qid, vec_id)
-        return (
-            ids.join(codes_long, "vec_id")
-            .join(F.broadcast(luts), ["qid", "s", "code"])
-            .groupBy("qid", "vec_id")
-            .agg(F.round(F.sum("d"), 6).alias("d"))
-        )
+    luts = _batch_luts(qdf, cent_df)
 
     def _d2(q: list, vals: list) -> float:
         acc = 0.0
@@ -3847,34 +3901,144 @@ def _graph_batch_search(spark: SparkSession, sf_dir: str,
     # list per anchor (bounded: |anchors| * k tuples), but the warm frame
     # is ONE broadcast join of the (qid, cluster) probe pairs against the
     # cluster-partitioned assignment table — not a per-anchor union chain
+    qids = [int(a) for a in anchors]
+    qx_of = {q: i for i, q in enumerate(qids)}
     probe_rows = [
-        (int(a), int(cid))
-        for a in anchors
+        (q, qx_of[q], int(cid))
+        for q in qids
         for _, cid in sorted(
-            (_d2(qvs[int(a)], vals), int(cid))
+            (_d2(qvs[q], vals), int(cid))
             for cid, vals in warm_centroids)[:GRAPH_WARM_PROBES]
     ]
-    probe_df = local_df(spark, probe_rows, "qid bigint, cluster int")
+    probe_df = local_df(spark, probe_rows, "qid bigint, qx int, cluster int")
+    wnd = Window.partitionBy("qid").orderBy("d", "vec_id")
+    if len(anchors) <= GRAPH_BATCH_DRIVER_STATE_MAX:
+        # SMALL-batch regime (r13): per-query evaluated state is bounded
+        # (warm + beam·c·T rows each), so for a bounded anchor count the
+        # whole evald map is driver-sized and each round costs TWO
+        # bounded single-job actions — the frame-state form below paid
+        # ~12 jobs/round in AQE stage materializations (job_probe.py).
+        # The per-anchor LUTs collect once (|anchors|·S·K rows) and
+        # re-embed as one flat literal indexed by (qx, s, code) — the
+        # d doubles round-trip the driver bit-exactly.
+        flat: list = [None] * (len(qids) * GRAPH_PQ_S * GRAPH_PQ_K)
+        for r in luts.collect():
+            flat[(qx_of[int(r["qid"])] * GRAPH_PQ_S + r["s"])
+                 * GRAPH_PQ_K + r["code"]] = r["d"]
+        lut_d = F.element_at(
+            F.lit(flat),
+            ((F.col("qx") * GRAPH_PQ_S + F.col("s")) * GRAPH_PQ_K
+             + F.col("code") + 1).cast("int"))
+
+        def _score(pairs_df: DataFrame) -> list:
+            return (
+                codes_long.join(F.broadcast(pairs_df), "vec_id")
+                .select("qid", "vec_id", lut_d.alias("d"))
+                .groupBy("qid", "vec_id")
+                .agg(F.round(F.sum("d"), 6).alias("d"))
+            ).collect()
+
+        with _bounded_actions(spark):
+            warm_pairs = (
+                warm_codes.join(F.broadcast(probe_df), "cluster")
+                .filter(F.col("vec_id") != F.col("qid"))
+                .select("qid", "qx", "vec_id"))
+            evald: dict = {q: {} for q in qids}
+            for r in _score(warm_pairs):
+                evald[int(r["qid"])][int(r["vec_id"])] = r["d"]
+            expanded: dict = {q: set() for q in qids}
+            for _ in range(rounds):
+                fr_pairs = []
+                for q in qids:
+                    fr_pairs += [
+                        (q, vid) for _, vid in sorted(
+                            (d, vid) for vid, d in evald[q].items()
+                            if vid not in expanded[q])[:beam]
+                    ]
+                if not fr_pairs:
+                    break
+                srcs = sorted({v for _, v in fr_pairs})
+                # the literal src IN-list both prunes the edge scan and
+                # BOUNDS the probe collect (≤ |srcs|·c rows); at ≤
+                # GRAPH_BATCH_DRIVER_STATE_MAX anchors it stays well
+                # under the plan-bloat envelope GRAPH_PROBE_INLIST_MAX
+                # guards in the frame regime
+                probe = edges.filter(
+                    F.col("src").isin(srcs) & (F.col("pos") < c))
+                if "block" in edges.columns:
+                    probe = probe.filter(F.col("block").isin(
+                        sorted({v % GRAPH_EDGE_BLOCKS for v in srcs})))
+                by_src: dict = {}
+                for r in probe.select("src", "dst").collect():
+                    by_src.setdefault(int(r["src"]), []).append(
+                        int(r["dst"]))
+                new_pairs: set = set()
+                for q, s0 in fr_pairs:
+                    expanded[q].add(s0)
+                    for dst in by_src.get(s0, ()):
+                        if dst != q and dst not in evald[q]:
+                            new_pairs.add((q, dst))
+                if not new_pairs:
+                    continue
+                pairs_df = local_df(
+                    spark,
+                    [(q, qx_of[q], v) for q, v in sorted(new_pairs)],
+                    "qid bigint, qx int, vec_id bigint")
+                for r in _score(pairs_df):
+                    evald[int(r["qid"])][int(r["vec_id"])] = r["d"]
+        if allowed is None:
+            short_rows = [
+                (q, vid)
+                for q in qids
+                for _, vid in sorted(
+                    (d, vid) for vid, d in evald[q].items())[:shortlist]
+            ]
+            short_df = local_df(spark, short_rows,
+                                "qid bigint, vec_id bigint")
+        else:
+            evald_df = local_df(
+                spark,
+                [(q, vid, float(d))
+                 for q in qids for vid, d in sorted(evald[q].items())],
+                "qid bigint, vec_id bigint, d double")
+            short_df = (
+                allowed.select("vec_id")
+                .join(F.broadcast(evald_df), "vec_id")
+                .withColumn("rn", F.row_number().over(wnd))
+                .filter(F.col("rn") <= shortlist)
+                .select("qid", "vec_id")
+            )
+        return _batch_rescore_tail(
+            spark, index, u, qvs, anchors, short_df, sq_rescore)
+
+    # LARGE-batch regime: frontier/evaluated state stays in KEYED
+    # DATAFRAMES — at a 10k-query batch the per-round driver state is
+    # ONLY the collected frontier (B * |anchors| pairs, needed anyway as
+    # the static src IN-list that prunes edge blocks at the source); the
+    # anti-join against expanded_df runs executor-side.
+    luts = luts.localCheckpoint(eager=True)
+
+    def adc(ids: DataFrame) -> DataFrame:  # ids: (qid, vec_id)
+        return (
+            ids.join(codes_long, "vec_id")
+            .join(F.broadcast(luts), ["qid", "s", "code"])
+            .groupBy("qid", "vec_id")
+            .agg(F.round(F.sum("d"), 6).alias("d"))
+        )
+
     warm = (
-        warm_codes.join(F.broadcast(probe_df), "cluster")
+        warm_codes.join(F.broadcast(probe_df.drop("qx")), "cluster")
         .filter(F.col("vec_id") != F.col("qid"))
         .select("qid", "vec_id")
     )
     # lazy checkpoints in the round loop (same rationale as the
     # single-query form): each round's frontier collect materializes the
     # truncated evald plan inside its own job — one job per round, not
-    # three (evald checkpoint + expanded checkpoint + collect)
+    # three (evald checkpoint + expanded checkpoint + collect).
+    # expanded_df seeds from a true empty LocalRelation (zero partitions,
+    # pruned from unions at optimization time)
     evald = adc(warm).localCheckpoint(eager=False)
-    # the expanded set stays a KEYED DATAFRAME accumulated by union —
-    # never a driver-side dict: at a 10k-query batch the per-round driver
-    # state is ONLY the collected frontier (B * |anchors| pairs, needed
-    # anyway as the static src IN-list that prunes edge blocks at the
-    # source); the anti-join against expanded_df runs executor-side.
-    # Seeded with a true empty LocalRelation (zero partitions, pruned
-    # from the union at optimization time) instead of an RDD-backed
-    # limit(0) checkpoint that cost a job to build
     expanded_df = empty_df(spark, "qid bigint, vec_id bigint")
-    wnd = Window.partitionBy("qid").orderBy("d", "vec_id")
     for _ in range(rounds):
         unexp = evald.join(expanded_df, ["qid", "vec_id"], "left_anti")
         fr_pairs = [
@@ -3912,11 +4076,13 @@ def _graph_batch_search(spark: SparkSession, sf_dir: str,
                   ["qid", "vec_id"], "left_anti")
         )
         evald = evald.unionByName(adc(new_ids)).localCheckpoint(eager=False)
-        expanded_df = (
-            expanded_df.unionByName(
-                fr_df.select("qid", F.col("src").alias("vec_id")))
-            .localCheckpoint(eager=False)
-        )
+        # no checkpoint: expanded_df is a union of T bounded driver-local
+        # frontier frames (data already on the driver) — the plan depth
+        # grows linearly in rounds and re-planning a union of local
+        # 1-slice frames is cheaper than the per-round checkpoint job the
+        # truncation cost (§5)
+        expanded_df = expanded_df.unionByName(
+            fr_df.select("qid", F.col("src").alias("vec_id")))
     # optional metadata filter at the shortlist stage (the filtered-
     # DiskANN strategy, same placement as the single-query form). The
     # broadcast hint goes on evald only while the BATCH keeps it small:
@@ -3937,6 +4103,16 @@ def _graph_batch_search(spark: SparkSession, sf_dir: str,
         .filter(F.col("rn") <= shortlist)
         .select("qid", "vec_id")
     )
+    return _batch_rescore_tail(
+        spark, index, u, qvs, anchors, short_df, sq_rescore)
+
+
+def _batch_rescore_tail(spark: SparkSession, index: tuple, u: DataFrame,
+                        qvs: dict, anchors: tuple, short_df: DataFrame,
+                        sq_rescore: bool) -> DataFrame:
+    """Shared exact/SQ8 rescore of every query's shortlist — identical
+    for the driver-state and frame-state regimes (both deliver a bounded
+    (qid, vec_id) shortlist frame)."""
     from neumann_spark.functions.vector import dot_expr
 
     qdf = local_df(spark,

@@ -135,6 +135,34 @@ def local_df(spark: SparkSession, data, schema) -> DataFrame:
     return df
 
 
+def bounded_actions(spark: SparkSession):
+    """Context manager scoping AQE OFF around a driver loop whose every
+    action is a BOUNDED single-job plan (a few thousand rows by
+    construction — ANN serve rounds, validation probes). For such plans
+    adaptive execution buys nothing — runtime stats cannot improve a
+    plan whose sizes are known and tiny, and join strategies inside the
+    scope are pinned with explicit broadcast hints — while its
+    per-exchange query stages cost one sequentially-submitted job each
+    (measured: 4 jobs/round vs 2 on the identical serve plan,
+    tools/job_probe.py). Scale-safe by the same argument: the scoped
+    plans stay bounded at any corpus size, so no data-proportional
+    stage ever runs without AQE. The conf is restored on exit, so
+    frames RETURNED from the scope execute under the session default."""
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _scope():
+        key = "spark.sql.adaptive.enabled"
+        prior = spark.conf.get(key, "true")
+        spark.conf.set(key, "false")
+        try:
+            yield
+        finally:
+            spark.conf.set(key, prior)
+
+    return _scope()
+
+
 def run_actions_parallel(thunks) -> list:
     """Run independent Spark actions (e.g. sibling parquet writes of one
     index persist) concurrently from driver threads, returning their

@@ -1481,3 +1481,81 @@ def test_pair_kernel_shard_telemetry(spark, monkeypatch):
                 lmeta["shard_dropped_est"]) == (0, 0, 0)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_bounded_actions_restores_conf_and_serve_exits_clean(spark):
+    """`bounded_actions` (r13) scopes AQE off around the serve loop's
+    bounded driver-loop actions: the conf must restore on normal exit
+    AND on error, and a full search must leave the session conf
+    untouched (its RETURNED frame executes under the session default) —
+    a leaked conf would silently change every later query's planning."""
+    import pytest
+
+    from neumann_spark.pipeline.ann import graph_auto_search
+    from neumann_spark.session import bounded_actions
+    from tests.conftest import SF_DIR
+
+    key = "spark.sql.adaptive.enabled"
+    prior = spark.conf.get(key)
+    with bounded_actions(spark):
+        assert spark.conf.get(key) == "false"
+    assert spark.conf.get(key) == prior
+    with pytest.raises(RuntimeError, match="boom"):
+        with bounded_actions(spark):
+            raise RuntimeError("boom")
+    assert spark.conf.get(key) == prior
+
+    rows = graph_auto_search(spark, SF_DIR, preset="low").collect()
+    assert len(rows) == 10
+    assert spark.conf.get(key) == prior
+
+
+def test_serve_literal_lut_matches_join_form(spark):
+    """The serve loop's ADC lookup (r13) collects the Spark-computed
+    (s, code, d) traversal LUT once and re-embeds it as a flat literal
+    array — this differential pins the element_at form bit-equal to the
+    former broadcast-join form on the fixture index (the doubles
+    round-trip the driver exactly; codes always hit a populated cell)."""
+    import neumann_spark.pipeline.ann as ann
+    from neumann_spark.session import local_df
+    from tests.conftest import SF_DIR
+
+    index = ann.knn_graph_index(spark, SF_DIR)
+    codes_long, codebooks, u = index[3], index[4], index[5]
+    qv = [float(x) for x in u.filter(
+        F.col("vec_id") == 0).select("embedding").head()[0]]
+    cent_df = local_df(spark,
+        [(s, int(code), [float(x) for x in vals])
+         for s, cb in enumerate(codebooks) for code, vals in cb],
+        "s int, code int, cent array<double>")
+    qslice = F.slice(
+        F.lit(qv), F.col("s") * ann.GRAPH_PQ_SUBDIM + 1,
+        ann.GRAPH_PQ_SUBDIM)
+    lut = cent_df.select(
+        "s", "code",
+        F.round(
+            F.aggregate(
+                F.zip_with(qslice, "cent", lambda x, c: (x - c) * (x - c)),
+                F.lit(0.0), lambda a, x: a + x),
+            6,
+        ).alias("d"))
+    lut_flat = [None] * (ann.GRAPH_PQ_S * ann.GRAPH_PQ_K)
+    for r in lut.collect():
+        lut_flat[r["s"] * ann.GRAPH_PQ_K + r["code"]] = r["d"]
+    lut_d = F.element_at(
+        F.lit(lut_flat),
+        (F.col("s") * ann.GRAPH_PQ_K + F.col("code") + 1).cast("int"))
+    ids = list(range(1, 60))
+    joined = {
+        (int(r["vec_id"]), r["d"])
+        for r in codes_long.filter(F.col("vec_id").isin(ids))
+        .join(F.broadcast(lut), ["s", "code"])
+        .groupBy("vec_id").agg(F.round(F.sum("d"), 6).alias("d")).collect()
+    }
+    literal = {
+        (int(r["vec_id"]), r["d"])
+        for r in codes_long.filter(F.col("vec_id").isin(ids))
+        .select("vec_id", lut_d.alias("d"))
+        .groupBy("vec_id").agg(F.round(F.sum("d"), 6).alias("d")).collect()
+    }
+    assert joined == literal and len(literal) == len(ids)
