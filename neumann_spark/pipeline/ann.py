@@ -4340,13 +4340,16 @@ def load_graph_index(spark: SparkSession, path: str) -> tuple:
     sq_codes = spark.read.parquet(f"{path}/graph_sq_codes")
     # the three bounded driver-side tables (warm centroids, codebooks, SQ
     # grid) load concurrently — independent small collects whose job
-    # barriers otherwise serialize (§5)
-    cent_rows, codebooks, grid_rows = run_actions_parallel([
-        lambda: spark.read.parquet(
-            f"{path}/graph_warm_centroids").collect(),
-        lambda: _read_codebooks(spark, f"{path}/graph_codebooks"),
-        lambda: spark.read.parquet(f"{path}/graph_sq_grid").collect(),
-    ])
+    # barriers otherwise serialize (§5); AQE scoped off (bounded
+    # single-stage scans gain nothing from adaptive re-planning and pay
+    # one extra query-stage job each under it)
+    with _bounded_actions(spark):
+        cent_rows, codebooks, grid_rows = run_actions_parallel([
+            lambda: spark.read.parquet(
+                f"{path}/graph_warm_centroids").collect(),
+            lambda: _read_codebooks(spark, f"{path}/graph_codebooks"),
+            lambda: spark.read.parquet(f"{path}/graph_sq_grid").collect(),
+        ])
     warm_centroids = sorted(
         (int(r["cluster"]), [float(x) for x in r["centroid"]])
         for r in cent_rows
