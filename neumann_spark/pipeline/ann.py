@@ -2402,8 +2402,8 @@ def _graph_rescore_from(spark: SparkSession, sf_dir: str, index: tuple,
     from the driver-held evaluated map: on a block-partitioned edge
     layout the literal filter prunes unprobed edge files at the source,
     where a joined frontier frame would read everything), expand their
-    top-C edges, ADC-rank the new candidates via a broadcast (s, code, d)
-    lookup join — then exact-cosine rescore of the ADC-top-SHORTLIST.
+    top-C edges, ADC-rank the new candidates via the literal (s, code, d)
+    lookup array — then exact-cosine rescore of the ADC-top-SHORTLIST.
     The evaluated set is bounded (warm + beam*C*T rows for one query) so
     it lives on the driver; every Spark action is a single bounded job
     over partition-pruned edge and code tables at 100 TB; nothing
