@@ -1980,6 +1980,31 @@ def _top_m_edges(scored: DataFrame, m: int = GRAPH_M) -> DataFrame:
     )
 
 
+def _top_m_edges_dedup(scored: DataFrame, est_pairs: int | None = None,
+                       m: int = GRAPH_M) -> DataFrame:
+    """distinct + per-source top-m sharing ONE exchange (§2.4): the
+    dedup's grouping keys (src, dst, d) are a superset of the window's
+    partition key, so an explicit src repartition satisfies BOTH
+    distributions — the former `distinct().window()` shape shuffled the
+    round's entire candidate pair set twice (hash(src, dst, d), then
+    hash(src)). Map-side partial dedup is traded away, but the duplicate
+    fraction is bounded (mutual edges + multi-probe seed repeats) while
+    the saved exchange moves the full candidate volume. The explicit
+    repartition is AQE-coalesce-exempt, so the count derives from the
+    caller's pair-volume estimate (~64 MB of 24 B pair rows per task),
+    floored at the session parallelism — fixture plans keep the session
+    default either way. Per-source skew is bounded by construction
+    (a source's candidates ≤ its neighbourhood products, never a
+    corpus-scale hot key)."""
+    import math
+
+    parts = scored.sparkSession.sparkContext.defaultParallelism
+    if est_pairs:
+        parts = max(parts, int(math.ceil(est_pairs * 24 / (64 << 20))))
+    return _top_m_edges(
+        scored.repartition(parts, "src").dropDuplicates(), m)
+
+
 def _nnd_forward_edges(spark: SparkSession, u: DataFrame,
                        warm_centroids: list,
                        rounds: int = GRAPH_NND_ROUNDS,
@@ -2014,11 +2039,17 @@ def _nnd_forward_edges(spark: SparkSession, u: DataFrame,
     n_rows = u.count()
     ap_seed = _pair_agg_partitions(n_rows * GRAPH_SEED_PROBES)
     ap_round = _pair_agg_partitions(2 * n_rows * (GRAPH_M + GRAPH_R))
+    # pair-volume estimates for the fused dedup+top-m exchange: seed
+    # pairs bounded by the kernel's ≤GRAPH_PAIR_SHARD-member groups, a
+    # round's neighbours-of-neighbours by the direction-closed
+    # neighbourhood product
+    ep_seed = n_rows * GRAPH_SEED_PROBES * GRAPH_PAIR_SHARD
+    ep_round = n_rows * (2 * (GRAPH_M + GRAPH_R)) ** 2
     nn = _nnd_seed(spark, u, warm_centroids, telemetry,
-                   ap_seed).localCheckpoint(eager=True)
+                   ap_seed, ep_seed).localCheckpoint(eager=True)
     for _ in range(rounds):
         nn = _nnd_round(
-            u, nn, telemetry, ap_round).localCheckpoint(eager=True)
+            u, nn, telemetry, ap_round, ep_round).localCheckpoint(eager=True)
     return nn
 
 
@@ -2099,7 +2130,8 @@ def _nearest_clusters(spark: SparkSession, u: DataFrame,
 def _nnd_seed(spark: SparkSession, u: DataFrame,
               warm_centroids: list,
               telemetry: dict | None = None,
-              agg_partitions: int | None = None) -> DataFrame:
+              agg_partitions: int | None = None,
+              est_pairs: int | None = None) -> DataFrame:
     """Seed edges: per-node GRAPH_SEED_PROBES nearest warm clusters
     (equi-join on a constant key against the broadcast k-row centroid
     frame — a hash join, not a nested loop — then a per-node window),
@@ -2124,13 +2156,16 @@ def _nnd_seed(spark: SparkSession, u: DataFrame,
     # them, exactly like the former pre-distance (src, dst) distinct
     scored = _grouped_pair_distances(
         u, seedcl.select(F.col("cl").alias("key"), "vec_id"),
-        telemetry, agg_partitions).distinct()
-    return _top_m_edges(scored)
+        telemetry, agg_partitions)
+    # distinct + top-m share one src-keyed exchange; pair volume bounded
+    # by the kernel's ≤GRAPH_PAIR_SHARD-member groups
+    return _top_m_edges_dedup(scored, est_pairs=est_pairs)
 
 
 def _nnd_round(u: DataFrame, nn: DataFrame,
                telemetry: dict | None = None,
-               agg_partitions: int | None = None) -> DataFrame:
+               agg_partitions: int | None = None,
+               est_pairs: int | None = None) -> DataFrame:
     """One NN-descent refinement round: candidates = neighbours-of-
     neighbours over the current graph in both directions (an equi-join of
     the direction-closed edge set with itself on the shared endpoint)
@@ -2153,7 +2188,8 @@ def _nnd_round(u: DataFrame, nn: DataFrame,
         telemetry, agg_partitions)
     cur = _pair_distances(
         u, nn.select("src", "dst").filter(F.col("src") != F.col("dst")))
-    return _top_m_edges(non.union(cur).distinct())
+    # distinct + top-m share one src-keyed exchange (§2.4)
+    return _top_m_edges_dedup(non.union(cur), est_pairs=est_pairs)
 
 
 def _exact_forward_edges(u: DataFrame) -> DataFrame:
@@ -2896,8 +2932,10 @@ def knn_graph_insert(spark: SparkSession, index: tuple,
                 (min(n_idx, n_batch * GRAPH_M) + n_batch) * GRAPH_M))
         .join(hop, ["src", "dst"], "semi")
     )
-    nn_new = _top_m_edges(scored_hop.union(scored0).distinct()
-                          ).localCheckpoint(eager=False)
+    nn_new = _top_m_edges_dedup(
+        scored_hop.union(scored0),
+        est_pairs=(min(n_idx, n_batch * GRAPH_M) + n_batch) * GRAPH_M
+        * GRAPH_M).localCheckpoint(eager=False)
 
     # 3. bounded neighbour re-selection on affected EXISTING nodes only:
     # a new node targeted by a batch-mate already saw that mate through
