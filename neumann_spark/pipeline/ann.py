@@ -1473,6 +1473,19 @@ GRAPH_T_LOW = 6        # rounds: low-read preset  (~0.84 recall @ 0.31 code)
 GRAPH_T_HIGH = 10      # rounds: high-recall preset (~0.92 recall @ 0.44)
 GRAPH_SHORTLIST = 100  # exact-rescore budget (0.05 of the 2K fixture)
 GRAPH_EDGE_BLOCKS = 32  # persisted edge-table partitions (src % blocks)
+# Persisted-index file layout (§6): the serve loop point-probes these
+# tables with literal IN-lists (src / vec_id), so the written layout must
+# give the scan (a) a BOUNDED file count — a partitionBy write without a
+# preceding repartition emits one file per (write task × partition
+# value), measured 3,488 files PER BLOCK (~112K total, ~8 KB each) on a
+# 1M-vector build, which made every serve round schedule 3,488 scan
+# tasks — and (b) TIGHT probe-key ranges per row group, so the pushed
+# IN-list prunes at row-group granularity (hash-task files span the full
+# key range and prune nothing). repartition(partition cols) + sort-
+# within-partitions on the probe key + small row groups measured the
+# per-round 1M edge probe at 0.51 s vs 48.6 s as-built (−98.9%).
+GRAPH_PERSIST_ROWGROUP = 256 * 1024  # parquet row-group bytes, probe tables
+GRAPH_PERSIST_BLOCK_FILE_ROWS = 16_000_000  # ~512 MB of edge rows/file
 GRAPH_SEED_PROBES = 2  # NN-descent seed: per-node nearest warm clusters
 GRAPH_NND_ROUNDS = 2   # NN-descent refinement rounds at fixture scale; the
 #                        build derives depth from N via graph_nnd_rounds()
@@ -4290,9 +4303,32 @@ def save_graph_index_frames(spark: SparkSession, index: tuple,
     (cluster-partitioned), warm centroids, traversal codes, codebooks,
     and the SQ8 rescore tier (64 B code rows + per-dimension [lo, hi]
     grid)."""
+    import math
+
     (edges, warm_codes, warm_centroids, codes_long, codebooks, _u,
      sq_codes, sq_lo, sq_hi) = index[:9]
     meta = index[9] if len(index) > 9 else None
+    # Output file sizing (§6, see GRAPH_PERSIST_ROWGROUP): every
+    # partitionBy write repartitions on its partition column first (one
+    # file per value instead of one per write task per value), sorted
+    # within partitions on the serve loop's probe key so the pushed
+    # IN-list prunes row groups; the unpartitioned probe tables coalesce
+    # to volume-derived file counts and sort on vec_id for the same
+    # reason. Values are untouched — layout only (the probe collects and
+    # the hash oracles are order-insensitive; pinned by the persist
+    # round-trip oracles and test_persisted_layout_file_counts).
+    n_est = int(meta["n"]) if meta and meta.get("n") is not None else 0
+    # measured edge-table volume ~40 rows/vector at the shipped caps —
+    # salt blocks into multiple sorted files only past ~12.8M vectors
+    edge_salt = max(1, math.ceil(
+        n_est * 40 / GRAPH_EDGE_BLOCKS / GRAPH_PERSIST_BLOCK_FILE_ROWS))
+    edge_keys = [F.col("block")] + (
+        [F.pmod(F.xxhash64("src"), F.lit(edge_salt))] if edge_salt > 1
+        else [])
+    # codes_long ~34 B/vector, sq_codes ~70 B/vector (1M measurements):
+    # target ~128-256 MB per file
+    codes_files = max(1, math.ceil(n_est / 4_000_000))
+    sq_files = max(1, math.ceil(n_est / 2_000_000))
     # the component tables are independent outputs of already-materialized
     # (checkpointed) frames — write them concurrently from driver threads
     # so the seven write jobs' scheduling + commit barriers overlap
@@ -4301,22 +4337,38 @@ def save_graph_index_frames(spark: SparkSession, index: tuple,
         lambda: (
             edges.withColumn(
                 "block", (F.col("src") % GRAPH_EDGE_BLOCKS).cast("int"))
-            .write.mode("overwrite").partitionBy("block")
+            .repartition(*edge_keys)
+            .sortWithinPartitions("block", "src", "pos")
+            .write.mode("overwrite")
+            .option("parquet.block.size", GRAPH_PERSIST_ROWGROUP)
+            .partitionBy("block")
             .parquet(f"{path}/graph_edges")
         ),
         lambda: (
-            warm_codes.write.mode("overwrite").partitionBy("cluster")
+            warm_codes.repartition("cluster")
+            .sortWithinPartitions("cluster", "vec_id")
+            .write.mode("overwrite").partitionBy("cluster")
             .parquet(f"{path}/graph_warm_assign")
         ),
         lambda: local_df(spark,
             [(int(c), [float(x) for x in v]) for c, v in warm_centroids],
             "cluster int, centroid array<double>",
         ).write.mode("overwrite").parquet(f"{path}/graph_warm_centroids"),
-        lambda: codes_long.write.mode("overwrite").parquet(
-            f"{path}/graph_codes"),
+        lambda: (
+            codes_long.coalesce(codes_files)
+            .sortWithinPartitions("vec_id", "s")
+            .write.mode("overwrite")
+            .option("parquet.block.size", GRAPH_PERSIST_ROWGROUP)
+            .parquet(f"{path}/graph_codes")
+        ),
         lambda: _write_codebooks(spark, codebooks, f"{path}/graph_codebooks"),
-        lambda: sq_codes.write.mode("overwrite").parquet(
-            f"{path}/graph_sq_codes"),
+        lambda: (
+            sq_codes.coalesce(sq_files)
+            .sortWithinPartitions("vec_id")
+            .write.mode("overwrite")
+            .option("parquet.block.size", GRAPH_PERSIST_ROWGROUP)
+            .parquet(f"{path}/graph_sq_codes")
+        ),
         lambda: local_df(spark,
             [(i, float(lo), float(hi))
              for i, (lo, hi) in enumerate(zip(sq_lo, sq_hi))],
@@ -5198,6 +5250,10 @@ def save_ann_index(spark: SparkSession, sf_dir: str, path: str) -> None:
     run_actions_parallel([
         lambda: (
             state.select("vec_id", "cluster")
+            # one file per cluster dir instead of one per write task per
+            # cluster (§6; same layout fix as save_graph_index_frames)
+            .repartition("cluster")
+            .sortWithinPartitions("cluster", "vec_id")
             .write.mode("overwrite").partitionBy("cluster")
             .parquet(f"{path}/ivf_assign")
         ),

@@ -421,6 +421,41 @@ def test_graph_index_persist_sq_tier(spark, tmp_path):
     assert sorted(map(key, got)) == sorted(map(key, want))
 
 
+def test_persisted_layout_file_counts(spark, tmp_path):
+    """Persisted-index output layout (§6, r13): a partitionBy write
+    without a preceding repartition emits one file per (write task ×
+    partition value) — measured ~3,488 files PER edge block on a 1M
+    build, which made every serve round schedule 3,488 scan tasks and
+    pushed the per-round edge probe to 48.6 s (0.51 s after the fix).
+    Pin the fixed layout: exactly ONE part file per edge block dir and
+    per warm-assign cluster dir, and single sorted files for the
+    unpartitioned probe tables at fixture scale."""
+    import os
+
+    from neumann_spark.pipeline.ann import save_graph_index
+    from tests.conftest import SF_DIR
+
+    path = str(tmp_path / "gidx_layout")
+    save_graph_index(spark, SF_DIR, path)
+
+    def parts(d):
+        return [f for f in os.listdir(d) if f.startswith("part-")]
+
+    edge_root = os.path.join(path, "graph_edges")
+    blocks = [d for d in os.listdir(edge_root) if d.startswith("block=")]
+    assert blocks, "edge table lost its block partitioning"
+    for b in blocks:
+        assert len(parts(os.path.join(edge_root, b))) == 1, b
+    warm_root = os.path.join(path, "graph_warm_assign")
+    clusters = [d for d in os.listdir(warm_root)
+                if d.startswith("cluster=")]
+    assert clusters, "warm assign lost its cluster partitioning"
+    for c in clusters:
+        assert len(parts(os.path.join(warm_root, c))) == 1, c
+    assert len(parts(os.path.join(path, "graph_codes"))) == 1
+    assert len(parts(os.path.join(path, "graph_sq_codes"))) == 1
+
+
 def test_graph_insert_vs_full_build(spark):
     """knn_graph_insert quality + contract differential (r8): grow an
     index built on all-but-8 vectors by the remaining 8 and check
