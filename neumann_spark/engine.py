@@ -20,6 +20,7 @@ cursors map to `toLocalIterator` batches (`relational_engine/src/cursor.rs`).
 from __future__ import annotations
 
 import ast
+import os
 import re
 from collections import OrderedDict
 from typing import Iterator, Optional
@@ -32,6 +33,15 @@ from neumann_spark.functions.vector import knn
 from neumann_spark.graph.model import edges_df, nodes_df, undirected_edges
 from neumann_spark.graph.traversal import bfs_levels
 from neumann_spark.session import local_df, run_actions_parallel
+
+# Overlay lineage-truncation cadence (statements between lazy
+# localCheckpoints of the session overlays). 1 = every statement
+# boundary: each validation/read action then replays only the latest
+# statement's delta instead of the whole chain since the last
+# checkpoint (VERDICT r13 item 4, §5) — the materialized state is
+# per-overlay bounded and superseded copies are unpersisted by
+# ContextCleaner once the driver drops its references.
+_OVERLAY_CP_EVERY = int(os.environ.get("NEUMANN_OVERLAY_CP_EVERY", "8"))
 
 
 class NeumannSparkEngine:
@@ -1690,11 +1700,13 @@ class NeumannSparkEngine:
     # copy-on-write table format pattern (Delta/Iceberg MERGE).
 
     def _checkpoint_overlays(self) -> None:
-        """Cap lineage growth: every few mutations the overlays are
-        localCheckpointed so a long mutation session doesn't build an
-        ever-deeper union/anti-join plan."""
+        """Cap lineage growth: lazy-localCheckpoint the overlays at
+        statement boundaries so a mutation session doesn't build an
+        ever-deeper union/anti-join plan. Cadence is env-tunable
+        (NEUMANN_OVERLAY_CP_EVERY); see OPTIMIZATION_r14 for the
+        measured job/wall numbers behind the default."""
         self._mutations += 1
-        if self._mutations % 8 == 0:
+        if self._mutations % _OVERLAY_CP_EVERY == 0:
             self._nodes = self._nodes.localCheckpoint(eager=False)
             self._edges = self._edges.localCheckpoint(eager=False)
             self._embeddings = self._embeddings.localCheckpoint(eager=False)

@@ -21,6 +21,8 @@ exact brute force (functions.vector.knn) stays the correctness baseline.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -701,6 +703,19 @@ def pq_build_joined(emb: DataFrame, S: int, subdim: int, k: int,
     (k ≤ 64) never route."""
     use_two_level = (two_level if two_level is not None
                      else (S == 1 and k > GRAPH_TWO_LEVEL_MIN_K))
+    # Sub-carry vs re-attach (VERDICT r13 item 3/5): carrying `sub`
+    # through the argmin removes the former subs ⋈ assignment re-attach
+    # join (two exchanges of the N·S sub-vector rows per iteration) but
+    # widens the map-side candidate rows by |sub| bytes each. For narrow
+    # PQ subspaces (subdim ≤ GRAPH_PQ_SUBDIM·4 = 8, ≤ 64 B) the carry is
+    # the unambiguous win; for the WIDE warm quantizer (S=1,
+    # subdim = full dim, 512 B subs) the trade was estimated neutral and
+    # is settled by a measured 262K ladder A/B this round (see
+    # OPTIMIZATION_r14.md — the env knob exists for that A/B and for
+    # re-measurement at other scales).
+    _carry_env = os.environ.get("NEUMANN_PQ_SUB_CARRY")
+    carry_sub = (_carry_env == "1" if _carry_env is not None
+                 else True)
     emb_d = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -779,35 +794,43 @@ def pq_build_joined(emb: DataFrame, S: int, subdim: int, k: int,
                 member_rows, "sid int, code int, cent array<double>")
             probes = _super_probe_expr(
                 F.col("sub"), supers, GRAPH_SUPER_PROBES)
-            codes_long = (
+            cand = (
                 subs.select("vec_id", "s", "sub",
                             F.explode(probes).alias("sid"))
                 .join(F.broadcast(members), "sid")
-                .select("vec_id", "s", "sub", d.alias("d"), "code")
+            )
+            # no checkpoint: the driver-collected centroid rows break
+            # the lineage chain each iteration, so this plan is
+            # constant-depth (subs is checkpointed, cent is local) and
+            # has exactly one consumer — the next iteration's collect
+            # (or the final pivot) computes it in place. Partial
+            # aggregation collapses the ×k candidate rows map-side, so
+            # the shuffle carries one (min-struct[, sub]) state per
+            # (vec_id, s) — never k × sub bytes.
+        else:
+            cand = subs.join(F.broadcast(cent), "s")
+        if carry_sub:
+            codes_long = (
+                cand.select("vec_id", "s", "sub", d.alias("d"), "code")
                 .groupBy("vec_id", "s")
                 .agg(F.min(F.struct("d", "code")).alias("m"),
                      F.first("sub").alias("sub"))
                 .select("vec_id", "s", "sub",
                         F.col("m.code").alias("code"))
-                # no checkpoint: the driver-collected centroid rows break
-                # the lineage chain each iteration, so this plan is
-                # constant-depth (subs is checkpointed, cent is local) and
-                # has exactly one consumer — the next iteration's collect
-                # (or the final pivot) computes it in place. Partial
-                # aggregation collapses the ×k candidate rows map-side, so
-                # the shuffle carries one (min-struct, sub) state per
-                # (vec_id, s) — never k × sub bytes.
             )
         else:
-            codes_long = (
-                subs.join(F.broadcast(cent), "s")
-                .select("vec_id", "s", "sub", d.alias("d"), "code")
+            # re-attach form (the pre-r13 shape, kept behind the env knob
+            # for ladder A/Bs): argmin drops `sub` before the shuffle,
+            # then re-joins subs — two extra exchanges of the N·S
+            # sub-vector rows per iteration, but narrow candidate rows
+            assign = (
+                cand.select("vec_id", "s", d.alias("d"), "code")
                 .groupBy("vec_id", "s")
-                .agg(F.min(F.struct("d", "code")).alias("m"),
-                     F.first("sub").alias("sub"))
-                .select("vec_id", "s", "sub",
-                        F.col("m.code").alias("code"))
+                .agg(F.min(F.struct("d", "code")).alias("m"))
+                .select("vec_id", "s", F.col("m.code").alias("code"))
             )
+            codes_long = subs.join(assign, ["vec_id", "s"]).select(
+                "vec_id", "s", "sub", "code")
     codebooks: list[list[tuple[int, list[float]]]] = [
         [(code, vals) for rs, code, vals in cent_rows if rs == s]
         for s in range(S)
@@ -1983,6 +2006,21 @@ def _grouped_pair_distances(u: DataFrame, keyed: DataFrame,
     )
 
 
+def _lit_in(name: str, ids) -> Column:
+    """`name IN (<ids>)` as ONE parsed expression — bit-identical plan to
+    `F.col(name).isin(list)` (literal In → InSet, same parquet pushdown)
+    but built in one py4j round-trip instead of one `lit()` call PER
+    element: at the serve loop's 12K-id candidate lists the isin form
+    spent ~7 s/round of pure driver+py4j time (measured at 1M: 8.3 s vs
+    1.3 s per ADC probe, §1/§5 — r14). The `L` suffix pins LongType
+    literals, exactly what `lit(python int)` produced, so the analyzed
+    predicate (and the plan-asserted pushdown) is unchanged. Ids must be
+    a non-empty iterable of ints."""
+    body = ",".join(f"{int(v)}L" for v in ids)
+    assert body, "_lit_in needs a non-empty id list"
+    return F.expr(f"{name} IN ({body})")
+
+
 def _top_m_edges(scored: DataFrame, m: int = GRAPH_M) -> DataFrame:
     """(src, dst, d) -> (src, pos, dst): per-source top-m by (d, dst)."""
     w = Window.partitionBy("src").orderBy("d", "dst")
@@ -2468,9 +2506,19 @@ def _graph_rescore_from(spark: SparkSession, sf_dir: str, index: tuple,
     # join (a grown index holds ids sf_dir lacks; a shrunk one must not
     # let sf_dir rows outside the index reach the rescore)
     from_disk = not (len(index) > 5 and index[5] is not None)
+    # From disk the unit frame stays LAZY (r14, §5/§6): the former
+    # per-call localCheckpoint materialized the ENTIRE normalized corpus
+    # into the block store before the anchor head() — 20.9 s/query
+    # measured at 1M — while the call reads it at most thrice (anchor
+    # row, once-per-(index,sf_dir) validation, exact-rescore join). Lazy,
+    # the anchor predicate pushes below the normalize projection to the
+    # parquet scan (row-group pruning on vec_id), and the rescore join
+    # scans the corpus once at collect time — the same single
+    # scan+normalize the checkpoint paid, minus the block-store write.
+    # Values are bit-identical: the normalize expression is unchanged,
+    # only when/where it executes moves.
     u = (index[5] if not from_disk else
-         unit_embeddings(load(spark, sf_dir, "embeddings"))
-         .localCheckpoint(eager=False))
+         unit_embeddings(load(spark, sf_dir, "embeddings")))
     qv = [float(x) for x in u.filter(
         F.col("vec_id") == anchor).select("embedding").head()[0]]
 
@@ -2609,7 +2657,7 @@ def _graph_rescore_from(spark: SparkSession, sf_dir: str, index: tuple,
             # block-partitioned persisted edge table serves each round
             # with static partition pruning (plan-asserted)
             probe = edges.filter(
-                F.col("src").isin(frontier) & (F.col("pos") < c))
+                _lit_in("src", frontier) & (F.col("pos") < c))
             if "block" in edges.columns:  # persisted: prune edge files
                 probe = probe.filter(F.col("block").isin(
                     sorted({v % GRAPH_EDGE_BLOCKS for v in frontier})))
@@ -2624,7 +2672,7 @@ def _graph_rescore_from(spark: SparkSession, sf_dir: str, index: tuple,
             # (row-group pruning); the in-memory form scans the
             # checkpointed blocks
             scored = (
-                codes_long.filter(F.col("vec_id").isin(new_ids))
+                codes_long.filter(_lit_in("vec_id", new_ids))
                 .select("vec_id", lut_d.alias("d"))
                 .groupBy("vec_id")
                 .agg(F.round(F.sum("d"), 6).alias("d"))
@@ -3931,7 +3979,7 @@ def _graph_batch_search(spark: SparkSession, sf_dir: str,
     u = index[5]
     qvs = {
         int(r["vec_id"]): [float(x) for x in r["embedding"]]
-        for r in u.filter(F.col("vec_id").isin(list(anchors))).collect()
+        for r in u.filter(_lit_in("vec_id", anchors)).collect()
     }
     cent_df = local_df(spark,
         [(s, int(code), [float(x) for x in vals])
@@ -4015,7 +4063,7 @@ def _graph_batch_search(spark: SparkSession, sf_dir: str,
                 # under the plan-bloat envelope GRAPH_PROBE_INLIST_MAX
                 # guards in the frame regime
                 probe = edges.filter(
-                    F.col("src").isin(srcs) & (F.col("pos") < c))
+                    _lit_in("src", srcs) & (F.col("pos") < c))
                 if "block" in edges.columns:
                     probe = probe.filter(F.col("block").isin(
                         sorted({v % GRAPH_EDGE_BLOCKS for v in srcs})))
@@ -4114,7 +4162,7 @@ def _graph_batch_search(spark: SparkSession, sf_dir: str,
         # equi-key keeps it a BroadcastHashJoin, never a BNLJ —
         # plan-asserted in tests/test_plans.py for both regimes)
         if len(srcs) <= GRAPH_PROBE_INLIST_MAX:
-            probe = probe.filter(F.col("src").isin(srcs))
+            probe = probe.filter(_lit_in("src", srcs))
         if "block" in edges.columns:
             probe = probe.filter(F.col("block").isin(
                 sorted({v % GRAPH_EDGE_BLOCKS for v in srcs})))
@@ -4317,16 +4365,29 @@ def save_graph_index_frames(spark: SparkSession, index: tuple,
     # reason. Values are untouched — layout only (the probe collects and
     # the hash oracles are order-insensitive; pinned by the persist
     # round-trip oracles and test_persisted_layout_file_counts).
-    n_est = int(meta["n"]) if meta and meta.get("n") is not None else 0
-    # measured edge-table volume ~40 rows/vector at the shipped caps —
-    # salt blocks into multiple sorted files only past ~12.8M vectors
+    if meta and meta.get("n") is not None:
+        n_est = int(meta["n"])
+    else:
+        # legacy 9-tuple with no meta: a defaulted n_est=0 would coalesce
+        # the codes/SQ tables to ONE file regardless of size (ADVICE r13)
+        # — fall back to the same cheap cardinality count
+        # load_graph_index uses (sq_codes is one row per vector)
+        n_est = sq_codes.count()
+    # edge-table volume bound: GRAPH_M forward + <= GRAPH_R reverse rows
+    # per vector (measured ~40 at the shipped caps, consistent with the
+    # 32+16 cap) — salt blocks into multiple sorted files only past
+    # ~10M vectors at the shipped constants
+    edge_rows_per_vec = GRAPH_M + GRAPH_R
     edge_salt = max(1, math.ceil(
-        n_est * 40 / GRAPH_EDGE_BLOCKS / GRAPH_PERSIST_BLOCK_FILE_ROWS))
+        n_est * edge_rows_per_vec / GRAPH_EDGE_BLOCKS
+        / GRAPH_PERSIST_BLOCK_FILE_ROWS))
     edge_keys = [F.col("block")] + (
         [F.pmod(F.xxhash64("src"), F.lit(edge_salt))] if edge_salt > 1
         else [])
-    # codes_long ~34 B/vector, sq_codes ~70 B/vector (1M measurements):
-    # target ~128-256 MB per file
+    # codes_long ~34 B/vector, sq_codes ~70 B/vector — parquet-compressed
+    # sizes MEASURED on the 1M build at the shipped widths (GRAPH_PQ
+    # subdims × 1 B codes; 64 B SQ8 rows): the divisors target ~128-256 MB
+    # per file and must be re-measured if the code widths change
     codes_files = max(1, math.ceil(n_est / 4_000_000))
     sq_files = max(1, math.ceil(n_est / 2_000_000))
     # the component tables are independent outputs of already-materialized
@@ -4439,7 +4500,7 @@ def load_graph_index(spark: SparkSession, path: str) -> tuple:
                 f"{path}/graph_warm_centroids").collect(),
             lambda: _read_codebooks(spark, f"{path}/graph_codebooks"),
             lambda: spark.read.parquet(f"{path}/graph_sq_grid").collect(),
-        ])
+        ], bounded_ok=True)  # three k-row driver tables, bounded by contract
     warm_centroids = sorted(
         (int(r["cluster"]), [float(x) for x in r["centroid"]])
         for r in cent_rows

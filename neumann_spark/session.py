@@ -135,6 +135,10 @@ def local_df(spark: SparkSession, data, schema) -> DataFrame:
     return df
 
 
+_BOUNDED_SCOPE_LOCK = __import__("threading").Lock()
+_BOUNDED_SCOPE_DEPTH = 0
+
+
 def bounded_actions(spark: SparkSession):
     """Context manager scoping AQE OFF around a driver loop whose every
     action is a BOUNDED single-job plan (a few thousand rows by
@@ -147,23 +151,33 @@ def bounded_actions(spark: SparkSession):
     tools/job_probe.py). Scale-safe by the same argument: the scoped
     plans stay bounded at any corpus size, so no data-proportional
     stage ever runs without AQE. The conf is restored on exit, so
-    frames RETURNED from the scope execute under the session default."""
+    frames RETURNED from the scope execute under the session default.
+
+    The flipped conf is SESSION-GLOBAL, so concurrent driver-thread
+    actions inside the scope would silently run data-proportional jobs
+    with AQE off: `run_actions_parallel` refuses to fan out while any
+    scope is open (VERDICT r13 item 2)."""
     from contextlib import contextmanager
 
     @contextmanager
     def _scope():
+        global _BOUNDED_SCOPE_DEPTH
         key = "spark.sql.adaptive.enabled"
         prior = spark.conf.get(key, "true")
+        with _BOUNDED_SCOPE_LOCK:
+            _BOUNDED_SCOPE_DEPTH += 1
         spark.conf.set(key, "false")
         try:
             yield
         finally:
             spark.conf.set(key, prior)
+            with _BOUNDED_SCOPE_LOCK:
+                _BOUNDED_SCOPE_DEPTH -= 1
 
     return _scope()
 
 
-def run_actions_parallel(thunks) -> list:
+def run_actions_parallel(thunks, bounded_ok: bool = False) -> list:
     """Run independent Spark actions (e.g. sibling parquet writes of one
     index persist) concurrently from driver threads, returning their
     results in input order. Spark schedules jobs from separate driver
@@ -171,8 +185,23 @@ def run_actions_parallel(thunks) -> list:
     frames cost ~max(write) wall instead of Σ(write) — and on a cluster
     the per-job commit barriers overlap instead of serializing (§5). The
     first exception (if any) re-raises in the caller after all threads
-    finish, so no thunk is left running against a torn-down session."""
+    finish, so no thunk is left running against a torn-down session.
+
+    Mutually exclusive with an open `bounded_actions` scope unless the
+    caller passes `bounded_ok=True` to attest every thunk's plan is
+    bounded by construction: the scope flips session-global conf, so a
+    data-proportional fan-out inside it would run with AQE silently
+    off (VERDICT r13 item 2)."""
     thunks = list(thunks)
+    if not bounded_ok and len(thunks) > 1:
+        with _BOUNDED_SCOPE_LOCK:
+            if _BOUNDED_SCOPE_DEPTH > 0:
+                raise RuntimeError(
+                    "run_actions_parallel called inside a bounded_actions "
+                    "scope: the scope holds session-global conf (AQE off), "
+                    "so parallel actions would execute under it. Run the "
+                    "fan-out outside the scope, or pass bounded_ok=True if "
+                    "every thunk is bounded by construction.")
     if len(thunks) <= 1:
         return [t() for t in thunks]
     from concurrent.futures import ThreadPoolExecutor

@@ -427,12 +427,23 @@ def test_persisted_layout_file_counts(spark, tmp_path):
     partition value) — measured ~3,488 files PER edge block on a 1M
     build, which made every serve round schedule 3,488 scan tasks and
     pushed the per-round edge probe to 48.6 s (0.51 s after the fix).
-    Pin the fixed layout: exactly ONE part file per edge block dir and
-    per warm-assign cluster dir, and single sorted files for the
-    unpartitioned probe tables at fixture scale."""
+    Pin the fixed layout: `edge_salt` files per edge block dir (== 1
+    until ~10M vectors — the salt-aware expectation, ADVICE r13: the
+    writer deliberately splits block files past
+    GRAPH_PERSIST_BLOCK_FILE_ROWS), one file per warm-assign cluster
+    dir, and single sorted files for the unpartitioned probe tables at
+    fixture scale."""
+    import math
     import os
 
-    from neumann_spark.pipeline.ann import save_graph_index
+    from neumann_spark.pipeline.ann import (
+        GRAPH_EDGE_BLOCKS,
+        GRAPH_M,
+        GRAPH_PERSIST_BLOCK_FILE_ROWS,
+        GRAPH_R,
+        knn_graph_index,
+        save_graph_index,
+    )
     from tests.conftest import SF_DIR
 
     path = str(tmp_path / "gidx_layout")
@@ -441,11 +452,18 @@ def test_persisted_layout_file_counts(spark, tmp_path):
     def parts(d):
         return [f for f in os.listdir(d) if f.startswith("part-")]
 
+    # the writer's own salt formula, evaluated at the fixture n (== 1
+    # here; the assertion below stays correct for any future fixture or
+    # constant change instead of silently pinning the unsalted case)
+    n = int(knn_graph_index(spark, SF_DIR)[9]["n"])
+    edge_salt = max(1, math.ceil(
+        n * (GRAPH_M + GRAPH_R) / GRAPH_EDGE_BLOCKS
+        / GRAPH_PERSIST_BLOCK_FILE_ROWS))
     edge_root = os.path.join(path, "graph_edges")
     blocks = [d for d in os.listdir(edge_root) if d.startswith("block=")]
     assert blocks, "edge table lost its block partitioning"
     for b in blocks:
-        assert len(parts(os.path.join(edge_root, b))) == 1, b
+        assert len(parts(os.path.join(edge_root, b))) <= edge_salt, b
     warm_root = os.path.join(path, "graph_warm_assign")
     clusters = [d for d in os.listdir(warm_root)
                 if d.startswith("cluster=")]
@@ -1542,6 +1560,30 @@ def test_bounded_actions_restores_conf_and_serve_exits_clean(spark):
 
     rows = graph_auto_search(spark, SF_DIR, preset="low").collect()
     assert len(rows) == 10
+    assert spark.conf.get(key) == prior
+
+
+def test_run_actions_parallel_refuses_inside_bounded_scope(spark):
+    """`bounded_actions` flips session-global conf, so a concurrent
+    fan-out inside the scope would run its jobs with AQE silently off
+    (VERDICT r13 item 2): `run_actions_parallel` must refuse unless the
+    caller attests bounded thunks with bounded_ok=True; single-thunk
+    calls (no concurrency) and calls outside the scope stay allowed."""
+    import pytest
+
+    from neumann_spark.session import bounded_actions, run_actions_parallel
+
+    key = "spark.sql.adaptive.enabled"
+    prior = spark.conf.get(key)
+    with bounded_actions(spark):
+        with pytest.raises(RuntimeError, match="bounded_actions"):
+            run_actions_parallel([lambda: 1, lambda: 2])
+        # explicit attestation and single-thunk calls still run
+        assert run_actions_parallel(
+            [lambda: 1, lambda: 2], bounded_ok=True) == [1, 2]
+        assert run_actions_parallel([lambda: 3]) == [3]
+    # scope closed: fan-out allowed again, conf restored
+    assert run_actions_parallel([lambda: 1, lambda: 2]) == [1, 2]
     assert spark.conf.get(key) == prior
 
 
