@@ -263,6 +263,89 @@ def main() -> None:
                 _release_query_state(keep_ids)
             scaling[name] = {"sf0.01_sec": small_sec, "sf0.1_sec": big_sec}
 
+    # SCALE-LADDER series (r14, VERDICT r13 #7): at sf0.1 every headline
+    # row is scheduling-floor-bound (PERF_r13 scaling block: the 8-core
+    # suite beat the 32-core one on every query), so the headline series
+    # structurally cannot evidence parallel speedup. This block times the
+    # heaviest compute-bound queries on a synthetic 10x replication of
+    # their hot tables (key-shifted replicas: each replica joins and
+    # aggregates within itself, so per-replica semantics match the base
+    # workload and total work is 10x; nation/region stay shared, and the
+    # shifts keep every key inside the graph model's node-id bases).
+    # ADDITIONS ONLY: emitted under new keys (`queries_scale10x`) — the
+    # primary `queries`/`value` contract is untouched, so round-over-round
+    # comparison stays valid. The replicated copy is an INPUT
+    # transformation cached on fixture mtimes (same contract as the
+    # multilayout copy above — never a result cache); the one-off graph
+    # derivation for the ladder dir runs outside the timed region exactly
+    # like the main series, and each query gets one untimed warm run
+    # before its timed one (steady-state, same thermal order as above).
+    LADDER_X = 10
+    ladder: dict[str, float] = {}
+    ladder_error = None
+    try:
+        lad_dir = os.environ.get(
+            "SPARK_GRAFT_SCALE10X_DIR",
+            f"/tmp/neumann_bench_scale10x/"
+            f"{os.path.basename(sf_dir.rstrip('/'))}")
+        lad_marker = os.path.join(lad_dir, "_DONE")
+        lad_sig = f"x{LADDER_X};" + ",".join(
+            str(os.path.getmtime(f"{sf_dir}/{t}.parquet")) for t in TABLES)
+        lad_cached = None
+        if os.path.exists(lad_marker):
+            with open(lad_marker) as fh:
+                lad_cached = fh.read()
+        if lad_cached != lad_sig:
+            # key shifts sized so replica keys never collide and stay
+            # below the graph model's SUPPLIER_BASE/NATION_BASE id bands
+            shifts = {
+                "lineitem": {"l_orderkey": 200_000, "l_suppkey": 1_000},
+                "orders": {"o_orderkey": 200_000, "o_custkey": 20_000},
+                "customer": {"c_custkey": 20_000},
+                "supplier": {"s_suppkey": 1_000},
+            }
+            for t in TABLES:
+                base = cat_load(spark, sf_dir, t)
+                if t in shifts:
+                    reps = []
+                    for i in range(LADDER_X):
+                        d = base
+                        for col_name, step in shifts[t].items():
+                            dt = base.schema[col_name].dataType
+                            d = d.withColumn(
+                                col_name,
+                                (F.col(col_name) + F.lit(i * step))
+                                .cast(dt))
+                        reps.append(d)
+                    out = reps[0]
+                    for d in reps[1:]:
+                        out = out.unionByName(d)
+                else:
+                    out = base
+                out.repartition(n_parts).write.mode("overwrite").parquet(
+                    f"{lad_dir}/{t}.parquet")
+            with open(lad_marker, "w") as fh:
+                fh.write(lad_sig)
+        nodes_df(spark, lad_dir).count()
+        edges_df(spark, lad_dir).count()
+        keep_ids = _persistent_ids()
+        for name in ("q1_pricing_summary", "join_multi_q5",
+                     "graph_pagerank"):
+            fn = queries[name]
+            sec = None
+            for i in range(2):
+                spark.sparkContext.setJobDescription(
+                    f"bench:scale10x:{name}:run{i}")
+                t0 = time.time()
+                fn(spark, lad_dir).write.format("noop").mode(
+                    "overwrite").save()
+                sec = round(time.time() - t0, 3)
+                _release_query_state(keep_ids)
+            ladder[name] = sec
+        spark.sparkContext.setJobDescription(None)
+    except Exception as e:  # noqa: BLE001 — the ladder is evidence, not gate
+        ladder_error = repr(e)[:200]
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -290,6 +373,17 @@ def main() -> None:
                     sum(max(0.0, v - floor) for v in timings.values()), 3
                 ),
                 "scaling_10x": scaling,
+                # SCALE-LADDER (r14): compute-bound rows on a synthetic
+                # 10x key-shifted replication of the hot tables (multi-
+                # file layout, steady-state) — the rows whose 8-vs-32-core
+                # ratio evidences parallel speedup, which the floor-bound
+                # headline rows cannot (see the block comment above)
+                "queries_scale10x": ladder,
+                "scale10x_note": (
+                    f"build FAILED: {ladder_error}" if ladder_error else
+                    f"{LADDER_X}x key-shifted replication of lineitem/"
+                    "orders/customer/supplier at this sf; per-replica "
+                    "join semantics identical to the base workload"),
                 # CAVEAT series: the raw fixtures are ONE parquet row group
                 # per table, so their scan stages are single-task by file
                 # format (byte-range splits can't cross a row group) — a
