@@ -154,6 +154,10 @@ def main() -> None:
                 ).parquet(f"{ml_dir}/{t}.parquet")
             with open(marker, "w") as fh:
                 fh.write(src_sig)
+            # flush the copy's dirty pages so a fresh-box first run does
+            # not charge the untimed copy's writeback to the first timed
+            # queries (same hygiene as the scale-ladder copy below)
+            os.sync()
         nodes_df(spark, ml_dir).count()
         edges_df(spark, ml_dir).count()
     except Exception as e:  # noqa: BLE001 — fall back to the fixture layout
@@ -326,6 +330,13 @@ def main() -> None:
                     f"{lad_dir}/{t}.parquet")
             with open(lad_marker, "w") as fh:
                 fh.write(lad_sig)
+            # Flush the replica write's dirty pages before timing: on a
+            # fresh box the rebuild leaves ~10x of page-cache writeback in
+            # flight, and the FIRST ladder query pays for it (measured:
+            # q1 12.7 s fresh-copy vs 1.0 s cached-copy, same code). The
+            # copy itself stays untimed either way; this only makes the
+            # untimed I/O actually finish inside the untimed region.
+            os.sync()
         nodes_df(spark, lad_dir).count()
         edges_df(spark, lad_dir).count()
         keep_ids = _persistent_ids()
